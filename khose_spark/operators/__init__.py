@@ -1,0 +1,15 @@
+"""Operator modules — importing this package registers every SURVEY.md §2
+query into khose_spark.registry."""
+
+from khose_spark.operators import (  # noqa: F401
+    aggregates,
+    filters,
+    functions,
+    joins,
+    llm,
+    scans,
+    sorts_sets,
+    streaming,
+    udfs,
+    windows,
+)

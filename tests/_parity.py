@@ -1,0 +1,84 @@
+"""Local replica of the driver's DuckDB-oracle comparison (SURVEY.md §5.2).
+
+Mirrors the driver loop: run the Spark query and the oracle SQL over the
+same fixture dir, then compare row-count + column names + an
+order-insensitive canonical form of every value. Stricter than needed is
+fine; looser is not — never hand the driver a query that fails here.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+
+import numpy as np
+import pandas as pd
+
+
+def canon_value(v) -> str:
+    """Canonical string for one cell, robust to engine dtype differences."""
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float) or isinstance(v, np.floating):
+        f = float(v)
+        if math.isnan(f):
+            return "<NULL>"
+        if f == 0.0:
+            f = 0.0  # normalize -0.0
+        # 12 significant digits: queries round() everything they compute,
+        # so any residual difference beyond this is a real bug.
+        return f"f:{f:.12g}"
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, pd.Timestamp):
+        return "t:" + v.isoformat()
+    if isinstance(v, datetime):
+        return "t:" + pd.Timestamp(v).isoformat()
+    if isinstance(v, date):
+        return "d:" + v.isoformat()
+    if isinstance(v, (list, np.ndarray, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return "x:" + v.hex()
+    if isinstance(v, str):
+        return "s:" + v
+    if pd.isna(v):  # pandas NaT / NA
+        return "<NULL>"
+    return f"o:{v!r}"
+
+
+def canon_frame(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    """Order-insensitive canonical form: sorted rows of canonical cells,
+    columns sorted by name."""
+    cols = sorted(df.columns)
+    rows = [
+        tuple(canon_value(row[c]) for c in cols)
+        for _, row in df[cols].iterrows()
+    ]
+    rows.sort()
+    return rows
+
+
+def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty == parity)."""
+    problems: list[str] = []
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    sc, oc = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if sc != oc:
+        problems.append(f"columns: spark={sc} oracle={oc}")
+        return problems
+    a, b = canon_frame(spark_pdf), canon_frame(oracle_pdf)
+    if a != b:
+        diffs = [i for i, (x, y) in enumerate(zip(a, b)) if x != y]
+        for i in diffs[:5]:
+            problems.append(f"row {i}: spark={a[i]} oracle={b[i]}")
+        if len(a) != len(b) or (diffs and len(diffs) > 5):
+            problems.append(f"... {len(diffs)} differing rows of {len(a)}")
+        if not diffs and len(a) != len(b):
+            problems.append("row multiset prefix equal but lengths differ")
+        if not problems:
+            problems.append("canonical forms differ")
+    return problems

@@ -1,0 +1,29 @@
+"""The core gate: every registered query with an oracle must hash-match
+DuckDB on the fixture tables (driver-loop replica, SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from khose_spark import registry
+from tests._parity import compare
+
+registry.load_all()
+
+ORACLE_KEYS = sorted(registry.ORACLES)
+ROWS_ONLY_KEYS = sorted(set(registry.QUERIES) - set(registry.ORACLES))
+
+
+@pytest.mark.parametrize("key", ORACLE_KEYS)
+def test_oracle_parity(key, spark, ddb, sf_dir):
+    spark_pdf = registry.QUERIES[key](spark, sf_dir).toPandas()
+    oracle_pdf = ddb.sql(registry.ORACLES[key]).df()
+    problems = compare(spark_pdf, oracle_pdf)
+    assert not problems, f"{key}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
+def test_rows_only_runs(key, spark, sf_dir):
+    df = registry.QUERIES[key](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
