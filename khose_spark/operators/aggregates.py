@@ -11,23 +11,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from khose_spark.registry import query
+from khose_spark.sqlutil import dec_sum, sql_dec_sum
 from khose_spark.tables import t
 
 
 @query(
     "q_agg_flagship_pricing",
-    oracle="""
+    oracle=f"""
     SELECT
       l_returnflag,
       l_linestatus,
-      round(sum(l_quantity), 2)                                        AS sum_qty,
-      round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-      round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-      round(avg(l_quantity), 2)                                        AS avg_qty,
-      round(avg(l_extendedprice), 2)                                   AS avg_price,
-      round(avg(l_discount), 2)                                        AS avg_disc,
-      count(*)                                                         AS count_order
+      {sql_dec_sum('l_quantity', 2)}                                          AS sum_qty,
+      {sql_dec_sum('l_extendedprice', 2)}                                     AS sum_base_price,
+      {sql_dec_sum('l_extendedprice * (1 - l_discount)', 4)}                  AS sum_disc_price,
+      {sql_dec_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}    AS sum_charge,
+      round(avg(l_quantity), 2)                                               AS avg_qty,
+      round(avg(l_extendedprice), 2)                                          AS avg_price,
+      round(avg(l_discount), 2)                                               AS avg_disc,
+      count(*)                                                                AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -49,13 +50,244 @@ def q_agg_flagship_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            dec_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+            dec_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dec_sum(disc, 4).alias("sum_disc_price"),
+            dec_sum(disc * (1 + F.col("l_tax")), 6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
             F.round(F.avg("l_discount"), 2).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+@query(
+    "q_agg_count_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group — Spark plans the two-phase
+    expand+aggregate; at 100 TB the partial distinct happens map-side."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query("q_agg_approx_distinct")  # rows-only: HLL estimate is engine-specific
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++). Declared rows-only
+    (SURVEY.md §2.4): the estimate is not hash-comparable across engines.
+    This is the 100 TB path for distinct-cardinality: one pass, fixed
+    memory, no expand."""
+    return t(spark, sf_dir, "events").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_cust
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals; nation/region dims are broadcast."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_cust"))
+
+
+@query(
+    "q_agg_cube",
+    oracle=f"""
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
+           count(*) AS n,
+           {sql_dec_sum('value', 2)} AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day). Day rendered as an ISO string —
+    date-typed outputs hash differently across engines (pandas dtype)."""
+    e = t(spark, sf_dir, "events").withColumn("d", F.date_format("ts", "yyyy-MM-dd"))
+    return e.cube("event_type", "d").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum(F.col("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle=f"""
+    SELECT c_mktsegment, c_nationkey,
+           count(*) AS n_cust,
+           {sql_dec_sum('c_acctbal', 2)} AS sum_bal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL entry point (EP2, SURVEY.md §3.2)
+    — DataFrame and SQL converge on the same logical plan."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("khose_customer_gs")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey,
+               count(*) AS n_cust,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,2))), 2) AS DOUBLE) AS sum_bal
+        FROM khose_customer_gs
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+@query(
+    "q_agg_filtered",
+    oracle="""
+    SELECT user_id,
+           CAST(round(sum(CAST(value AS DECIMAL(28,2)))
+                      FILTER (WHERE event_type = 'purchase'), 2) AS DOUBLE)
+             AS purchase_value,
+           count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (pivot-style) aggregates via sum(CASE WHEN ...)."""
+    e = t(spark, sf_dir, "events")
+    purchase = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.groupBy("user_id").agg(
+        F.round(
+            F.sum(purchase.cast("decimal(28,2)")), 2
+        ).cast("double").alias("purchase_value"),
+        F.count(F.when(F.col("event_type") == "click", F.lit(1))).alias("n_clicks"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 2)                 AS sd_qty,
+           round(var_samp(l_extendedprice), 2)               AS var_price,
+           round(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/var/corr/covar). Continuous values
+    over large groups — plain round() is safe here (sqlutil law)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 2).alias("sd_qty"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
+    )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation in both engines). Exact
+    percentile needs the whole group; the approx_percentile sketch is the
+    100 TB alternative when error tolerance allows."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list -> sort_array -> array_join: deterministic string
+    rendering of a per-group list (sorted => hashable, SURVEY.md §2.4)."""
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"))
+    )
+
+
+@query(
+    "q_agg_min_max_by",
+    oracle="""
+    SELECT event_type, user_id AS top_user, event_id AS top_event
+    FROM (
+      SELECT event_type, user_id, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by with a (value, event_id) struct key — the struct tiebreak
+    makes the argmax deterministic. Oracle uses the row_number idiom; the
+    Spark side is a single-pass aggregate (no window, no second shuffle)."""
+    e = t(spark, sf_dir, "events")
+    key = F.struct(F.col("value"), F.col("event_id"))
+    return e.groupBy("event_type").agg(
+        F.max_by("user_id", key).alias("top_user"),
+        F.max_by("event_id", key).alias("top_event"),
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_cust
+    FROM customer
+    GROUP BY c_mktsegment
+    HAVING count(*) > 25
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregation filter."""
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .filter(F.col("n_cust") > 25)
     )

@@ -1,1 +1,319 @@
-"""Placeholder — operators land in later phases."""
+"""Join operators — exhaustive over algorithms × types (SURVEY.md §2.3).
+
+Algorithm pins (hints) exist only where §2 names one; everywhere else
+Catalyst + AQE picks (broadcast-hash for the dims here, sort-merge for
+fact-fact). Every join's DuckDB oracle computes the same logical join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from khose_spark.operators.asof import asof_join
+from khose_spark.registry import query
+from khose_spark.sqlutil import dec_sum, sql_dec_sum
+from khose_spark.tables import t
+
+
+@query(
+    "q_join_inner_hash",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def q_join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join pinned to shuffled-hash (no sort needed when one
+    side builds a hash map per partition)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.hint("shuffle_hash")
+        .join(o, c.c_custkey == o.o_custkey, "inner")
+        .select("c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle=f"""
+    SELECT p_brand, {sql_dec_sum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ dim with the dim explicitly broadcast — the no-shuffle join:
+    lineitem never moves, part ships to every executor once."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_join_sortmerge",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_lines,
+           count(DISTINCT o_orderkey) AS n_orders
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ fact pinned sort-merge — the right algorithm when both
+    sides are huge: sort-shuffle each on the key, stream the merge."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q_join_left_outer",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderstatus = 'O'
+    GROUP BY c_custkey
+    """,
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero matching orders
+    (count(o_orderkey) skips the null-extended rows)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "O")
+    return (
+        c.join(o, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "q_join_full_outer",
+    oracle="""
+    SELECT cn AS cust_nation, sn AS supp_nation
+    FROM (SELECT DISTINCT c_nationkey AS cn FROM customer WHERE c_acctbal > 9000)
+    FULL JOIN (SELECT DISTINCT s_nationkey AS sn FROM supplier WHERE s_acctbal > 5000)
+      ON cn = sn
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two distinct nation-key sets (filtered so each
+    side has keys the other lacks)."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("cn"))
+        .distinct()
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("sn"))
+        .distinct()
+    )
+    return c.join(s, c.cn == s.sn, "full").select(
+        F.col("cn").alias("cust_nation"), F.col("sn").alias("supp_nation")
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — customers having at least one open order. Semi
+    joins never duplicate left rows, so no post-dedup shuffle."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — customers with no 'F'-status orders (unfiltered
+    anti would be empty: o_custkey spans the full customer range,
+    FIXTURES.md)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny dims (5 × 25) — broadcast
+    nested-loop; cross joins are only ever sane when one side is small."""
+    return t(spark, sf_dir, "region").crossJoin(t(spark, sf_dir, "nation")).select(
+        "r_name", "n_name"
+    )
+
+
+@query(
+    "q_join_theta_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, p_partkey, l_extendedprice, p_retailprice
+    FROM lineitem JOIN part
+      ON p_partkey = l_partkey
+     AND l_extendedprice BETWEEN p_retailprice * 0.9 AND p_retailprice * 1.1
+    """,
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + non-equi range residual: the equi conjunct hashes, the
+    range conjunct evaluates as a post-probe filter — so this is NOT a
+    nested-loop join despite the theta condition."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    cond = (
+        (p.p_partkey == li.l_partkey)
+        & (li.l_extendedprice >= p.p_retailprice * 0.9)
+        & (li.l_extendedprice <= p.p_retailprice * 1.1)
+    )
+    return li.join(F.broadcast(p), cond).select(
+        "l_orderkey", "l_linenumber", "p_partkey", "l_extendedprice", "p_retailprice"
+    )
+
+
+@query(
+    "q_join_interval",
+    oracle="""
+    SELECT a.user_id, count(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 1 HOUR
+    GROUP BY a.user_id
+    """,
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join on user + 1-hour interval: equi conjunct on user_id
+    keeps it a hash join; the time window is the residual predicate."""
+    e = t(spark, sf_dir, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        a.join(b, cond)
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey % 150 AS bkey, o_orderdate,
+             max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, r.o_orderkey AS last_orderkey,
+           strftime(r.o_orderdate, '%Y-%m-%d') AS last_orderdate
+    FROM events e
+    ASOF LEFT JOIN r ON r.bkey = e.user_id AND r.o_orderdate <= e.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of backward join (events ← latest order per bridge key).
+
+    Spark lacks ASOF JOIN; this uses khose_spark.operators.asof.asof_join
+    (union + windowed last(ignoreNulls) — linear, one shuffle per input,
+    SURVEY.md §4.2.1). DuckDB's native ASOF JOIN is the oracle. The right
+    side is pre-deduped per (key, time) so equal-time ties are
+    deterministic in both engines."""
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            (F.col("o_custkey") % 150).alias("bkey"),
+            F.col("o_orderdate"),
+        )
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    left = e.withColumnRenamed("user_id", "bkey").withColumn(
+        "t", F.col("ts").cast("timestamp")
+    )
+    joined = asof_join(
+        left.select("event_id", "bkey", F.col("ts").alias("t")),
+        o.select("bkey", F.col("o_orderdate").alias("t"), "o_orderkey", F.col("o_orderdate")),
+        on="t",
+        by=["bkey"],
+        value_cols=["o_orderkey", "o_orderdate"],
+    )
+    return joined.select(
+        "event_id",
+        F.col("bkey").alias("user_id"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_orderdate"),
+    )
+
+
+@query(
+    "q_join_multiway",
+    oracle=f"""
+    SELECT n_name, {sql_dec_sum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way star join, revenue by nation. Shape at scale: the two fact
+    tables sort-merge on orderkey; customer and nation broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -18,6 +18,9 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    # rejects by default; read as long and convert (tables.t handles it).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Fixture scale (sf<=0.1) fits comfortably in 32 partitions; AQE
     # coalesces further. At 100 TB this would be sized to cluster cores.
     "spark.sql.shuffle.partitions": os.environ.get("KHOSE_SHUFFLE_PARTITIONS", "32"),
