@@ -1,1 +1,388 @@
-"""Placeholder — operators land in later phases."""
+"""Scalar-function sweep: string / date / math / conditional / array /
+map / JSON (SURVEY.md §2.7).
+
+This is where Spark↔DuckDB semantic mismatches live; each oracle mirrors
+the exact semantics (datediff arg order, floor(epoch()) vs
+unix_timestamp, float->double widening before rounding, ISO-string
+rendering of dates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from khose_spark.registry import query
+from khose_spark.sqlutil import dec_round, sql_dec_round
+from khose_spark.tables import t
+
+
+@query(
+    "q_fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                              AS uname,
+           substring(p_name, 1, 8)                    AS prefix,
+           length(p_name)                             AS name_len,
+           concat_ws('-', p_brand, p_type)            AS brand_type,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')      AS padded_size,
+           trim(p_name)                               AS trimmed,
+           replace(p_type, 'BRASS', 'bronze')         AS replaced,
+           instr(p_type, 'BRASS')                     AS brass_pos
+    FROM part
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface over part."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.substring("p_name", 1, 8).alias("prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded_size"),
+        F.trim(F.col("p_name")).alias("trimmed"),
+        F.replace(F.col("p_type"), F.lit("BRASS"), F.lit("bronze")).alias("replaced"),
+        F.instr(F.col("p_type"), "BRASS").cast("long").alias("brass_pos"),
+    )
+
+
+@query(
+    "q_fn_split_explode",
+    oracle="""
+    SELECT word, n, rnk FROM (
+      SELECT word, n,
+             row_number() OVER (ORDER BY n DESC, word ASC) AS rnk
+      FROM (
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word
+      )
+    ) WHERE rnk <= 20
+    """,
+)
+def q_fn_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count via split+explode, top-20 by frequency (word asc ties).
+    At 100 TB the explode is map-side and the count partial-aggregates
+    before the single shuffle — the canonical scalable wordcount."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    return counts.select("word", "n", F.row_number().over(w).alias("rnk")).filter(
+        F.col("rnk") <= 20
+    )
+
+
+@query(
+    "q_fn_regexp_extract",
+    oracle="""
+    SELECT CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) AS src_num,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_fn_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract of the numeric suffix of documents.source."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.regexp_extract("source", r"src(\d+)", 1).cast("long").alias("src_num")
+        )
+        .groupBy("src_num")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "q_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                                   AS y,
+           month(o_orderdate)                                  AS m,
+           day(o_orderdate)                                    AS dom,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function surface over orders (dates rendered as ISO strings;
+    Spark datediff(end,start) == DuckDB datediff('day',start,end))."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    od = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(od, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since"),
+        F.date_format(F.date_add(od, 30), "yyyy-MM-dd").alias("plus30"),
+        F.date_format(F.last_day(od), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+@query(
+    "q_fn_ts",
+    oracle="""
+    SELECT event_id,
+           hour(ts)                                AS h,
+           minute(ts)                              AS mi,
+           CAST(floor(epoch(ts)) AS BIGINT)        AS epoch_s,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d')  AS d,
+           CAST(floor(epoch(ts)) AS BIGINT) // 3600 * 3600 AS hour_bucket
+    FROM events WHERE event_id < 200
+    """,
+)
+def q_fn_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-function surface. unix_timestamp floors to seconds —
+    oracle mirrors with floor(epoch())."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    epoch_s = F.unix_timestamp("ts")
+    return e.select(
+        "event_id",
+        F.hour("ts").cast("long").alias("h"),
+        F.minute("ts").cast("long").alias("mi"),
+        epoch_s.alias("epoch_s"),
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("d"),
+        (F.floor(epoch_s / 3600) * 3600).alias("hour_bucket"),
+    )
+
+
+@query(
+    "q_fn_math",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 0)                       AS r0,
+           floor(l_discount * 100)                         AS fl,
+           ceil(l_tax * 100)                               AS ce,
+           abs(l_quantity - 25)                            AS ab,
+           round(pow(l_quantity, 2), 2)                    AS p2,
+           round(sqrt(l_extendedprice), 4)                 AS sq,
+           round(ln(l_extendedprice), 4)                   AS lnp,
+           round(log10(l_extendedprice), 4)                AS lg,
+           CAST(l_orderkey % 7 AS BIGINT)                  AS pm,
+           sign(l_quantity - 25)                           AS sg,
+           greatest(l_quantity, l_discount * 1000)         AS gr,
+           least(l_quantity, l_tax * 1000)                 AS le
+    FROM lineitem WHERE l_orderkey < 300
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function surface. pmod on non-negative operands == %; sign
+    cast to double on both engines; transcendentals rounded at 4."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 0).alias("r0"),
+        F.floor(F.col("l_discount") * 100).cast("double").alias("fl"),
+        F.ceil(F.col("l_tax") * 100).cast("double").alias("ce"),
+        F.abs(F.col("l_quantity") - 25).alias("ab"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("p2"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("sq"),
+        F.round(F.log("l_extendedprice"), 4).alias("lnp"),
+        F.round(F.log10("l_extendedprice"), 4).alias("lg"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("pm"),
+        F.signum(F.col("l_quantity") - 25).alias("sg"),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 1000).alias("gr"),
+        F.least(F.col("l_quantity"), F.col("l_tax") * 1000).alias("le"),
+    )
+
+
+@query(
+    "q_fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END                              AS tier,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN')     AS status_lbl,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_urgent
+    FROM orders
+    """,
+)
+def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN tiers, coalesce, nullif, if."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_lbl"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_urgent"),
+    )
+
+
+@query(
+    "q_fn_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str,
+           CAST(strptime('2020-06-15', '%Y-%m-%d') AS DATE) = DATE '2020-06-15' AS date_ok,
+           CAST(o_orderkey AS DOUBLE) / 2                       AS half_key,
+           CAST(trunc(o_totalprice) AS BIGINT)                  AS trunc_price
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast surface: double->decimal->string, string->date, int->double,
+    double->int. Spark's double->int cast truncates toward zero while
+    DuckDB's rounds — the oracle mirrors Spark with trunc()."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias("price_str"),
+        (F.to_date(F.lit("2020-06-15"), "yyyy-MM-dd") == F.lit("2020-06-15").cast("date")).alias(
+            "date_ok"
+        ),
+        (F.col("o_orderkey").cast("double") / 2).alias("half_key"),
+        F.col("o_totalprice").cast("int").cast("long").alias("trunc_price"),
+    )
+
+
+@query(
+    "q_fn_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                           AS n_dims,
+           round(CAST(embedding[1] AS DOUBLE), 4)                   AS e1,
+           round(CAST(list_max(embedding) AS DOUBLE), 4)            AS emax,
+           round(CAST(list_min(embedding) AS DOUBLE), 4)            AS emin
+    FROM embeddings
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over embeddings (scalars only — array
+    outputs hash differently across pandas dtypes). Floats widen to
+    double BEFORE rounding on both engines."""
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e1"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("emax"),
+        F.round(F.array_min("embedding").cast("double"), 4).alias("emin"),
+    )
+
+
+@query(
+    "q_fn_array_hof",
+    oracle="""
+    SELECT vec_id,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * 2)), 4) AS sum2,
+           round(list_sum(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))), 4) AS l1_norm
+    FROM embeddings
+    """,
+)
+def q_fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform + aggregate lambdas.
+    Sequential in-order float summation on both engines -> identical
+    bits before rounding."""
+    e = t(spark, sf_dir, "embeddings")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: dbl(x) * 2),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("sum2"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: F.abs(dbl(x))),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("l1_norm"),
+    )
+
+
+@query(
+    "q_fn_json",
+    oracle="""
+    SELECT event_type,
+           count(*)                                                  AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from events.props ('{"k": <int>}', FIXTURES.md)."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "q_fn_map",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INTEGER)                    AS n_keys,
+           CAST(json_extract_string(props, '$.k') AS INTEGER)        AS k_val
+    FROM events WHERE event_id < 300
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: from_json('map<string,int>') -> map_keys/element_at."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+    )
+
+
+@query(
+    "q_fn_struct_nested",
+    oracle="""
+    SELECT c_custkey, c_name AS s_name, c_acctbal AS s_bal,
+           round(c_acctbal * 2, 2) AS s_bal2
+    FROM customer WHERE c_acctbal > 0
+    """,
+)
+def q_fn_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type surface: build struct(c_name, c_acctbal), operate on
+    it, project flat fields back out (oracle stays on flat columns)."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    withs = c.withColumn("s", F.struct(F.col("c_name"), F.col("c_acctbal")))
+    return withs.select(
+        "c_custkey",
+        F.col("s.c_name").alias("s_name"),
+        F.col("s.c_acctbal").alias("s_bal"),
+        dec_round(F.col("s.c_acctbal") * 2, 2, 2).alias("s_bal2"),
+    )
