@@ -1,1 +1,174 @@
-"""Placeholder — operators land in later phases."""
+"""Scans / sources / sinks (SURVEY.md §2.1) — khose's own surface:
+ingest formats in, immutable columnar files out (BASELINE.json north
+star: "streaming ingest ... to immutable storage (Parquet/ORC)").
+
+Sink queries write to a scratch dir under /tmp, read the files back and
+aggregate — the oracle runs the same aggregate on the original table, so
+a lossy roundtrip (schema, values, partition pruning) fails the hash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from khose_spark.registry import query
+from khose_spark.sqlutil import dec_sum, sql_dec_sum
+from khose_spark.tables import t
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "khose_sinks")
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(_SCRATCH, f"{name}_{tag}")
+
+
+_EVENTS_AGG_ORACLE = f"""
+    SELECT event_type,
+           count(*) AS n,
+           {sql_dec_sum('value', 2)} AS sum_value,
+           strftime(max(CAST(ts AS DATE)), '%Y-%m-%d') AS max_day
+    FROM events
+    GROUP BY event_type
+"""
+
+
+def _events_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum(F.col("value"), 2).alias("sum_value"),
+        F.date_format(F.max(F.to_date("ts")), "yyyy-MM-dd").alias("max_day"),
+    )
+
+
+@query("q_scan_parquet", oracle="SELECT * FROM lineitem")
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full parquet scan of lineitem, all columns (vectorized reader)."""
+    return t(spark, sf_dir, "lineitem")
+
+
+@query(
+    "q_scan_count",
+    oracle="""
+    SELECT 'region' AS table_name, count(*) AS n_rows FROM region
+    UNION ALL SELECT 'nation', count(*) FROM nation
+    UNION ALL SELECT 'customer', count(*) FROM customer
+    UNION ALL SELECT 'supplier', count(*) FROM supplier
+    UNION ALL SELECT 'part', count(*) FROM part
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    UNION ALL SELECT 'events', count(*) FROM events
+    UNION ALL SELECT 'documents', count(*) FROM documents
+    UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+    """,
+)
+def q_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row count of every table — count(*) over parquet needs only
+    footer metadata after Catalyst prunes all columns."""
+    from functools import reduce
+
+    from khose_spark.tables import TABLES
+
+    frames = [
+        t(spark, sf_dir, name)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit(name).alias("table_name"), "n_rows")
+        for name in TABLES
+    ]
+    return reduce(lambda a, b: a.unionAll(b), frames)
+
+
+@query("q_sink_parquet_roundtrip", oracle=_EVENTS_AGG_ORACLE)
+def q_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> immutable parquet files -> read back -> aggregate.
+    This is khose's defining behavior (stream batches to parquet); the
+    oracle aggregates the ORIGINAL table, so the roundtrip must be
+    lossless. repartition(4) emulates multi-writer batch output."""
+    path = _scratch(sf_dir, "parquet_roundtrip")
+    t(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(path)
+    return _events_agg(spark.read.parquet(path))
+
+
+@query("q_sink_orc_roundtrip", oracle=_EVENTS_AGG_ORACLE)
+def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract via ORC (BASELINE.json names ORC explicitly)."""
+    path = _scratch(sf_dir, "orc_roundtrip")
+    t(spark, sf_dir, "events").repartition(4).write.mode("overwrite").orc(path)
+    return _events_agg(spark.read.orc(path))
+
+
+@query(
+    "q_sink_partitioned",
+    oracle=f"""
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
+           count(*) AS n, {sql_dec_sum('value', 2)} AS sum_value
+    FROM events
+    WHERE event_type = 'purchase' AND strftime(ts, '%Y-%m-%d') <= '2024-01-07'
+    GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+    """,
+)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write (event_type / day) + partition-pruned read
+    back: the filter on both partition columns prunes directories — at
+    100 TB this is the difference between scanning one day and a year."""
+    path = _scratch(sf_dir, "partitioned")
+    e = t(spark, sf_dir, "events").withColumn("d", F.date_format("ts", "yyyy-MM-dd"))
+    e.write.mode("overwrite").partitionBy("event_type", "d").parquet(path)
+    back = spark.read.parquet(path).filter(
+        (F.col("event_type") == "purchase") & (F.col("d") <= "2024-01-07")
+    )
+    # partition-column type inference reads the day string back as a
+    # DATE; render as ISO string for the hash (engine law).
+    back = back.withColumn("d", F.date_format("d", "yyyy-MM-dd"))
+    return back.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum(F.col("value"), 2).alias("sum_value"),
+    )
+
+
+@query("q_source_json_lines", oracle=_EVENTS_AGG_ORACLE)
+def q_source_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-format surface: events -> JSON lines -> re-read with the
+    EXPLICIT schema (engine law: no inference on ingest, SURVEY.md §1.3).
+    Microsecond timestamps are preserved via an explicit format."""
+    path = _scratch(sf_dir, "json_lines")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    t(spark, sf_dir, "events").write.mode("overwrite").option(
+        "timestampFormat", fmt
+    ).json(path)
+    back = spark.read.schema(EVENTS_SCHEMA).option("timestampFormat", fmt).json(path)
+    return _events_agg(back)
+
+
+@query("q_source_csv", oracle=_EVENTS_AGG_ORACLE)
+def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same for CSV with header + explicit timestamp format parsing."""
+    path = _scratch(sf_dir, "csv")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    t(spark, sf_dir, "events").write.mode("overwrite").option("header", "true").option(
+        "timestampFormat", fmt
+    ).csv(path)
+    back = (
+        spark.read.schema(EVENTS_SCHEMA)
+        .option("header", "true")
+        .option("timestampFormat", fmt)
+        .csv(path)
+    )
+    return _events_agg(back)
