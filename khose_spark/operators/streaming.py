@@ -1,1 +1,163 @@
-"""Placeholder — operators land in later phases."""
+"""Streaming operators (SURVEY.md §2.9) — batch-semantic twins.
+
+Each `_batchsem` query is the BATCH evaluation of a streaming
+aggregation (hash-checked against DuckDB); tests/test_streaming.py
+drives the same plan through a file-source micro-batch stream and
+asserts the results converge — Structured Streaming's
+prefix-consistency guarantee makes that the correct equivalence.
+
+The streaming runtime itself (file/Kinesis-envelope sources, exactly-
+once parquet sink, watermarks, stateful ops) lives in
+khose_spark.streaming and khose_spark.sources.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from khose_spark.registry import query
+from khose_spark.sqlutil import dec_sum, sql_dec_sum
+from khose_spark.tables import t
+
+
+def tumbling_hourly(events: DataFrame) -> DataFrame:
+    """1-hour tumbling window counts+sums — THE streaming aggregation
+    shape. Works identically on a batch or streaming DataFrame (the
+    streaming run adds a watermark before calling this)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum(F.col("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_stream_tumbling_batchsem",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n, {sql_dec_sum('value', 2)} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling_batchsem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the 1-hour tumbling-window stream aggregation."""
+    return tumbling_hourly(t(spark, sf_dir, "events"))
+
+
+def sliding_hourly(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 30 minutes; each event lands in 2."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+        )
+    )
+
+
+@query(
+    "q_stream_sliding_batchsem",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws
+      FROM events
+    )
+    GROUP BY 1
+    """,
+)
+def q_stream_sliding_batchsem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the sliding-window count. Spark's window() expands
+    each row into its two covering windows; the oracle mirrors with an
+    explicit 2-element unnest."""
+    return sliding_hourly(t(spark, sf_dir, "events"))
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gaps-and-islands sessionization (batch twin of session_window):
+    new session when the gap to the previous same-user event exceeds
+    ``gap_minutes``; emits per-session start/count/duration."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap_s = gap_minutes * 60
+    epoch = F.unix_timestamp("ts")
+    is_new = (
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(epoch - F.unix_timestamp(F.lag("ts").over(w)) > gap_s, 1)
+        .otherwise(0)
+    )
+    sess = events.select(
+        "user_id", "ts", "event_id", F.sum(is_new).over(w).alias("session_no")
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "duration_s"
+        ),
+    )
+
+
+@query(
+    "q_stream_session_batchsem",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 THEN 1
+                  ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sessions AS (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_no
+      FROM ordered
+    )
+    SELECT user_id, session_no,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           CAST(floor(epoch(max(ts))) AS BIGINT)
+             - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def q_stream_session_batchsem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of session_window(ts, '30 minutes') per user."""
+    return sessionize_batch(t(spark, sf_dir, "events"))
+
+
+@query(
+    "q_stream_dedup_batchsem",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stream_dedup_batchsem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of at-least-once delivery repair: double every event
+    (union all), dropDuplicates on event_id must restore the original
+    counts (event_id unique in fixtures). Streaming variant uses
+    dropDuplicatesWithinWatermark."""
+    e = t(spark, sf_dir, "events")
+    doubled = e.unionAll(e)
+    return (
+        doubled.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
