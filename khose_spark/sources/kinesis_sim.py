@@ -1,0 +1,114 @@
+"""Kinesis-envelope stream source (simulator) — SURVEY.md §4.2.2.
+
+khose's primary sources are Kafka and Kinesis (BASELINE.json). In OSS
+Spark, Kafka is built in (``spark.readStream.format("kafka")`` — see
+``kafka_stream`` below); Kinesis is NOT — production deployments use a
+connector from the Spark-Kinesis family (e.g. the spark-sql-kinesis
+connector or Kinesis->Kafka bridging), all of which present a record
+envelope equivalent to the one simulated here.
+
+The simulator stages fixture events as ordered chunk files and replays
+them through Spark's FILE STREAM source wrapped in the Kinesis record
+envelope (shardId, sequenceNumber, data, approximateArrivalTimestamp).
+Everything downstream of the source — parse, transform, window, sink —
+is identical code for real Kinesis, real Kafka, and the simulator;
+that's the point: the envelope is the interface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from khose_spark.operators.scans import EVENTS_SCHEMA
+from khose_spark.tables import t
+
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("shardId", T.StringType()),
+        T.StructField("sequenceNumber", T.StringType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("approximateArrivalTimestamp", T.TimestampType()),
+    ]
+)
+
+_N_SHARDS = 4
+
+# Explicit microsecond format on BOTH encode and decode — the default
+# JSON timestampFormat truncates to millis, which would silently lose
+# event-time precision through the envelope.
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def stage_event_chunks(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 8, tag: str = ""
+) -> str:
+    """Write fixture events as ``n_chunks`` ordered parquet files — the
+    replayable 'stream history'. Chunked by event_id range so replay
+    order is deterministic."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "khose_stream",
+        f"chunks_{hashlib.md5((sf_dir + tag).encode()).hexdigest()[:8]}",
+    )
+    (
+        t(spark, sf_dir, "events")
+        .repartitionByRange(n_chunks, "event_id")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+def file_stream(spark: SparkSession, chunk_dir: str, files_per_trigger: int = 1) -> DataFrame:
+    """Raw event file-stream: one micro-batch per chunk file."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(chunk_dir)
+    )
+
+
+def kinesis_stream(spark: SparkSession, chunk_dir: str) -> DataFrame:
+    """Streaming DataFrame in the Kinesis record envelope: each event
+    becomes (shardId, sequenceNumber, data=JSON bytes, arrival ts)."""
+    raw = file_stream(spark, chunk_dir)
+    payload = F.to_json(
+        F.struct("event_id", "ts", "user_id", "event_type", "value", "props"),
+        {"timestampFormat": _TS_FMT},
+    )
+    return raw.select(
+        F.concat(F.lit("shardId-"), F.lpad((F.col("user_id") % _N_SHARDS).cast("string"), 12, "0")).alias("shardId"),
+        F.col("event_id").cast("string").alias("sequenceNumber"),
+        F.encode(payload, "utf-8").alias("data"),
+        F.col("ts").alias("approximateArrivalTimestamp"),
+    )
+
+
+def parse_envelope(envelope: DataFrame) -> DataFrame:
+    """Decode a Kinesis-envelope stream back into typed event rows —
+    the first stage of every khose pipeline (deserialize JSON)."""
+    parsed = F.from_json(
+        F.decode("data", "utf-8"),
+        EVENTS_SCHEMA,
+        {"timestampFormat": _TS_FMT},
+    )
+    return envelope.select(parsed.alias("e")).select("e.*")
+
+
+def kafka_stream(spark: SparkSession, bootstrap: str, topic: str) -> DataFrame:
+    """Production Kafka source (not testable in this container — no
+    broker): value bytes carry the same JSON payload the simulator
+    produces, so ``parse_envelope``'s sibling is a one-line from_json."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )

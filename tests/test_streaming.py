@@ -1,0 +1,208 @@
+"""Streaming-semantics tests (SURVEY.md §5.2 item 3).
+
+Feed the fixture events through a chunked file stream and assert the
+streaming results converge to the hash-checked batch twins — Structured
+Streaming's prefix-consistency guarantee. Plus: watermark late-drop,
+exactly-once file sink (idempotent restart), Kinesis-envelope roundtrip,
+and the custom stateful operator.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from khose_spark.operators.streaming import sessionize_batch, tumbling_hourly
+from khose_spark.sources import kinesis_stream, parse_envelope, stage_event_chunks
+from khose_spark.sources.kinesis_sim import file_stream
+from khose_spark.streaming import (
+    ingest_to_parquet,
+    run_stream_to_memory,
+    stateful_running_spend,
+)
+from khose_spark.tables import t
+from tests._parity import canon_frame
+
+
+@pytest.fixture(scope="module")
+def chunks(spark, sf_dir):
+    return stage_event_chunks(spark, sf_dir, n_chunks=8)
+
+
+def assert_frames_equal(a_df, b_df, msg=""):
+    a, b = canon_frame(a_df.toPandas()), canon_frame(b_df.toPandas())
+    assert a == b, f"{msg}: streaming result != batch twin ({len(a)} vs {len(b)} rows)"
+
+
+def test_stream_tumbling_converges(spark, sf_dir, chunks):
+    stream = tumbling_hourly(file_stream(spark, chunks))
+    run_stream_to_memory(stream, "t_tumbling", "complete")
+    assert_frames_equal(
+        spark.table("t_tumbling"),
+        tumbling_hourly(t(spark, sf_dir, "events")),
+        "tumbling",
+    )
+
+
+def test_stream_session_window_converges(spark, sf_dir, chunks):
+    """session_window streaming agg == gaps-and-islands batch twin."""
+    stream = (
+        file_stream(spark, chunks)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+    run_stream_to_memory(stream, "t_session", "complete")
+    twin = sessionize_batch(t(spark, sf_dir, "events")).select(
+        "user_id", "session_start", "n_events"
+    )
+    assert_frames_equal(spark.table("t_session"), twin, "session")
+
+
+def test_stream_dedup_restores_counts(spark, sf_dir, chunks):
+    """At-least-once repair: a doubled stream (two passes over the same
+    chunks) deduped on event_id yields the original per-type counts."""
+    doubled = file_stream(spark, chunks).unionAll(file_stream(spark, chunks))
+    deduped = (
+        doubled.withWatermark("ts", "10 days")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    run_stream_to_memory(deduped, "t_dedup", "complete")
+    twin = (
+        t(spark, sf_dir, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert_frames_equal(spark.table("t_dedup"), twin, "dedup")
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row arriving > watermark behind the observed max event time is
+    excluded from append-mode windowed output.
+
+    Two separate query RUNS share one checkpoint: run 1 advances the
+    watermark to max(ts)-2h and persists it; run 2 delivers a row 5h
+    older than that — its window is already finalized, so it's dropped.
+    (A single availableNow drain can batch all files together, which
+    would never advance the watermark between them.)"""
+    import pandas as pd
+
+    chunk_dir = tmp_path / "late_chunks"
+    chunk_dir.mkdir()
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    base = pd.Timestamp("2024-06-01 00:00:00")
+    mk = lambda eid, minutes, et: {  # noqa: E731
+        "event_id": eid,
+        "ts": base + pd.Timedelta(minutes=minutes),
+        "user_id": 1,
+        "event_type": et,
+        "value": 1.0,
+        "props": "{}",
+    }
+
+    def drain():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .parquet(str(chunk_dir))
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: on-time rows advance event time to +300min -> wm = +180min
+    # (microsecond coercion: Spark's schema-ed reader rejects NANOS)
+    pd.DataFrame([mk(1, 0, "a"), mk(2, 60, "a"), mk(3, 300, "a")]).to_parquet(
+        chunk_dir / "c0.parquet", coerce_timestamps="us"
+    )
+    drain()
+    # run 2: a LATE row at +1min — 299min behind the persisted watermark
+    pd.DataFrame([mk(4, 1, "late"), mk(5, 310, "b")]).to_parquet(
+        chunk_dir / "c1.parquet", coerce_timestamps="us"
+    )
+    drain()
+    out = spark.read.parquet(out_dir).toPandas()
+    assert "late" not in set(out["event_type"]), out
+    # the on-time rows in closed windows did get emitted
+    assert set(out["event_type"]) == {"a"}, out
+
+
+def test_exactly_once_sink_idempotent_restart(spark, sf_dir, chunks):
+    """Run the ingest pipeline twice over the SAME checkpoint: the
+    second (restart/replay) run must not duplicate any file/row."""
+    base = tempfile.mkdtemp(prefix="khose_eo_")
+    try:
+        out, ckpt = f"{base}/out", f"{base}/ckpt"
+        for _ in range(2):  # second run replays a fully-committed log
+            ingest_to_parquet(file_stream(spark, chunks), out, ckpt)
+        back = spark.read.parquet(out)
+        orig = t(spark, sf_dir, "events")
+        assert back.count() == orig.count()
+        assert (
+            back.agg(F.sum("event_id")).first()[0]
+            == orig.agg(F.sum("event_id")).first()[0]
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_kinesis_envelope_roundtrip(spark, sf_dir, chunks):
+    """Envelope encode -> parse restores typed events exactly."""
+    parsed = parse_envelope(kinesis_stream(spark, chunks))
+    agg = parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("id_sum"),
+        F.max("ts").alias("max_ts"),
+    )
+    run_stream_to_memory(agg, "t_kinesis", "complete")
+    twin = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("id_sum"),
+            F.max("ts").alias("max_ts"),
+        )
+    )
+    assert_frames_equal(spark.table("t_kinesis"), twin, "kinesis envelope")
+
+
+def test_stateful_running_spend(spark, sf_dir, chunks):
+    """Custom stateful operator's final per-user total == batch sum."""
+    out = stateful_running_spend(file_stream(spark, chunks))
+    run_stream_to_memory(out, "t_spend", "update")
+    # update mode emits one row per (user, batch); the final state is the
+    # max cumulative value per user.
+    final = (
+        spark.table("t_spend").groupBy("user_id").agg(F.max("cum_spend").alias("cum_spend"))
+    )
+    twin = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("cum_spend"))
+    )
+    f = {r["user_id"]: r["cum_spend"] for r in final.collect()}
+    tw = {r["user_id"]: r["cum_spend"] for r in twin.collect()}
+    assert set(tw).issubset(set(f))
+    for uid, total in tw.items():
+        assert abs(f[uid] - total) < 0.05, f"user {uid}: {f[uid]} != {total}"
