@@ -7,9 +7,13 @@ from khose_spark.operators import (  # noqa: F401
     functions,
     joins,
     llm,
+    multimodal,
     scans,
+    similarity,
+    simhash,
     sorts_sets,
     streaming,
+    textquality,
     udfs,
     windows,
 )

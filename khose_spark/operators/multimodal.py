@@ -1,0 +1,142 @@
+"""Multimodal (image/audio/video) column handling (SURVEY.md §2.8).
+
+Design: media are opaque ``BinaryType`` payload columns + typed metadata
+structs; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` stages so each executor decodes its own
+partition of payloads — the only shape that works when the corpus is
+100 TB of blobs (payloads never shuffle; only small metadata/features
+come back).
+
+This container has no image/audio libraries, so the REAL decoders are
+stubs behind try-imports that raise ``NotImplementedError`` with a clear
+message (task-sanctioned). The Spark-side plumbing — binary schema,
+Arrow batch shape, partition-local decode, feature schema — is real and
+verified: the registered query runs a deterministic FAKE decoder
+(sha256-derived dimensions/features) through the same ``mapInPandas``
+path, and its output is hash-checked against a DuckDB oracle that
+recomputes the same arithmetic in SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from khose_spark.registry import query
+from khose_spark.tables import t
+
+_DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, n_frames int,"
+    " features array<double>"
+)
+
+_HEX = "0123456789abcdef"
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode — requires a codec library absent here."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real image decode needs Pillow, which is not installed in "
+            "this container; use fake_decode for deterministic tests"
+        ) from e
+    raise NotImplementedError("wire Image.open(BytesIO(payload)) here")
+
+
+def sample_frames(payload: bytes, every_n: int = 30) -> "object":
+    """Real video frame sampling — requires a video codec, absent here."""
+    raise NotImplementedError(
+        "video frame sampling needs a codec (e.g. av/ffmpeg), not "
+        "installed in this container; use fake_decode for tests"
+    )
+
+
+def fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Deterministic stand-in decoder: dimensions and an 8-d feature
+    vector derived from sha256(payload). Bit-identical to the SQL oracle
+    arithmetic (hex chars 1-2 → width, 3-4 → height, 5 → frame count,
+    1-8 → features)."""
+    h = hashlib.sha256(payload).hexdigest()
+    v = [_HEX.index(c) for c in h[:8]]
+    width = 16 + v[0] * 16 + v[1]
+    height = 16 + v[2] * 16 + v[3]
+    n_frames = 1 + v[4] % 8
+    features = [round(x / 15.0, 4) for x in v]
+    return width, height, n_frames, features
+
+
+def map_decode(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: Callable[[bytes], tuple[int, int, int, list[float]]] = fake_decode,
+) -> DataFrame:
+    """Partition-local decode: one Arrow batch of (id, payload) in, one
+    batch of typed metadata + features out. The payload column is
+    dropped on output — at scale you never carry blobs past the decode
+    stage."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                width, height, n_frames, features = decoder(payload)
+                rows.append(
+                    (doc_id, len(payload), width, height, n_frames, features)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "width", "height", "n_frames", "features",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode_batches, _DECODE_SCHEMA)
+
+
+def _hexval(sql_pos: int) -> str:
+    return f"(instr('{_HEX}', substr(sha, {sql_pos}, 1)) - 1)"
+
+
+@query(
+    "q_mm_decode_features",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             sha256(text) AS sha
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, n_bytes,
+           CAST(16 + {_hexval(1)} * 16 + {_hexval(2)} AS INT) AS width,
+           CAST(16 + {_hexval(3)} * 16 + {_hexval(4)} AS INT) AS height,
+           CAST(1 + {_hexval(5)} % 8 AS INT)                  AS n_frames,
+           list_transform(range(1, 9),
+             i -> round((instr('{_HEX}', substr(sha, CAST(i AS INT), 1)) - 1) / 15.0, 4)
+           ) AS features
+    FROM p
+    """,
+)
+def q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode + feature-extraction pipeline over binary
+    payloads (utf-8 text bytes standing in for image blobs): attach a
+    BinaryType payload, fake-decode each partition's payloads in an
+    Arrow-batched ``mapInPandas`` stage into (width, height, n_frames)
+    metadata and an 8-d feature vector. The oracle recomputes the
+    sha256-derived arithmetic in SQL, proving the binary plumbing is
+    byte-exact end to end."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    return map_decode(d)

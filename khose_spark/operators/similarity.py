@@ -1,0 +1,236 @@
+"""Similarity search over embedding columns — the scale paths
+(SURVEY.md §4.2.3). Three operators beyond the naive crossJoin baseline
+in ``llm.py``:
+
+- ``q_llm_cosine_topk_blocked``: exact top-k, but computed as blocked
+  numpy matmuls inside ``mapInPandas`` with per-partition partial top-k
+  before the global selection — the brute-force plan that actually
+  scales (query block broadcast once; each executor touches only its
+  partition of the corpus; the shuffle carries k rows per (partition,
+  query), not the corpus). Registered against the SAME DuckDB oracle as
+  the naive plan: both are exact, so they must hash-match.
+- ``q_llm_ann_ivf``: IVF-style approximate search — assign every vector
+  to its nearest of a fixed centroid set, probe only the query's own
+  cell, exact re-rank inside it. Deterministic (fixed centroids, rounded
+  assignment scores), so the oracle recomputes it exactly in SQL.
+- ``q_llm_neardup_cosine``: embedding-cosine near-duplicate pairs
+  (sim >= 0.3), the vector-space sibling of the Jaccard/SimHash text
+  near-dup family.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from khose_spark.operators.llm import _COSINE_ORACLE_CTE
+from khose_spark.registry import query
+from khose_spark.tables import t
+
+_TOPK_ORACLE = (
+    _COSINE_ORACLE_CTE
+    + """
+    SELECT qid, vec_id AS neighbor_id, sim, rn AS rank FROM (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+      FROM sims
+    ) WHERE rn <= 5
+    """
+)
+
+
+@query("q_llm_cosine_topk_blocked", oracle=_TOPK_ORACLE)
+def q_llm_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors 0..9, blocked-matmul form.
+
+    The query block (10×64 floats) is collected and broadcast — at 100 TB
+    the query side of a kNN batch is always the small side; the corpus
+    never leaves the executors. Each Arrow batch computes one
+    float64 GEMM (queries × batch) and emits only its local top-5 per
+    query; a tiny global window pass finishes the selection. Ranking is
+    on the ROUNDED sim with vec_id tiebreak, identical to the naive plan.
+    """
+    k, n_queries = 5, 10
+    e = t(spark, sf_dir, "embeddings")
+    qrows = (
+        e.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((qids, qnorm))
+
+    def block_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_qids, b_qnorm = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            vmat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vmat /= np.linalg.norm(vmat, axis=1, keepdims=True)
+            sims = np.round(b_qnorm @ vmat.T, 4)  # (n_queries, batch)
+            out = []
+            for qi, qid in enumerate(b_qids):
+                mask = vids != qid
+                s, v = sims[qi][mask], vids[mask]
+                # partial top-k on (sim desc, vec_id asc) — lossless
+                # superset of the global top-k's per-partition members.
+                order = np.lexsort((v, -s))[:k]
+                out.append(
+                    pd.DataFrame(
+                        {"qid": qid, "neighbor_id": v[order], "sim": s[order]}
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partial = e.select("vec_id", "embedding").mapInPandas(
+        block_topk, "qid long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        partial.select("qid", "neighbor_id", "sim", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@query(
+    "q_llm_ann_ivf",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id % 50 = 0
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT b.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY round(list_cosine_similarity(b.v, c.cv), 6) DESC, c.cid ASC
+               ) AS rn
+        FROM base b CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), probe AS (
+      SELECT b.vec_id AS qid, b.v AS qv, a.cid
+      FROM base b JOIN assign a ON a.vec_id = b.vec_id
+      WHERE b.vec_id < 10
+    ), cell_sims AS (
+      SELECT p.qid, b.vec_id,
+             round(list_cosine_similarity(p.qv, b.v), 4) AS sim
+      FROM probe p
+      JOIN assign a ON a.cid = p.cid
+      JOIN base b ON b.vec_id = a.vec_id
+      WHERE b.vec_id <> p.qid
+    )
+    SELECT qid, vec_id AS neighbor_id, sim, rn AS rank FROM (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+      FROM cell_sims
+    ) WHERE rn <= 3
+    """,
+)
+def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors: every vector is
+    assigned to its nearest centroid (fixed seed set: vec_id % 50 == 0);
+    a query probes only its own cell and exact-reranks inside it. The
+    partition-by-cell layout is the 100 TB design — each query touches
+    1/n_cells of the corpus; recall is traded via n_probe (here 1).
+    Deterministic: assignment argmax on round(sim, 6) with centroid-id
+    tiebreak, so Spark and DuckDB agree bit-for-bit after rounding."""
+    e = t(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("vec_id", dbl.alias("v"))
+    cent = base.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+    def cos(a: str, b: str):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        sq = lambda c: F.aggregate(  # noqa: E731
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+        return dot / (F.sqrt(sq(a)) * F.sqrt(sq(b)))
+
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("asim"), F.asc("cid")
+    )
+    assign = (
+        base.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "cid", F.round(cos("v", "cv"), 6).alias("asim")
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    probe = (
+        base.filter(F.col("vec_id") < 10)
+        .join(assign, "vec_id")
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "cid")
+    )
+    members = assign.join(
+        base, "vec_id"
+    ).select("cid", "vec_id", "v")
+    cell_sims = (
+        F.broadcast(probe)
+        .join(members, "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(cos("qv", "v"), 4).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        cell_sims.select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            "sim",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@query(
+    "q_llm_neardup_cosine",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS sim
+    FROM base a JOIN base b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+    """,
+)
+def q_llm_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim >= 0.3, id_a < id_b) —
+    the semantic-dedup sibling of Jaccard/SimHash text dedup. Exact
+    all-pairs here (the oracle needs exactness); the 100 TB path is the
+    same threshold applied after an LSH/IVF candidate stage
+    (q_llm_ann_ivf's cell join) rather than the quadratic join."""
+    e = t(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("vec_id", dbl.alias("v"))
+    a = base.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = base.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    sim = F.round(dot / (F.sqrt(sq("va")) * F.sqrt(sq("vb"))), 4)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.3)
+    )

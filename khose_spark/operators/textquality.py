@@ -1,0 +1,225 @@
+"""Text-analysis operators for training-data curation (SURVEY.md §2.8
+extension family): language identification, quality scoring, token
+counting, and document fingerprinting over the ``documents`` table.
+
+All four are pure built-in-function plans (no Python UDFs): they stay
+inside WholeStageCodegen, shuffle only for the final small aggregation,
+and scale linearly — the per-document computation is map-side.
+
+Fixture caveat (FIXTURES.md): documents.text is a synthetic shared
+vocabulary, so the language-ID heuristic mostly predicts 'en'
+regardless of the labeled lang. The operator's contract is the
+deterministic computation, which the DuckDB oracle checks exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from khose_spark.registry import query
+from khose_spark.tables import t
+
+# Marker-word profiles for the language-ID heuristic. Tiny on purpose:
+# at scale these live in a broadcast map; here they fold into the plan
+# as literals, so language-ID is a zero-shuffle map-side computation.
+_MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "de": ("der", "und", "die", "ist"),
+    "es": ("el", "los", "que", "y"),
+    "fr": ("le", "les", "et", "des"),
+}
+
+
+def _marker_score(lang: str):
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    hits = [
+        F.when(padded.like(f"% {w} %"), 1).otherwise(0) for w in _MARKERS[lang]
+    ]
+    score = hits[0]
+    for h in hits[1:]:
+        score = score + h
+    return score
+
+
+def _marker_score_sql(lang: str) -> str:
+    return " + ".join(
+        f"CASE WHEN concat(' ', text, ' ') LIKE '% {w} %' THEN 1 ELSE 0 END"
+        for w in _MARKERS[lang]
+    )
+
+
+@query(
+    "q_llm_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             {_marker_score_sql("en")} AS s_en,
+             {_marker_score_sql("de")} AS s_de,
+             {_marker_score_sql("es")} AS s_es,
+             {_marker_score_sql("fr")} AS s_fr,
+             CASE WHEN regexp_matches(text, '[^\\x00-\\x7F]') THEN 1 ELSE 0 END AS s_zh
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN s_zh > 0 THEN 'zh'
+                WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS predicted,
+           count(*) AS n_docs
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def q_llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/marker-word language-ID heuristic: score text against fixed
+    per-language marker lists (non-ASCII presence short-circuits to zh),
+    argmax with a fixed precedence order so ties are deterministic.
+    Emits the (labeled lang, predicted lang) confusion counts."""
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        _marker_score("en").alias("s_en"),
+        _marker_score("de").alias("s_de"),
+        _marker_score("es").alias("s_es"),
+        _marker_score("fr").alias("s_fr"),
+        F.when(F.col("text").rlike("[^\\x00-\\x7F]"), 1).otherwise(0).alias("s_zh"),
+    )
+    s = {k: F.col(f"s_{k}") for k in ("en", "de", "es", "fr", "zh")}
+    predicted = (
+        F.when(s["zh"] > 0, "zh")
+        .when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return (
+        scored.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "q_llm_quality_score",
+    oracle="""
+    WITH m AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents
+    ), scored AS (
+      SELECT lang,
+             round(0.4 * least(CAST(n_tokens AS DOUBLE) / 60, 1.0)
+                   + 0.6 * (CAST(n_distinct AS DOUBLE) / n_tokens), 4) AS score
+      FROM m
+    )
+    SELECT lang,
+           CASE WHEN score >= 0.6 THEN 'high'
+                WHEN score >= 0.4 THEN 'medium'
+                ELSE 'low' END AS tier,
+           count(*) AS n_docs,
+           round(avg(score), 4) AS avg_score
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring for corpus filtering: a deterministic
+    blend of length saturation (n_tokens/60 capped at 1) and type-token
+    ratio (lexical diversity), banded into low/medium/high tiers.
+    Map-side per-document math, one small shuffle for the rollup —
+    the shape a 100 TB quality-filter pass needs."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tokens = F.size(words).cast("double")
+    n_distinct = F.size(F.array_distinct(words)).cast("double")
+    score = F.round(
+        0.4 * F.least(n_tokens / 60, F.lit(1.0)) + 0.6 * (n_distinct / n_tokens), 4
+    )
+    scored = d.select("lang", score.alias("score"))
+    tier = (
+        F.when(F.col("score") >= 0.6, "high")
+        .when(F.col("score") >= 0.4, "medium")
+        .otherwise("low")
+    )
+    return (
+        scored.select("lang", tier.alias("tier"), "score")
+        .groupBy("lang", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+    )
+
+
+@query(
+    "q_llm_token_count",
+    oracle="""
+    SELECT lang,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)         AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+')))
+                AS BIGINT)                                           AS sub_tokens,
+           round(avg(CAST(len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+')) AS DOUBLE)
+                     / len(string_split(text, ' '))), 4)             AS subs_per_word
+    FROM documents GROUP BY lang
+    """,
+)
+def q_llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish subword
+    segmentation (maximal vowel-run / consonant-run units via regex —
+    a stand-in for a real tokenizer's merge behavior). Emits per-lang
+    totals and the subwords-per-word inflation ratio used to budget
+    token counts for training runs. Pure regexp built-ins — the 100 TB
+    version is the same plan."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " "))
+    # idx=0 (whole match): the pattern has no capture groups and Spark's
+    # default group index is 1.
+    sub = F.size(F.regexp_extract_all("text", F.lit("[aeiou]+|[^aeiou ]+"), F.lit(0)))
+    return d.groupBy("lang").agg(
+        F.sum(ws).alias("ws_tokens"),
+        F.sum(sub).alias("sub_tokens"),
+        F.round(F.avg(sub.cast("double") / ws), 4).alias("subs_per_word"),
+    )
+
+
+@query(
+    "q_llm_fingerprint",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(w) - 2, 1)),
+                 i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))) AS shingle
+        FROM words
+      ) WHERE len(string_split(shingle, ' ')) = 4
+    )
+    SELECT doc_id,
+           min(md5(shingle))           AS fp,
+           substr(min(md5(shingle)), 1, 2) AS fp_bucket
+    FROM sh WHERE doc_id < 150 GROUP BY doc_id
+    """,
+)
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting, winnowing-style: hash every 4-word
+    shingle (the rolling window) and keep the minimum hash as the doc's
+    content fingerprint — robust to small edits, identical for
+    near-identical docs. `fp_bucket` (first hash byte) is the shard key
+    a 100 TB fingerprint index would partition on. Map-side shingle
+    explode + one groupBy on doc_id (already-dense key, no skew)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    words = F.split("text", " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - 4, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, 4)))
+    exploded = (
+        d.select("doc_id", F.explode(sh).alias("shingle"))
+        .where(F.size(F.split(F.col("shingle"), " ")) == 4)
+    )
+    return exploded.groupBy("doc_id").agg(
+        F.min(F.md5("shingle")).alias("fp"),
+        F.substring(F.min(F.md5("shingle")), 1, 2).alias("fp_bucket"),
+    )
