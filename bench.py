@@ -29,6 +29,10 @@ HEADLINE = [
     "q_join_broadcast",
     "q_join_multiway",
     "q_join_asof",
+    "q_join_salted",
+    "q_tpch_q3_shipping",
+    "q_tpch_q5_local_volume",
+    "q_tpch_q10_returns",
     "q_agg_count_distinct",
     "q_agg_rollup",
     "q_win_running_sum",
@@ -38,8 +42,12 @@ HEADLINE = [
     "q_fn_json",
     "q_llm_exact_dedup",
     "q_llm_cosine_topk",
+    "q_llm_cosine_topk_blocked",
+    "q_llm_simhash",
+    "q_llm_quality_score",
     "q_llm_text_stats",
     "q_udf_scalar_pandas",
+    "q_mm_decode_features",
 ]
 
 

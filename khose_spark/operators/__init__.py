@@ -11,7 +11,9 @@ from khose_spark.operators import (  # noqa: F401
     scans,
     similarity,
     simhash,
+    skew,
     sorts_sets,
+    tpch,
     streaming,
     textquality,
     udfs,

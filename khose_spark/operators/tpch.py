@@ -1,0 +1,166 @@
+"""Composite analytical queries (TPC-H Q3/Q5/Q10 shapes) over the
+fixture star schema — multi-join + aggregate + top-k pipelines that
+exercise Catalyst's join ordering, broadcast selection, and partial
+aggregation together, the way real report queries do.
+
+Plans follow the star-join playbook: the fact table (lineitem/orders)
+streams; every dimension (region, nation, customer, supplier) is
+broadcast, so the only shuffles are the final group-by exchanges. All
+money sums go through the decimal-cast law (khose_spark.sqlutil), which
+also makes them order-insensitive — safe under any partial-agg order at
+any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from khose_spark.registry import query
+from khose_spark.sqlutil import dec_sum, sql_dec_sum
+from khose_spark.tables import t
+
+_CUTOFF = "1998-03-15 00:00:00"
+
+
+@query(
+    "q_tpch_q3_shipping",
+    oracle=f"""
+    SELECT l_orderkey, revenue, o_orderdate, o_orderpriority, rnk FROM (
+      SELECT l_orderkey,
+             {sql_dec_sum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+             o_orderdate, o_orderpriority,
+             row_number() OVER (
+               ORDER BY {sql_dec_sum('l_extendedprice * (1 - l_discount)', 4)} DESC,
+                        l_orderkey ASC) AS rnk
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '{_CUTOFF}'
+        AND l_shipdate  > TIMESTAMP '{_CUTOFF}'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ) WHERE rnk <= 10
+    """,
+)
+def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped orders by revenue for one market
+    segment. customer (filtered, broadcast) ⋈ orders ⋈ lineitem; both
+    date filters are pushed into the parquet scans; the global top-10 is
+    a WindowGroupLimit (partial top-k per partition) — no full sort."""
+    cutoff = F.lit(_CUTOFF).cast("timestamp")
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority", "rnk")
+    )
+
+
+@query(
+    "q_tpch_q5_local_volume",
+    oracle=f"""
+    SELECT n_name,
+           {sql_dec_sum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where customer and supplier
+    share the nation (6-way star join). True dimensions (region, nation,
+    customer, supplier) broadcast; lineitem ⋈ orders — the fact-fact
+    join — is left to Catalyst/AQE, which picks broadcast at this scale
+    and sort-merge on co-partitioned orderkeys at 100 TB. One final
+    25-key aggregation shuffle."""
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = t(spark, sf_dir, "nation")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    revenue = dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              (li.l_suppkey == F.col("s_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"))
+    )
+
+
+@query(
+    "q_tpch_q10_returns",
+    oracle=f"""
+    SELECT c_custkey, c_name, revenue, n_name, rnk FROM (
+      SELECT c_custkey, c_name,
+             {sql_dec_sum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+             n_name,
+             row_number() OVER (
+               ORDER BY {sql_dec_sum('l_extendedprice * (1 - l_discount)', 4)} DESC,
+                        c_custkey ASC) AS rnk
+      FROM customer
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN orders   ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      GROUP BY c_custkey, c_name, n_name
+    ) WHERE rnk <= 20
+    """,
+)
+def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by lost revenue on returned
+    items in a half-year window. Returnflag + date filters pushed to the
+    scans; customer/nation broadcast; group key is the customer (15k at
+    sf0.1 — at 100 TB this is the one genuinely large shuffle, keyed on
+    the dense custkey so AQE coalescing keeps partitions even)."""
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(revenue.alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("c_custkey", "c_name", "revenue", "n_name", "rnk")
+    )

@@ -53,10 +53,11 @@ def canon_frame(df: pd.DataFrame) -> list[tuple[str, ...]]:
     """Order-insensitive canonical form: sorted rows of canonical cells,
     columns sorted by name."""
     cols = sorted(df.columns)
-    rows = [
-        tuple(canon_value(row[c]) for c in cols)
-        for _, row in df[cols].iterrows()
-    ]
+    # Column-wise canonicalization: iterrows() would upcast each row to a
+    # common dtype (e.g. an int64 count next to a float column becomes
+    # float), faking type mismatches that aren't in the data.
+    canon_cols = [[canon_value(v) for v in df[c].tolist()] for c in cols]
+    rows = [tuple(vals) for vals in zip(*canon_cols)] if cols else []
     rows.sort()
     return rows
 

@@ -1,0 +1,76 @@
+"""Property-based Spark↔DuckDB agreement (SURVEY.md §5.2 item 4).
+
+For randomly generated small frames, the SAME ANSI-SQL text must produce
+the same result in Spark SQL and DuckDB — a generative extension of the
+oracle harness: instead of one fixture, hypothesis searches the input
+space (nulls, duplicate keys, empty groups, negative values) for
+disagreements in the shared SQL subset the engine relies on.
+
+Floats are generated as multiples of 0.25, which are exactly
+representable in binary — sums are then exact in both engines, so no
+rounding tolerance can mask (or cause) a real semantic difference.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests._parity import compare
+
+KEYS = ["a", "b", "c", None]
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-1000, max_value=1000),
+        st.sampled_from(KEYS),
+        st.integers(min_value=-400, max_value=400).map(lambda n: n * 0.25),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+# Shared-dialect queries: each string runs verbatim in BOTH engines.
+SQL_PROPS = [
+    "SELECT k, count(*) AS n, sum(v) AS s FROM prop_t GROUP BY k",
+    "SELECT k, min(v) AS lo, max(v) AS hi, count(DISTINCT id) AS d FROM prop_t GROUP BY k",
+    """SELECT t1.k AS k, count(*) AS n
+       FROM prop_t t1 JOIN prop_t t2 ON t1.k = t2.k AND t1.id < t2.id
+       GROUP BY t1.k""",
+    "SELECT DISTINCT k FROM prop_t WHERE v > 0",
+    """SELECT id, k, v, row_number() OVER (ORDER BY v, id) AS rn
+       FROM prop_t WHERE k IS NOT NULL""",
+    """SELECT k, sum(CASE WHEN v > 0 THEN v ELSE 0 END) AS pos_sum
+       FROM prop_t GROUP BY k HAVING count(*) > 1""",
+]
+
+
+def _unique_ids(rows: list[tuple]) -> pd.DataFrame:
+    # ids made unique so row_number tiebreaks are deterministic.
+    return pd.DataFrame(
+        [(i, k, v) for i, (_, k, v) in enumerate(rows)],
+        columns=["id", "k", "v"],
+    ).astype({"id": "int64", "v": "float64"})
+
+
+@pytest.mark.parametrize("sql", SQL_PROPS)
+@given(rows=rows_strategy)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_spark_duckdb_agree(spark, sql, rows):
+    import duckdb
+
+    pdf = _unique_ids(rows)
+    spark.createDataFrame(pdf).createOrReplaceTempView("prop_t")
+    spark_pdf = spark.sql(sql).toPandas()
+    con = duckdb.connect()
+    con.register("prop_t", pdf)
+    oracle_pdf = con.sql(sql).df()
+    con.close()
+    problems = compare(spark_pdf, oracle_pdf)
+    assert not problems, f"{sql}: " + "; ".join(problems)
