@@ -1,0 +1,103 @@
+"""Physical-plan hygiene gate (SURVEY.md §6 guidance made enforceable).
+
+The 100 TB posture is mostly about what the plan does NOT contain:
+surprise cartesian products, non-broadcast nested-loop joins, and
+shuffle counts creeping up. This sweep pins the audited state of every
+registered query so a regression (a lost broadcast hint, a join that
+degenerates to a cartesian, a duplicated Exchange) fails CI instead of
+surfacing as a 100× slowdown at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from khose_spark import registry
+
+registry.load_all()
+
+# Queries that INTENTIONALLY use BroadcastNestedLoopJoin: an explicit
+# cartesian over a broadcast side (tiny-by-construction), which is the
+# correct physical plan for these semantics.
+BNLJ_ALLOWED = {
+    "q_join_cross",            # declared cartesian (region × nation)
+    "q_llm_cosine_topk",       # 10 broadcast query vectors × corpus
+    "q_llm_knn_label_vote",    # same candidate generator
+    "q_llm_ann_ivf",           # corpus × broadcast centroid set
+    "q_llm_neardup_cosine",    # exact all-pairs oracle baseline (scale
+                               # path is the LSH/IVF candidate stage)
+}
+
+# Shuffle-exchange ceilings. Default covers scan→agg/join→window plans;
+# exceptions are multi-stage by design (audited 2026-08-13 at sf0.001:
+# jaccard=7, simhash=4, scan_count=10 — ceilings leave AQE headroom).
+DEFAULT_MAX_SHUFFLES = 4
+MAX_SHUFFLES = {
+    "q_llm_neardup_jaccard": 8,   # shingle distinct + pair agg + 2 size joins
+    "q_llm_simhash": 6,           # signature agg + band self-join + distinct
+    "q_scan_count": 12,           # one tiny agg per fixture table (10 tables)
+}
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Streaming-sink queries execute eagerly on plan construction; their
+# physical plans are checked by the streaming tests instead.
+_SKIP = {k for k in registry.QUERIES if k.startswith("q_stream_")} | {
+    "q_sink_parquet_roundtrip",
+    "q_sink_orc_roundtrip",
+    "q_sink_partitioned",
+    "q_source_json_lines",
+    "q_source_csv",
+}
+
+AUDITED = sorted(set(registry.QUERIES) - _SKIP)
+
+
+def _plan(spark, key: str) -> str:
+    df = registry.QUERIES[key](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("key", AUDITED)
+def test_no_cartesian_product(key, spark):
+    assert "CartesianProduct" not in _plan(spark, key), (
+        f"{key}: CartesianProduct in plan — a join lost its condition "
+        "or its broadcast"
+    )
+
+
+@pytest.mark.parametrize("key", AUDITED)
+def test_bnlj_only_where_intended(key, spark):
+    plan = _plan(spark, key)
+    if "BroadcastNestedLoopJoin" in plan:
+        assert key in BNLJ_ALLOWED, (
+            f"{key}: unexpected BroadcastNestedLoopJoin — an equi-join "
+            "condition was probably lost"
+        )
+
+
+@pytest.mark.parametrize("key", AUDITED)
+def test_shuffle_budget(key, spark):
+    plan = _plan(spark, key)
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    budget = MAX_SHUFFLES.get(key, DEFAULT_MAX_SHUFFLES)
+    assert shuffles <= budget, (
+        f"{key}: {shuffles} shuffle exchanges (budget {budget}) — "
+        "a duplicate Exchange crept in"
+    )
+
+
+def test_flagship_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q_agg_flagship_pricing")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, (
+        "flagship l_shipdate predicate no longer reaches the parquet scan"
+    )
+
+
+def test_flagship_prunes_columns(spark):
+    plan = _plan(spark, "q_agg_flagship_pricing")
+    # 7 needed columns; unreferenced ones (l_orderkey, l_partkey, ...)
+    # must not be read.
+    assert "l_orderkey" not in plan.split("ReadSchema")[-1], (
+        "flagship scan reads columns the query never uses"
+    )

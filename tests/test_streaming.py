@@ -206,3 +206,44 @@ def test_stateful_running_spend(spark, sf_dir, chunks):
     assert set(tw).issubset(set(f))
     for uid, total in tw.items():
         assert abs(f[uid] - total) < 0.05, f"user {uid}: {f[uid]} != {total}"
+
+
+def test_stateful_running_spend_tws(spark, sf_dir, chunks):
+    """Spark 4 transformWithStateInPandas twin of the stateful spend
+    operator: same final per-user totals as the batch aggregation.
+
+    The transformWithState protocol speaks protobuf between the JVM and
+    the Python driver worker; without google.protobuf the query crashes
+    at init, so this container can only exercise the legacy
+    applyInPandasWithState path (covered above)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas requires protobuf, absent here",
+    )
+    from khose_spark.streaming.tws import running_spend_tws
+
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        out = running_spend_tws(file_stream(spark, chunks))
+        run_stream_to_memory(out, "t_spend_tws", "update")
+    finally:
+        if prior is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    final = (
+        spark.table("t_spend_tws")
+        .groupBy("user_id")
+        .agg(F.max("cum_spend").alias("cum_spend"))
+    )
+    twin = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("cum_spend"))
+    )
+    f = {r["user_id"]: r["cum_spend"] for r in final.collect()}
+    tw = {r["user_id"]: r["cum_spend"] for r in twin.collect()}
+    assert set(tw).issubset(set(f))
+    for uid, total in tw.items():
+        assert abs(f[uid] - total) < 0.05, f"user {uid}: {f[uid]} != {total}"
