@@ -8,6 +8,7 @@ from khose_spark.operators import (  # noqa: F401
     joins,
     llm,
     multimodal,
+    relext,
     scans,
     similarity,
     simhash,
