@@ -161,3 +161,62 @@ def q_stream_dedup_batchsem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def click_purchase_pairs(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream (or batch-batch) interval join: every (click,
+    purchase) of the same user where the purchase lands within 30
+    minutes AFTER the click — the attribution-join shape. On streaming
+    inputs both sides must carry watermarks; the time-range condition
+    lets Spark bound the join state (each side's buffer is evicted once
+    the other side's watermark passes the range), which is what makes
+    stream-stream joins feasible on unbounded 100 TB/day streams."""
+    c = clicks.alias("c")
+    p = purchases.alias("p")
+    return c.join(
+        p,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") > F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+    )
+
+
+@query(
+    "q_stream_join_batchsem",
+    oracle=f"""
+    SELECT c.user_id AS user_id,
+           count(*) AS n_pairs,
+           {sql_dec_sum('p.value', 2)} AS attributed_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id
+    """,
+)
+def q_stream_join_batchsem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the click→purchase attribution stream-stream join:
+    pair counts + attributed purchase value per user."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    c = clicks.alias("c")
+    p = purchases.alias("p")
+    return (
+        c.join(
+            p,
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts") > F.col("c.ts"))
+            & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .groupBy(F.col("c.user_id").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            dec_sum(F.col("p.value"), 2).alias("attributed_value"),
+        )
+    )

@@ -62,6 +62,19 @@ def stage_event_chunks(
         .write.mode("overwrite")
         .parquet(out)
     )
+    # Spark's file-stream source replays in MODIFICATION-TIME order, and
+    # fresh part files carry task-completion order — random. Rewrite
+    # mtimes to follow the part index (= event_id = ts order) so replay
+    # is deterministic and arrival-ordered, like a real stream. Without
+    # this, a late-listed early chunk can arrive behind an advanced
+    # watermark and be dropped, making convergence tests flaky.
+    parts = sorted(
+        f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base_mtime = int(os.path.getmtime(out))
+    for i, fname in enumerate(parts):
+        p = os.path.join(out, fname)
+        os.utime(p, (base_mtime + i, base_mtime + i))
     return out
 
 

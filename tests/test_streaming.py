@@ -247,3 +247,28 @@ def test_stateful_running_spend_tws(spark, sf_dir, chunks):
     assert set(tw).issubset(set(f))
     for uid, total in tw.items():
         assert abs(f[uid] - total) < 0.05, f"user {uid}: {f[uid]} != {total}"
+
+
+def test_stream_stream_join_converges(spark, sf_dir, chunks):
+    """Watermarked stream-stream interval join emits exactly the pairs
+    the batch join produces once both streams drain."""
+    from khose_spark.operators.streaming import click_purchase_pairs
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click")
+        purchases = df.filter(F.col("event_type") == "purchase")
+        return clicks, purchases
+
+    s_clicks, s_purchases = sides(file_stream(spark, chunks))
+    stream_pairs = click_purchase_pairs(
+        s_clicks.withWatermark("ts", "2 hours"),
+        s_purchases.withWatermark("ts", "2 hours"),
+    )
+    run_stream_to_memory(stream_pairs, "t_ss_join", "append")
+
+    b_clicks, b_purchases = sides(t(spark, sf_dir, "events"))
+    assert_frames_equal(
+        spark.table("t_ss_join"),
+        click_purchase_pairs(b_clicks, b_purchases),
+        "stream-stream join",
+    )
