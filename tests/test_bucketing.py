@@ -1,0 +1,90 @@
+"""Bucketed co-located join (SURVEY.md §4 scale posture).
+
+At 100 TB the biggest repeated cost is re-shuffling fact tables for
+every key join. Bucketing pays the shuffle ONCE at write time: both
+tables hash-partitioned into the same bucket count on the join key are
+co-located, and Spark's planner drops the Exchange on both sides of a
+sort-merge join. This test proves the whole chain works in this engine:
+bucketed write via saveAsTable, bucket metadata surviving in the
+catalog, and a join plan with ZERO shuffle exchanges — plus result
+parity with the plain-join answer.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from khose_spark.tables import t
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir, tmp_path_factory):
+    warehouse = tmp_path_factory.mktemp("bucket_wh")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    orders = t(spark, sf_dir, "orders")
+    lineitem = t(spark, sf_dir, "lineitem")
+    (
+        orders.write.format("parquet")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", str(warehouse / "orders_b"))
+        .mode("overwrite")
+        .saveAsTable("orders_b")
+    )
+    (
+        lineitem.write.format("parquet")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", str(warehouse / "lineitem_b"))
+        .mode("overwrite")
+        .saveAsTable("lineitem_b")
+    )
+    yield "orders_b", "lineitem_b"
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def _joined(spark):
+    o = spark.table("orders_b")
+    li = spark.table("lineitem_b")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").cast("long").alias("total_qty_x1"),
+        )
+    )
+
+
+def test_bucketed_join_has_no_shuffle_before_join(spark, bucketed_tables):
+    # Disable broadcast so the planner must pick sort-merge, where
+    # bucketing shows up as the absence of Exchange under the join.
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _joined(spark)._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    join_part = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in join_part, (
+        "bucketed join still shuffles its inputs:\n" + plan
+    )
+
+
+def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_tables):
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    plain = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").cast("long").alias("total_qty_x1"),
+        )
+    )
+    assert sorted(map(tuple, _joined(spark).collect())) == sorted(
+        map(tuple, plain.collect())
+    )
