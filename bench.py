@@ -57,7 +57,10 @@ def main() -> None:
     registry.load_all()
     spark = get_spark("khose-bench")
 
-    names = [n for n in HEADLINE if n in registry.QUERIES]
+    if "--all" in sys.argv:  # full sweep: every registered query
+        names = sorted(registry.QUERIES)
+    else:
+        names = [n for n in HEADLINE if n in registry.QUERIES]
     timings: dict[str, float] = {}
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # plan, not session startup.
@@ -76,7 +79,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_suite_total",
+                "metric": "full_suite_total" if "--all" in sys.argv else "headline_suite_total",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,

@@ -174,7 +174,7 @@ def q_fn_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(ln(l_extendedprice), 4)                   AS lnp,
            round(log10(l_extendedprice), 4)                AS lg,
            CAST(l_orderkey % 7 AS BIGINT)                  AS pm,
-           sign(l_quantity - 25)                           AS sg,
+           CAST(sign(l_quantity - 25) AS DOUBLE)           AS sg,
            greatest(l_quantity, l_discount * 1000)         AS gr,
            least(l_quantity, l_tax * 1000)                 AS le
     FROM lineitem WHERE l_orderkey < 300

@@ -26,6 +26,8 @@ BNLJ_ALLOWED = {
     "q_llm_ann_ivf",           # corpus × broadcast centroid set
     "q_llm_neardup_cosine",    # exact all-pairs oracle baseline (scale
                                # path is the LSH/IVF candidate stage)
+    "q_subq_scalar_global",    # 1-row global aggregate broadcast into
+                               # the filter — the scalar-subquery plan
 }
 
 # Shuffle-exchange ceilings. Default covers scan→agg/join→window plans;
