@@ -24,8 +24,6 @@ BNLJ_ALLOWED = {
     "q_llm_cosine_topk",       # 10 broadcast query vectors × corpus
     "q_llm_knn_label_vote",    # same candidate generator
     "q_llm_ann_ivf",           # corpus × broadcast centroid set
-    "q_llm_neardup_cosine",    # exact all-pairs oracle baseline (scale
-                               # path is the LSH/IVF candidate stage)
     "q_subq_scalar_global",    # 1-row global aggregate broadcast into
                                # the filter — the scalar-subquery plan
 }
