@@ -17,6 +17,7 @@ from khose_spark.operators import (  # noqa: F401
     tpch,
     streaming,
     textquality,
+    timeseries,
     udfs,
     windows,
 )

@@ -36,6 +36,10 @@ MAX_SHUFFLES = {
     "q_llm_neardup_jaccard": 8,   # shingle distinct + pair agg + 2 size joins
     "q_llm_simhash": 6,           # signature agg + band self-join + distinct
     "q_scan_count": 12,           # one tiny agg per fixture table (10 tables)
+    "q_ts_multires_rollup": 6,    # true shuffles = 3 (hourly agg + 2 coarse
+                                  # re-aggs); the persisted hourly subplan is
+                                  # EMBEDDED 3x in the plan string by its
+                                  # InMemoryTableScans but executes once
 }
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -54,6 +58,10 @@ AUDITED = sorted(set(registry.QUERIES) - _SKIP)
 
 
 def _plan(spark, key: str) -> str:
+    # Cached relations from earlier tests get spliced into new plans by
+    # the CacheManager, making plan strings order-dependent — clear
+    # first so every query is audited in its standalone shape.
+    spark.catalog.clearCache()
     df = registry.QUERIES[key](spark, SF_DIR)
     return df._jdf.queryExecution().executedPlan().toString()
 
