@@ -25,16 +25,19 @@ from khose_spark.tables import t
     """,
 )
 def q_sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-key ASC/DESC sort, rank materialized. The single-partition
-    window is confined to a pre-filtered slice — at 100 TB a global total
-    order is intrinsically serial, so bound the input (or use
-    zipWithIndex-free range partitioning when order only needs to be
-    per-file)."""
+    """Multi-key ASC/DESC sort with a DISTRIBUTED global rank
+    (khose_spark.operators.rank.with_global_rank): range-partitioned
+    sort + per-partition offsets instead of the single-partition
+    WindowExec a bare row_number() OVER (ORDER BY ...) would plan —
+    the shape that survives 100 TB."""
+    from khose_spark.operators.rank import with_global_rank
+
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
-    w = Window.orderBy(
-        F.asc("o_orderdate"), F.desc("o_totalprice"), F.asc("o_orderkey")
+    ranked = with_global_rank(
+        o.select("o_orderkey", "o_orderdate", "o_totalprice"),
+        F.asc("o_orderdate"), F.desc("o_totalprice"), F.asc("o_orderkey"),
     )
-    return o.select("o_orderkey", F.row_number().over(w).alias("rnk"))
+    return ranked.select("o_orderkey", "rnk")
 
 
 @query(
@@ -49,6 +52,8 @@ def q_sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULLS FIRST ordering (nulls injected via nullif; fixtures carry no
     native nulls)."""
+    from khose_spark.operators.rank import with_global_rank
+
     o = (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") < 500)
@@ -56,8 +61,7 @@ def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")).alias("pr")
         )
     )
-    w = Window.orderBy(F.asc_nulls_first("pr"), F.asc("o_orderkey"))
-    return o.select("o_orderkey", "pr", F.row_number().over(w).alias("rnk"))
+    return with_global_rank(o, F.asc_nulls_first("pr"), F.asc("o_orderkey"))
 
 
 @query(
