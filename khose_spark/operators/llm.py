@@ -123,20 +123,10 @@ def q_llm_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_llm_minhash_lsh")  # rows-only: banding candidates are probabilistic
-def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding candidate pairs — the 100 TB scale path for
-    near-dup (SURVEY.md §4.2.4). Hand-rolled with built-in functions only
-    (fixed seeds -> deterministic for a given Spark hash impl, but
-    engine-specific, hence rows-only):
-
-    signature: 16 minhashes = min over shingles of hash(shingle, seed_i)
-    banding:   4 bands x 4 rows; docs sharing any full band become a
-               candidate pair. Cost: one groupBy per doc (signature),
-               one shuffle on (band_id, band_hash) — no quadratic join.
-    """
-    n_hashes, band_rows = 16, 4
-    sh = shingles(t(spark, sf_dir, "documents"))
+def minhash_candidates(sh: DataFrame, n_hashes: int = 16, band_rows: int = 4) -> DataFrame:
+    """MinHash+LSH banding candidate pairs (id_a, id_b) from a
+    (doc_id, shingle) frame — the shared candidate generator for the
+    rows-only LSH query and the two-tier verified pipeline."""
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.hash(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
@@ -176,6 +166,52 @@ def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("id_b"),
         )
         .distinct()
+    )
+
+
+@query("q_llm_minhash_lsh")  # rows-only: banding candidates are probabilistic
+def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding candidate pairs — the 100 TB scale path for
+    near-dup (SURVEY.md §4.2.4). Hand-rolled with built-in functions only
+    (fixed seeds -> deterministic for a given Spark hash impl, but
+    engine-specific, hence rows-only):
+
+    signature: 16 minhashes = min over shingles of hash(shingle, seed_i)
+    banding:   4 bands x 4 rows; docs sharing any full band become a
+               candidate pair. Cost: one groupBy per doc (signature),
+               one shuffle on (band_id, band_hash) — no quadratic join.
+    """
+    return minhash_candidates(shingles(t(spark, sf_dir, "documents")))
+
+
+@query("q_llm_neardup_two_tier")  # rows-only: tier-1 recall is probabilistic
+def q_llm_neardup_two_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup pipeline at 100 TB (SURVEY.md §4.2.4),
+    both tiers composed: MinHash-LSH banding proposes candidate pairs
+    (linear cost, no quadratic join), then exact Jaccard >= 0.8 is
+    verified ONLY on candidates — the expensive shingle-intersection
+    join touches a vanishing fraction of all pairs. Output is a subset
+    of q_llm_neardup_jaccard's (missing pairs = LSH false negatives,
+    tunable via bands×rows); rows-only check for that reason."""
+    sh = shingles(t(spark, sf_dir, "documents"))
+    cand = minhash_candidates(sh)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])  # equi on (doc, shared shingle)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(jac >= 0.8)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
 
 

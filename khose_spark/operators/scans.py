@@ -172,3 +172,25 @@ def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(path)
     )
     return _events_agg(back)
+
+
+@query("q_sink_codecs", oracle=_EVENTS_AGG_ORACLE)
+def q_sink_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec surface: the same immutable-sink roundtrip with
+    explicit codecs — zstd for cold storage (best ratio), snappy for hot
+    (fastest decode). Both columnar files must decode to identical
+    values, so the aggregate over the UNION of half from each codec dir
+    hash-matches the single-table oracle. At 100 TB codec choice is a
+    per-table storage policy, not a code change — exactly this option."""
+    e = t(spark, sf_dir, "events")
+    zstd_dir = _scratch(sf_dir, "codec_zstd")
+    snappy_dir = _scratch(sf_dir, "codec_snappy")
+    half = F.col("event_id") % 2
+    e.filter(half == 0).write.mode("overwrite").option(
+        "compression", "zstd"
+    ).parquet(zstd_dir)
+    e.filter(half == 1).write.mode("overwrite").option(
+        "compression", "snappy"
+    ).parquet(snappy_dir)
+    back = spark.read.parquet(zstd_dir).unionAll(spark.read.parquet(snappy_dir))
+    return _events_agg(back)

@@ -34,6 +34,8 @@ BNLJ_ALLOWED = {
 DEFAULT_MAX_SHUFFLES = 4
 MAX_SHUFFLES = {
     "q_llm_neardup_jaccard": 8,   # shingle distinct + pair agg + 2 size joins
+    "q_llm_neardup_two_tier": 10, # tier-1 LSH (sig agg + band join) feeding
+                                  # tier-2 exact verify (audited: 8)
     "q_llm_simhash": 6,           # signature agg + band self-join + distinct
     "q_scan_count": 12,           # one tiny agg per fixture table (10 tables)
     "q_ts_multires_rollup": 6,    # true shuffles = 3 (hourly agg + 2 coarse
