@@ -91,3 +91,52 @@ def q_ts_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     levels = [level(hourly, "hour", F.col("h")), reagg("day"), reagg("month")]
     return reduce(DataFrame.unionAll, levels)
+
+
+@query(
+    "q_ts_user_similarity",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_a, user_b, n_days, c AS activity_corr FROM (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             count(*) AS n_days,
+             round(corr(a.s, b.s), 4) AS c
+      FROM daily a JOIN daily b ON a.d = b.d AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    ) WHERE c >= 0.5
+    """,
+)
+def q_ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (the distributed-similarity family
+    of EDBT'19/'20 in PAPERS.md): users whose DAILY spend series
+    correlate >= 0.5 over their co-active days. Series alignment is an
+    equi-join on the day bucket; Pearson correlation is the similarity
+    measure; daily sums are exact decimals cast to double so both
+    engines correlate identical inputs.
+
+    Scale posture: the day-bucket join has bounded width (users active
+    per day), and the pair aggregation shuffles on the dense (user_a,
+    user_b) key. At 100 TB the day join is the skew point — the
+    production form pre-pivots each user's series into a vector column
+    and runs the blocked-GEMM path of q_llm_cosine_topk_blocked."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"))
+    )
+    a = daily.select(F.col("user_id").alias("user_a"), "d", F.col("s").alias("sa"))
+    b = daily.select(F.col("user_id").alias("user_b"), "d", F.col("s").alias("sb"))
+    pairs = (
+        a.join(b, ["d"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.corr("sa", "sb"), 4).alias("activity_corr"),
+        )
+    )
+    return pairs.filter(F.col("activity_corr") >= 0.5)
