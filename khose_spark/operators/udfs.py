@@ -159,3 +159,43 @@ def q_udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups must fit in executor memory (true for per-user slices)."""
     e = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
     return e.groupBy("user_id").applyInPandas(_center_values, schema=_CENTERED_SCHEMA)
+
+
+@query(
+    "q_udtf_python",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(i AS INT)                                 AS chunk_no,
+           CAST(least(10, len(w) - 10 * i) AS INT)        AS n_tokens
+    FROM words, unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS u(i)
+    """,
+)
+def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF (@udtf table function) in a LATERAL join:
+    chunk each document into 10-token "sentences", one output row per
+    chunk. A UDTF is the row-expanding escape hatch when explode over a
+    built-in expression can't express the generator logic (stateful
+    tokenizers, ML segmenters); this deterministic chunker is
+    hash-checked against a pure-SQL derivation. UDTF rows stream out of
+    the Python worker per input row — no driver collection, partition-
+    parallel like every other operator."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_no int, n_tokens int")
+    class ChunkDoc:
+        def eval(self, text: str):
+            words = text.split(" ")
+            for i in range(0, len(words), 10):
+                yield i // 10, min(10, len(words) - i)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).createOrReplaceTempView(
+        "udtf_docs"
+    )
+    return spark.sql(
+        "SELECT doc_id, c.chunk_no, c.n_tokens "
+        "FROM udtf_docs, LATERAL chunk_doc(text) AS c"
+    )
