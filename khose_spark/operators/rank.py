@@ -28,12 +28,26 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+LOCAL_THRESHOLD = 1_000_000
+
+
 def with_global_rank(
     df: DataFrame,
     *order: Column,
     rank_col: str = "rnk",
     num_partitions: int | None = None,
+    local_threshold: int = LOCAL_THRESHOLD,
 ) -> DataFrame:
+    # Adaptive strategy selection (same philosophy as Spark's broadcast
+    # threshold): below ~1M rows the single-partition window is cheaper
+    # than spinning up Python workers for the distributed path — and at
+    # that size it is also harmless, since one partition holds it
+    # easily. The count is a metadata-cheap columnar scan.
+    if local_threshold and df.count() <= local_threshold:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(*order)
+        return df.withColumn(rank_col, F.row_number().over(w).cast("long"))
     parts = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )

@@ -99,7 +99,7 @@ def q_ts_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT user_id, date_trunc('day', ts) AS d,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s
-      FROM events GROUP BY 1, 2
+      FROM events WHERE user_id < 300 GROUP BY 1, 2
     )
     SELECT user_a, user_b, n_days, c AS activity_corr FROM (
       SELECT a.user_id AS user_a, b.user_id AS user_b,
@@ -116,14 +116,17 @@ def q_ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlate >= 0.5 over their co-active days. Series alignment is an
     equi-join on the day bucket; Pearson correlation is the similarity
     measure; daily sums are exact decimals cast to double so both
-    engines correlate identical inputs.
+    engines correlate identical inputs. The search cohort is capped at
+    user_id < 300: all-pairs-per-day is quadratic in daily active
+    users, so the full-corpus form must go through the pivot-to-vector
+    blocked-GEMM path, not this join.
 
     Scale posture: the day-bucket join has bounded width (users active
     per day), and the pair aggregation shuffles on the dense (user_a,
     user_b) key. At 100 TB the day join is the skew point — the
     production form pre-pivots each user's series into a vector column
     and runs the blocked-GEMM path of q_llm_cosine_topk_blocked."""
-    e = t(spark, sf_dir, "events")
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 300)
     daily = (
         e.groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
         .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"))
