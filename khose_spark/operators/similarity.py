@@ -255,3 +255,121 @@ def q_llm_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "embedding").mapInPandas(
         pair_blocks, "id_a long, id_b long, sim double"
     )
+
+
+def _srp_planes(n_planes: int = 16, dim: int = 64) -> list[list[float]]:
+    """Deterministic random-hyperplane matrix shared with the SQL
+    oracle: component (p, d) = (hexval(md5(f"{p}_{d}")[0]) - 7.5)/7.5,
+    i.e. 16 quantized levels in [-1, 1] derived from md5 — bit-identical
+    in any engine that has md5."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0], 16) - 7.5) / 7.5
+            for d in range(1, dim + 1)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _srp_oracle() -> str:
+    return """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), planes AS (
+      SELECT p, list_transform(range(1, 65),
+               d -> (instr('0123456789abcdef',
+                           substr(md5(concat(CAST(p AS VARCHAR), '_',
+                                             CAST(d AS VARCHAR))), 1, 1))
+                     - 1 - 7.5) / 7.5) AS hp
+      FROM range(0, 16) t(p)
+    ), bits AS (
+      SELECT vec_id, p,
+             CASE WHEN round(list_dot_product(v, hp), 6) > 0 THEN 1 ELSE 0 END AS bit
+      FROM base CROSS JOIN planes
+    ), bands AS (
+      SELECT vec_id, CAST(p // 4 AS INT) AS band,
+             CAST(sum(bit * CAST(pow(2, p % 4) AS INT)) AS INT) AS code
+      FROM bits GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(va.v, vb.v), 4) AS sim
+    FROM cand
+    JOIN base va ON va.vec_id = id_a
+    JOIN base vb ON vb.vec_id = id_b
+    WHERE round(list_cosine_similarity(va.v, vb.v), 4) >= 0.3
+    """
+
+
+@query("q_llm_lsh_srp", oracle=_srp_oracle())
+def q_llm_lsh_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (SRP) LSH near-dup: 16-bit sign codes against
+    md5-derived hyperplanes, 4×4-bit band join for candidates, exact
+    cosine >= 0.3 rerank on candidates only — the embedding-space
+    sibling of the SimHash band join, and the third ANN family next to
+    brute-force GEMM and IVF.
+
+    Everything is deterministic (fixed quantized hyperplanes; sign on
+    the ROUNDED sequential dot product, computed with the same
+    left-to-right fold in both engines), so even the LSH bucketing is
+    hash-checked — rare for an "approximate" method. At 100 TB: codes
+    are one map-side pass, the band join shuffles (band, code) buckets,
+    rerank touches only candidate pairs."""
+    e = t(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("vec_id", dbl.alias("v"))
+    planes = spark.createDataFrame(
+        [(p, hp) for p, hp in enumerate(_srp_planes())], "p int, hp array<double>"
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "hp", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    bits = (
+        base.crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "p",
+            F.when(F.round(dot, 6) > 0, 1).otherwise(0).alias("bit"),
+        )
+    )
+    bands = (
+        bits.groupBy(
+            "vec_id", (F.col("p") / 4).cast("int").alias("band")
+        )
+        .agg(
+            F.sum(F.col("bit") * F.pow(2, F.col("p") % 4).cast("int"))
+            .cast("int")
+            .alias("code")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    cdot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    sim = F.round(cdot / (F.sqrt(sq("va")) * F.sqrt(sq("vb"))), 4)
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.3)
+    )

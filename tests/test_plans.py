@@ -24,6 +24,7 @@ BNLJ_ALLOWED = {
     "q_llm_cosine_topk",       # 10 broadcast query vectors × corpus
     "q_llm_knn_label_vote",    # same candidate generator
     "q_llm_ann_ivf",           # corpus × broadcast centroid set
+    "q_llm_lsh_srp",           # corpus × broadcast 16-hyperplane table
     "q_subq_scalar_global",    # 1-row global aggregate broadcast into
                                # the filter — the scalar-subquery plan
 }
@@ -38,6 +39,8 @@ MAX_SHUFFLES = {
                                   # tier-2 exact verify (audited: 8)
     "q_llm_simhash": 6,           # signature agg + band self-join + distinct
     "q_scan_count": 12,           # one tiny agg per fixture table (10 tables)
+    "q_llm_lsh_srp": 7,           # code agg + band self-join + distinct +
+                                  # 2 rerank joins (audited: 5)
     "q_ts_multires_rollup": 6,    # true shuffles = 3 (hourly agg + 2 coarse
                                   # re-aggs); the persisted hourly subplan is
                                   # EMBEDDED 3x in the plan string by its
