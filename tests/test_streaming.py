@@ -272,3 +272,99 @@ def test_stream_stream_join_converges(spark, sf_dir, chunks):
         click_purchase_pairs(b_clicks, b_purchases),
         "stream-stream join",
     )
+
+
+def test_stream_stream_left_join_emits_unmatched(spark, sf_dir, tmp_path):
+    """LEFT OUTER stream-stream join: unmatched clicks must be emitted
+    with null purchase ids — but only once the watermark passes their
+    join window. A second run appends a far-future sentinel click that
+    drags the watermark past every real event, forcing the state flush
+    (same two-run checkpoint pattern as the watermark-late-drop test)."""
+    import pandas as pd
+
+    from khose_spark.operators.streaming import click_purchase_pairs
+    from khose_spark.sources.kinesis_sim import file_stream, stage_event_chunks
+
+    chunks = stage_event_chunks(spark, sf_dir, tag="leftjoin")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    SENTINEL_ID = 10**12
+
+    def drain():
+        clicks = (
+            file_stream(spark, chunks)
+            .filter(F.col("event_type") == "click")
+            .withWatermark("ts", "2 hours")
+        )
+        purchases = (
+            file_stream(spark, chunks)
+            .filter(F.col("event_type") == "purchase")
+            .withWatermark("ts", "2 hours")
+        )
+        c, p = clicks.alias("c"), purchases.alias("p")
+        joined = c.join(
+            p,
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts") > F.col("c.ts"))
+            & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 MINUTES")),
+            "left_outer",
+        ).select(
+            F.col("c.user_id").alias("user_id"),
+            F.col("c.event_id").alias("click_id"),
+            F.col("p.event_id").alias("purchase_id"),
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # run 1: inner matches emit; unmatched clicks still in state
+    max_ts = t(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+
+    def sentinel_file(stage: int) -> None:
+        # The join's global watermark is the MIN across both sides'
+        # watermark nodes, so the sentinel must advance BOTH streams —
+        # a click-only sentinel leaves the purchase watermark (and so
+        # the global one) pinned at the real data's max. The two rows
+        # are > 30 minutes apart so they can't join each other.
+        base_ts = pd.Timestamp(max_ts) + pd.Timedelta(days=10 * (stage + 1))
+        pd.DataFrame(
+            [
+                {"event_id": SENTINEL_ID + 2 * stage, "ts": base_ts,
+                 "user_id": 0, "event_type": "click", "value": 0.0, "props": "{}"},
+                {"event_id": SENTINEL_ID + 2 * stage + 1,
+                 "ts": base_ts + pd.Timedelta(hours=1),
+                 "user_id": 0, "event_type": "purchase", "value": 0.0, "props": "{}"},
+            ]
+        ).to_parquet(f"{chunks}/part-zz-s{stage}.parquet", coerce_timestamps="us")
+
+    sentinel_file(0)
+    drain()  # run 2: both watermark nodes advance at batch END
+    sentinel_file(1)
+    drain()  # run 3: a batch runs against the advanced watermark -> flush
+
+    got = (
+        spark.read.parquet(out_dir)
+        .filter(F.col("click_id") < SENTINEL_ID)
+        .toPandas()
+    )
+    b_clicks = t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    b_purch = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    c, p = b_clicks.alias("c"), b_purch.alias("p")
+    want = c.join(
+        p,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") > F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+    ).toPandas()
+    assert canon_frame(got) == canon_frame(want)
+    assert got["purchase_id"].isna().any()  # unmatched clicks did emit
