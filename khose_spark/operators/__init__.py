@@ -3,12 +3,14 @@ query into khose_spark.registry."""
 
 from khose_spark.operators import (  # noqa: F401
     aggregates,
+    curation,
     filters,
     functions,
     joins,
     llm,
     multimodal,
     relext,
+    reshape,
     scans,
     similarity,
     simhash,

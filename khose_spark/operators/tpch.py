@@ -164,3 +164,71 @@ def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("c_custkey", "c_name", "revenue", "n_name", "rnk")
     )
+
+
+@query(
+    "q_tpch_q6_forecast",
+    oracle=f"""
+    SELECT {sql_dec_sum('l_extendedprice * l_discount', 4)} AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue increase from hypothetically dropping
+    small-quantity discounts in one year. The whole query is a
+    scan→filter→single-row agg: every predicate reaches the parquet
+    reader (row-group skipping on l_shipdate), only 4 columns are read,
+    and the partial aggregation leaves one row per task — the cheapest
+    possible shape at 100 TB."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "q_tpch_q4_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_late_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders per priority with at least one lineitem
+    shipped more than 60 days after the order date (the fixture schema
+    has no commit/receipt dates, so "late" is defined against
+    o_orderdate). A left-semi join carries the EXISTS — lineitem is
+    never widened into the output, so the join state per order is one
+    bit; the date filter on orders is pushed to its scan."""
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_late_orders")
+    )

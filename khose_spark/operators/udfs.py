@@ -130,16 +130,23 @@ _CENTERED_SCHEMA = T.StructType(
 
 
 def _center_values(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas per-user normalization. The mean is computed as a
-    plain sequential sum / count — NOT pandas .mean() (numpy pairwise
-    summation differs from SQL engines' sequential sum at the last ulp)."""
-    vals = pdf["value"].to_numpy()
-    mean = float(sum(float(x) for x in vals) / len(vals))
+    """applyInPandas per-user demeaning, kept in EXACT decimal space:
+    emits value*n - sum (the deviation from the mean scaled by the group
+    size) rather than value - sum/n. The division form lands exactly on
+    half-cent boundaries whenever n divides the 2-decimal group sum, and
+    no two engines round those boundaries alike (observed at sf0.01);
+    the scaled form needs no division, so every intermediate is an exact
+    2-decimal and the float conversion is the same nearest-double on
+    both engines."""
+    from decimal import Decimal
+
+    vals = [Decimal(f"{float(v):.2f}") for v in pdf["value"]]
+    s, n = sum(vals), len(vals)
     return pd.DataFrame(
         {
             "event_id": pdf["event_id"],
             "user_id": pdf["user_id"],
-            "centered": [round(float(v) - mean, 2) for v in vals],
+            "centered": [float(v * n - s) for v in vals],
         }
     )
 
@@ -148,15 +155,19 @@ def _center_values(pdf: pd.DataFrame) -> pd.DataFrame:
     "q_udtf_apply_in_pandas",
     oracle="""
     SELECT event_id, user_id,
-           round(value - sum(value) OVER (PARTITION BY user_id)
-                         / count(*) OVER (PARTITION BY user_id), 2) AS centered
+           CAST(CAST(value AS DECIMAL(18,2))
+                  * count(*) OVER (PARTITION BY user_id)
+                - sum(CAST(value AS DECIMAL(18,2)))
+                  OVER (PARTITION BY user_id) AS DOUBLE) AS centered
     FROM events
     """,
 )
 def q_udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map applyInPandas: value minus per-user mean. At 100 TB
-    this shuffles once on user_id and streams each group through Arrow;
-    groups must fit in executor memory (true for per-user slices)."""
+    """Grouped-map applyInPandas: per-user scaled deviation from the
+    mean (value*n - sum, exact decimal — see _center_values for why not
+    value - mean). At 100 TB this shuffles once on user_id and streams
+    each group through Arrow; groups must fit in executor memory (true
+    for per-user slices)."""
     e = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
     return e.groupBy("user_id").applyInPandas(_center_values, schema=_CENTERED_SCHEMA)
 
