@@ -101,3 +101,39 @@ def q_llm_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("source").alias("n_sources"),
         )
     )
+
+
+_DENYLIST_PAT = r"\b(customer|value|table)\b"
+
+
+@query(
+    "q_llm_denylist_scrub",
+    oracle=rf"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CAST(regexp_matches(text, '{_DENYLIST_PAT}') AS INT))
+                AS BIGINT) AS n_docs_touched,
+           CAST(sum(len(regexp_extract_all(text, '{_DENYLIST_PAT}')))
+                AS BIGINT) AS n_hits,
+           CAST(sum(length(regexp_replace(text, '{_DENYLIST_PAT}', '<TERM>',
+                                          'g'))) AS BIGINT) AS sum_chars_after
+    FROM documents GROUP BY lang
+    """,
+)
+def q_llm_denylist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist scrubbing (the PII-redaction shape on a synthetic corpus
+    with no PII): mask every whole-word denylist hit with '<TERM>' and
+    report, per language, how many documents were touched, total hits,
+    and the post-scrub corpus size. Pure map-side regexes (Java and RE2
+    agree on this pattern class) feeding one tiny per-lang aggregate —
+    the audit trail a corpus-cleaning pass emits at 100 TB."""
+    docs = t(spark, sf_dir, "documents")
+    pat = _DENYLIST_PAT
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("text").rlike(pat).cast("int")).alias("n_docs_touched"),
+        F.sum(F.size(F.regexp_extract_all("text", F.lit(pat), 0))).alias("n_hits"),
+        F.sum(F.length(F.regexp_replace("text", pat, "<TERM>"))).alias(
+            "sum_chars_after"
+        ),
+    )

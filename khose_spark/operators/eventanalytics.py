@@ -1,0 +1,113 @@
+"""Event-analytics composites over the events stream table: conversion
+funnels and cohort retention — the reporting queries an ingest pipeline's
+downstream warehouse actually runs (SURVEY.md §2 widening).
+
+Both operators aggregate on the dense integer user_id first and only
+then join the (already tiny) per-user frames, so every shuffle is keyed
+on user_id and each stage's state is one row per user — the shape that
+survives a 100 TB event log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from khose_spark.registry import query
+from khose_spark.tables import t
+
+
+@query(
+    "q_ts_funnel",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, min(ts) AS fv FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), fc AS (
+      SELECT e.user_id, min(e.ts) AS fc FROM events e
+      JOIN fv ON e.user_id = fv.user_id AND e.ts > fv.fv
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), fp AS (
+      SELECT e.user_id, min(e.ts) AS fp FROM events e
+      JOIN fc ON e.user_id = fc.user_id AND e.ts > fc.fc
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, count(*) AS n_users FROM fv
+    UNION ALL SELECT 'click', count(*) FROM fc
+    UNION ALL SELECT 'purchase', count(*) FROM fp
+    """,
+)
+def q_ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase conversion funnel: a user reaches a
+    stage only with an event strictly after their first event of the
+    previous stage. Three per-user min-ts aggregations chained by joins
+    (each join input is one row per user, broadcast at fixture scale,
+    user_id-keyed shuffle at 100 TB); stage totals via count."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fv"))
+    )
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("fv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fc"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("ts") > F.col("fc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"), F.count("*").alias("n_users")
+        )
+
+    return stage(fv, "view").unionAll(stage(fc, "click")).unionAll(
+        stage(fp, "purchase")
+    )
+
+
+@query(
+    "q_ts_retention",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS c FROM events GROUP BY user_id
+    ), ad AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT strftime(c, '%Y-%m-%d') AS cohort_d,
+           CAST(d - c AS INT) AS offset_days,
+           count(*) AS n_users
+    FROM ad JOIN cohort USING (user_id)
+    WHERE d - c IN (0, 7, 14)
+    GROUP BY 1, 2
+    """,
+)
+def q_ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted if
+    active exactly 0 / 7 / 14 days later. distinct (user, day) pairs and
+    the per-user cohort both shuffle on user_id; the final aggregate has
+    at most |days|×3 rows. Cohort day emitted as a string (DATE dtype
+    diverges Spark↔DuckDB in pandas)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("d").alias("c"))
+    active = ev.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .withColumn("offset_days", F.datediff("d", "c"))
+        .filter(F.col("offset_days").isin(0, 7, 14))
+        .groupBy(
+            F.date_format("c", "yyyy-MM-dd").alias("cohort_d"), "offset_days"
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -373,3 +373,54 @@ def q_llm_lsh_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= 0.3)
     )
+
+
+@query(
+    "q_llm_vec_quantize",
+    oracle="""
+    WITH qd AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_transform(embedding, x -> greatest(-127.0, least(127.0,
+               round(CAST(x AS DOUBLE) * 127, 0)))) AS q
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(v, x -> x * x))), 4) AS norm,
+           CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS sum_absq,
+           round(list_max(list_transform(v, x -> abs(x -
+             greatest(-127.0, least(127.0, round(x * 127, 0))) / 127))), 6)
+             AS max_err,
+           CAST(len(list_filter(q, x -> abs(x) = 127.0)) AS INT) AS n_sat
+    FROM qd
+    """,
+)
+def q_llm_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization QA: per vector, the symmetric
+    [-127,127] quantized code's total magnitude, the max dequantization
+    error, and the saturation count, alongside the original L2 norm —
+    the audit a production ANN index runs before switching its store to
+    int8 (4× memory / bandwidth at 100 TB of vectors).
+
+    Everything is elementwise over the embedding array (zero shuffle,
+    zero join): quantize = clamp(round(x*127)); error is recomputed from
+    x alone so no array zip is needed. Exact-integer sums (|q| <= 127*64)
+    carry the hash check; the two continuous outputs are rounded."""
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    quant = lambda x: F.greatest(  # noqa: E731
+        F.lit(-127.0), F.least(F.lit(127.0), F.round(x * 127, 0))
+    )
+    q = F.transform(v, quant)
+    ssum = lambda arr, fn: F.aggregate(  # noqa: E731
+        F.transform(arr, fn), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(ssum(v, lambda x: x * x)), 4).alias("norm"),
+        ssum(q, F.abs).cast("long").alias("sum_absq"),
+        F.round(
+            F.array_max(F.transform(v, lambda x: F.abs(x - quant(x) / 127))), 6
+        ).alias("max_err"),
+        F.size(F.filter(q, lambda x: F.abs(x) == 127.0)).alias("n_sat"),
+    )

@@ -45,6 +45,9 @@ MAX_SHUFFLES = {
                                   # re-aggs); the persisted hourly subplan is
                                   # EMBEDDED 3x in the plan string by its
                                   # InMemoryTableScans but executes once
+    "q_ts_funnel": 9,             # 3 per-stage min-ts aggs + 3 single-row
+                                  # stage counts + stage-chaining joins
+                                  # (audited: 8)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
