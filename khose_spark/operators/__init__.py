@@ -6,6 +6,7 @@ from khose_spark.operators import (  # noqa: F401
     curation,
     eventanalytics,
     filters,
+    graph,
     functions,
     joins,
     llm,

@@ -48,6 +48,10 @@ MAX_SHUFFLES = {
     "q_ts_funnel": 9,             # 3 per-stage min-ts aggs + 3 single-row
                                   # stage counts + stage-chaining joins
                                   # (audited: 8)
+    "q_llm_dedup_clusters": 12,   # label propagation localCheckpoints each
+                                  # round, so the final plan is scan+agg; the
+                                  # headroom covers AQE variation in the
+                                  # eager pair-generation stage
 }
 
 SF_DIR = "/root/testdata/sf0.001"
