@@ -48,17 +48,22 @@ def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per doc: (doc_id, shingle). Map-side only
-    — explode + dedup happens before any shuffle."""
+    """Distinct k-word shingles per doc: (doc_id, shingle). Map-side only:
+    the shingle set is built and deduped INSIDE the row via
+    array_distinct (the distinct key is (doc_id, shingle), i.e. per-doc,
+    so no cross-row — and therefore no shuffle — is ever needed; an
+    explode + global .distinct() here costs a full shuffle of every
+    shingle string at corpus scale). Docs shorter than k words emit no
+    shingles via the typed empty-array branch, not a post-filter."""
     words = F.split(F.col(text_col), " ")
     n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
-    return (
-        df.select("doc_id", F.explode(sh).alias("shingle"))
-        .where(F.size(F.split(F.col("shingle"), " ")) == k)
-        .distinct()
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
     )
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    )
+    return df.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 @query(

@@ -41,12 +41,14 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     (ties → 0, deterministic). One explode + one groupBy(doc_id): the
     shuffle key is the dense doc_id, never the text."""
     sh = shingles(docs)
+    # One conv over the 8-char prefix, nibbles peeled arithmetically —
+    # not 8× conv(substr(md5,...)): md5 is CSE'd but conv is not free,
+    # and this runs once per shingle occurrence at corpus scale.
+    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
     vals = sh.select(
         "doc_id",
         *[
-            F.conv(F.substring(F.md5("shingle"), j, 1), 16, 10)
-            .cast("int")
-            .alias(f"v{j}")
+            (F.floor(h / (16 ** (8 - j))) % 16).cast("int").alias(f"v{j}")
             for j in range(1, 9)
         ],
     )
