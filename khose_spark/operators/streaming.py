@@ -220,3 +220,39 @@ def q_stream_join_batchsem(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum(F.col("p.value"), 2).alias("attributed_value"),
         )
     )
+
+
+@query(
+    "q_stream_upsert_batchsem",
+    oracle="""
+    SELECT user_id, event_type, event_id AS last_event_id,
+           value AS last_value, ts AS last_ts, n_versions
+    FROM (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_stream_upsert_batchsem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-state (upsert/compaction) view: one row per
+    (user_id, event_type) carrying the most recent event's id and value
+    — the CDC-style materialization a streaming sink maintains when the
+    downstream wants current state, not history. (ts, event_id) struct
+    ordering makes the winner deterministic under ts ties. One shuffle
+    on the compound key; at 100 TB this is the standard log-compaction
+    shape (the streaming twin is dropDuplicates-on-key over a
+    descending-ts source, or transformWithState keeping max)."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max_by("event_id", key).alias("last_event_id"),
+            F.max_by("value", key).alias("last_value"),
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("n_versions"),
+        )
+    )

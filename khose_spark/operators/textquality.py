@@ -223,3 +223,52 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5("shingle")).alias("fp"),
         F.substring(F.min(F.md5("shingle")), 1, 2).alias("fp_bucket"),
     )
+
+
+@query(
+    "q_llm_surprisal",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), vocab AS (
+      SELECT lang, term, count(*) AS n FROM tok GROUP BY 1, 2
+    ), totals AS (
+      SELECT lang, count(*) AS tot FROM tok GROUP BY 1
+    )
+    SELECT t.doc_id, t.lang, count(*) AS n_tokens,
+           round(avg(ln(CAST(s.tot AS DOUBLE) / v.n)), 4) AS avg_surprisal
+    FROM tok t
+    JOIN vocab v ON t.lang = v.lang AND t.term = v.term
+    JOIN totals s ON t.lang = s.lang
+    GROUP BY t.doc_id, t.lang
+    """,
+)
+def q_llm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram surprisal scoring — the cheap stand-in for the KenLM-style
+    perplexity filter every corpus-quality pipeline runs: score each
+    document by the average -ln P(term | lang) under the corpus's own
+    per-language unigram model. High scores flag outlier documents.
+
+    Two aggregations build the model (per-lang term counts + totals,
+    both tiny: the model is vocabulary-sized, not corpus-sized), which
+    then BROADCASTS into the token stream — scoring is map-side, and the
+    only corpus-scale shuffle is the final per-doc average. avg of logs
+    is continuous, so round(4) is hash-stable (sqlutil law)."""
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    vocab = tok.groupBy("lang", "term").agg(F.count("*").alias("n"))
+    totals = tok.groupBy("lang").agg(F.count("*").alias("tot"))
+    return (
+        tok.join(F.broadcast(vocab), ["lang", "term"])
+        .join(F.broadcast(totals), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("tot").cast("double") / F.col("n"))), 4
+            ).alias("avg_surprisal"),
+        )
+        .select("doc_id", "lang", "n_tokens", "avg_surprisal")
+    )
