@@ -291,3 +291,37 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_cust"))
         .filter(F.col("n_cust") > 25)
     )
+
+
+@query(
+    "q_agg_mode_det",
+    oracle="""
+    SELECT user_id, event_type AS mode_type, n AS mode_n
+    FROM (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type ASC) AS rn
+      FROM (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+      )
+    ) WHERE rn = 1
+    """,
+)
+def q_agg_mode_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: each user's most frequent event
+    type, ties broken by type name ascending. Spark's mode() leaves tie
+    order undefined, so the engine form is count + min_by over a
+    (-count, type) struct — two shuffles on dense keys, no window over
+    raw events (the oracle uses the row_number form only because DuckDB
+    arg_min/arg_max reject struct keys)."""
+    counts = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    key = F.struct((-F.col("n")).alias("neg_n"), F.col("event_type"))
+    return counts.groupBy("user_id").agg(
+        F.min_by("event_type", key).alias("mode_type"),
+        F.max("n").alias("mode_n"),
+    )

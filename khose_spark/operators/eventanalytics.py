@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from khose_spark.registry import query
+from khose_spark.sqlutil import dec_sum, sql_dec_sum
 from khose_spark.tables import t
 
 
@@ -110,4 +111,52 @@ def q_ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("c", "yyyy-MM-dd").alias("cohort_d"), "offset_days"
         )
         .agg(F.count("*").alias("n_users"))
+    )
+
+
+@query(
+    "q_ts_anomaly",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+             {sql_dec_sum('value', 4)} AS spend
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), stats AS (
+      SELECT user_id,
+             avg(spend) AS mu,
+             stddev_samp(spend) AS sigma,
+             count(*) AS n_days
+      FROM daily GROUP BY user_id
+    )
+    SELECT daily.user_id, d, spend,
+           round((spend - mu) / sigma, 4) AS z
+    FROM daily JOIN stats ON daily.user_id = stats.user_id
+    WHERE n_days >= 5 AND sigma > 0
+      AND abs((spend - mu) / sigma) > 2
+    """,
+)
+def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user spend-anomaly days: daily purchase totals more than 2
+    sample standard deviations from that user's own mean (users with
+    >= 5 active days). Daily sums go through the decimal-cast law so
+    both engines feed IDENTICAL doubles into the mean/stddev — the z
+    score is then a continuous value and round(4) is hash-stable.
+    Two user-keyed shuffles (daily rollup, per-user stats); the stats
+    frame is one row per user and broadcasts back into the join."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .agg(dec_sum(F.col("value"), 4).alias("spend"))
+    )
+    stats = daily.groupBy("user_id").agg(
+        F.avg("spend").alias("mu"),
+        F.stddev_samp("spend").alias("sigma"),
+        F.count("*").alias("n_days"),
+    )
+    z = (F.col("spend") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.join(F.broadcast(stats), "user_id")
+        .filter((F.col("n_days") >= 5) & (F.col("sigma") > 0) & (F.abs(z) > 2))
+        .select("user_id", "d", "spend", F.round(z, 4).alias("z"))
     )
