@@ -368,3 +368,27 @@ def test_stream_stream_left_join_emits_unmatched(spark, sf_dir, tmp_path):
     ).toPandas()
     assert canon_frame(got) == canon_frame(want)
     assert got["purchase_id"].isna().any()  # unmatched clicks did emit
+
+
+def test_stream_upsert_converges(spark, sf_dir, chunks):
+    """Latest-state (upsert) view maintained as a streaming aggregate in
+    complete mode converges to the batch q_stream_upsert_batchsem."""
+    from khose_spark.operators.streaming import q_stream_upsert_batchsem
+
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    stream = (
+        file_stream(spark, chunks)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max_by("event_id", key).alias("last_event_id"),
+            F.max_by("value", key).alias("last_value"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_versions"),
+        )
+    )
+    run_stream_to_memory(stream, "t_upsert", "complete")
+    assert_frames_equal(
+        spark.table("t_upsert"),
+        q_stream_upsert_batchsem(spark, sf_dir),
+        "upsert",
+    )
