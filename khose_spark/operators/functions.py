@@ -386,3 +386,52 @@ def q_fn_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.c_acctbal").alias("s_bal"),
         dec_round(F.col("s.c_acctbal") * 2, 2, 2).alias("s_bal2"),
     )
+
+
+@query(
+    "q_fn_levenshtein",
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.source, b.source) AS dist
+    FROM documents a JOIN documents b
+      ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 3
+    WHERE a.doc_id < 40
+    """,
+)
+def q_fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance surface (the fuzzy-key primitive for entity
+    resolution) over nearby doc pairs (id distance <= 3), with the
+    range condition turned into an EQUI blocking join: the left side
+    explodes into its own and the next id-block of 4, so every
+    qualifying pair meets on exactly one block key and the planner gets
+    a hash join, never a nested loop over the corpus — the standard
+    blocking-key shape of entity resolution at scale. Spark and DuckDB
+    agree on the classic Levenshtein definition."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    blk = F.floor(F.col("doc_id") / 4)
+    a = (
+        d.filter(F.col("doc_id") < 40)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            F.col("source").alias("src_a"),
+            F.explode(F.array(blk, blk + 1)).alias("blk"),
+        )
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("src_b"),
+        blk.alias("blk"),
+    )
+    return (
+        a.join(
+            b,
+            (a.blk == b.blk)
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("id_b") - F.col("id_a") <= 3),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("src_a"), F.col("src_b")).alias("dist"),
+        )
+    )

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from khose_spark.registry import query
+from khose_spark.sqlutil import dec_sum, sql_dec_sum
 from khose_spark.tables import t
 
 
@@ -210,4 +211,49 @@ def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q_win_ratio_total",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n_name, n_regionkey,
+             {sql_dec_sum('o_totalprice', 2)} AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name, n_regionkey
+    )
+    SELECT n_name,
+           revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY n_regionkey), 6)
+             AS region_share
+    FROM rev
+    """,
+)
+def q_win_ratio_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's order
+    revenue. The window runs over the 25-row post-aggregation frame, so
+    the partition-total sum is trivially cheap at any input scale; the
+    share is a continuous quotient of decimal-exact sums, so round(6)
+    is hash-stable on both engines."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "n_regionkey")
+        .agg(dec_sum(F.col("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("n_regionkey")
+    return rev.select(
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias(
+            "region_share"
+        ),
     )
