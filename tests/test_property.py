@@ -74,3 +74,50 @@ def test_spark_duckdb_agree(spark, sql, rows):
     con.close()
     problems = compare(spark_pdf, oracle_pdf)
     assert not problems, f"{sql}: " + "; ".join(problems)
+
+
+# --- connected_components vs a pure-Python union-find oracle ---------------
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {node: find(node) for node in parent}
+
+
+@given(edges=edges_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from khose_spark.operators.graph import connected_components
+
+    pdf = pd.DataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], columns=["id_a", "id_b"]
+    ).astype("int64")
+    got = {
+        r["node"]: r["rep"]
+        for r in connected_components(spark.createDataFrame(pdf))
+        .toPandas()
+        .to_dict("records")
+    }
+    assert got == _union_find_components(edges)
