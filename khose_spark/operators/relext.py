@@ -80,24 +80,49 @@ def q_subq_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_win_distribution",
     oracle="""
-    SELECT c_custkey,
-           c_nationkey,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist()    OVER w, 6) AS cume
-    FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    WITH ranked AS (
+      SELECT c_custkey, c_nationkey,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal, c_custkey) AS rn,
+             count(*) OVER (PARTITION BY c_nationkey) AS n
+      FROM customer
+    )
+    SELECT c_custkey, c_nationkey,
+           CAST(CASE WHEN n > 1
+                     THEN (2*(rn-1)*1000000 + (n-1)) // (2*(n-1))
+                     ELSE 0 END AS BIGINT) / 1000000.0 AS pct_rank,
+           CAST((2*rn*1000000 + n) // (2*n) AS BIGINT) / 1000000.0 AS cume
+    FROM ranked
     """,
 )
 def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (percent_rank, cume_dist) over
-    account balance within nation; unique (acctbal, custkey) ordering
-    makes the small rationals identical across engines before round."""
+    account balance within nation, with the 6-decimal rounding done in
+    EXACT INTEGER space: percent_rank = (rn-1)/(n-1) is a rational, and
+    whenever a partition has n-1 = 2^a*5^b rows the value terminates
+    exactly on a half-microdecimal, where engine round()s disagree
+    (observed at sf0.1: n-1 = 640). round_half_up(k/d, 6) ==
+    (2k*10^6 + d) div (2d) in int64 — identical on both engines, then
+    one exact /10^6 double division. The unique (acctbal, custkey)
+    ordering makes rank == row_number."""
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-    return t(spark, sf_dir, "customer").select(
+    wp = Window.partitionBy("c_nationkey")
+    ranked = t(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    pct_scaled = F.when(
+        F.col("n") > 1,
+        F.expr("(2*(rn-1)*1000000 + (n-1)) div (2*(n-1))"),
+    ).otherwise(F.lit(0).cast("long"))
+    cume_scaled = F.expr("(2*rn*1000000 + n) div (2*n)")
+    return ranked.select(
+        "c_custkey",
+        "c_nationkey",
+        (pct_scaled / F.lit(1000000.0)).alias("pct_rank"),
+        (cume_scaled / F.lit(1000000.0)).alias("cume"),
     )
 
 
