@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from khose_spark.operators.llm import q_llm_neardup_jaccard
 from khose_spark.registry import query
+from khose_spark.tables import t
 
 _JACCARD_EDGES_CTES = """
     words AS (
@@ -145,4 +146,59 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("rep").alias("cluster_rep")).agg(
         F.count("*").alias("n_docs"),
         (F.count("*") - 1).cast("long").alias("n_dropped"),
+    )
+
+
+@query(
+    "q_llm_dedup_apply",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_EDGES_CTES},
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    node_reach AS (
+      SELECT a, b FROM reach
+      UNION SELECT DISTINCT a, a FROM sym
+    ),
+    labels AS (
+      SELECT a AS doc_id, min(b) AS rep FROM node_reach GROUP BY a
+    ),
+    drops AS (
+      SELECT doc_id FROM labels WHERE doc_id != rep
+    )
+    SELECT lang,
+           count(*) FILTER (WHERE drops.doc_id IS NULL) AS n_kept,
+           count(*) FILTER (WHERE drops.doc_id IS NOT NULL) AS n_dropped,
+           CAST(sum(n_chars) FILTER (WHERE drops.doc_id IS NULL)
+                AS BIGINT) AS chars_kept
+    FROM documents LEFT JOIN drops USING (doc_id)
+    GROUP BY lang
+    """,
+)
+def q_llm_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline APPLIED: run clustering, drop every cluster
+    member except the min-doc_id keeper, and report the per-language
+    retention audit (kept/dropped doc counts, kept chars) — the actual
+    output contract of a corpus dedup stage. The drop list is one row
+    per discarded doc (tiny vs the corpus) and anti-joins back into
+    documents as a broadcast."""
+    pairs = q_llm_neardup_jaccard(spark, sf_dir).select("id_a", "id_b")
+    labels = connected_components(pairs)
+    drops = labels.filter(F.col("node") != F.col("rep")).select(
+        F.col("node").alias("doc_id")
+    )
+    docs = t(spark, sf_dir, "documents").join(
+        F.broadcast(drops.withColumn("dropped", F.lit(1))), "doc_id", "left"
+    )
+    kept = F.col("dropped").isNull()
+    return docs.groupBy("lang").agg(
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.col("dropped").isNotNull().cast("long")).alias("n_dropped"),
+        F.sum(F.when(kept, F.col("n_chars"))).alias("chars_kept"),
     )
