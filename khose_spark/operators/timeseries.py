@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from khose_spark.registry import query
@@ -143,3 +143,69 @@ def q_ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs.filter(F.col("activity_corr") >= 0.5)
+
+
+@query(
+    "q_ts_twa",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             epoch_us(lead(ts) OVER w) // 1000000
+               - epoch_us(ts) // 1000000 AS dt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), agg AS (
+      SELECT user_id,
+             sum(cents * dt) AS num,
+             sum(dt) AS den,
+             count(*) AS n_segments
+      FROM seg WHERE dt IS NOT NULL AND dt > 0
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST((2 * num + den) // (2 * den) AS BIGINT) / 100.0 AS twa,
+           CAST(den AS BIGINT) AS total_secs,
+           n_segments
+    FROM agg
+    """,
+)
+def q_ts_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user — THE continuous-aggregate
+    primitive of hypertable engines: each observation holds its value
+    until the next one (last-observation-carried-forward), so the mean
+    weights each value by its holding duration, not by sample count.
+
+    Every input is made exact before any arithmetic: values become
+    integer cents via the decimal-cast law, durations are whole epoch
+    seconds from a lead() over the unique (ts, event_id) ordering. The
+    weighted mean is then rounded to 2 decimals entirely in int64
+    ((2N + D) div 2D on cent-seconds — the same exact-integer half-up
+    idiom as q_win_distribution), so no engine ever rounds a float.
+    One window shuffle + one aggregation, both keyed on user_id."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        (
+            F.unix_timestamp(F.lead("ts").over(w))
+            - F.unix_timestamp("ts")
+        ).alias("dt"),
+    )
+    agg = (
+        seg.filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("cents") * F.col("dt")).alias("num"),
+            F.sum("dt").alias("den"),
+            F.count("*").alias("n_segments"),
+        )
+    )
+    return agg.select(
+        "user_id",
+        (F.expr("(2 * num + den) div (2 * den)") / F.lit(100.0)).alias("twa"),
+        F.col("den").alias("total_secs"),
+        "n_segments",
+    )
