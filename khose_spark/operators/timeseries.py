@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from khose_spark.registry import query
+from khose_spark.sqlutil import dec_sum, sql_dec_sum
 from khose_spark.tables import t
 
 _DEC = "decimal(28,2)"
@@ -208,4 +209,60 @@ def q_ts_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("(2 * num + den) div (2 * den)") / F.lit(100.0)).alias("twa"),
         F.col("den").alias("total_secs"),
         "n_segments",
+    )
+
+
+@query(
+    "q_ts_ohlc",
+    oracle=f"""
+    WITH base AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS h,
+             ts, event_id, value
+      FROM events
+    ), rk AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY h
+                                ORDER BY ts, event_id) AS rno,
+             row_number() OVER (PARTITION BY h
+                                ORDER BY ts DESC, event_id DESC) AS rnc
+      FROM base
+    )
+    SELECT h,
+           max(CASE WHEN rno = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rnc = 1 THEN value END) AS close,
+           count(*) AS n_ticks,
+           {sql_dec_sum('value', 2)} AS volume
+    FROM rk GROUP BY h
+    """,
+)
+def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars over the event stream — the canonical financial
+    downsampling query of a time-series engine. Open/close are the
+    first/last tick by the unique (ts, event_id) order; high/low/volume
+    are plain extrema/decimal-exact sums (2-decimal inputs, nothing to
+    round). Both row_numbers share one hour-keyed window shuffle, and
+    the conditional max picks the rn=1 tick without a second join."""
+    ev = t(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("h"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_open = Window.partitionBy("h").orderBy("ts", "event_id")
+    w_close = Window.partitionBy("h").orderBy(F.desc("ts"), F.desc("event_id"))
+    rk = ev.select(
+        "h",
+        "value",
+        F.row_number().over(w_open).alias("rno"),
+        F.row_number().over(w_close).alias("rnc"),
+    )
+    return rk.groupBy("h").agg(
+        F.max(F.when(F.col("rno") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rnc") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n_ticks"),
+        dec_sum(F.col("value"), 2).alias("volume"),
     )
