@@ -266,3 +266,64 @@ def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_ticks"),
         dec_sum(F.col("value"), 2).alias("volume"),
     )
+
+
+@query(
+    "q_ts_ewma",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, event_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS lv
+      FROM events
+    )
+    SELECT user_id, event_id,
+           round(list_sum(list_transform(range(1, len(lv)+1),
+                   i -> lv[i] * pow(0.5, len(lv)-i)))
+                 / list_sum(list_transform(range(1, len(lv)+1),
+                   i -> pow(0.5, len(lv)-i))), 4) AS ewma
+    FROM b
+    """,
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 0.5, last 8 ticks)
+    of each user's value series — the standard smoothing operator of a
+    streaming metrics engine. EWMA's recursive definition doesn't map to
+    a plain window aggregate, so the frame is materialized as an ORDERED
+    array (collect_list over a rows frame) and the weighted sum runs as
+    an array-lambda fold — both engines fold the identical array in the
+    identical order, making the continuous result round(4)-stable. One
+    user-keyed window shuffle; the arrays are frame-bounded (<= 8)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, 0)
+    )
+    lv = F.collect_list("value").over(w)
+    n = F.size(F.col("lv"))
+    wsum = F.aggregate(
+        F.transform(
+            "lv",
+            lambda x, i: x * F.pow(F.lit(0.5), (n - 1 - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wtot = F.aggregate(
+        F.transform(
+            "lv",
+            lambda x, i: F.pow(F.lit(0.5), (n - 1 - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .withColumn("lv", lv)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(wsum / wtot, 4).alias("ewma"),
+        )
+    )
