@@ -325,3 +325,96 @@ def q_agg_mode_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("event_type", key).alias("mode_type"),
         F.max("n").alias("mode_n"),
     )
+
+
+@query(
+    "q_agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (least-squares slope/intercept/R²)
+    of price on quantity per returnflag — the built-in regr_* family
+    both engines compute from the same co-moment sums. Continuous
+    outputs under round(4); single partial+final aggregation shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias("slope"),
+        F.round(
+            F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4
+        ).alias("intercept"),
+        F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 4).alias("r2"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_agg_moments",
+    oracle="""
+    WITH sums AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(CAST(l_quantity AS BIGINT)) AS s1,
+             sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s2,
+             sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT)) AS s3,
+             sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, CAST(s1 AS BIGINT) AS s1,
+           round((CAST(s3 AS DOUBLE)/n
+                   - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
+                   + 2*pow(CAST(s1 AS DOUBLE)/n, 3))
+                 / pow(CAST(s2 AS DOUBLE)/n - pow(CAST(s1 AS DOUBLE)/n, 2), 1.5),
+                 4) AS skew,
+           round((CAST(s4 AS DOUBLE)/n
+                   - 4*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n)
+                   + 6*pow(CAST(s1 AS DOUBLE)/n, 2)*(CAST(s2 AS DOUBLE)/n)
+                   - 3*pow(CAST(s1 AS DOUBLE)/n, 4))
+                 / pow(CAST(s2 AS DOUBLE)/n - pow(CAST(s1 AS DOUBLE)/n, 2), 2)
+                 - 3, 4) AS kurt_excess
+    FROM sums
+    """,
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of quantity per
+    returnflag, computed FROM EXACT INTEGER POWER SUMS (quantity is
+    integral <= 50, so s1..s4 fit int64 exactly): both engines derive
+    the moments from bit-identical integers with the same double
+    formula, so the only divergence is final-ulp arithmetic — safely
+    under round(4). This is also the distributed-stats pattern at
+    100 TB: power sums are associative single-pass partial aggregates,
+    where a naive two-pass central-moment computation would rescan."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    )
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+        F.sum(F.col("q") * F.col("q") * F.col("q")).alias("s3"),
+        F.sum(F.col("q") * F.col("q") * F.col("q") * F.col("q")).alias("s4"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n")
+    m2r = F.col("s2").cast("double") / F.col("n")
+    m3r = F.col("s3").cast("double") / F.col("n")
+    m4r = F.col("s4").cast("double") / F.col("n")
+    var = m2r - m1 * m1
+    skew = (m3r - 3 * m1 * m2r + 2 * F.pow(m1, 3)) / F.pow(var, 1.5)
+    kurt = (m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * F.pow(m1, 4)) / (
+        var * var
+    ) - 3
+    return sums.select(
+        "l_returnflag",
+        "n",
+        "s1",
+        F.round(skew, 4).alias("skew"),
+        F.round(kurt, 4).alias("kurt_excess"),
+    )

@@ -194,3 +194,20 @@ def q_sink_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(snappy_dir)
     back = spark.read.parquet(zstd_dir).unionAll(spark.read.parquet(snappy_dir))
     return _events_agg(back)
+
+
+@query("q_source_jsonl_gzip", oracle=_EVENTS_AGG_ORACLE)
+def q_source_jsonl_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzipped JSON-lines roundtrip — the de-facto interchange format of
+    web-scale text corpora (WET/CC dumps ship as .jsonl.gz). Write path
+    uses codec-compressed multi-file output; read path decodes per file
+    split (gzip is not splittable, so at 100 TB the file count IS the
+    read parallelism — many medium files, never one giant archive;
+    that's why the write repartitions first)."""
+    path = _scratch(sf_dir, "jsonl_gz")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    t(spark, sf_dir, "events").repartition(4).write.mode("overwrite").option(
+        "timestampFormat", fmt
+    ).option("compression", "gzip").json(path)
+    back = spark.read.schema(EVENTS_SCHEMA).option("timestampFormat", fmt).json(path)
+    return _events_agg(back)

@@ -64,6 +64,7 @@ _SKIP = {k for k in registry.QUERIES if k.startswith("q_stream_")} | {
     "q_sink_partitioned",
     "q_source_json_lines",
     "q_source_csv",
+    "q_source_jsonl_gzip",
 }
 
 AUDITED = sorted(set(registry.QUERIES) - _SKIP)
