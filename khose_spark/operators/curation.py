@@ -137,3 +137,115 @@ def q_llm_denylist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_chars_after"
         ),
     )
+
+
+@query(
+    "q_llm_contamination",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(w) - 1, 1)),
+                 i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+        FROM words
+      ) WHERE len(string_split(shingle, ' ')) = 3
+    ), train_sh AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id >= 50
+    ), ev AS (
+      SELECT doc_id, shingle FROM sh WHERE doc_id < 50
+    )
+    SELECT ev.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN train_sh.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           CAST(sum(CASE WHEN train_sh.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  * 10 >= count(*) * 8 AS INT) AS contaminated
+    FROM ev LEFT JOIN train_sh ON ev.shingle = train_sh.shingle
+    GROUP BY ev.doc_id
+    """,
+)
+def q_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination check: treat doc_id < 50 as the eval
+    set and the rest as training data; for each eval doc, how many of
+    its distinct 3-gram shingles appear ANYWHERE in training, and flag
+    >= 80% overlap as contaminated. The 80% test is exact integer
+    arithmetic (hit*10 >= total*8) — no ratio is ever rounded.
+
+    Plan: eval shingles (tiny) left-semi-style join the distinct train
+    shingle set on the shingle key — one string-keyed shuffle; at
+    100 TB the train side would first collapse into a bloom/HLL filter
+    per shingle partition, same join key."""
+    from khose_spark.operators.llm import shingles
+
+    docs = t(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    train_sh = (
+        sh.filter(F.col("doc_id") >= 50).select("shingle").distinct()
+        .withColumn("in_train", F.lit(1))
+    )
+    ev = sh.filter(F.col("doc_id") < 50)
+    joined = ev.join(train_sh, "shingle", "left")
+    hit = F.sum(F.col("in_train").isNotNull().cast("long"))
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        hit.alias("n_hit"),
+        (hit * 10 >= F.count("*") * 8).cast("int").alias("contaminated"),
+    )
+
+
+@query(
+    "q_llm_repetition",
+    oracle="""
+    WITH per_doc AS (
+      SELECT doc_id, lang,
+             greatest(len(string_split(text, ' ')) - 2, 0) AS n_total,
+             len(list_distinct(list_filter(
+               list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                string_split(text, ' ')[i+1],
+                                string_split(text, ' ')[i+2])),
+               s -> len(string_split(s, ' ')) = 3))) AS n_distinct
+      FROM documents
+    )
+    SELECT lang,
+           CAST(n_distinct * 10 < n_total * 7 AS INT) AS high_repetition,
+           count(*) AS n_docs,
+           CAST(sum(n_total) AS BIGINT) AS sum_total,
+           CAST(sum(n_distinct) AS BIGINT) AS sum_distinct
+    FROM per_doc WHERE n_total > 0
+    GROUP BY 1, 2
+    """,
+)
+def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score (the Gopher-rules quality
+    filter): docs where more than 30% of 3-gram shingle slots repeat an
+    earlier shingle (distinct*10 < total*7 — exact integer test) are
+    binned as high-repetition, counted per language. Entirely map-side
+    scalar array work; the only shuffle is the tiny per-(lang, bin)
+    aggregate."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n = F.size(words)
+    idx = F.when(n >= 3, F.sequence(F.lit(0), n - 3)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)))
+    per_doc = docs.select(
+        "lang",
+        F.greatest(n - 2, F.lit(0)).alias("n_total"),
+        F.size(F.array_distinct(sh)).alias("n_distinct"),
+    ).filter(F.col("n_total") > 0)
+    return per_doc.groupBy(
+        "lang",
+        (F.col("n_distinct") * 10 < F.col("n_total") * 7)
+        .cast("int")
+        .alias("high_repetition"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_total").cast("long").alias("sum_total"),
+        F.sum("n_distinct").cast("long").alias("sum_distinct"),
+    )
