@@ -17,7 +17,7 @@ by |small| × (n-1) — negligible when small is a dimension.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from khose_spark.registry import query
@@ -78,4 +78,49 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
         dec_round(F.sum(F.col("value").cast("decimal(18,2)"))).alias("total_value"),
+    )
+
+
+@query(
+    "q_scan_key_skew",
+    oracle="""
+    WITH counts AS (
+      SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT key, cnt,
+             row_number() OVER (ORDER BY cnt DESC, key ASC) AS rnk,
+             CAST(sum(cnt) OVER () AS BIGINT) AS total
+      FROM counts
+    )
+    SELECT key, cnt, rnk, total,
+           CAST((2 * cnt * 1000 + total) // (2 * total) AS BIGINT) AS permille
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def q_scan_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: the top-10 heaviest o_custkey values with
+    their exact row counts and integer permille share — the diagnostic
+    run before choosing between a plain, broadcast, or salted join
+    (khose_spark.operators.skew.salted_join is the remedy it points
+    at). One count aggregation on the key; the ranking window runs over
+    the already-aggregated key counts, and the share is exact integer
+    arithmetic (no rounded ratio)."""
+    counts = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    ranked = counts.select(
+        "key",
+        "cnt",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    return ranked.filter(F.col("rnk") <= 10).select(
+        "key",
+        "cnt",
+        "rnk",
+        "total",
+        F.expr("(2 * cnt * 1000 + total) div (2 * total)").alias("permille"),
     )
