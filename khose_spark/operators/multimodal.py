@@ -140,3 +140,81 @@ def q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
     return map_decode(d)
+
+
+@query(
+    "q_mm_phash_dedup",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, sha256(text) AS sha
+      FROM documents WHERE doc_id < 500
+    ), ph AS (
+      SELECT doc_id,
+             {_hexval(1)} * 4096 + {_hexval(2)} * 256
+               + {_hexval(3)} * 16 + {_hexval(4)} AS phash
+      FROM p
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.phash, b.phash)) AS hamming
+    FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """,
+)
+def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection for binary media payloads: a
+    16-bit signature per blob (sha256-derived here, standing in for a
+    real DCT pHash — the fake decoder makes signatures pseudo-random,
+    so matches are mechanical, not semantic), candidate pairs via the
+    lossless 4x4-bit band join (pigeonhole: Hamming <= 3 implies one
+    identical band), exact bit_count re-rank. Entirely JVM-side — the
+    signature derives from sha2() without a Python stage, and payloads
+    never shuffle; only (doc_id, 16-bit code) rows move."""
+    sig = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select(
+            "doc_id",
+            F.conv(
+                F.substring(F.sha2(F.encode("text", "utf-8"), 256), 1, 4), 16, 10
+            )
+            .cast("long")
+            .alias("phash"),
+        )
+    )
+    bands = sig.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        (F.floor(F.col("phash") / (2 ** (4 * b))) % 16).alias(
+                            "band_bits"
+                        ),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "phash", "b.band_id", "b.band_bits")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= 3)
