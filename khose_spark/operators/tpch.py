@@ -232,3 +232,154 @@ def q_tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_late_orders")
     )
+
+
+@query(
+    "q_tpch_q7_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_dec_sum('volume', 4)} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between a nation pair by year and
+    direction. Both nation dimension copies broadcast; the symmetric
+    pair predicate applies AFTER the joins (it needs both nations), but
+    the ship-date filter pushes to the lineitem scan. Group key is 4
+    small values — one final shuffle."""
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k2"), F.col("n_name").alias("cust_nation")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    joined = (
+        li.join(t(spark, sf_dir, "orders"), li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("k1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("k2"))
+        .filter(pair)
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "revenue"
+        )
+    )
+
+
+@query(
+    "q_tpch_q8_market_share",
+    oracle="""
+    WITH flat AS (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(28,4))) * 10000 AS BIGINT) AS total_u,
+             CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                           THEN CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(28,4)) END) * 10000
+                  AS BIGINT) AS nation_u
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT o_year,
+           CAST(coalesce(nation_u, 0) AS BIGINT) AS nation_u,
+           total_u,
+           CAST((2 * coalesce(nation_u, 0) * 10000 + total_u)
+                // (2 * total_u) AS BIGINT) AS share_bp
+    FROM flat
+    """,
+)
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's market share (in exact
+    basis points) of a region's order volume for one part type, by
+    year. Share = nation/total is a ratio of decimal sums, so both
+    sums convert to exact integer 1e-4 units and the basis-point share
+    is computed with the int64 half-up div idiom — no float ratio to
+    round. All dimensions broadcast; the fact joins and the 2-row year
+    aggregate are the only shuffles."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k1"), F.col("n_regionkey").alias("rk")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k2"), F.col("n_name").alias("supp_nation")
+    )
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = vol.cast("decimal(28,4)")
+    flat = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("k1"))
+        .join(F.broadcast(region.select("r_regionkey")), F.col("rk") == F.col("r_regionkey"))
+        .join(F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("k2"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(dec) * 10000).cast("long").alias("total_u"),
+            (F.sum(F.when(F.col("supp_nation") == "NATION_3", dec)) * 10000)
+            .cast("long")
+            .alias("nation_u"),
+        )
+    )
+    return flat.select(
+        "o_year",
+        F.coalesce("nation_u", F.lit(0)).alias("nation_u"),
+        "total_u",
+        F.expr(
+            "(2 * coalesce(nation_u, 0) * 10000 + total_u) div (2 * total_u)"
+        ).alias("share_bp"),
+    )
