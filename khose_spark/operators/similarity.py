@@ -210,50 +210,85 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
     """,
 )
-def q_llm_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_llm_neardup_cosine(
+    spark: SparkSession, sf_dir: str, n_blocks: int = 8
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sim >= 0.3, id_a < id_b) —
     the semantic-dedup sibling of Jaccard/SimHash text dedup.
 
-    Physical plan: one float64 GEMM per Arrow batch against the
-    broadcast normalized matrix (vs. a crossJoin evaluating an
-    interpreted per-element lambda on every pair — measured 16× slower
-    at sf0.1). Each partition emits only its rows' above-threshold
-    pairs with id_a < id_b, so no pair is produced twice and the
-    shuffle carries just the survivors. The broadcast side caps at
-    ~1M × 64 f32 (256 MB); beyond that the 100 TB path is block-matmul
-    over matrix tiles or an LSH/IVF candidate stage (q_llm_ann_ivf)
-    followed by this exact verify."""
+    Physical plan: a distributed TILE-GRID self-block join — nothing is
+    ever materialized on the driver (the previous broadcast-GEMM form
+    collected the whole corpus driver-side; at 100× vectors the driver
+    OOMs before the executors work). Each vector lands in block
+    ``vec_id % n_blocks``; each unordered block pair (bi <= bj) is one
+    tile, co-located by a single shuffle on the tile key; inside a tile
+    an ``applyInPandas`` worker runs one float64 GEMM between the two
+    block matrices (upper triangle only on diagonal tiles) and emits
+    just the above-threshold pairs. Every unordered vector pair meets in
+    exactly one tile, so no pair is produced twice and no dedup pass is
+    needed.
+
+    Scale accounting: each row is replicated n_blocks times (side A of
+    its row of tiles + side B of its column), so shuffle volume is
+    N·B rows while per-worker memory is 2·N/B vectors — choose
+    B ≈ sqrt(N·d/executor_mem) and both stay bounded; total work is the
+    unavoidable exact-all-pairs O(N²) FLOPs, spread over B(B+1)/2
+    independent tiles. Sub-quadratic variants (SRP/IVF candidates +
+    exact rerank) live alongside as q_llm_lsh_srp / q_llm_ann_ivf."""
+    B = n_blocks
     e = t(spark, sf_dir, "embeddings")
-    rows = e.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    order = np.argsort(ids)
-    b_all = spark.sparkContext.broadcast((ids[order], mat[order]))
+    blocked = e.select(
+        "vec_id", "embedding", (F.col("vec_id") % B).cast("int").alias("blk")
+    )
+    # Side A of tiles (blk, tj) for tj in blk..B-1 — sequence() is safe
+    # here (start <= stop always). Side B of tiles (ti, blk) for
+    # ti < blk; the diagonal tile holds its block once, as side A.
+    side_a = blocked.select(
+        F.col("blk").alias("ti"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("tj"),
+        F.lit(0).alias("side"),
+        "vec_id",
+        "embedding",
+    )
+    side_b = (
+        blocked.select(
+            F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("ti"),
+            F.col("blk").alias("tj"),
+            F.lit(1).alias("side"),
+            "vec_id",
+            "embedding",
+        )
+        .filter(F.col("ti") < F.col("tj"))
+    )
 
-    def pair_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_mat = b_all.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            vmat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            vmat /= np.linalg.norm(vmat, axis=1, keepdims=True)
-            sims = np.round(vmat @ all_mat.T, 4)  # (batch, n_all)
-            # keep (row, other) where row id < other id and sim >= 0.3
-            keep = (sims >= 0.3) & (vids[:, None] < all_ids[None, :])
-            ra, rb = np.nonzero(keep)
-            if len(ra):
-                yield pd.DataFrame(
-                    {
-                        "id_a": vids[ra],
-                        "id_b": all_ids[rb],
-                        "sim": sims[ra, rb],
-                    }
-                )
+    def tile_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ti, tj = key
+        a = pdf[pdf["side"] == 0]
+        aids = a["vec_id"].to_numpy(dtype=np.int64)
+        amat = np.stack(a["embedding"].to_numpy()).astype(np.float64)
+        amat /= np.linalg.norm(amat, axis=1, keepdims=True)
+        if ti == tj:
+            bids, bmat = aids, amat
+        else:
+            b = pdf[pdf["side"] == 1]
+            bids = b["vec_id"].to_numpy(dtype=np.int64)
+            bmat = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            bmat /= np.linalg.norm(bmat, axis=1, keepdims=True)
+        sims = np.round(amat @ bmat.T, 4)
+        keep = sims >= 0.3
+        if ti == tj:
+            # upper triangle only — each same-block pair once.
+            keep &= aids[:, None] < bids[None, :]
+        # off-diagonal: blocks partition the ids, so every (a, b) is a
+        # distinct pair and meets in exactly this tile; min/max orders it.
+        ra, rb = np.nonzero(keep)
+        lo, hi = np.minimum(aids[ra], bids[rb]), np.maximum(aids[ra], bids[rb])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": sims[ra, rb]})
 
-    return e.select("vec_id", "embedding").mapInPandas(
-        pair_blocks, "id_a long, id_b long, sim double"
+    return (
+        side_a.unionByName(side_b)
+        .groupBy("ti", "tj")
+        .applyInPandas(tile_pairs, "id_a long, id_b long, sim double")
     )
 
 

@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from khose_spark.registry import query
-from khose_spark.sqlutil import dec_round, sql_dec_round
+from khose_spark.sqlutil import dec_sum, sql_dec_sum
 from khose_spark.tables import t
 
 _SALT = "__salt"
@@ -61,7 +61,7 @@ def salted_join(
     oracle=f"""
     SELECT c_mktsegment,
            count(*) AS n_events,
-           {sql_dec_round('sum(CAST(value AS DECIMAL(18,2)))')} AS total_value
+           {sql_dec_sum('value')} AS total_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -77,7 +77,9 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(ev, cust, F.col("user_id") == F.col("c_custkey"))
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
-        dec_round(F.sum(F.col("value").cast("decimal(18,2)"))).alias("total_value"),
+        # dec_sum accumulates in DECIMAL(28,4) — a DECIMAL(18,*) cast of the
+        # finished sum would overflow (-> NULL) once the fact side is large.
+        dec_sum(F.col("value")).alias("total_value"),
     )
 
 

@@ -9,6 +9,7 @@ did not create (the driver passes its own session into ``queries()``).
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -44,11 +45,39 @@ def get_spark(app_name: str = "khose-spark") -> SparkSession:
     return spark
 
 
+# Confs whose effective value is determinism-critical: a silent failure
+# to set these makes every timestamp/decimal-hashing query diverge from
+# the DuckDB oracle with no diagnostic.
+_CRITICAL_CONFS = (
+    "spark.sql.session.timeZone",
+    "spark.sql.legacy.parquet.nanosAsLong",
+)
+
+
 def prep_session(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable determinism/perf confs to an existing session."""
+    """Apply runtime-settable determinism/perf confs to an existing session.
+
+    After applying, read the determinism-critical keys back and warn
+    loudly if the effective value diverges (e.g. a driver-provided
+    session that locks its timezone) — parity failures are otherwise
+    undiagnosable."""
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf locked by cluster admin
             pass
+    for k in _CRITICAL_CONFS:
+        want = _RUNTIME_CONFS[k]
+        try:
+            got = spark.conf.get(k)
+        except Exception:  # pragma: no cover
+            got = None
+        if got != want:  # pragma: no cover - only on locked sessions
+            warnings.warn(
+                f"prep_session: determinism-critical conf {k}={got!r} "
+                f"(wanted {want!r}) could not be applied; oracle "
+                "hash-parity WILL break for affected queries",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return spark

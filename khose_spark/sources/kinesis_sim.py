@@ -51,9 +51,13 @@ def stage_event_chunks(
     """Write fixture events as ``n_chunks`` ordered parquet files — the
     replayable 'stream history'. Chunked by event_id range so replay
     order is deterministic."""
+    # Scope staging per PROCESS: two concurrent test/bench runs with the
+    # same (sf_dir, tag) must not overwrite each other's chunk files or
+    # race the mtime rewrite below against an active file-stream reader.
     out = os.path.join(
         tempfile.gettempdir(),
         "khose_stream",
+        f"pid{os.getpid()}",
         f"chunks_{hashlib.md5((sf_dir + tag).encode()).hexdigest()[:8]}",
     )
     (

@@ -66,7 +66,7 @@ _SPEND_OUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
         T.StructField("cum_spend", T.DoubleType()),
-        T.StructField("n_batches", T.LongType()),
+        T.StructField("n_chunks", T.LongType()),
     ]
 )
 
@@ -78,16 +78,18 @@ def _spend_fn(
 ) -> Iterator[pd.DataFrame]:
     """Custom stateful operator: cumulative per-user purchase spend.
     State = running total, carried across micro-batches in the state
-    store; emits the updated total once per (user, batch)."""
+    store; emits the updated total once per (user, batch). ``n_chunks``
+    counts the Arrow chunks the group's batch rows arrived in (>=1 per
+    invocation; large groups may split across chunks)."""
     total = state.get[0] if state.exists else 0.0
-    batches = 0
+    chunks = 0
     for pdf in pdfs:
         purchases = pdf.loc[pdf["event_type"] == "purchase", "value"]
         total += float(purchases.sum())
-        batches += 1
+        chunks += 1
     state.update((total,))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "cum_spend": [round(total, 2)], "n_batches": [batches]}
+        {"user_id": [key[0]], "cum_spend": [round(total, 2)], "n_chunks": [chunks]}
     )
 
 
