@@ -51,11 +51,64 @@ HEADLINE = [
 ]
 
 
+def run_ingest(spark, sf_dir: str) -> dict:
+    """khose's native metric: records/s through the full ingest pipeline
+    (Kinesis-envelope stream -> JSON decode -> exactly-once partitioned
+    parquet sink). Staging the fixture as chunk files is setup, not
+    ingest — the clock starts at stream launch."""
+    import shutil
+    import tempfile
+
+    from khose_spark.sources.kinesis_sim import (
+        kinesis_stream,
+        parse_envelope,
+        stage_event_chunks,
+    )
+    from khose_spark.streaming.runtime import checkpoint_dirs, ingest_to_parquet
+
+    chunks = stage_event_chunks(spark, sf_dir, n_chunks=8, tag="bench_ingest")
+    base = tempfile.mkdtemp(prefix="khose_bench_ingest_")
+    out, ckpt = checkpoint_dirs(base)
+    t0 = time.perf_counter()
+    ingest_to_parquet(parse_envelope(kinesis_stream(spark, chunks)), out, ckpt)
+    dt = time.perf_counter() - t0
+    rows = spark.read.parquet(out).count()
+    files = sum(
+        1 for _, _, fs in os.walk(out) for f in fs if f.endswith(".parquet")
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(chunks, ignore_errors=True)
+    return {
+        "rows": rows,
+        "sec": round(dt, 3),
+        "rows_per_sec": round(rows / dt, 1),
+        "files_written": files,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     registry.load_all()
     spark = get_spark("khose-bench")
+
+    if "--ingest" in sys.argv:  # standalone ingest-throughput mode
+        ing = run_ingest(spark, sf_dir)
+        print(f"# ingest: {ing}", file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": "ingest_rows_per_sec",
+                    "value": ing["rows_per_sec"],
+                    "unit": "rows/sec",
+                    "queries": {"ingest_drain_sec": ing["sec"]},
+                    "ingest": ing,
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                }
+            )
+        )
+        spark.stop()
+        return
 
     if "--all" in sys.argv:  # full sweep: every registered query
         names = sorted(registry.QUERIES)
@@ -76,6 +129,11 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
 
+    # khose's own axis — records/s through the streaming ingest pipeline —
+    # rides along in the same single JSON line (contract: ONE line).
+    ing = run_ingest(spark, sf_dir)
+    print(f"# ingest: {ing}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -83,6 +141,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "ingest": ing,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -302,6 +302,165 @@ def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tpch_q12_shipmode",
+    oracle="""
+    SELECT l_returnflag AS ship_group,
+           count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             AS high_line_count,
+           count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+             AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q_tpch_q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per ship group, how many LATE lineitems belonged
+    to high- vs low-priority orders (the shipping-mode audit). The
+    fixture schema has no l_shipmode/commit/receipt dates, so the group
+    key is l_returnflag and "late" is shipdate > orderdate + 60 days,
+    as in q_tpch_q4_priority. The plan is the Q12 plan: a fact-fact
+    join (orders ⋈ lineitem — AQE picks the strategy; sort-merge on
+    co-partitioned orderkeys at 100 TB), a conditional-CASE aggregation,
+    and a 3-row group key; the ship-date year filter pushes to the
+    lineitem scan, the late predicate applies at the join."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_group"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q14_promo",
+    oracle="""
+    WITH flat AS (
+      SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(28,4))) * 10000 AS BIGINT) AS total_u,
+             CAST(sum(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(28,4)) END) * 10000
+                  AS BIGINT) AS promo_u
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    )
+    SELECT CAST(coalesce(promo_u, 0) AS BIGINT) AS promo_u,
+           total_u,
+           CAST((2 * coalesce(promo_u, 0) * 10000 + total_u)
+                // (2 * total_u) AS BIGINT) AS promo_bp
+    FROM flat
+    """,
+)
+def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotional parts' share of one month's revenue,
+    in exact basis points (the conditional-revenue-ratio query). Same
+    decimal-exact idiom as q_tpch_q8_market_share: both revenue sums
+    become integer 1e-4 units and the share uses the int64 half-up div
+    — no float ratio anywhere, so the hash check is exact. The month
+    filter pushes to the lineitem scan (one month ≈ 1/80 of rows at
+    any scale); part broadcasts; the single-row aggregate is free."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,4)"
+    )
+    flat = (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .agg(
+            (F.sum(dec) * 10000).cast("long").alias("total_u"),
+            (F.sum(F.when(F.col("p_type") == "PROMO", dec)) * 10000)
+            .cast("long")
+            .alias("promo_u"),
+        )
+    )
+    return flat.select(
+        F.coalesce("promo_u", F.lit(0)).alias("promo_u"),
+        "total_u",
+        F.expr(
+            "(2 * coalesce(promo_u, 0) * 10000 + total_u) div (2 * total_u)"
+        ).alias("promo_bp"),
+    )
+
+
+@query(
+    "q_tpch_q19_discount",
+    oracle=f"""
+    SELECT {sql_dec_sum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three OR'd (brand, size, quantity)
+    bands — the classic OR-of-ANDs predicate. Catalyst cannot push a
+    cross-table OR through the join, so the single-table residues are
+    pushed MANUALLY (the textbook Q19 rewrite): part keeps only rows
+    satisfying some (brand, size) arm, lineitem only quantities in the
+    union range [1, 30] — both reach the parquet scans — and the exact
+    three-arm predicate re-applies on the joined row. Part broadcasts;
+    the output is one row."""
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    part_residue = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#24") & F.col("p_size").between(1, 15))
+    )
+    part = t(spark, sf_dir, "part").filter(part_residue).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .filter(
+            arm("Brand#12", 5, 1, 11)
+            | arm("Brand#23", 10, 10, 20)
+            | arm("Brand#24", 15, 20, 30)
+        )
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
     "q_tpch_q8_market_share",
     oracle="""
     WITH flat AS (
