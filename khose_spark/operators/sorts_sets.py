@@ -41,6 +41,34 @@ def q_sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sort_multikey_dist",
+    oracle="""
+    SELECT o_orderkey,
+           row_number() OVER (ORDER BY o_orderdate ASC, o_totalprice DESC,
+                              o_orderkey ASC) AS rnk
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q_sort_multikey_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_sort_multikey with the DISTRIBUTED rank branch FORCED
+    (local_threshold=0): range-repartition + per-partition offsets +
+    mapInPandas numbering, no WindowExec anywhere in the plan. Same
+    oracle as the adaptive form — the hash-match certifies the scale
+    path itself, not just the small-data shortcut it normally hides
+    behind (tests/test_plans.py pins the window-free plan)."""
+    from khose_spark.operators.rank import with_global_rank
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    ranked = with_global_rank(
+        o.select("o_orderkey", "o_orderdate", "o_totalprice"),
+        F.asc("o_orderdate"), F.desc("o_totalprice"), F.asc("o_orderkey"),
+        local_threshold=0,
+    )
+    return ranked.select("o_orderkey", "rnk")
+
+
+@query(
     "q_sort_nulls",
     oracle="""
     SELECT o_orderkey, pr,

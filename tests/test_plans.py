@@ -108,6 +108,20 @@ def test_shuffle_budget(key, spark):
     )
 
 
+def test_distributed_rank_has_no_window(spark):
+    # The registered scale path must actually BE the scale path: rank
+    # comes from range partitioning + offsets, never a WindowExec
+    # (whose no-PARTITION-BY form is single-partition and 100TB-fatal).
+    plan = _plan(spark, "q_sort_multikey_dist")
+    assert "Window" not in plan, (
+        "q_sort_multikey_dist fell back to a window — the distributed "
+        "branch of with_global_rank was not taken"
+    )
+    assert "REPARTITION_BY_RANGE" in plan or "rangepartitioning" in plan.lower(), (
+        "distributed rank lost its range repartitioning"
+    )
+
+
 def test_flagship_filter_pushed_to_scan(spark):
     plan = _plan(spark, "q_agg_flagship_pricing")
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, (
