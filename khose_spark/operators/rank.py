@@ -37,13 +37,18 @@ def with_global_rank(
     rank_col: str = "rnk",
     num_partitions: int | None = None,
     local_threshold: int = LOCAL_THRESHOLD,
+    size_hint: int | None = None,
 ) -> DataFrame:
     # Adaptive strategy selection (same philosophy as Spark's broadcast
     # threshold): below ~1M rows the single-partition window is cheaper
     # than spinning up Python workers for the distributed path — and at
     # that size it is also harmless, since one partition holds it
-    # easily. The count is a metadata-cheap columnar scan.
-    if local_threshold and df.count() <= local_threshold:
+    # easily. A caller-supplied ``size_hint`` (e.g. a row count the
+    # caller already computed, or a known fixture size) skips the extra
+    # count job entirely; otherwise one metadata-cheap columnar count
+    # picks the branch.
+    n_rows = size_hint if size_hint is not None else df.count()
+    if local_threshold and n_rows <= local_threshold:
         from pyspark.sql import Window
 
         w = Window.orderBy(*order)

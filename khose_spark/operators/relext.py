@@ -218,13 +218,19 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (approx_percentile sketch — the 100 TB substitute for the exact
     percentile's full sort; rows-only check since sketch internals are
     engine-specific, the exact variant q_agg_percentile carries the
-    hash check)."""
-    return (
+    hash check). Emitted as two SCALAR double columns, not one
+    array<double> — the driver canon cannot sort array cells (r2 FAIL)."""
+    pcts = (
         t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
             F.percentile_approx(
                 "o_totalprice", F.array(F.lit(0.5), F.lit(0.9)), 10000
-            ).alias("approx_p50_p90")
+            ).alias("p")
         )
+    )
+    return pcts.select(
+        "o_orderpriority",
+        F.element_at("p", 1).alias("approx_p50"),
+        F.element_at("p", 2).alias("approx_p90"),
     )

@@ -237,8 +237,11 @@ def q_llm_neardup_cosine(
     exact rerank) live alongside as q_llm_lsh_srp / q_llm_ann_ivf."""
     B = n_blocks
     e = t(spark, sf_dir, "embeddings")
+    # pmod, not %: Spark's % is a signed remainder, so a negative vec_id
+    # would land in a negative block that no tile ever pairs — silently
+    # dropping its cross-block pairs. pmod keeps every id in [0, B-1].
     blocked = e.select(
-        "vec_id", "embedding", (F.col("vec_id") % B).cast("int").alias("blk")
+        "vec_id", "embedding", F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("blk")
     )
     # Side A of tiles (blk, tj) for tj in blk..B-1 — sequence() is safe
     # here (start <= stop always). Side B of tiles (ti, blk) for
@@ -261,9 +264,22 @@ def q_llm_neardup_cosine(
         .filter(F.col("ti") < F.col("tj"))
     )
 
+    _EMPTY_TILE = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "sim": pd.Series(dtype="float64"),
+        }
+    )
+
     def tile_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ti, tj = key
         a = pdf[pdf["side"] == 0]
+        # A tile can arrive one-sided (corpus smaller than B, or a block
+        # with no residents): np.stack on a zero-length array raises, so
+        # an empty side means an empty tile, not a crash.
+        if len(a) == 0 or (ti != tj and (pdf["side"] == 1).sum() == 0):
+            return _EMPTY_TILE
         aids = a["vec_id"].to_numpy(dtype=np.int64)
         amat = np.stack(a["embedding"].to_numpy()).astype(np.float64)
         amat /= np.linalg.norm(amat, axis=1, keepdims=True)

@@ -105,21 +105,25 @@ def q_scan_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     run before choosing between a plain, broadcast, or salted join
     (khose_spark.operators.skew.salted_join is the remedy it points
     at). One count aggregation on the key; the ranking window runs over
-    the already-aggregated key counts, and the share is exact integer
-    arithmetic (no rounded ratio)."""
-    counts = (
-        t(spark, sf_dir, "orders")
-        .groupBy(F.col("o_custkey").alias("key"))
-        .agg(F.count("*").alias("cnt"))
+    the already-aggregated key counts (WindowGroupLimit prunes to 10
+    rows per partition before the final sort), and the grand total comes
+    from a 1-row partial-then-final aggregate broadcast-crossed back in
+    — NOT ``sum().over(Window.partitionBy())``, which would drag every
+    distinct key's count onto one partition (~10⁹ rows at 100×). The
+    share is exact integer arithmetic (no rounded ratio)."""
+    orders = t(spark, sf_dir, "orders")
+    counts = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("cnt")
     )
+    # sum(cnt) over all keys == count(*) of the table: compute the grand
+    # total as a zero-column count scan instead of re-aggregating by key.
+    total = orders.agg(F.count("*").cast("bigint").alias("total"))
     w = Window.orderBy(F.desc("cnt"), F.asc("key"))
-    ranked = counts.select(
-        "key",
-        "cnt",
-        F.row_number().over(w).alias("rnk"),
-        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    top10 = (
+        counts.select("key", "cnt", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 10)
     )
-    return ranked.filter(F.col("rnk") <= 10).select(
+    return top10.crossJoin(F.broadcast(total)).select(
         "key",
         "cnt",
         "rnk",

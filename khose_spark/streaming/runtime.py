@@ -66,7 +66,7 @@ _SPEND_OUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
         T.StructField("cum_spend", T.DoubleType()),
-        T.StructField("n_chunks", T.LongType()),
+        T.StructField("n_events", T.LongType()),
     ]
 )
 
@@ -78,18 +78,19 @@ def _spend_fn(
 ) -> Iterator[pd.DataFrame]:
     """Custom stateful operator: cumulative per-user purchase spend.
     State = running total, carried across micro-batches in the state
-    store; emits the updated total once per (user, batch). ``n_chunks``
-    counts the Arrow chunks the group's batch rows arrived in (>=1 per
-    invocation; large groups may split across chunks)."""
+    store; emits the updated total once per (user, batch). ``n_events``
+    counts the rows this batch delivered for the group — a function of
+    batch CONTENT only (Arrow chunk splitting varies run-to-run and must
+    never leak into the emitted schema)."""
     total = state.get[0] if state.exists else 0.0
-    chunks = 0
+    n_events = 0
     for pdf in pdfs:
         purchases = pdf.loc[pdf["event_type"] == "purchase", "value"]
         total += float(purchases.sum())
-        chunks += 1
+        n_events += len(pdf)
     state.update((total,))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "cum_spend": [round(total, 2)], "n_chunks": [chunks]}
+        {"user_id": [key[0]], "cum_spend": [round(total, 2)], "n_events": [n_events]}
     )
 
 

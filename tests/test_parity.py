@@ -27,3 +27,25 @@ def test_rows_only_runs(key, spark, sf_dir):
     df = registry.QUERIES[key](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("key", sorted(registry.QUERIES))
+def test_no_complex_output_columns(key, spark, sf_dir):
+    """The driver's canonicalizer pandas-sorts every output column and
+    dies on ndarray/dict cells (TypeError: unhashable type — the two
+    round-2 red rows). EVERY registered query — oracle-checked or
+    rows-only — must therefore emit scalar columns only. Arrays belong
+    inside the plan, never in the output schema: project to element_at
+    scalars or concat_ws strings at the boundary."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = registry.QUERIES[key](spark, sf_dir)
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{key} emits complex-typed output columns the driver canon "
+        f"cannot sort: {bad}"
+    )

@@ -27,6 +27,8 @@ BNLJ_ALLOWED = {
     "q_llm_lsh_srp",           # corpus × broadcast 16-hyperplane table
     "q_subq_scalar_global",    # 1-row global aggregate broadcast into
                                # the filter — the scalar-subquery plan
+    "q_scan_key_skew",         # 1-row grand-total aggregate broadcast-
+                               # crossed into the top-10 ranked counts
 }
 
 # Shuffle-exchange ceilings. Default covers scan→agg/join→window plans;
@@ -84,6 +86,31 @@ def test_no_cartesian_product(key, spark):
     assert "CartesianProduct" not in _plan(spark, key), (
         f"{key}: CartesianProduct in plan — a join lost its condition "
         "or its broadcast"
+    )
+
+
+# Queries whose final top-k runs over a GLOBAL (empty-PARTITION BY)
+# window: scale-safe ONLY because the optimizer bounds the window input
+# — LimitPushDownThroughWindow turns the rank filter into a distributed
+# TakeOrderedAndProject(limit=k), or InferWindowGroupLimit inserts a
+# WindowGroupLimit per-partition prune. If a Spark upgrade loses both
+# rewrites, the window silently degrades to a full single-partition
+# sort of the keyspace — fatal at 100×. Pin it.
+GLOBAL_TOPK_BOUNDED = [
+    "q_fn_split_explode",
+    "q_tpch_q3_shipping",
+    "q_tpch_q10_returns",
+    "q_scan_key_skew",
+]
+
+
+@pytest.mark.parametrize("key", GLOBAL_TOPK_BOUNDED)
+def test_global_topk_window_is_bounded(key, spark):
+    plan = _plan(spark, key)
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan, (
+        f"{key}: global top-k window lost its limit pushdown — the plan "
+        "has neither TakeOrderedAndProject nor WindowGroupLimit, so the "
+        "rank runs over the full keyspace on one partition"
     )
 
 
