@@ -542,3 +542,220 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(2 * coalesce(nation_u, 0) * 10000 + total_u) div (2 * total_u)"
         ).alias("share_bp"),
     )
+
+
+@query(
+    "q_tpch_q17_small_qty",
+    oracle="""
+    WITH avgq AS (
+      SELECT l_partkey AS ap_partkey, avg(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY 1
+    ), flat AS (
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) * 100
+                  AS BIGINT) AS revenue_c
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN avgq ON ap_partkey = l_partkey
+      WHERE p_size <= 5 AND l_quantity < 0.2 * avg_qty
+    )
+    SELECT revenue_c, CAST(revenue_c // 7 AS BIGINT) AS avg_yearly_c
+    FROM flat
+    """,
+)
+def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue that would be lost by not filling
+    small-quantity orders for small parts (fixture adaptation: the
+    Brand/container filter becomes ``p_size <= 5`` — this fixture's part
+    table has no p_container column). The correlated per-part
+    ``0.2 * avg(l_quantity)`` subquery is decorrelated into one
+    per-partkey aggregate joined back on partkey — the same
+    aggregate-then-join plan Catalyst produces for the correlated form,
+    written explicitly so the partkey shuffle is shared. Money output in
+    exact integer cents with the int64 floor-div idiom (revenue/7) —
+    no float quotient to round."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    avgq = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    flat = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(avgq, li.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(28,2)")) * 100)
+            .cast("long")
+            .alias("revenue_c")
+        )
+    )
+    return flat.select(
+        "revenue_c", F.expr("revenue_c div 7").alias("avg_yearly_c")
+    )
+
+
+@query(
+    "q_tpch_q18_large_volume",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    HAVING sum(l_quantity) > 250
+    """,
+)
+def q_tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume customers — orders whose total
+    quantity exceeds 250. Plan: the HAVING filter is applied to a
+    lineitem-only per-orderkey aggregate FIRST (a ~1% selectivity
+    semi-reduction), and only surviving orderkeys join into
+    orders ⋈ customer — at 100 TB this is the difference between
+    shuffling all of lineitem x orders and shuffling a few thousand
+    qualifying keys. Quantity sums are integral doubles (exact, order-
+    insensitive); o_totalprice passes through unaggregated."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.select("c_custkey", "c_name")),
+              orders.o_custkey == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q21_waiting_supplier",
+    oracle="""
+    WITH flags AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS is_late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM flags l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.is_late
+      AND EXISTS (SELECT 1 FROM flags l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM flags l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.is_late)
+    GROUP BY s_name
+    """,
+)
+def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order (fixture adaptation: "late" is
+    ``l_shipdate > o_orderdate + 90 days`` — this fixture's lineitem has
+    no commit/receipt dates). The classic EXISTS / NOT EXISTS pair of
+    correlated self-joins (the oracle keeps that form) is decorrelated
+    into ONE per-order aggregate — n_supp = distinct suppliers,
+    n_late_supp = distinct LATE suppliers — joined back on orderkey:
+    a late row qualifies iff n_supp >= 2 and n_late_supp = 1 (itself).
+    Two scans of the flags relation instead of three, one shuffle each,
+    and no correlated re-probe — the decorrelation Catalyst cannot do
+    automatically across both predicates. The driver hash-match against
+    the EXISTS-form oracle certifies the rewrite."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = t(spark, sf_dir, "supplier")
+    flags = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .alias("is_late"),
+    )
+    order_stats = flags.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey")))
+        .alias("n_late_supp"),
+    )
+    return (
+        flags.filter(F.col("is_late"))
+        .join(order_stats, F.col("l_orderkey") == F.col("os_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supp.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+_Q22_NATIONS = (1, 3, 5, 7, 9, 11)
+_Q22_RECENT = "1999-01-01 00:00:00"
+
+
+@query(
+    "q_tpch_q22_global_sales",
+    oracle=f"""
+    WITH cohort AS (
+      SELECT c_custkey, c_acctbal, c_nationkey FROM customer
+      WHERE c_nationkey IN {_Q22_NATIONS}
+    ), avg_bal AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE)
+             / count(*) AS ab
+      FROM cohort WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+           {sql_dec_sum('c_acctbal', 2)} AS totacctbal
+    FROM cohort, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '{_Q22_RECENT}')
+    GROUP BY 1
+    """,
+)
+def q_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy-but-dormant customers per country
+    (fixture adaptation: the phone-prefix country code becomes
+    c_nationkey — this fixture's customer has no c_phone — and
+    "never ordered" becomes "no order since 1999", since every fixture
+    customer has old orders). Plan: the global average balance is a
+    1-row aggregate broadcast-crossed into the cohort (scalar-subquery
+    pattern); dormancy is a LEFT ANTI join against the date-filtered
+    orders scan (the filter pushes to parquet); the decimal-sum law
+    keeps the average and total exact in both engines."""
+    cutoff = F.lit(_Q22_RECENT).cast("timestamp")
+    cohort = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(*_Q22_NATIONS))
+        .select("c_custkey", "c_acctbal", "c_nationkey")
+    )
+    avg_bal = cohort.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(28,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ab")
+    )
+    recent = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= cutoff)
+        .select("o_custkey")
+    )
+    return (
+        cohort.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, cohort.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dec_sum(F.col("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -29,6 +29,8 @@ BNLJ_ALLOWED = {
                                # the filter — the scalar-subquery plan
     "q_scan_key_skew",         # 1-row grand-total aggregate broadcast-
                                # crossed into the top-10 ranked counts
+    "q_tpch_q22_global_sales", # 1-row avg-balance aggregate broadcast-
+                               # crossed into the cohort (scalar subquery)
 }
 
 # Shuffle-exchange ceilings. Default covers scan→agg/join→window plans;
