@@ -64,24 +64,48 @@ def run_ingest(spark, sf_dir: str) -> dict:
         parse_envelope,
         stage_event_chunks,
     )
-    from khose_spark.streaming.runtime import checkpoint_dirs, ingest_to_parquet
+    from khose_spark.streaming.runtime import (
+        checkpoint_dirs,
+        compact_parquet,
+        ingest_to_parquet,
+    )
 
     chunks = stage_event_chunks(spark, sf_dir, n_chunks=8, tag="bench_ingest")
     base = tempfile.mkdtemp(prefix="khose_bench_ingest_")
     out, ckpt = checkpoint_dirs(base)
     t0 = time.perf_counter()
-    ingest_to_parquet(parse_envelope(kinesis_stream(spark, chunks)), out, ckpt)
-    dt = time.perf_counter() - t0
-    rows = spark.read.parquet(out).count()
-    files = sum(
-        1 for _, _, fs in os.walk(out) for f in fs if f.endswith(".parquet")
+    # Fixture events span ~1 month, so "month" is the rate-matched
+    # partition granularity here (a day-dir would hold ~3k rows — the
+    # small-files anti-pattern); coalesce(1) gives one file per
+    # partition-dir per micro-batch. Production at 100 TB flips these
+    # to "day" + parallel writers — same code path.
+    ingest_to_parquet(
+        parse_envelope(kinesis_stream(spark, chunks)),
+        out,
+        ckpt,
+        partition_granularity="month",
+        coalesce_to=1,
     )
+    dt = time.perf_counter() - t0
+
+    def _count_files(d: str) -> int:
+        return sum(1 for _, _, fs in os.walk(d) for f in fs if f.endswith(".parquet"))
+
+    landed_files = _count_files(out)
+    compacted = os.path.join(base, "compacted")
+    t1 = time.perf_counter()
+    compact_parquet(spark, out, compacted)
+    compact_sec = time.perf_counter() - t1
+    rows = spark.read.parquet(compacted).count()
+    files = _count_files(compacted)
     shutil.rmtree(base, ignore_errors=True)
     shutil.rmtree(chunks, ignore_errors=True)
     return {
         "rows": rows,
         "sec": round(dt, 3),
         "rows_per_sec": round(rows / dt, 1),
+        "files_landed": landed_files,
+        "compact_sec": round(compact_sec, 3),
         "files_written": files,
     }
 

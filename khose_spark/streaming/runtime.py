@@ -18,10 +18,16 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+_GRANULARITY_FMT = {"day": "yyyy-MM-dd", "month": "yyyy-MM"}
+
+
 def ingest_to_parquet(
     events_stream: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
+    partition_granularity: str = "day",
+    coalesce_to: int | None = None,
+    max_records_per_file: int = 5_000_000,
 ) -> None:
     """khose's defining pipeline: stream -> immutable, hive-partitioned
     parquet, EXACTLY ONCE (BASELINE.json: "streaming ingest ... to
@@ -30,18 +36,65 @@ def ingest_to_parquet(
     Uses Spark's native streaming file sink: the per-batch file manifest
     in ``_spark_metadata`` + the checkpoint WAL give exactly-once file
     output — a restarted/replayed query never double-writes a batch.
-    Partitioning by (event_type, day) is the 100 TB layout: partition
-    pruning turns one-day queries into one-directory scans."""
+    Partitioning by (event_type, time bucket) is the 100 TB layout:
+    partition pruning turns one-bucket queries into one-directory scans.
+
+    Small-files control (the classic streaming-sink failure mode — a
+    sink writing one file per task per partition-dir per micro-batch
+    produces millions of tiny files at 100 TB):
+
+    - ``partition_granularity``: "day" for production volume (a day-dir
+      holds GBs at 100 TB); "month" when the same pipeline runs at low
+      volume — granularity must track data rate, not be hardcoded.
+    - ``coalesce_to``: narrow-merge each micro-batch to N writer tasks
+      (N small => one file per partition-dir per batch). Leave None for
+      high-volume streams where per-task parallel writes are wanted.
+    - ``max_records_per_file``: upper bound per file, so coalesced
+      writers still split oversized outputs.
+    - For files that are ALREADY landed too small, see
+      :func:`compact_parquet` — the maintenance pass that rewrites
+      closed partitions to target-sized files off the hot path."""
+    bucket = F.date_format("ts", _GRANULARITY_FMT[partition_granularity])
+    src = events_stream.withColumn("d", bucket)
+    if coalesce_to is not None:
+        src = src.coalesce(coalesce_to)
     q = (
-        events_stream.withColumn("d", F.date_format("ts", "yyyy-MM-dd"))
-        .writeStream.format("parquet")
+        src.writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
+        .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy("event_type", "d")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    partition_cols: tuple[str, ...] = ("event_type", "d"),
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Small-files compaction: rewrite a landed (hive-partitioned)
+    parquet dataset with one writer task per partition directory, each
+    file capped at ``max_records_per_file`` rows. This is the standard
+    maintenance companion of any streaming file sink — the stream lands
+    micro-batch-sized files with exactly-once guarantees; compaction
+    later rewrites CLOSED partitions (yesterday's day-dirs) into
+    scan-efficient file sizes, off the ingest hot path. Writes to a
+    separate ``dst_dir``: the source's ``_spark_metadata`` manifest
+    stays authoritative for the landing zone, and readers atomically
+    switch to the compacted location per-partition."""
+    (
+        spark.read.parquet(src_dir)
+        .repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(dst_dir)
+    )
 
 
 def run_stream_to_memory(

@@ -9,6 +9,7 @@ and the custom stateful operator.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -392,3 +393,51 @@ def test_stream_upsert_converges(spark, sf_dir, chunks):
         q_stream_upsert_batchsem(spark, sf_dir),
         "upsert",
     )
+
+
+def test_ingest_small_files_control_and_compaction(spark, sf_dir, chunks):
+    """The small-files levers end to end: month granularity + coalesce(1)
+    bounds files per micro-batch to one per partition-dir; compaction
+    rewrites the landing zone to one target-sized file per dir with no
+    row loss or duplication."""
+    from khose_spark.streaming.runtime import compact_parquet
+
+    base = tempfile.mkdtemp(prefix="khose_compact_")
+    try:
+        out, ckpt = f"{base}/out", f"{base}/ckpt"
+        ingest_to_parquet(
+            file_stream(spark, chunks),
+            out,
+            ckpt,
+            partition_granularity="month",
+            coalesce_to=1,
+        )
+
+        def nfiles(d):
+            return sum(
+                1 for _, _, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+            )
+
+        orig = t(spark, sf_dir, "events")
+        n_types = orig.select("event_type").distinct().count()
+        n_batches = 8  # one per staged chunk file
+        assert nfiles(out) <= n_types * n_batches
+
+        compacted = f"{base}/compacted"
+        compact_parquet(spark, out, compacted)
+        # one file per (event_type, month) partition dir
+        n_dirs = (
+            spark.read.parquet(out)
+            .select("event_type", "d")
+            .distinct()
+            .count()
+        )
+        assert nfiles(compacted) == n_dirs
+        back = spark.read.parquet(compacted)
+        assert back.count() == orig.count()
+        assert (
+            back.agg(F.sum("event_id")).first()[0]
+            == orig.agg(F.sum("event_id")).first()[0]
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
