@@ -40,14 +40,18 @@ def test_map_decode_schema_and_payload_drop(spark, sf_dir):
         .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
     out = map_decode(d)
+    # Features land as SCALAR columns f1..f8 (not array<double>): array
+    # outputs are banned at the query boundary since the driver canon
+    # cannot sort ndarray cells.
     assert [f.name for f in out.schema.fields] == [
-        "doc_id", "n_bytes", "width", "height", "n_frames", "features",
+        "doc_id", "n_bytes", "width", "height", "n_frames",
+        "f1", "f2", "f3", "f4", "f5", "f6", "f7", "f8",
     ]
     assert "payload" not in out.columns  # blobs never survive the decode stage
     rows = out.collect()
     assert len(rows) == 50
     r = rows[0]
-    assert r["n_bytes"] > 0 and len(r["features"]) == 8
+    assert r["n_bytes"] > 0 and all(0.0 <= r[f"f{i}"] <= 1.0 for i in range(1, 9))
 
 
 def test_map_decode_handles_multiple_batches(spark, sf_dir):
