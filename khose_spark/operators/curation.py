@@ -17,7 +17,7 @@ of whatever aggregation consumes it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from khose_spark.registry import query
@@ -248,4 +248,218 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_total").cast("long").alias("sum_total"),
         F.sum("n_distinct").cast("long").alias("sum_distinct"),
+    )
+
+
+# --- PII scrubbing ---------------------------------------------------------
+# The fixture corpus is synthetic word-salad with no PII, so the query
+# INJECTS deterministic PII spans (an email + a phone per doc, derived
+# from doc_id) before scrubbing — the operator under test is the scrub
+# machinery itself (pattern surface, global replace, removal audit),
+# and injection makes every hit count verifiable in both engines.
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE = "\\b[0-9]{3}-[0-9]{4}-[0-9]{4}\\b"
+
+
+@query(
+    "q_llm_pii_scrub",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id, lang,
+             concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                    '@example.com or 555-',
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                    '-1234 now') AS text
+      FROM documents
+    ), scrubbed AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+             len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone,
+             len(text) - len(
+               regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{_PII_PHONE}', '<PHONE>', 'g')
+             ) AS chars_removed
+      FROM seeded
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_email) AS BIGINT) AS n_emails,
+           CAST(sum(n_phone) AS BIGINT) AS n_phones,
+           CAST(sum(chars_removed) AS BIGINT) AS chars_removed
+    FROM scrubbed GROUP BY lang
+    """,
+)
+def q_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails + phone numbers -> typed placeholder
+    tokens) with a per-language removal audit — the mandatory scrub
+    stage of any LLM training corpus. Entirely map-side JVM regex
+    (regexp_count / regexp_replace); the only shuffle is the final
+    per-lang audit aggregate. Patterns are dialect-portable (plain
+    char-classes + \\b, identical semantics in Java regex and RE2)."""
+    docs = t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("-1234 now"),
+        ).alias("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+        F.lit(_PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    per_doc = seeded.select(
+        "lang",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).alias("n_email"),
+        F.regexp_count("text", F.lit(_PII_PHONE)).alias("n_phone"),
+        (F.length("text") - F.length(scrubbed)).alias("chars_removed"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").alias("n_emails"),
+        F.sum("n_phone").alias("n_phones"),
+        F.sum("chars_removed").alias("chars_removed"),
+    )
+
+
+@query(
+    "q_llm_stratified_sample",
+    oracle=f"""
+    SELECT lang, doc_id, rn FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def q_llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-N stratified sampling: precisely 20 documents per language,
+    chosen by md5 order — the balanced-eval-set primitive. Unlike
+    fraction-based sampling (approximate N, partitioning-dependent),
+    the md5 ranking is content-stable AND exact-count. The window is
+    partitioned by stratum, so it scales horizontally; WindowGroupLimit
+    prunes each partition to 20 rows before the final sort."""
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+    )
+
+
+_CTX_TOKENS = 512
+_PACK_BUCKETS = 8
+
+
+@query(
+    "q_llm_seq_pack",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             {_sql_hash_bucket('doc_id', _PACK_BUCKETS)} AS bucket,
+             md5(CAST(doc_id AS VARCHAR)) AS ord_key,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT bucket, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY ord_key, doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+      FROM toks
+    )
+    SELECT bucket,
+           CAST(start_offset // {_CTX_TOKENS} AS BIGINT) AS window_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM packed
+    GROUP BY 1, 2
+    """,
+)
+def q_llm_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: documents are concatenated in
+    a deterministic md5 order into {_PACK_BUCKETS} independent token
+    streams (hash buckets = parallel packer workers), and each document
+    is assigned the context window (of {_CTX_TOKENS} tokens) in which
+    it STARTS — exactly how a streaming packer chunks a corpus into
+    fixed-length training sequences, with documents crossing window
+    boundaries. One shuffle for the per-bucket cumulative-sum window +
+    one for the per-window rollup; buckets scale with the cluster, and
+    no stream ever materializes on one node."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), _PACK_BUCKETS).alias("bucket"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("ord_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.select(
+        "bucket",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset"),
+    )
+    return (
+        packed.groupBy(
+            "bucket",
+            F.expr(f"start_offset div {_CTX_TOKENS}").alias("window_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "q_llm_leakage_split",
+    oracle=f"""
+    WITH grouped AS (
+      SELECT doc_id, n_chars, md5(text) AS grp,
+             CASE WHEN {_sql_hash_bucket('text')} < 80 THEN 'train'
+                  WHEN {_sql_hash_bucket('text')} < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT grp) AS n_groups,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM grouped GROUP BY split
+    """,
+)
+def q_llm_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: the split key is the md5 of
+    the document CONTENT, so every member of an exact-duplicate group
+    lands in the same split by construction — the guard against a test
+    document's duplicate sitting in train (the classic contamination
+    path that an id-keyed split, q_llm_split_assign, cannot prevent).
+    Map-side hashing + one audit aggregate; countDistinct(grp) exposes
+    the docs-vs-groups gap per split."""
+    docs = t(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("text"))
+    split = F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+    return (
+        docs.select(
+            split.alias("split"),
+            F.md5("text").alias("grp"),
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("grp").alias("n_groups"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
     )
