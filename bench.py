@@ -48,6 +48,10 @@ HEADLINE = [
     "q_llm_text_stats",
     "q_udf_scalar_pandas",
     "q_mm_decode_features",
+    "q_tpch_q18_large_volume",
+    "q_tpch_q21_waiting_supplier",
+    "q_llm_pii_scrub",
+    "q_llm_seq_pack",
 ]
 
 
