@@ -4,6 +4,7 @@ query into khose_spark.registry."""
 from khose_spark.operators import (  # noqa: F401
     aggregates,
     curation,
+    dataquality,
     eventanalytics,
     filters,
     graph,

@@ -1,0 +1,242 @@
+"""Data-quality / profiling / CDC-merge operators (SURVEY.md §2.12
+extension — the audit surface every production lakehouse pipeline runs
+before and after a big transform).
+
+Three shapes:
+
+* ``q_profile_columns`` — one-pass column profiler (the ``DESCRIBE``
+  /`dbt docs`-style summary): null counts, exact distinct counts,
+  min/max/avg per numeric column, computed in a SINGLE scan with
+  map-side partial aggregation and then transposed driver-free with
+  ``stack()``.  At 100 TB the exact ``count(DISTINCT)`` would switch to
+  ``approx_count_distinct`` (HLL, one pass, no Expand) — exact is kept
+  here because the oracle hash-checks it.
+* ``q_dq_expectations`` — declarative expectations (Great-Expectations
+  shape): row-local range/domain rules compiled into ONE ``sum(CASE)``
+  pass over lineitem, plus a referential-integrity rule (orphan
+  ``l_orderkey``) as a left-anti join.  Rules are data-parallel by
+  construction; the output is one row per rule.
+* ``q_cdc_merge_upsert`` — batch MERGE/upsert summary: latest change
+  per key from the events CDC feed (deterministic ``row_number`` pick),
+  full-outer-merged into the supplier dimension, classified
+  insert/update/keep with exact-decimal balance totals.  Full-outer
+  merge shuffles both sides on the key — at 100 TB the base table would
+  be bucketed by key so only the (much smaller) change feed moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from khose_spark.registry import query
+from khose_spark.sqlutil import dec_sum, sql_dec_sum
+from khose_spark.tables import t
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "q_profile_columns",
+    oracle="""
+    SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           count(DISTINCT l_quantity) AS n_distinct,
+           min(l_quantity) AS min_val, max(l_quantity) AS max_val,
+           round(avg(l_quantity), 6) AS avg_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*),
+           CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT l_extendedprice),
+           min(l_extendedprice), max(l_extendedprice),
+           round(avg(l_extendedprice), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*),
+           CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT l_discount),
+           min(l_discount), max(l_discount), round(avg(l_discount), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', count(*),
+           CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT l_tax),
+           min(l_tax), max(l_tax), round(avg(l_tax), 6)
+    FROM lineitem
+    """,
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan numeric column profile of lineitem, transposed to one
+    row per column with ``stack()`` — no per-column rescan (the oracle's
+    UNION ALL shape is the naive 4-scan plan this replaces).  The only
+    shuffle is the one final aggregation; the multi-``count(DISTINCT)``
+    uses Spark's Expand rewrite (rows × 4 map-side, still one
+    exchange)."""
+    li = t(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.round(F.avg(c), 6).alias(f"{c}__avg"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__null, {c}__dist, {c}__min, {c}__max, {c}__avg"
+        for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_null, n_distinct, min_val, max_val, avg_val)",
+        "n_rows",
+    ).select(
+        "col_name", "n_rows", "n_null", "n_distinct",
+        "min_val", "max_val", "avg_val",
+    )
+
+
+# (rule name, violation predicate — SQL text valid in BOTH engines)
+_DQ_RULES = [
+    ("qty_in_5_45", "NOT (l_quantity BETWEEN 5 AND 45)"),
+    ("price_under_80k", "l_extendedprice > 80000"),
+    ("discount_max_8pct", "l_discount > 0.08"),
+    ("tax_max_6pct", "l_tax > 0.06"),
+    ("returnflag_in_A_N", "l_returnflag NOT IN ('A', 'N')"),
+]
+
+
+@query(
+    "q_dq_expectations",
+    oracle=f"""
+    WITH rowrules AS (
+        {" UNION ALL ".join(
+            f'''SELECT '{name}' AS rule, count(*) AS n_checked,
+                CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_violations
+                FROM lineitem'''
+            for name, pred in _DQ_RULES
+        )}
+        UNION ALL
+        SELECT 'orderkey_fk', count(*),
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT rule, n_checked, n_violations,
+           round(CAST(n_violations AS DOUBLE) / n_checked, 6) AS viol_rate
+    FROM rowrules
+    """,
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations: 5 row-local range/domain
+    rules evaluated in ONE ``sum(CASE)`` scan (transposed with
+    ``stack()``), plus a referential-integrity rule (lineitem rows whose
+    ``l_orderkey`` has no parent order) via left-anti join.  Row-local
+    rules cost one scan regardless of rule count — the shape that lets a
+    100 TB pipeline run dozens of expectations per table per day."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+
+    aggs = [F.count(F.lit(1)).alias("n_checked")]
+    for name, pred in _DQ_RULES:
+        aggs.append(
+            F.sum(F.expr(pred).cast("long")).alias(f"{name}__viol")
+        )
+    one = li.agg(*aggs)
+    stack_args = ", ".join(f"'{name}', {name}__viol" for name, _ in _DQ_RULES)
+    rowrules = one.selectExpr(
+        f"stack({len(_DQ_RULES)}, {stack_args}) AS (rule, n_violations)",
+        "n_checked",
+    )
+
+    fk = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("orderkey_fk").alias("rule"), "n_violations")
+    )
+    n_checked_row = li.agg(F.count(F.lit(1)).alias("n_checked"))
+    fk = fk.crossJoin(F.broadcast(n_checked_row))
+
+    out = rowrules.select("rule", "n_checked", "n_violations").unionByName(
+        fk.select("rule", "n_checked", "n_violations")
+    )
+    return out.select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        F.round(F.col("n_violations").cast("double") / F.col("n_checked"), 6)
+        .alias("viol_rate"),
+    )
+
+
+@query(
+    "q_cdc_merge_upsert",
+    oracle=f"""
+    WITH latest AS (
+        SELECT user_id, value AS new_bal
+        FROM (
+            SELECT user_id, value, ts, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ) WHERE rn = 1
+    ),
+    merged AS (
+        SELECT COALESCE(s_suppkey, user_id) AS key,
+               CASE WHEN s_suppkey IS NOT NULL AND user_id IS NOT NULL
+                        THEN 'update'
+                    WHEN s_suppkey IS NULL THEN 'insert'
+                    ELSE 'keep' END AS action,
+               COALESCE(new_bal, s_acctbal) AS balance
+        FROM supplier FULL OUTER JOIN latest ON s_suppkey = user_id
+    )
+    SELECT action, count(*) AS n_rows,
+           CAST(min(key) AS BIGINT) AS min_key,
+           CAST(max(key) AS BIGINT) AS max_key,
+           {sql_dec_sum('balance', 2)} AS sum_balance
+    FROM merged GROUP BY action
+    """,
+)
+def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC MERGE: the purchase-event feed is reduced to one latest
+    change per key (``row_number`` with a total ``(ts, event_id)`` order
+    — deterministic even with duplicate timestamps), full-outer-merged
+    into the supplier dimension, and classified insert / update / keep.
+    Balance totals go through the exact-decimal accumulator
+    (:func:`khose_spark.sqlutil.dec_sum`) so the audit sums are
+    bit-stable.  Full outer cannot broadcast; both sides shuffle on the
+    merge key — at 100 TB the base would be bucketed on the key so only
+    the change feed (≪ base) moves."""
+    ev = t(spark, sf_dir, "events")
+    sup = t(spark, sf_dir, "supplier")
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("value").alias("new_bal"))
+    )
+    merged = sup.join(latest, sup.s_suppkey == latest.user_id, "full_outer")
+    classified = merged.select(
+        F.coalesce("s_suppkey", "user_id").alias("key"),
+        F.when(
+            F.col("s_suppkey").isNotNull() & F.col("user_id").isNotNull(),
+            "update",
+        )
+        .when(F.col("s_suppkey").isNull(), "insert")
+        .otherwise("keep")
+        .alias("action"),
+        F.coalesce("new_bal", "s_acctbal").alias("balance"),
+    )
+    return classified.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("key").cast("long").alias("min_key"),
+        F.max("key").cast("long").alias("max_key"),
+        dec_sum(F.col("balance"), 2).alias("sum_balance"),
+    )

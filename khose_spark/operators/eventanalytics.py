@@ -160,3 +160,64 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_days") >= 5) & (F.col("sigma") > 0) & (F.abs(z) > 2))
         .select("user_id", "d", "spend", F.round(z, 4).alias("z"))
     )
+
+
+@query(
+    "q_scd2_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), transitions AS (
+        SELECT user_id, event_type AS state, ts AS valid_from
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) AS valid_to,
+           CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
+                                            ORDER BY valid_from) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM transitions
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history built from the raw event
+    log: per user, consecutive runs of the same event_type collapse into
+    one validity interval ``[valid_from, valid_to)`` with the open
+    (current) interval flagged.  The change-detection lag and the
+    interval-closing lead both run over windows hash-partitioned by
+    ``user_id`` — one shuffle, reused by both windows (same partitioning
+    key), each partition sorted locally.  ``(ts, event_id)`` is a total
+    order, so interval boundaries are deterministic even with duplicate
+    timestamps.  This is the batch-backfill twin of a streaming upsert
+    sink: at 100 TB the event log is bucketed by user_id and the whole
+    history build is shuffle-free."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w_change = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    transitions = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w_change))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+        )
+    )
+    w_close = Window.partitionBy("user_id").orderBy("valid_from")
+    valid_to = F.lead("valid_from").over(w_close)
+    return transitions.select(
+        "user_id",
+        "state",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().cast("int").alias("is_current"),
+    )

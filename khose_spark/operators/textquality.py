@@ -272,3 +272,84 @@ def q_llm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "n_tokens", "avg_surprisal")
     )
+
+
+@query(
+    "q_llm_tfidf",
+    oracle="""
+    WITH tokens AS (
+        SELECT doc_id, lang,
+               unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, lang, term, count(*) AS tf
+        FROM tokens WHERE term <> '' AND length(term) >= 3
+        GROUP BY doc_id, lang, term
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.lang, tf.term,
+               sum(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)) AS score
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        GROUP BY tf.lang, tf.term
+    ), ranked AS (
+        SELECT lang, term, round(score, 4) AS tfidf,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY round(score, 4) DESC, term) AS rk
+        FROM scored
+    )
+    SELECT lang, rk, term, tfidf FROM ranked WHERE rk <= 5
+    """,
+)
+def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF: the classic map-reduce shape — tokenize, term
+    frequency per (doc, term), document frequency per term, join,
+    score, top-5 terms per language.  Every stage is a JVM-side
+    groupBy keyed on the natural key of that stage (doc+term, then
+    term, then lang+term); the corpus-size scalar is a 1-row aggregate
+    broadcast-crossed in (never collected).  The per-lang top-5 window
+    is partition-bounded (WindowGroupLimit), so no global sort exists
+    anywhere in the plan.
+
+    Determinism: ranking compares round(score, 4) — not the raw float
+    sum, whose partial-aggregation ordering differs between engines —
+    with the term string as total-order tiebreak.  ln/quotient scores
+    are continuous, so round(4) is hash-stable (sqlutil law)."""
+    docs = t(spark, sf_dir, "documents")
+
+    tokens = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("term"),
+    ).filter((F.col("term") != "") & (F.length("term") >= 3))
+    tf = tokens.groupBy("doc_id", "lang", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("lang", "term")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("score")
+        )
+    )
+    from pyspark.sql import Window
+
+    tfidf = F.round(F.col("score"), 4)
+    w = Window.partitionBy("lang").orderBy(
+        tfidf.desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("tfidf", tfidf)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "rk", "term", "tfidf")
+    )

@@ -327,3 +327,201 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(wsum / wtot, 4).alias("ewma"),
         )
     )
+
+
+_ETYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q_ts_interpolate",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ), spine AS (
+        SELECT et.event_type, h.hr
+        FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+              FROM bounds) h
+        CROSS JOIN (SELECT DISTINCT event_type FROM events) et
+    ), hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ), joined AS (
+        SELECT s.event_type, s.hr, hourly.v,
+               CAST(floor(epoch(s.hr) / 3600) AS BIGINT) AS idx
+        FROM spine s LEFT JOIN hourly
+          ON s.event_type = hourly.event_type AND s.hr = hourly.hr
+    ), ctx AS (
+        SELECT event_type, hr, v, idx,
+          last_value(v IGNORE NULLS) OVER (
+            PARTITION BY event_type ORDER BY hr
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+          last_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER (
+            PARTITION BY event_type ORDER BY hr
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_i,
+          first_value(v IGNORE NULLS) OVER (
+            PARTITION BY event_type ORDER BY hr
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+          first_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER (
+            PARTITION BY event_type ORDER BY hr
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_i
+        FROM joined
+    )
+    SELECT event_type, hr,
+           CAST(round(CAST(
+             CASE WHEN v IS NOT NULL THEN v
+                  WHEN prev_v IS NULL THEN next_v
+                  WHEN next_v IS NULL THEN prev_v
+                  ELSE prev_v + (next_v - prev_v)
+                       * (CAST(idx - prev_i AS DOUBLE) / (next_i - prev_i))
+             END AS DECIMAL(18,8)), 6) AS DOUBLE) AS v_filled,
+           CAST(v IS NULL AS INT) AS was_gap
+    FROM ctx
+    """,
+)
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of gaps in the hourly per-type spend series:
+    build the full hour spine (explode(sequence) — never a cartesian of
+    raw rows), left-join the hourly exact-decimal sums, then fill each
+    missing hour from its nearest non-null neighbors with
+    ``last/first(... ignorenulls)`` frames, weighted by integer hour
+    distance.  Boundary gaps clamp to the nearest real value.
+
+    Determinism: hourly sums are exact decimals (no float-ordering
+    drift), hour indices are integers, so every interpolated value is an
+    exact rational computed from bit-identical doubles on both engines;
+    the DECIMAL(18,8)-cast rounding (sqlutil law) makes the final
+    round(6) HALF_UP-stable even when a dyadic fraction lands exactly on
+    the half grid.  Both window passes share one hash partitioning by
+    event_type; the spine join keys on (event_type, hr) — at 100 TB the
+    raw scan aggregates first (hours ≪ events), so the window input is
+    tiny."""
+    ev = t(spark, sf_dir, "events")
+
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    )
+    types = ev.select("event_type").distinct()
+    spine = hours.crossJoin(F.broadcast(types))
+
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "hr"], "left").withColumn(
+        "idx", F.floor(F.unix_timestamp("hr") / 3600).cast("long")
+    )
+
+    w_back = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    idx_if_v = F.when(F.col("v").isNotNull(), F.col("idx"))
+    ctx = joined.select(
+        "event_type",
+        "hr",
+        "v",
+        "idx",
+        F.last("v", ignorenulls=True).over(w_back).alias("prev_v"),
+        F.last(idx_if_v, ignorenulls=True).over(w_back).alias("prev_i"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("next_v"),
+        F.first(idx_if_v, ignorenulls=True).over(w_fwd).alias("next_i"),
+    )
+    frac = (F.col("idx") - F.col("prev_i")).cast("double") / (
+        F.col("next_i") - F.col("prev_i")
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
+        )
+    )
+    return ctx.select(
+        "event_type",
+        "hr",
+        F.round(filled.cast("decimal(18,8)"), 6)
+        .cast("double")
+        .alias("v_filled"),
+        F.col("v").isNull().cast("int").alias("was_gap"),
+    )
+
+
+@query(
+    "q_ts_corr_matrix",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d,
+               {", ".join(
+                   f'''CAST(sum(CAST(value AS DECIMAL(28,2)))
+                       FILTER (WHERE event_type = '{e}') AS DOUBLE)
+                       AS {e}''' for e in _ETYPES
+               )}
+        FROM events GROUP BY 1
+    )
+    {" UNION ALL ".join(
+        f'''SELECT '{a}' AS metric_a, '{b}' AS metric_b,
+            round(corr({a}, {b}), 4) AS corr_ab, count(*) AS n_days
+            FROM daily'''
+        for i, a in enumerate(_ETYPES) for b in _ETYPES[i + 1:]
+    )}
+    """,
+)
+def q_ts_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix between the five per-type daily spend
+    series (do error spikes track purchase dips?).  The raw log
+    collapses to one exact-decimal row per day FIRST (conditional
+    aggregation, one shuffle), then all 10 upper-triangle correlations
+    compute in a single global aggregate over the ~30-row daily frame
+    and transpose to long form with ``stack()`` — the 100 TB cost is one
+    scan + one tiny shuffle, identical to the hourly-rollup pattern.
+    corr is continuous under round(4) (sqlutil law)."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        *[
+            F.sum(
+                F.when(F.col("event_type") == e, F.col("value")).cast(
+                    "decimal(28,2)"
+                )
+            )
+            .cast("double")
+            .alias(e)
+            for e in _ETYPES
+        ]
+    )
+    pairs = [
+        (a, b) for i, a in enumerate(_ETYPES) for b in _ETYPES[i + 1:]
+    ]
+    one = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        *[
+            F.round(F.corr(a, b), 4).alias(f"corr__{a}__{b}")
+            for a, b in pairs
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', corr__{a}__{b}" for a, b in pairs
+    )
+    return one.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (metric_a, metric_b, corr_ab)",
+        "n_days",
+    ).select("metric_a", "metric_b", "corr_ab", "n_days")

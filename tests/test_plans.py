@@ -31,6 +31,12 @@ BNLJ_ALLOWED = {
                                # crossed into the top-10 ranked counts
     "q_tpch_q22_global_sales", # 1-row avg-balance aggregate broadcast-
                                # crossed into the cohort (scalar subquery)
+    "q_dq_expectations",       # 1-row n_checked aggregate broadcast-
+                               # crossed into the FK-rule row
+    "q_ts_interpolate",        # hour spine × broadcast 5-row distinct
+                               # event-type dimension
+    "q_llm_tfidf",             # 1-row corpus-size aggregate broadcast-
+                               # crossed into the term-score relation
 }
 
 # Shuffle-exchange ceilings. Default covers scan→agg/join→window plans;
@@ -52,6 +58,8 @@ MAX_SHUFFLES = {
     "q_ts_funnel": 9,             # 3 per-stage min-ts aggs + 3 single-row
                                   # stage counts + stage-chaining joins
                                   # (audited: 8)
+    "q_llm_tfidf": 9,             # tf agg + df agg + score join + lang agg
+                                  # + per-lang top-5 window (audited: 7)
     "q_llm_dedup_clusters": 12,   # label propagation localCheckpoints each
                                   # round, so the final plan is scan+agg; the
                                   # headroom covers AQE variation in the
