@@ -221,3 +221,58 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().cast("int").alias("is_current"),
     )
+
+
+@query(
+    "q_ts_pattern_match",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_type,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), hits AS (
+        SELECT user_id, ts
+        FROM seq
+        WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+    )
+    SELECT user_id, count(*) AS n_matches,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_match
+    FROM hits GROUP BY user_id
+    """,
+)
+def q_ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection: users whose
+    event stream contains the CONSECUTIVE triple view→click→purchase
+    (no intervening events — contrast ``q_ts_funnel``, which chains
+    first-occurrence timestamps in any order).  Two ``lead``s over one
+    user-keyed window turn the pattern into a row-local predicate, so
+    detection costs one shuffle and scales with the log, not the
+    pattern: a k-step pattern is k-1 leads over the same window.
+    ``(ts, event_id)`` gives a total order; the match timestamp is
+    emitted as a second-truncated string (the fixture's microsecond
+    jitter is engine-identical, but string form dodges pandas datetime
+    unit mismatches, same as the session twin)."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    hits = seq.filter(
+        (F.col("event_type") == "view")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "purchase")
+    )
+    return hits.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "first_match"
+        ),
+    )

@@ -226,3 +226,96 @@ def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= 3)
+
+
+_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, n_frames int, luma double, "
+    "is_scene_change int"
+)
+
+
+def fake_sample_frames(payload: bytes, every_n: int = 2):
+    """Deterministic stand-in frame sampler: frame count and per-frame
+    luma derived from sha256(payload) (hex char 5 → count, chars
+    6+idx → per-frame values), sampling every ``every_n``-th frame.
+    Bit-identical to the SQL oracle arithmetic."""
+    h = hashlib.sha256(payload).hexdigest()
+    n_frames = 1 + _HEX.index(h[4]) % 8
+    for idx in range(0, n_frames, every_n):
+        v = _HEX.index(h[5 + idx])
+        yield idx, n_frames, round(v / 15.0, 4), int(v >= 8)
+
+
+def map_sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n: int = 2,
+) -> DataFrame:
+    """Partition-local video frame sampling: one Arrow batch of
+    (id, payload) in, MULTIPLE rows per payload out (one per sampled
+    frame) — the one-to-many ``mapInPandas`` fan-out shape a real
+    ffmpeg/pyav sampler plugs into (swap ``fake_sample_frames`` for
+    :func:`sample_frames`). Payloads never leave the stage; only the
+    tiny per-frame rows return."""
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                for idx, n, luma, scene in fake_sample_frames(
+                    bytes(payload), every_n
+                ):
+                    rows.append((doc_id, idx, n, luma, scene))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "n_frames", "luma",
+                    "is_scene_change",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        sample_batches, _FRAME_SCHEMA
+    )
+
+
+@query(
+    "q_mm_frame_sample",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, sha256(text) AS sha
+      FROM documents WHERE doc_id < 200
+    ), vids AS (
+      SELECT doc_id, sha,
+             CAST(1 + {_hexval(5)} % 8 AS INT) AS n_frames
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           n_frames,
+           round((instr('{_HEX}', substr(sha, 6 + frame_idx, 1)) - 1)
+                 / 15.0, 4) AS luma,
+           CAST(instr('{_HEX}', substr(sha, 6 + frame_idx, 1)) - 1 >= 8
+                AS INT) AS is_scene_change
+    FROM vids, unnest(generate_series(0, n_frames - 1, 2)) AS u(frame_idx)
+    """,
+)
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling pipeline over binary payloads: each "video"
+    (utf-8 bytes standing in for an encoded stream) is fake-decoded to
+    1-8 frames and every 2nd frame is sampled into a per-frame row with
+    a luma value and a scene-change flag — the one-to-many
+    ``mapInPandas`` shape (contrast ``q_mm_decode_features``' 1:1
+    decode).  At 100 TB the payload column never shuffles: frames
+    extract inside each partition and only (doc_id, frame metadata)
+    rows move on.  The oracle regenerates the same sha256 arithmetic
+    with generate_series, proving the fan-out is byte-exact."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    return map_sample_frames(d)
