@@ -227,13 +227,12 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned as high-repetition, counted per language. Entirely map-side
     scalar array work; the only shuffle is the tiny per-(lang, bin)
     aggregate."""
+    from khose_spark.operators.llm import shingle_array
+
     docs = t(spark, sf_dir, "documents")
     words = F.split("text", " ")
     n = F.size(words)
-    idx = F.when(n >= 3, F.sequence(F.lit(0), n - 3)).otherwise(
-        F.array().cast("array<int>")
-    )
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)))
+    sh = shingle_array(words, 3)  # shifted-array build, duplicates kept
     per_doc = docs.select(
         "lang",
         F.greatest(n - 2, F.lit(0)).alias("n_total"),

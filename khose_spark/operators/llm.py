@@ -56,17 +56,24 @@ def shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     so no cross-row — and therefore no shuffle — is ever needed; an
     explode + global .distinct() here costs a full shuffle of every
     shingle string at corpus scale). Docs shorter than k words emit no
-    shingles via the typed empty-array branch, not a post-filter.
-
-    Implementation note: built from k SHIFTED COPIES of the word array
-    folded with zip_with — k array slices per DOCUMENT — rather than a
-    transform(sequence) lambda doing a slice per SHINGLE. Higher-order
-    functions run interpreted (outside codegen), so per-element work
-    dominates: the shifted form measured 3-4× faster at sf0.1 (1.6s →
-    0.6s for the 260k-shingle materialization), which feeds every
-    shingle consumer (Jaccard, MinHash, two-tier, SimHash,
-    contamination)."""
+    shingles via the typed empty-array branch, not a post-filter."""
     words = F.split(F.col(text_col), " ")
+    sh = F.array_distinct(shingle_array(words, k))
+    return df.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+def shingle_array(words, k: int = 3):
+    """Raw k-word shingle array (duplicates preserved, empty for docs
+    shorter than k words) from a word-array column.
+
+    Built from k SHIFTED COPIES of the word array folded with zip_with
+    — k array slices per DOCUMENT — rather than a transform(sequence)
+    lambda doing a slice per SHINGLE. Higher-order functions run
+    interpreted (outside whole-stage codegen), so per-element work
+    dominates: the shifted form measured 3-4× faster at sf0.1 (1.6s →
+    0.6s for the 260k-shingle materialization), and it feeds every
+    shingle consumer (Jaccard, MinHash, two-tier, SimHash,
+    contamination, fingerprint, repetition)."""
     n = F.size(words)
     m = F.greatest(n - (k - 1), F.lit(0))  # shingle count (0 if short)
     shifted = [F.slice(words, j + 1, m) for j in range(k)]
@@ -76,10 +83,7 @@ def shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
         ),
         shifted,
     )
-    sh = F.array_distinct(
-        F.when(n >= k, joined).otherwise(F.array().cast("array<string>"))
-    )
-    return df.select("doc_id", F.explode(sh).alias("shingle"))
+    return F.when(n >= k, joined).otherwise(F.array().cast("array<string>"))
 
 
 @query(

@@ -210,14 +210,14 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-identical docs. `fp_bucket` (first hash byte) is the shard key
     a 100 TB fingerprint index would partition on. Map-side shingle
     explode + one groupBy on doc_id (already-dense key, no skew)."""
+    from khose_spark.operators.llm import shingle_array
+
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     words = F.split("text", " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - 4, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, 4)))
-    exploded = (
-        d.select("doc_id", F.explode(sh).alias("shingle"))
-        .where(F.size(F.split(F.col("shingle"), " ")) == 4)
+    # shifted-array shingle build (see llm.shingle_array) — emits only
+    # complete 4-grams, so no post-filter on shingle word count needed
+    exploded = d.select(
+        "doc_id", F.explode(shingle_array(words, 4)).alias("shingle")
     )
     return exploded.groupBy("doc_id").agg(
         F.min(F.md5("shingle")).alias("fp"),
