@@ -475,3 +475,142 @@ def q_llm_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("max_err"),
         F.size(F.filter(q, lambda x: F.abs(x) == 127.0)).alias("n_sat"),
     )
+
+
+_PQ_M = 8          # subspaces
+_PQ_DIM = 8        # dims per subspace (64-d vectors)
+
+
+@query(
+    "q_llm_ann_pq",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sub AS (      -- one row per (vector, subspace): the 8-dim slice
+      SELECT vec_id, s.sub_id,
+             v[1 + 8 * s.sub_id : 8 + 8 * s.sub_id] AS sv
+      FROM base, (SELECT unnest(range(0, {_PQ_M})) AS sub_id) s
+    ), cb AS (       -- deterministic codebook: seed vectors' slices
+      SELECT vec_id // 50 AS code, sub_id, sv AS cv
+      FROM sub WHERE vec_id % 50 = 0
+    ), assign AS (   -- nearest code per (vector, subspace)
+      SELECT vec_id, sub_id, code FROM (
+        SELECT sub.vec_id, sub.sub_id, cb.code,
+               row_number() OVER (
+                 PARTITION BY sub.vec_id, sub.sub_id
+                 ORDER BY round(list_sum(list_transform(range(1, 9),
+                           i -> (sub.sv[i] - cb.cv[i]) ^ 2)), 6) ASC,
+                          cb.code ASC
+               ) AS rn
+        FROM sub JOIN cb ON sub.sub_id = cb.sub_id
+      ) WHERE rn = 1
+    ), lut AS (      -- per query: distance to every code in every subspace
+      SELECT q.vec_id AS qid, cb.sub_id, cb.code,
+             round(list_sum(list_transform(range(1, 9),
+                   i -> (q.sv[i] - cb.cv[i]) ^ 2)), 6) AS pdist
+      FROM sub q JOIN cb ON q.sub_id = cb.sub_id
+      WHERE q.vec_id < 10
+    ), adc AS (      -- asymmetric distance: sum of 8 LUT lookups
+      SELECT l.qid, a.vec_id,
+             round(sum(l.pdist), 4) AS approx_dist
+      FROM assign a
+      JOIN lut l ON l.sub_id = a.sub_id AND l.code = a.code
+      WHERE a.vec_id <> l.qid
+      GROUP BY l.qid, a.vec_id
+    )
+    SELECT qid, vec_id AS neighbor_id, approx_dist, rn AS rank FROM (
+      SELECT qid, vec_id, approx_dist,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY approx_dist ASC, vec_id ASC) AS rn
+      FROM adc
+    ) WHERE rn <= 3
+    """,
+)
+def q_llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the embedding-compression scale path:
+    64-d vectors split into 8 subspaces × 8 dims, each subvector
+    replaced by the id of its nearest codebook entry (deterministic
+    seed codebook: the slices of every 50th vector), so the stored
+    corpus shrinks from 64 floats to 8 small ints per vector.  Queries
+    never touch raw corpus vectors: each query precomputes a
+    (subspace, code) → partial-distance lookup table, and the
+    asymmetric distance is 8 LUT additions per PQ code — the classic
+    IVF-PQ/FAISS layout, where at 100 TB the LUT (m × n_codes rows per
+    query) broadcasts and the scan reads only the 8-byte codes.
+
+    Determinism: code assignment argmins round(L2², 6) with code-id
+    tiebreak; final ranking sorts round(ADC, 4) with neighbor-id
+    tiebreak — the proven IVF pattern, so Spark and DuckDB agree
+    bit-for-bit."""
+    e = t(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("vec_id", dbl.alias("v"))
+
+    sub = base.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub_id"),
+                        F.slice("v", 1 + _PQ_DIM * s, _PQ_DIM).alias("sv"),
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.sub_id", "x.sv")
+
+    cb = sub.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") / 50).cast("long").alias("code"),
+        "sub_id",
+        F.col("sv").alias("cv"),
+    )
+
+    def l2sq(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    w_assign = Window.partitionBy("vec_id", "sub_id").orderBy(
+        F.asc("d2"), F.asc("code")
+    )
+    assign = (
+        sub.join(F.broadcast(cb), "sub_id")
+        .select(
+            "vec_id", "sub_id", "code", F.round(l2sq("sv", "cv"), 6).alias("d2")
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub_id", "code")
+    )
+
+    lut = (
+        sub.filter(F.col("vec_id") < 10)
+        .withColumnRenamed("vec_id", "qid")
+        .join(F.broadcast(cb), "sub_id")
+        .select(
+            "qid", "sub_id", "code", F.round(l2sq("sv", "cv"), 6).alias("pdist")
+        )
+    )
+
+    adc = (
+        assign.join(F.broadcast(lut), ["sub_id", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.round(F.sum("pdist"), 4).alias("approx_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.asc("approx_dist"), F.asc("vec_id")
+    )
+    return (
+        adc.select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            "approx_dist",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+    )
