@@ -52,16 +52,35 @@ def _green_keys() -> set[str]:
     return green
 
 
+def _key_ages() -> dict[str, int]:
+    """Round each key first entered the registry (KEY_AGES.json,
+    maintained alongside the registry; absent/new keys default to the
+    newest recorded round + 1)."""
+    try:
+        ages = json.load(open(os.path.join(_HERE, "KEY_AGES.json")))
+    except (OSError, ValueError):
+        return {}
+    return {k: int(v) for k, v in ages.items()}
+
+
 def _coverage_first(d: dict) -> dict:
-    """Objective ordering rule (round-2 ADVICE): keys WITHOUT a green
-    driver row yet — never-graded or previously-red — lead, each group
+    """Objective ordering rule (round-2 ADVICE + VERDICT item 3): keys
+    WITHOUT a green driver row yet — never-graded or previously-red —
+    lead, OLDEST first (by the round the key entered the registry, then
+    natural registry order), so a long-standing grading backlog closes
+    before newly added keys consume grading budget. Green keys follow
     in natural registry order. This is coverage-completion, not
     green-key burial: the rule is self-limiting and converges to the
     registry's natural ordering once every key has a green row, and any
     key that regresses to red automatically returns to the front of the
     next round's grading window."""
     green = _green_keys()
-    out = {k: v for k, v in d.items() if k not in green}
+    ages = _key_ages()
+    default_age = max(ages.values(), default=0) + 1
+    ungraded = [k for k in d if k not in green]
+    natural_pos = {k: i for i, k in enumerate(d)}
+    ungraded.sort(key=lambda k: (ages.get(k, default_age), natural_pos[k]))
+    out = {k: d[k] for k in ungraded}
     out.update({k: v for k, v in d.items() if k in green})
     return out
 
