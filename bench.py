@@ -52,6 +52,10 @@ HEADLINE = [
     "q_tpch_q21_waiting_supplier",
     "q_llm_pii_scrub",
     "q_llm_seq_pack",
+    "q_llm_ann_pq",
+    "q_dq_expectations",
+    "q_scd2_history",
+    "q_ts_interpolate",
 ]
 
 
