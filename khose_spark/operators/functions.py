@@ -435,3 +435,57 @@ def q_fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("src_a"), F.col("src_b")).alias("dist"),
         )
     )
+
+
+@query(
+    "q_fn_url",
+    oracle="""
+    WITH logs AS (
+        SELECT doc_id,
+               concat('https://', source, '.example.com/', lang, '/doc/',
+                      CAST(doc_id AS VARCHAR), '?ref=r', CAST(doc_id % 7 AS VARCHAR),
+                      '&utm=', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS url
+        FROM documents WHERE doc_id < 300
+    )
+    SELECT regexp_extract(url, 'https?://([^/?#]+)', 1) AS host,
+           count(*) AS n_requests,
+           count(DISTINCT regexp_extract(url, 'https?://[^/?#]+([^?#]*)', 1))
+               AS n_paths,
+           count(DISTINCT regexp_extract(url, '[?&]ref=([^&#]*)', 1))
+               AS n_ref_values,
+           min(regexp_extract(url, '[?&]utm=([^&#]*)', 1)) AS min_utm
+    FROM logs GROUP BY host
+    """,
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing — the web-log analytics surface of an ingest engine:
+    per-host request counts, distinct paths, distinct ref-param values,
+    and an order-stable sample utm tag.  URLs are synthesized
+    deterministically from document fields (the fixture has no real
+    URLs), then parsed with Spark's builtin ``parse_url`` (HOST / PATH
+    / QUERY-with-key extraction) while the oracle re-parses the same
+    strings with POSIX regexes — the check is that two independent
+    parser implementations agree on the grammar.  Entirely map-side
+    except the per-host aggregate; at 100 TB parse_url stays inside
+    codegen and the host key is low-cardinality (pre-aggregated
+    map-side before the one shuffle)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+        F.lit("?ref=r"), (F.col("doc_id") % 7).cast("string"),
+        F.lit("&utm="),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+    )
+    logs = d.select("doc_id", url.alias("url"))
+    return logs.select(
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("utm")).alias("utm"),
+    ).groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.countDistinct("path").alias("n_paths"),
+        F.countDistinct("ref").alias("n_ref_values"),
+        F.min("utm").alias("min_utm"),
+    )

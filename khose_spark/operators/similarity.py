@@ -614,3 +614,163 @@ def q_llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 3)
     )
+
+
+_KM_ITERS = 3
+_KM_DIM = 64
+
+
+def _km_oracle() -> str:
+    """Unrolled 3-iteration k-means twin: each iteration assigns every
+    vector to its nearest centroid (argmin on round(L2², 6), centroid-id
+    tiebreak) and recomputes centroids as per-dimension means ROUNDED to
+    6 decimals — the rounding is the determinism contract (see
+    q_llm_kmeans docstring)."""
+    dims = ", ".join(
+        f"round(avg(v[{i}]), 6) AS c{i}" for i in range(1, _KM_DIM + 1)
+    )
+    relist = "list_value(" + ", ".join(
+        f"c{i}" for i in range(1, _KM_DIM + 1)
+    ) + ")"
+    sql = """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent0 AS (
+      SELECT vec_id // 50 AS cid, v AS cv FROM base WHERE vec_id % 50 = 0
+    )"""
+    prev = "cent0"
+    for it in range(1, _KM_ITERS + 1):
+        sql += f""", assign{it} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT b.vec_id, b.v, c.cid,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY round(list_sum(list_transform(range(1, {_KM_DIM + 1}),
+                           i -> (b.v[i] - c.cv[i]) ^ 2)), 6) ASC, c.cid ASC
+               ) AS rn
+        FROM base b CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ), cent{it} AS (
+      SELECT cid, {relist} AS cv
+      FROM (SELECT cid, {dims} FROM assign{it} GROUP BY cid)
+    )"""
+        prev = f"cent{it}"
+    sql += f"""
+    SELECT m.cid AS cluster_id, n_members, avg_dist,
+           round(cv[1], 6) AS c1, round(cv[2], 6) AS c2,
+           round(cv[3], 6) AS c3, round(cv[4], 6) AS c4
+    FROM (
+      SELECT a.cid, count(*) AS n_members,
+             round(avg(sqrt(list_sum(list_transform(range(1, {_KM_DIM + 1}),
+                   i -> (a.v[i] - c.cv[i]) ^ 2)))), 4) AS avg_dist
+      FROM assign{_KM_ITERS} a JOIN cent{_KM_ITERS} c ON a.cid = c.cid
+      GROUP BY a.cid
+    ) m JOIN cent{_KM_ITERS} c2 ON m.cid = c2.cid
+    """
+    return sql
+
+
+@query("q_llm_kmeans", oracle=_km_oracle())
+def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means over the embedding corpus (k = corpus/50
+    seed centroids, 3 fixed Lloyd iterations): per-cluster member count,
+    mean distance to centroid, and the first 4 centroid coordinates —
+    proof that even ITERATIVE algorithms can be hash-checked against an
+    oracle (the DuckDB twin unrolls the loop as a CTE chain) instead of
+    falling back to rows-only grading.
+
+    Determinism contract: (a) assignment argmins round(L2², 6) with
+    centroid-id tiebreak; (b) each iteration's recomputed centroids are
+    ROUNDED to 6 decimals before the next assignment — per-dimension
+    means are continuous quantities, so round(6) is hash-stable
+    (sqlutil law), and rounding re-synchronizes both engines' floats
+    every iteration so drift cannot compound.
+
+    Scale shape: each iteration's centroids collapse to a ONE-ROW
+    broadcast holding the (cid, centroid) array, and assignment is a
+    map-side argmin FOLD over that array — vectors never shuffle for
+    assignment (a per-vector row_number window would re-shuffle the
+    whole corpus every iteration).  The only shuffles are the 3 k-keyed
+    centroid re-averages + the final stats aggregate — Lloyd's
+    algorithm as 3 broadcast-crosses + 3 tiny aggregations, the
+    standard distributed k-means layout."""
+    e = t(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("vec_id", dbl.alias("v"))
+    cent = base.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") / 50).cast("long").alias("cid"),
+        F.col("v").alias("cv"),
+    )
+
+    def l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def argmin_cid(cents_col):
+        """Fold the broadcast (cid, cv) array to the nearest centroid's
+        cid: map each centroid to (round(L2²,6), cid) once, then keep
+        the first strict minimum — the array is cid-ascending
+        (array_sort on structs orders by cid, the leading field), so
+        ties break to the smaller cid, matching the oracle's
+        row_number ORDER BY d2, cid."""
+        scored = F.transform(
+            cents_col,
+            lambda c: F.struct(
+                F.round(l2sq(F.col("v"), c["cv"]), 6).alias("d2"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        init = F.struct(
+            F.lit(float("inf")).alias("d2"), F.lit(-1).cast("long").alias("cid")
+        )
+        return F.aggregate(
+            scored,
+            init,
+            lambda acc, x: F.when(x["d2"] < acc["d2"], x).otherwise(acc),
+            lambda acc: acc["cid"],
+        )
+
+    assign = None
+    for _ in range(_KM_ITERS):
+        cents_row = cent.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents")
+        )
+        assign = (
+            base.crossJoin(F.broadcast(cents_row))
+            .select("vec_id", "v", argmin_cid(F.col("cents")).alias("cid"))
+        )
+        cent = assign.groupBy("cid").agg(
+            F.array(
+                *[
+                    F.round(F.avg(F.element_at("v", i)), 6)
+                    for i in range(1, _KM_DIM + 1)
+                ]
+            ).alias("cv")
+        )
+    # The final assignment feeds both the stats aggregate and (via the
+    # centroid relation) the output join — unpersisted, each consumer
+    # re-executes the whole 3-iteration Lloyd chain (measured: 18
+    # shuffle exchanges vs 8). The persisted assignment table is the
+    # standard k-means artifact at scale; centroids are k rows.
+    assign = assign.persist()
+    cent = cent.persist()
+    stats = (
+        assign.join(F.broadcast(cent), "cid")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg(F.sqrt(l2sq("v", "cv"))), 4).alias("avg_dist"),
+        )
+    )
+    return stats.join(F.broadcast(cent), "cid").select(
+        F.col("cid").alias("cluster_id"),
+        "n_members",
+        "avg_dist",
+        *[
+            F.round(F.element_at("cv", i), 6).alias(f"c{i}")
+            for i in range(1, 5)
+        ],
+    )

@@ -37,6 +37,9 @@ BNLJ_ALLOWED = {
                                # event-type dimension
     "q_llm_tfidf",             # 1-row corpus-size aggregate broadcast-
                                # crossed into the term-score relation
+    "q_llm_kmeans",            # 1-row broadcast centroid-array collapse
+                               # crossed into the corpus each iteration
+                               # (map-side argmin fold, no vector shuffle)
 }
 
 # Shuffle-exchange ceilings. Default covers scan→agg/join→window plans;
@@ -60,6 +63,12 @@ MAX_SHUFFLES = {
                                   # (audited: 8)
     "q_llm_tfidf": 9,             # tf agg + df agg + score join + lang agg
                                   # + per-lang top-5 window (audited: 7)
+    "q_llm_kmeans": 20,           # true shuffles = 2/iteration (centroid
+                                  # re-avg + 1-row broadcast collapse) + 2
+                                  # final; the persisted Lloyd chain is
+                                  # EMBEDDED 3x in the plan string by its
+                                  # InMemoryTableScans but executes once
+                                  # (audited string count: 18)
     "q_llm_dedup_clusters": 12,   # label propagation localCheckpoints each
                                   # round, so the final plan is scan+agg; the
                                   # headroom covers AQE variation in the
