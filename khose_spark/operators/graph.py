@@ -202,3 +202,164 @@ def q_llm_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("dropped").isNotNull().cast("long")).alias("n_dropped"),
         F.sum(F.when(kept, F.col("n_chars"))).alias("chars_kept"),
     )
+
+
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 3-iteration PageRank twin over the customer<->supplier
+    trade graph: each iteration sums in-neighbor rank/outdeg, applies
+    damping 0.85 + teleport, and ROUNDS the new rank to 10 decimals —
+    the per-iteration rounding re-syncs both engines' floats exactly as
+    in the k-means oracle (similarity.py), so drift cannot compound."""
+    sql = """
+    WITH pairs AS (
+      SELECT DISTINCT 'C' || o_custkey AS c, 'S' || l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ), outdeg AS (
+      SELECT src, count(*) AS od FROM edges GROUP BY src
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION
+      SELECT DISTINCT dst AS node FROM edges
+    ), n AS (
+      SELECT count(*) AS n_nodes FROM nodes
+    ), r0 AS (
+      SELECT node, round(1.0 / n_nodes, 10) AS r FROM nodes CROSS JOIN n
+    )"""
+    prev = "r0"
+    for it in range(1, _PR_ITERS + 1):
+        sql += f""", dang{it} AS (
+      SELECT coalesce(sum(r), 0.0) AS dang
+      FROM {prev} LEFT JOIN outdeg ON node = src WHERE src IS NULL
+    ), contrib{it} AS (
+      SELECT e.dst AS node, sum(p.r / o.od) AS c
+      FROM edges e
+      JOIN {prev} p ON p.node = e.src
+      JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst
+    ), r{it} AS (
+      SELECT nd.node,
+             round(0.15 / n_nodes
+                   + 0.85 * (coalesce(c.c, 0.0) + dang / n_nodes),
+                   10) AS r
+      FROM nodes nd
+      CROSS JOIN n CROSS JOIN dang{it}
+      LEFT JOIN contrib{it} c ON c.node = nd.node
+    )"""
+        prev = f"r{it}"
+    sql += f"""
+    SELECT node, coalesce(od, 0) AS n_out, pagerank, rk FROM (
+      SELECT node, r AS pagerank,
+             row_number() OVER (ORDER BY r DESC, node ASC) AS rk
+      FROM {prev}
+    ) ranked LEFT JOIN outdeg ON ranked.node = outdeg.src
+    WHERE rk <= 20
+    """
+    return sql
+
+
+@query("q_graph_pagerank", oracle=_pagerank_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 fixed power iterations) over the
+    bipartite customer<->supplier trade graph (an edge per distinct
+    (custkey, suppkey) pair that traded, both directions): top-20 nodes
+    by rank with out-degree — the second fully-oracled ITERATIVE
+    algorithm after q_llm_kmeans, proving the unrolled-CTE hash-check
+    technique generalizes beyond centroid loops to graph propagation.
+
+    Determinism contract: every iteration's rank is ROUNDED to 10
+    decimals before the next propagation (rank sums are continuous, so
+    round(10) is hash-stable per the sqlutil law, and per-iteration
+    rounding re-syncs both engines' floats so reorder noise cannot
+    compound); the top-20 cut totals-orders on (rank DESC, node ASC).
+
+    Scale shape: the edge list is the only corpus-scale relation — it
+    is DISTINCT-deduped once, persisted, and re-joined per iteration
+    keyed on src (at cluster scale: pre-partitioned by src once and
+    reused across all iterations, the standard Pregel layout); ranks
+    and outdeg are node-sized.  Each iteration costs exactly one
+    dst-keyed aggregation shuffle plus node-sized joins; the dangling
+    mass and 1/N teleport ride along as 1-row broadcast crosses, and
+    the final top-20 is a TakeOrderedAndProject (no global sort, no
+    whole-keyspace window)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .persist()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od")).persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_row = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ranks = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node", F.round(F.lit(1.0) / F.col("n_nodes"), 10).alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        dang = (
+            ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dang"))
+        )
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outdeg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("od")).alias("c"))
+        )
+        # Cut lineage per iteration (the connected_components idiom
+        # above): ranks is referenced twice next round (dangling +
+        # contributions), so an uncut chain re-embeds the whole prior
+        # iteration per consumer — measured 725 Exchange nodes in the
+        # 3-iteration plan vs ~10 with the checkpoint. Node-sized, so
+        # the materialization cost is trivial.
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(n_row))
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                F.round(
+                    F.lit(0.15) / F.col("n_nodes")
+                    + F.lit(0.85)
+                    * (F.coalesce(F.col("c"), F.lit(0.0))
+                       + F.col("dang") / F.col("n_nodes")),
+                    10,
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    from pyspark.sql import Window
+
+    top = (
+        ranks.join(outdeg, ranks.node == outdeg.src, "left")
+        .select(
+            "node",
+            F.coalesce(F.col("od"), F.lit(0)).alias("n_out"),
+            F.col("r").alias("pagerank"),
+        )
+        .orderBy(F.desc("pagerank"), F.asc("node"))
+        .limit(20)
+    )
+    w = Window.orderBy(F.desc("pagerank"), F.asc("node"))
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "node", "n_out", "pagerank", "rk"
+    )

@@ -73,6 +73,10 @@ MAX_SHUFFLES = {
                                   # round, so the final plan is scan+agg; the
                                   # headroom covers AQE variation in the
                                   # eager pair-generation stage
+    "q_graph_pagerank": 12,       # power iterations localCheckpoint each
+                                  # round (the final plan sees only the last
+                                  # round: contrib agg + node joins + top-20;
+                                  # audited string count: 10)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
