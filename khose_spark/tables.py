@@ -28,11 +28,20 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Explicit parquet scan — schema comes from
     the footer; predicate pushdown + column pruning apply downstream.
 
-    events.ts is stored as parquet TIMESTAMP(NANOS); Spark reads it as a
-    nanosecond long (legacy.parquet.nanosAsLong) and we convert to
-    TimestampType via exact integer division — same microsecond
-    truncation DuckDB applies, so oracle hashes line up."""
+    Timestamp normalization (fixtures have shipped in two layouts):
+    - TIMESTAMP(NANOS): Spark reads a nanosecond long (with
+      legacy.parquet.nanosAsLong) — convert via exact integer division,
+      the same microsecond truncation DuckDB applies.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+      TIMESTAMP_NTZ — cast to TimestampType. The session is pinned to
+      UTC (session.py), so the cast is value-identical; it matters
+      because several sinks/functions treat NTZ differently (e.g. the
+      CSV/JSON writers format NTZ with timestampNTZFormat, not
+      timestampFormat)."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
