@@ -1,0 +1,246 @@
+"""Deterministic MinHash + LSH recall auditing (SURVEY.md §2.8
+extension).
+
+``q_llm_minhash_lsh`` (operators/llm.py) is rows-only because its
+signatures use Spark's engine-specific ``hash()``. The two operators
+here close that gap with an ENGINE-PORTABLE MinHash (md5-derived, so
+DuckDB recomputes the identical signatures) — making the whole
+MinHash→band→verify pipeline hash-checkable end to end:
+
+* ``q_llm_minhash_det`` — 16-permutation md5 MinHash signatures, a
+  LOSSLESS 8×2 band join (pigeonhole: ≥10 agreeing positions of 16 ⇒
+  ≤6 disagreements ⇒ at least one of 8 bands fully agrees), exact
+  agreement count on candidates only. The oracle computes the naive
+  all-pairs form — a hash match certifies the band join loses nothing.
+* ``q_llm_lsh_recall_audit`` — the measurement every LSH deployment
+  needs: band-candidate recall against the exact-Jaccard ≥0.8 truth
+  set, as exact integer counts + permille recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from khose_spark.operators.llm import shingles
+from khose_spark.registry import query
+from khose_spark.tables import t
+
+_N_HASHES = 16
+_BAND_ROWS = 2  # 8 bands x 2 rows: lossless for <= 7 disagreements
+_MIN_AGREE = 10  # >= 10/16 agreeing positions (est. Jaccard >= ~0.6)
+
+# Shared DuckDB shingle CTE (same idiom as q_llm_neardup_jaccard).
+_SQL_SHINGLES = """
+    words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(w) - 1, 1)),
+                 i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+        FROM words
+      ) WHERE len(string_split(shingle, ' ')) = 3
+    )
+"""
+
+_SQL_SIG = (
+    "sig AS (\n      SELECT doc_id,\n"
+    + ",\n".join(
+        f"             min(md5(concat('{i}|', shingle))) AS s{i}"
+        for i in range(_N_HASHES)
+    )
+    + "\n      FROM sh GROUP BY doc_id\n    )"
+)
+
+_SQL_AGREE = " + ".join(
+    f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(_N_HASHES)
+)
+
+
+def _det_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s0..s15): md5-permutation MinHash signatures — one
+    shuffle on doc_id, map-side partial min. Engine-portable: min over
+    lowercase-hex md5 strings is identical in Spark and DuckDB."""
+    sh = shingles(t(spark, sf_dir, "documents"))
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(
+                f"s{i}"
+            )
+            for i in range(_N_HASHES)
+        ]
+    )
+
+
+def _band_candidates(sig: DataFrame) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one full band.
+    One explode to (doc, band_id, band row values) + one equi-join
+    shuffle on the band key — linear candidate generation, no all-pairs."""
+    n_bands = _N_HASHES // _BAND_ROWS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"s{b * _BAND_ROWS + r}")
+                                for r in range(_BAND_ROWS)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+@query(
+    "q_llm_minhash_det",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_SIG}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST({_SQL_AGREE} AS BIGINT) AS n_agree
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE {_SQL_AGREE} >= {_MIN_AGREE}
+    """,
+)
+def q_llm_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MinHash near-dup detection, hash-checked end to
+    end: 16 md5-permutation minhashes per doc, 8×2 band join for
+    candidates, exact signature-agreement count (≥10/16) on candidates
+    only. The band scheme is LOSSLESS for this threshold (≤6 differing
+    positions cannot cover all 8 bands), so the linear-cost banded plan
+    provably equals the oracle's quadratic all-pairs scan — the
+    certification q_llm_minhash_lsh (engine-specific hash, rows-only)
+    cannot offer.
+
+    Scale: signature agg is one doc_id shuffle; the band join shuffles
+    8 small rows per doc on (band_id, band_key); agreement counting
+    joins the two signature rows per CANDIDATE pair only. At 100 TB the
+    only skew risk is a degenerate band key shared by a huge cluster of
+    true duplicates — exactly the rows you want to find."""
+    sig = _det_signatures(spark, sf_dir).persist()
+    cand = _band_candidates(sig)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.s{i}") == F.col(f"b.s{i}"), 1).otherwise(0)
+        for i in range(_N_HASHES)
+    )
+    return (
+        cand.join(a, cand["id_a"] == F.col("a.doc_id"))
+        .join(b, cand["id_b"] == F.col("b.doc_id"))
+        .select(
+            "id_a", "id_b", agree.cast("long").alias("n_agree")
+        )
+        .filter(F.col("n_agree") >= _MIN_AGREE)
+    )
+
+
+@query(
+    "q_llm_lsh_recall_audit",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_SIG},
+    sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE {" OR ".join(
+          "(" + " AND ".join(
+              f"a.s{b * _BAND_ROWS + r} = b.s{b * _BAND_ROWS + r}"
+              for r in range(_BAND_ROWS)
+          ) + ")"
+          for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    )
+    SELECT (SELECT count(*) FROM exact) AS n_exact,
+           (SELECT count(*) FROM cand) AS n_candidates,
+           (SELECT count(*) FROM exact e
+             JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b) AS n_hit,
+           CASE WHEN (SELECT count(*) FROM exact) = 0 THEN 1000
+                ELSE CAST(((SELECT count(*) FROM exact e
+                            JOIN cand c ON c.id_a = e.id_a
+                                       AND c.id_b = e.id_b) * 2000
+                           + (SELECT count(*) FROM exact))
+                          // (2 * (SELECT count(*) FROM exact)) AS BIGINT)
+           END AS recall_permille
+    """,
+)
+def q_llm_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality gate: band-candidate recall vs the exact-Jaccard
+    ≥0.8 truth set, as one audit row (n_exact, n_candidates, n_hit,
+    half-up permille recall; 1000 when the truth set is empty). This is
+    the measurement that decides bands×rows in production — and because
+    the MinHash here is engine-portable, even the candidate set itself
+    is hash-certified against DuckDB's all-pairs recomputation.
+
+    Scale: truth set via shingle equi-join (the verify tier), candidates
+    via the 8×2 band join — both linear-cost; the audit joins two pair
+    lists and reduces to one row."""
+    d = t(spark, sf_dir, "documents")
+    sh = shingles(d).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    exact = (
+        inter.join(sa, "id_a").join(sb, "id_b").filter(jac >= 0.8)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    cand = _band_candidates(_det_signatures(spark, sf_dir).persist()).persist()
+    hit = exact.join(cand, ["id_a", "id_b"], "left_semi")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    row = n_exact.crossJoin(F.broadcast(n_cand)).crossJoin(F.broadcast(n_hit))
+    recall = F.when(F.col("n_exact") == 0, F.lit(1000).cast("long")).otherwise(
+        F.expr("(n_hit * 2000 + n_exact) DIV (2 * n_exact)").cast("long")
+    )
+    return row.select(
+        "n_exact", "n_candidates", "n_hit", recall.alias("recall_permille")
+    )

@@ -1,0 +1,214 @@
+"""Data-governance / release-curation operators (SURVEY.md §2.12
+extension): k-anonymity auditing before a data release, and target-
+mixture allocation with deterministic backfill — the two governance
+gates a corpus passes through between curation and training.
+
+Both are pure integer pipelines (no floats anywhere), fully
+hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from khose_spark.registry import query
+from khose_spark.tables import t
+
+_KANON_K = 5
+
+
+@query(
+    "q_priv_kanon",
+    oracle=f"""
+    WITH groups AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             count(*) AS n
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_groups,
+           CAST(sum(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_groups_small,
+           CAST(sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
+               AS n_rows_suppressed,
+           CAST(sum(CASE WHEN n >= {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
+               AS n_rows_kept
+    FROM groups GROUP BY c_mktsegment
+    """,
+)
+def q_priv_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier tuple
+    (mktsegment, nationkey, $1000 balance band): per segment, how many
+    QI equivalence classes exist, how many are below k, and how many
+    rows the suppression rule would drop vs keep — the release-gate
+    report a privacy review runs before publishing user-derived data.
+
+    Plan: one shuffle on the QI tuple (map-side partial counts), then a
+    5-row re-agg. At 100 TB identical — group cardinality is bounded by
+    the QI domain, not the row count. The balance band uses floor of an
+    exact-at-boundary division (2-decimal inputs are exact doubles, so
+    value/1000 crosses integer boundaries only at exact multiples),
+    making the banding hash-stable across engines."""
+    groups = (
+        t(spark, sf_dir, "customer")
+        .groupBy(
+            "c_mktsegment",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    small = F.col("n") < _KANON_K
+    return groups.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(small.cast("long")).alias("n_groups_small"),
+        F.sum(F.when(small, F.col("n")).otherwise(0)).alias("n_rows_suppressed"),
+        F.sum(F.when(~small, F.col("n")).otherwise(0)).alias("n_rows_kept"),
+    )
+
+
+# Target document counts per language for the mixture (budget = 270;
+# zh over-subscribed vs availability so backfill triggers at sf<=0.01).
+_MIX_TARGETS = {"en": 60, "de": 40, "es": 40, "fr": 30, "zh": 100}
+
+
+def _sql_target() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {n}" for lang, n in _MIX_TARGETS.items()
+    )
+    return f"CASE lang {whens} ELSE 0 END"
+
+
+@query(
+    "q_llm_dataset_mixture",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(text), doc_id) AS rk
+      FROM documents
+    ), per_lang AS (
+      SELECT lang, CAST({_sql_target()} AS BIGINT) AS target_n,
+             count(*) AS n_avail
+      FROM ranked GROUP BY lang
+    ), pass1 AS (
+      SELECT lang, target_n, n_avail,
+             least(n_avail, target_n) AS take1,
+             n_avail - least(n_avail, target_n) AS surplus
+      FROM per_lang
+    ), backfill AS (
+      SELECT lang, target_n, n_avail, take1, surplus,
+             (SELECT sum(target_n - take1) FROM pass1) AS leftover,
+             coalesce(sum(surplus) OVER (ORDER BY surplus DESC, lang
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum_before
+      FROM pass1
+    ), alloc AS (
+      SELECT lang, target_n, n_avail, take1,
+             CAST(least(surplus, greatest(leftover - cum_before, 0))
+                  AS BIGINT) AS take2
+      FROM backfill
+    )
+    SELECT a.lang, a.target_n, a.n_avail, a.take1, a.take2,
+           CAST(a.take1 + a.take2 AS BIGINT) AS n_taken,
+           CAST(coalesce(sum(r.n_chars), 0) AS BIGINT) AS sum_chars
+    FROM alloc a
+    LEFT JOIN ranked r ON r.lang = a.lang AND r.rk <= a.take1 + a.take2
+    GROUP BY 1, 2, 3, 4, 5, 6
+    """,
+)
+def q_llm_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture allocation: fill fixed per-language targets
+    (en 60 / de 40 / es 40 / fr 30 / zh 100, budget 270 — zh is
+    deliberately over-subscribed so the backfill path is exercised) from the corpus
+    in deterministic md5(text) order, then BACKFILL any unmet budget
+    from surplus languages greedily (largest surplus first, lang asc
+    tiebreak) via a 5-row cumulative window — the mixture-weights
+    materialization step of a pretraining data recipe.
+
+    Plan: one lang-partitioned window ranks documents (content-stable
+    md5 order — cluster-size independent, like q_llm_split_assign); the
+    allocation itself runs on a 5-row relation (1-row leftover
+    broadcast + cumulative window); the final chars audit joins the
+    5-row allocation back into the ranked corpus broadcast-side. All
+    integers, fully hash-checked."""
+    d = t(spark, sf_dir, "documents")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id"))
+        .alias("rk"),
+    ).persist()
+    target = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(n))
+            for lang, n in _MIX_TARGETS.items()
+        ],
+        F.lit(0),
+    ).cast("long")
+    per_lang = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_avail")
+    ).select("lang", target.alias("target_n"), "n_avail")
+    pass1 = per_lang.select(
+        "lang",
+        "target_n",
+        "n_avail",
+        F.least("n_avail", "target_n").alias("take1"),
+        (F.col("n_avail") - F.least("n_avail", "target_n")).alias("surplus"),
+    )
+    leftover = pass1.agg(
+        F.sum(F.col("target_n") - F.col("take1")).alias("leftover")
+    )
+    w_cum = (
+        Window.orderBy(F.desc("surplus"), "lang")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    alloc = (
+        pass1.crossJoin(F.broadcast(leftover))
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("surplus").over(w_cum), F.lit(0))
+        )
+        .select(
+            "lang",
+            "target_n",
+            "n_avail",
+            "take1",
+            F.least(
+                F.col("surplus"),
+                F.greatest(F.col("leftover") - F.col("cum_before"), F.lit(0)),
+            ).alias("take2"),
+        )
+    )
+    taken = ranked.alias("r").join(
+        F.broadcast(alloc).alias("a"),
+        (F.col("r.lang") == F.col("a.lang"))
+        & (F.col("r.rk") <= F.col("a.take1") + F.col("a.take2")),
+        "right",
+    )
+    return (
+        taken.groupBy(
+            F.col("a.lang").alias("lang"),
+            F.col("a.target_n").alias("target_n"),
+            F.col("a.n_avail").alias("n_avail"),
+            F.col("a.take1").alias("take1"),
+            F.col("a.take2").alias("take2"),
+        )
+        .agg(
+            F.coalesce(F.sum("r.n_chars"), F.lit(0))
+            .cast("long")
+            .alias("sum_chars")
+        )
+        .select(
+            "lang",
+            "target_n",
+            "n_avail",
+            "take1",
+            "take2",
+            (F.col("take1") + F.col("take2")).alias("n_taken"),
+            "sum_chars",
+        )
+    )
