@@ -418,3 +418,44 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 4).alias("skew"),
         F.round(kurt, 4).alias("kurt_excess"),
     )
+
+
+@query(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    WITH words AS (
+      SELECT event_type, user_id // 63 AS word_idx,
+             bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS word
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(sum(bit_count(word)) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_words
+    FROM words GROUP BY event_type
+    """,
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) via 63-bit bitmap words — the
+    roaring-bitmap pattern: users hash into (word_idx = id div 63,
+    bit = id mod 63) and each word is OR-folded map-side, so the
+    shuffle carries one long per (type, word) instead of one row per
+    distinct user and never goes through Spark's Expand rewrite (which
+    q_agg_count_distinct exercises). At 100 TB with ~10^9 users this is
+    ~16 MB of bitmap per event type — the standard audience-overlap /
+    segmentation structure. 63 bits (not 64) keeps every shifted value
+    positive, dodging DuckDB's signed-overflow checks.
+
+    Both engines fold identical integer words, so even the per-type
+    word counts hash-match exactly."""
+    e = t(spark, sf_dir, "events")
+    words = e.groupBy(
+        "event_type", (F.col("user_id") / 63).cast("long").alias("word_idx")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(1L, CAST(user_id % 63 AS INT)))"
+        ).alias("word")
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+    )

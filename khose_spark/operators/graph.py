@@ -363,3 +363,79 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rk", F.row_number().over(w)).select(
         "node", "n_out", "pagerank", "rk"
     )
+
+
+_COOC_DEG_CAP = 50
+_COOC_MIN_SHARED = 5
+
+
+@query(
+    "q_graph_cooccurrence",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS custkey, l.l_suppkey AS suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), deg AS (
+      SELECT custkey, count(*) AS d FROM edges GROUP BY custkey
+    ), capped AS (
+      SELECT e.custkey, e.suppkey FROM edges e
+      JOIN deg ON deg.custkey = e.custkey
+      WHERE deg.d <= {_COOC_DEG_CAP}
+    ), pairs AS (
+      SELECT a.suppkey AS s_a, b.suppkey AS s_b, count(*) AS n_shared
+      FROM capped a JOIN capped b
+        ON a.custkey = b.custkey AND a.suppkey < b.suppkey
+      GROUP BY 1, 2
+    )
+    SELECT s_a, s_b, n_shared FROM pairs
+    WHERE n_shared >= {_COOC_MIN_SHARED}
+    ORDER BY n_shared DESC, s_a, s_b
+    LIMIT 20
+    """,
+)
+def q_graph_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence mining (market-basket shape) on the trade graph:
+    top-20 supplier pairs by number of shared customers. The classic
+    item-item co-occurrence join — the first stage of collaborative
+    filtering and of co-citation/co-purchase graph construction.
+
+    Scale posture: the pair join explodes quadratically PER CUSTOMER,
+    so high-degree customers are capped (deg <= 50) before pairing —
+    the standard frequency-cap that bounds the blow-up to deg*cap per
+    row (at 100 TB you'd also hash-bucket the remaining hot keys). The
+    cap is part of the CONTRACT (both engines apply it), not a silent
+    truncation; the distinct edge list is one shuffle, the pair count
+    one more on (s_a, s_b), and the top-20 is TakeOrdered with
+    deterministic (count desc, pair asc) ordering — no global sort."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("custkey").agg(F.count(F.lit(1)).alias("d"))
+    capped = edges.join(
+        deg.filter(F.col("d") <= _COOC_DEG_CAP).select("custkey"),
+        "custkey",
+        "left_semi",
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.custkey") == F.col("b.custkey"))
+            & (F.col("a.suppkey") < F.col("b.suppkey")),
+        )
+        .groupBy(
+            F.col("a.suppkey").alias("s_a"), F.col("b.suppkey").alias("s_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _COOC_MIN_SHARED)
+    )
+    return pairs.orderBy(F.desc("n_shared"), "s_a", "s_b").limit(20)

@@ -774,3 +774,63 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(1, 5)
         ],
     )
+
+
+@query(
+    "q_llm_embed_pool",
+    oracle="""
+    WITH dims AS (
+      SELECT label,
+             unnest(list_transform(range(1, 65),
+                    i -> {'dim': i, 'v': embedding[i]})) AS dv
+      FROM embeddings
+    ), means AS (
+      SELECT label, dv.dim AS dim,
+             round(avg(CAST(dv.v AS DOUBLE)), 6) AS m
+      FROM dims GROUP BY 1, 2
+    ), vecs AS (
+      SELECT label, count(*) AS n_dims,
+             round(sqrt(sum(m * m)), 4) AS centroid_norm,
+             round(max(abs(m)), 6) AS max_abs_dim
+      FROM means GROUP BY label
+    )
+    SELECT v.label, n.n_vecs, v.n_dims, v.centroid_norm, v.max_abs_dim
+    FROM vecs v JOIN (
+      SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label
+    ) n ON n.label = v.label
+    """,
+)
+def q_llm_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroid audit (mean pooling): average the
+    64-d vectors within each label, report the centroid's L2 norm and
+    largest component — the pre-flight QA for classifier prototypes /
+    nearest-centroid search (and the aggregation step of k-means,
+    audited standalone). Output is scalar-only (parity law: no array
+    columns ever reach the driver canon).
+
+    Plan: posexplode to (label, dim, value) — 64 rows per vector,
+    map-side — then ONE shuffle to the (label, dim) grid (cardinality
+    640, fixed), then a 10-row re-agg. At 100 TB the partial aggs fold
+    vectors into 640 running sums per mapper; nothing ever shuffles a
+    raw vector. Per-dim means are rounded to 6 before the norm so both
+    engines fold identical doubles (partial-agg order noise ~1e-15 is
+    absorbed; the norm itself then rounds to 4)."""
+    e = t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))),
+    ).select("label", (F.col("pos") + 1).alias("dim"), F.col("col").alias("v"))
+    means = dims.groupBy("label", "dim").agg(
+        F.round(F.avg("v"), 6).alias("m")
+    )
+    vecs = means.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias(
+            "centroid_norm"
+        ),
+        F.round(F.max(F.abs("m")), 6).alias("max_abs_dim"),
+    )
+    n_vecs = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return vecs.join(F.broadcast(n_vecs), "label").select(
+        "label", "n_vecs", "n_dims", "centroid_norm", "max_abs_dim"
+    )

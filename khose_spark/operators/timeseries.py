@@ -525,3 +525,60 @@ def q_ts_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(pairs)}, {stack_args}) AS (metric_a, metric_b, corr_ab)",
         "n_days",
     ).select("metric_a", "metric_b", "corr_ab", "n_days")
+
+
+@query(
+    "q_ts_seasonality",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hr,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+                 AS cents
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, sum(cents) AS tot_cents FROM hourly GROUP BY 1
+    )
+    SELECT h.event_type, h.hr, h.n,
+           CAST(round(CAST(h.cents AS DECIMAL(28,4)) / 100, 2) AS DOUBLE)
+               AS sum_value,
+           CAST((2 * h.cents * 1000 + t.tot_cents)
+                // (2 * t.tot_cents) AS BIGINT) AS spend_permille
+    FROM hourly h JOIN tot t ON t.event_type = h.event_type
+    """,
+)
+def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: event count,
+    exact-decimal spend, and each hour's half-up permille share of the
+    type's total spend — the diurnal-load heatmap behind capacity
+    planning and anomaly baselines (q_ts_anomaly's spiritual sibling on
+    the time axis instead of the user axis).
+
+    Plan: one shuffle to the (type, hour) grid (cardinality 120 — fixed
+    regardless of input size), then the type totals come from a window
+    over the POST-AGG rows (24 rows per partition, never the raw
+    events). Shares are computed in integer cent space with the same
+    half-up idiom as q_scan_key_skew's permille — no float ratio ever
+    exists, so the hash is exact at any scale."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .alias("cents"),
+    )
+    w_type = Window.partitionBy("event_type")
+    shared = hourly.withColumn("tot_cents", F.sum("cents").over(w_type))
+    return shared.select(
+        "event_type",
+        "hr",
+        "n",
+        F.round(
+            (F.col("cents").cast("decimal(28,4)") / 100), 2
+        ).cast("double").alias("sum_value"),
+        F.expr(
+            "CAST((2 * cents * 1000 + tot_cents) DIV (2 * tot_cents)"
+            " AS BIGINT)"
+        ).alias("spend_permille"),
+    )

@@ -40,6 +40,14 @@ BNLJ_ALLOWED = {
     "q_llm_kmeans",            # 1-row broadcast centroid-array collapse
                                # crossed into the corpus each iteration
                                # (map-side argmin fold, no vector shuffle)
+    "q_llm_bm25",              # 1-row corpus-stats (N, avgdl) aggregate
+                               # broadcast-crossed into the tf relation
+    "q_llm_bigram_lm",         # 1-row vocabulary-size aggregate
+                               # broadcast-crossed into the bigram stream
+    "q_llm_dataset_mixture",   # 1-row leftover-budget aggregate
+                               # broadcast-crossed into the 5-row alloc
+    "q_llm_lsh_recall_audit",  # three 1-row count aggregates
+                               # broadcast-crossed into one audit row
 }
 
 # Shuffle-exchange ceilings. Default covers scan→agg/join→window plans;
@@ -77,6 +85,29 @@ MAX_SHUFFLES = {
                                   # round (the final plan sees only the last
                                   # round: contrib agg + node joins + top-20;
                                   # audited string count: 10)
+    "q_llm_bm25": 6,              # tf doc_id agg + 3-row df agg + scored
+                                  # doc agg + TakeOrdered (audited: 5)
+    "q_llm_bigram_lm": 8,         # c12/c1/vocab model aggs + per-doc NLL
+                                  # agg + 5-row lang agg (audited: 6)
+    "q_llm_bpe_merges": 80,       # true shuffles ~6/round (doc windows +
+                                  # pair agg + run-island windows); the
+                                  # persisted per-round stream is EMBEDDED
+                                  # multiplicatively in the plan string by
+                                  # its InMemoryTableScans across 3 rounds
+                                  # (audited string count: 72)
+    "q_llm_dataset_mixture": 8,   # lang window + per-lang agg + 5-row
+                                  # alloc window + chars audit join
+                                  # (audited: 7)
+    "q_llm_lsh_recall_audit": 20, # exact tier (shingle self-join + size
+                                  # joins) + band tier (sig agg + band
+                                  # join) + 3 count aggs; persisted sh/sig
+                                  # subplans embedded 2-3x in the string
+                                  # (audited: 17)
+    "q_llm_minhash_det": 6,       # sig agg + band self-join + distinct +
+                                  # 2 sig-lookup joins (audited: 5)
+    "q_graph_cooccurrence": 10,   # distinct edges + degree agg + semi
+                                  # join + pair agg; persisted edge list
+                                  # embedded 3x in the string (audited: 9)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
