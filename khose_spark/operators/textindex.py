@@ -361,3 +361,303 @@ def q_llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     out = reduce(lambda a, b: a.unionAll(b), tops)
     return out
+
+
+@query(
+    "q_llm_ngram_novelty",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, lang, shingle FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(
+                 range(1, greatest(len(w) - 1, 1)),
+                 i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+        FROM words
+      ) WHERE len(string_split(shingle, ' ')) = 3
+    ), firsts AS (
+      SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+    ), per_doc AS (
+      SELECT s.doc_id, s.lang, count(*) AS n_shingles,
+             CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM sh s JOIN firsts f ON f.shingle = s.shingle
+      GROUP BY 1, 2
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_shingles) AS BIGINT) AS total_shingles,
+           CAST(sum(n_novel) AS BIGINT) AS total_novel,
+           CAST((2 * sum(n_novel) * 1000 + sum(n_shingles))
+                // (2 * sum(n_shingles)) AS BIGINT) AS novelty_permille
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty attribution: charge each distinct 3-gram to the
+    FIRST document (min doc_id) that contributes it, then report per
+    language how much of each doc's shingle mass is corpus-novel — the
+    "how much new text does this source actually add" measure that
+    drives crawl-source valuation and incremental-dedup budgeting.
+
+    Plan: distinct per-doc shingles map-side (array_distinct — no
+    cross-row distinct), one shuffle to find each shingle's first doc,
+    one broadcast-back join keyed on the shingle, per-doc + per-lang
+    aggs. Linear at 100 TB: the firsts relation is the corpus shingle
+    vocabulary (the same relation an incremental dedup index
+    maintains). Novelty share is half-up integer permille — no floats.
+    """
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    sh = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(shingle_array(words, 3))).alias("shingle"),
+    )
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_shingles").cast("long").alias("total_shingles"),
+        F.sum("n_novel").cast("long").alias("total_novel"),
+        F.expr(
+            "CAST((2 * sum(n_novel) * 1000 + sum(n_shingles))"
+            " DIV (2 * sum(n_shingles)) AS BIGINT)"
+        ).alias("novelty_permille"),
+    )
+
+
+_WINNOW_W = 4  # positions per winnowing window
+
+
+@query(
+    "q_llm_winnowing",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ), pos_sh AS (
+      SELECT doc_id, lang, CAST(p.pos AS BIGINT) AS pos, md5(p.sh) AS h
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(
+                 range(1, greatest(len(w) - 1, 1)),
+                 i -> {{'pos': i,
+                       'sh': concat_ws(' ', w[i], w[i+1], w[i+2])}})) AS p
+        FROM words WHERE len(w) >= 3
+      )
+    ), windowed AS (
+      SELECT doc_id, lang, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_WINNOW_W - 1} FOLLOWING) AS minimizer,
+             count(*) OVER (PARTITION BY doc_id) AS m
+      FROM pos_sh
+    ), full_windows AS (
+      SELECT doc_id, lang, minimizer FROM windowed
+      WHERE pos <= m - {_WINNOW_W - 1}
+    ), per_doc AS (
+      SELECT doc_id, lang, count(*) AS n_windows,
+             count(DISTINCT minimizer) AS n_fingerprints
+      FROM full_windows GROUP BY 1, 2
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_windows) AS BIGINT) AS total_windows,
+           CAST(sum(n_fingerprints) AS BIGINT) AS total_fingerprints,
+           CAST((2 * sum(n_fingerprints) * 1000 + sum(n_windows))
+                // (2 * sum(n_windows)) AS BIGINT) AS density_permille
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing minimizer sampling (the MOSS/minimizer fingerprint
+    scheme, and the real algorithm behind q_llm_fingerprint's global-min
+    simplification): hash every positional 3-gram, slide a 4-window over
+    the hash sequence, keep each window's minimum — guaranteeing a
+    fingerprint at least every 4 positions while sampling ~2/(w+1) of
+    hashes. Reports per-language fingerprint density (selected distinct
+    minima per window, half-up permille).
+
+    Plan: positional shingles + md5 map-side; ONE doc_id-partitioned
+    window pass computes all sliding minima (rows frame — no
+    self-join); per-doc distinct counts ride the same doc_id
+    partitioning. Linear and partition-local at 100 TB: a document
+    never crosses partitions."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    pos_sh = d.filter(F.size(words) >= 3).select(
+        "doc_id",
+        "lang",
+        F.posexplode(shingle_array(words, 3)).alias("pos0", "sh"),
+    ).select(
+        "doc_id",
+        "lang",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.md5("sh").alias("h"),
+    )
+    w_slide = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, _WINNOW_W - 1)
+    )
+    w_doc = Window.partitionBy("doc_id")
+    windowed = pos_sh.select(
+        "doc_id",
+        "lang",
+        "pos",
+        F.min("h").over(w_slide).alias("minimizer"),
+        F.count(F.lit(1)).over(w_doc).alias("m"),
+    )
+    per_doc = (
+        windowed.filter(F.col("pos") <= F.col("m") - (_WINNOW_W - 1))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.countDistinct("minimizer").alias("n_fingerprints"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_windows").cast("long").alias("total_windows"),
+        F.sum("n_fingerprints").cast("long").alias("total_fingerprints"),
+        F.expr(
+            "CAST((2 * sum(n_fingerprints) * 1000 + sum(n_windows))"
+            " DIV (2 * sum(n_windows)) AS BIGINT)"
+        ).alias("density_permille"),
+    )
+
+
+@query(
+    "q_ml_naive_bayes",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ), toks AS (
+      SELECT doc_id, lang, unnest(w) AS term FROM docs
+    ), langs AS (
+      SELECT lang AS model_lang, count(DISTINCT doc_id) AS n_docs,
+             count(*) AS c_l
+      FROM toks GROUP BY lang
+    ), n_total AS (
+      SELECT count(*) AS n FROM documents
+    ), vocab AS (
+      SELECT count(DISTINCT term) AS v FROM toks
+    ), counts AS (
+      SELECT lang AS model_lang, term, count(*) AS c_lt
+      FROM toks GROUP BY 1, 2
+    ), dense AS (
+      SELECT tm.term, lg.model_lang, lg.n_docs, lg.c_l,
+             coalesce(c.c_lt, 0) AS c_lt
+      FROM (SELECT DISTINCT term FROM toks) tm
+      CROSS JOIN langs lg
+      LEFT JOIN counts c
+        ON c.term = tm.term AND c.model_lang = lg.model_lang
+    ), scored AS (
+      SELECT s.doc_id, s.lang AS true_lang, d.model_lang,
+             round(ln(CAST(d.n_docs AS DOUBLE) / nt.n)
+                   + sum(ln((d.c_lt + 1.0) / (d.c_l + vb.v))), 6) AS score
+      FROM toks s
+      JOIN dense d ON d.term = s.term
+      CROSS JOIN n_total nt
+      CROSS JOIN vocab vb
+      GROUP BY s.doc_id, s.lang, d.model_lang, d.n_docs, d.c_l, nt.n, vb.v
+    ), pred AS (
+      SELECT doc_id, true_lang, model_lang AS pred_lang
+      FROM (
+        SELECT doc_id, true_lang, model_lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, model_lang) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT true_lang, pred_lang, count(*) AS n_docs
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def q_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained and
+    evaluated on the corpus (resubstitution — the standard smoke test
+    of a text-classification pipeline): add-one-smoothed per-class term
+    likelihoods + log priors, argmax over the 5 classes per document,
+    output the confusion matrix against the labeled lang column.
+
+    Plan — the canonical map-reduce NB shape: the model (dense V×5
+    term-likelihood grid, class totals, vocab size) comes from
+    vocabulary-bounded aggregates and is BROADCAST back into the token
+    stream; scoring is one doc_id-keyed aggregation; the argmax is a
+    5-row-per-doc window. Nothing quadratic, nothing driver-side, model
+    size independent of corpus row count — at 100 TB only the token
+    scan grows.
+
+    Determinism: per-(doc, class) scores are sums of identical-rational
+    logs, rounded to 6 before the argmax so both engines rank identical
+    values; class-name tiebreak on exact ties."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    ).persist()
+    langs = toks.groupBy(F.col("lang").alias("model_lang")).agg(
+        F.countDistinct("doc_id").alias("n_docs_l"),
+        F.count(F.lit(1)).alias("c_l"),
+    )
+    n_total = d.agg(F.count(F.lit(1)).alias("n"))
+    vocab = toks.agg(F.countDistinct("term").alias("v"))
+    counts = toks.groupBy(F.col("lang").alias("model_lang"), "term").agg(
+        F.count(F.lit(1)).alias("c_lt")
+    )
+    terms = toks.select("term").distinct()
+    dense = (
+        terms.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(counts), ["term", "model_lang"], "left")
+        .select(
+            "term",
+            "model_lang",
+            "n_docs_l",
+            "c_l",
+            F.coalesce("c_lt", F.lit(0)).alias("c_lt"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(dense), "term")
+        .crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            "model_lang",
+            "n_docs_l",
+            "c_l",
+            "n",
+            "v",
+        )
+        .agg(F.sum(F.log((F.col("c_lt") + 1.0) / (F.col("c_l") + F.col("v")))).alias("ll"))
+        .select(
+            "doc_id",
+            "true_lang",
+            "model_lang",
+            F.round(
+                F.log(F.col("n_docs_l").cast("double") / F.col("n"))
+                + F.col("ll"),
+                6,
+            ).alias("score"),
+        )
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), "model_lang"
+    )
+    pred = (
+        scored.withColumn("rk", F.row_number().over(w_doc))
+        .filter(F.col("rk") == 1)
+        .select("true_lang", F.col("model_lang").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

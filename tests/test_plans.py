@@ -48,6 +48,8 @@ BNLJ_ALLOWED = {
                                # broadcast-crossed into the 5-row alloc
     "q_llm_lsh_recall_audit",  # three 1-row count aggregates
                                # broadcast-crossed into one audit row
+    "q_ml_naive_bayes",        # 1-row corpus-size + vocab-size aggregates
+                               # broadcast-crossed into the scoring stream
 }
 
 # Shuffle-exchange ceilings. Default covers scan→agg/join→window plans;
@@ -108,6 +110,15 @@ MAX_SHUFFLES = {
     "q_graph_cooccurrence": 10,   # distinct edges + degree agg + semi
                                   # join + pair agg; persisted edge list
                                   # embedded 3x in the string (audited: 9)
+    "q_ml_naive_bayes": 12,       # model aggs (class totals, vocab, dense
+                                  # grid) + per-(doc,class) scoring agg +
+                                  # argmax window; persisted token stream
+                                  # embedded across consumers (audited: 10)
+    "q_llm_ngram_novelty": 6,     # shingle firsts agg + shingle-keyed
+                                  # join-back + per-doc + per-lang aggs
+                                  # (audited: 4; headroom for AQE)
+    "q_llm_winnowing": 6,         # one doc window pass + per-doc distinct
+                                  # agg + per-lang agg (audited: 4)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
