@@ -56,6 +56,10 @@ HEADLINE = [
     "q_dq_expectations",
     "q_scd2_history",
     "q_ts_interpolate",
+    "q_llm_bpe_merges",
+    "q_ml_naive_bayes",
+    "q_llm_minhash_det",
+    "q_agg_bitmap_distinct",
 ]
 
 
@@ -87,8 +91,13 @@ def run_ingest(spark, sf_dir: str) -> dict:
     # small-files anti-pattern); coalesce(1) gives one file per
     # partition-dir per micro-batch. Production at 100 TB flips these
     # to "day" + parallel writers — same code path.
+    # 4 chunk files per micro-batch: the per-batch fixed cost
+    # (incremental plan + WAL + manifest commit) dominates at this
+    # volume, so batching is the honest throughput knob — a real
+    # Kinesis consumer does exactly this by raising its GetRecords
+    # batch size. Convergence tests keep files_per_trigger=1.
     ingest_to_parquet(
-        parse_envelope(kinesis_stream(spark, chunks)),
+        parse_envelope(kinesis_stream(spark, chunks, files_per_trigger=4)),
         out,
         ckpt,
         partition_granularity="month",

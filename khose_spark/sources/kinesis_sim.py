@@ -91,10 +91,19 @@ def file_stream(spark: SparkSession, chunk_dir: str, files_per_trigger: int = 1)
     )
 
 
-def kinesis_stream(spark: SparkSession, chunk_dir: str) -> DataFrame:
+def kinesis_stream(
+    spark: SparkSession, chunk_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
     """Streaming DataFrame in the Kinesis record envelope: each event
-    becomes (shardId, sequenceNumber, data=JSON bytes, arrival ts)."""
-    raw = file_stream(spark, chunk_dir)
+    becomes (shardId, sequenceNumber, data=JSON bytes, arrival ts).
+
+    ``files_per_trigger`` is the throughput/latency knob: 1 replays one
+    chunk per micro-batch (max batches — what the convergence tests
+    want, since they assert per-batch semantics), larger values
+    amortize the fixed per-batch cost (incremental planning + WAL +
+    manifest commit) over more rows — the setting a throughput-bound
+    production ingest runs with."""
+    raw = file_stream(spark, chunk_dir, files_per_trigger=files_per_trigger)
     payload = F.to_json(
         F.struct("event_id", "ts", "user_id", "event_type", "value", "props"),
         {"timestampFormat": _TS_FMT},
