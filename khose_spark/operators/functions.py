@@ -489,3 +489,75 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("ref").alias("n_ref_values"),
         F.min("utm").alias("min_utm"),
     )
+
+
+@query(
+    "q_fn_geo_haversine",
+    oracle="""
+    WITH coords AS (
+      SELECT n_nationkey, n_name,
+             CAST((n_nationkey * 7) % 120 - 60 AS DOUBLE) + 0.5 AS lat,
+             CAST((n_nationkey * 37) % 340 - 170 AS DOUBLE) + 0.25 AS lon
+      FROM nation
+    ), pairs AS (
+      SELECT a.n_name AS name_a, b.n_name AS name_b,
+             2 * 6371.0 * asin(sqrt(
+               pow(sin(radians(b.lat - a.lat) / 2), 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * pow(sin(radians(b.lon - a.lon) / 2), 2))) AS km
+      FROM coords a JOIN coords b ON a.n_nationkey < b.n_nationkey
+    )
+    SELECT name_a, name_b, round(km, 3) AS km
+    FROM pairs ORDER BY round(km, 3), name_a, name_b LIMIT 10
+    """,
+)
+def q_fn_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-analytics function surface: haversine great-circle distance
+    over synthetic nation coordinates (integer-derived, so the inputs
+    are bit-identical in both engines), 10 closest nation pairs. This
+    exercises the trig stack (radians/sin/cos/asin/sqrt/pow) whose
+    cross-engine parity is the risky part of any geo workload — both
+    engines' libm results agree far below the round(3) grid on
+    km-scale values.
+
+    Plan: 25-row dimension self-joined (300 pairs — broadcast,
+    tiny-by-construction) + TakeOrdered; at 100 TB the same haversine
+    expression runs map-side over a point table against broadcast
+    reference geometry (the geo-join pattern), so the function surface
+    is what matters here, not the join size."""
+    n = t(spark, sf_dir, "nation")
+    coords = n.select(
+        "n_nationkey",
+        "n_name",
+        ((F.col("n_nationkey") * 7) % 120 - 60).cast("double").alias("lat0"),
+        ((F.col("n_nationkey") * 37) % 340 - 170).cast("double").alias("lon0"),
+    ).select(
+        "n_nationkey",
+        "n_name",
+        (F.col("lat0") + 0.5).alias("lat"),
+        (F.col("lon0") + 0.25).alias("lon"),
+    )
+    a = coords.alias("a")
+    b = coords.alias("b")
+    km = (
+        2
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("b.lat") - F.col("a.lat")) / 2), 2)
+                + F.cos(F.radians("a.lat"))
+                * F.cos(F.radians("b.lat"))
+                * F.pow(
+                    F.sin(F.radians(F.col("b.lon") - F.col("a.lon")) / 2), 2
+                )
+            )
+        )
+    )
+    pairs = a.join(
+        b, F.col("a.n_nationkey") < F.col("b.n_nationkey")
+    ).select(
+        F.col("a.n_name").alias("name_a"),
+        F.col("b.n_name").alias("name_b"),
+        F.round(km, 3).alias("km"),
+    )
+    return pairs.orderBy("km", "name_a", "name_b").limit(10)

@@ -439,3 +439,88 @@ def q_graph_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= _COOC_MIN_SHARED)
     )
     return pairs.orderBy(F.desc("n_shared"), "s_a", "s_b").limit(20)
+
+
+@query(
+    "q_graph_supplier_similarity",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS custkey, l.l_suppkey AS suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), deg AS (
+      SELECT suppkey, count(*) AS d FROM edges GROUP BY suppkey
+    ), inter AS (
+      SELECT a.suppkey AS s_a, b.suppkey AS s_b, count(*) AS n_common
+      FROM edges a JOIN edges b
+        ON a.custkey = b.custkey AND a.suppkey < b.suppkey
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT s_a, s_b, n_common, da.d AS deg_a, db.d AS deg_b,
+             CAST((2 * n_common * 1000 + (da.d + db.d - n_common))
+                  // (2 * (da.d + db.d - n_common)) AS BIGINT)
+                 AS jaccard_permille
+      FROM inter
+      JOIN deg da ON da.suppkey = s_a
+      JOIN deg db ON db.suppkey = s_b
+    )
+    SELECT s_a, s_b, n_common, deg_a, deg_b, jaccard_permille
+    FROM scored
+    ORDER BY jaccard_permille DESC, s_a, s_b
+    LIMIT 20
+    """,
+)
+def q_graph_supplier_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph node similarity: top-20 supplier pairs by Jaccard overlap
+    of their customer neighborhoods (half-up integer permille) — the
+    neighborhood-similarity primitive behind
+    entity resolution and link prediction, and the normalized sibling
+    of q_graph_cooccurrence's raw co-counts.
+
+    Plan: one distinct edge shuffle, a degree agg, the custkey-keyed
+    pair self-join (bounded per key by customer fan-out — the same
+    blow-up q_graph_cooccurrence caps), then two broadcast degree
+    lookups and a TakeOrdered top-20. All-integer similarity — no
+    float ratio exists; absolute Jaccard levels shrink as the graph
+    densifies with scale, so the contract ranks rather than
+    thresholds."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("suppkey").agg(F.count(F.lit(1)).alias("d"))
+    a = edges.alias("a")
+    b = edges.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.custkey") == F.col("b.custkey"))
+            & (F.col("a.suppkey") < F.col("b.suppkey")),
+        )
+        .groupBy(
+            F.col("a.suppkey").alias("s_a"), F.col("b.suppkey").alias("s_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("suppkey").alias("s_a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("suppkey").alias("s_b"), F.col("d").alias("deg_b"))
+    scored = (
+        inter.join(F.broadcast(da), "s_a")
+        .join(F.broadcast(db), "s_b")
+        .withColumn(
+            "jaccard_permille",
+            F.expr(
+                "CAST((2 * n_common * 1000 + (deg_a + deg_b - n_common))"
+                " DIV (2 * (deg_a + deg_b - n_common)) AS BIGINT)"
+            ),
+        )
+    )
+    return scored.select(
+        "s_a", "s_b", "n_common", "deg_a", "deg_b", "jaccard_permille"
+    ).orderBy(F.desc("jaccard_permille"), "s_a", "s_b").limit(20)

@@ -353,3 +353,37 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("lang", "rk", "term", "tfidf")
     )
+
+
+@query(
+    "q_llm_length_histogram",
+    oracle="""
+    WITH bucketed AS (
+      SELECT lang, len(bin(n_chars)) - 1 AS log2_bucket, n_chars
+      FROM documents
+    )
+    SELECT lang, CAST(log2_bucket AS INT) AS log2_bucket,
+           count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM bucketed GROUP BY 1, 2
+    """,
+)
+def q_llm_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram per language — the
+    length-distribution profile every corpus report starts with (and
+    the input to truncation/packing policy choices, cf. q_llm_seq_pack).
+
+    The log2 bucket is computed as len(binary representation) − 1:
+    pure integer arithmetic, because floor(log2(x)) through doubles is
+    NOT portable at exact powers of two (ln(8)/ln(2) can land just
+    below 3.0 in either engine). Map-side bucketing + a tiny
+    (lang × ~5 buckets) aggregation — one shuffle of already-partial
+    counts at any scale."""
+    d = t(spark, sf_dir, "documents")
+    bucket = (F.length(F.bin("n_chars")) - 1).cast("int")
+    return d.groupBy("lang", bucket.alias("log2_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )

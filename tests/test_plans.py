@@ -50,6 +50,9 @@ BNLJ_ALLOWED = {
                                # broadcast-crossed into one audit row
     "q_ml_naive_bayes",        # 1-row corpus-size + vocab-size aggregates
                                # broadcast-crossed into the scoring stream
+    "q_fn_geo_haversine",      # 25-row nation dimension self-paired on a
+                               # < condition (300 pairs, broadcast by
+                               # construction)
 }
 
 # Shuffle-exchange ceilings. Default covers scan→agg/join→window plans;
@@ -119,6 +122,10 @@ MAX_SHUFFLES = {
                                   # (audited: 4; headroom for AQE)
     "q_llm_winnowing": 6,         # one doc window pass + per-doc distinct
                                   # agg + per-lang agg (audited: 4)
+    "q_graph_supplier_similarity": 10,  # distinct edges + degree agg +
+                                  # custkey pair self-join + TakeOrdered;
+                                  # persisted edge list embedded 3x in
+                                  # the plan string (audited: 9)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
