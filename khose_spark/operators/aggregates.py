@@ -459,3 +459,35 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("word")).cast("long").alias("n_users"),
         F.count(F.lit(1)).cast("long").alias("n_words"),
     )
+
+
+@query(
+    "q_agg_geomean",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(exp(avg(ln(l_extendedprice))), 4) AS geo_mean,
+           round(count(*) / sum(1.0 / l_extendedprice), 4) AS harm_mean
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric and harmonic means of extended price per return flag —
+    the two Pythagorean means SQL engines don't ship as builtins,
+    composed from associative one-pass aggregates (avg of logs, sum of
+    reciprocals): the standard distributed reformulation, map-side
+    partial like any sum. Prices are strictly positive so ln is total.
+
+    Both means are continuous ratios of transcendentals — never on a
+    half-decimal boundary — so round(4) absorbs the partial-aggregation
+    float-order noise (≤1e-12 relative at any scale)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.exp(F.avg(F.log("l_extendedprice"))), 4).alias("geo_mean"),
+        F.round(
+            F.count(F.lit(1)) / F.sum(F.lit(1.0) / F.col("l_extendedprice")),
+            4,
+        ).alias("harm_mean"),
+    )

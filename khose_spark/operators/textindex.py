@@ -286,11 +286,19 @@ def q_llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+    return bpe_merge_rounds(stream, _BPE_ROUNDS)
 
+
+def bpe_merge_rounds(stream: DataFrame, rounds: int) -> DataFrame:
+    """Run ``rounds`` BPE merge rounds over a (doc_id, pos, tok) stream;
+    returns (merge_round, left_tok, right_tok, pair_count). Extracted so
+    tests can drive it with handcrafted corpora (overlap runs, ties)
+    against a pure-Python greedy reference (tests/test_bpe_reference.py).
+    """
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     tops = []
     cached = []
-    for r in range(1, _BPE_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         pr = stream.withColumn("nxt", F.lead("tok").over(w_doc)).persist()
         cached.append(pr)
         top = (

@@ -257,3 +257,61 @@ def q_win_ratio_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region_share"
         ),
     )
+
+
+@query(
+    "q_win_nth_value",
+    oracle="""
+    SELECT o_orderpriority,
+           round(first_p, 2) AS top1_price,
+           round(second_p, 2) AS top2_price,
+           round(third_p, 2) AS top3_price
+    FROM (
+      SELECT o_orderpriority,
+             first_value(o_totalprice) OVER w AS first_p,
+             nth_value(o_totalprice, 2) OVER w AS second_p,
+             nth_value(o_totalprice, 3) OVER w AS third_p,
+             row_number() OVER w AS rk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING)
+    ) WHERE rk = 1
+    """,
+)
+def q_win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value window surface: the 1st/2nd/3rd highest order price
+    per priority from ONE full-frame window pass (first_value +
+    nth_value(2,3) + row_number share a single sort), collapsed to one
+    row per priority — the "podium" idiom that would otherwise take a
+    self-join or three. Deterministic ordering via the orderkey
+    tiebreak; 5 output rows at any scale."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            F.first("o_totalprice").over(w).alias("first_p"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_p"),
+            F.nth_value("o_totalprice", 3).over(w).alias("third_p"),
+            F.row_number()
+            .over(
+                Window.partitionBy("o_orderpriority").orderBy(
+                    F.desc("o_totalprice"), "o_orderkey"
+                )
+            )
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderpriority",
+            F.round("first_p", 2).alias("top1_price"),
+            F.round("second_p", 2).alias("top2_price"),
+            F.round("third_p", 2).alias("top3_price"),
+        )
+    )
