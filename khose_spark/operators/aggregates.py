@@ -448,8 +448,12 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both engines fold identical integer words, so even the per-type
     word counts hash-match exactly."""
     e = t(spark, sf_dir, "events")
+    # Integer DIV, not double division + cast: the oracle floor-divides
+    # in bigint space, and the two disagree for negative ids (truncate
+    # vs floor) and past 2^57 (double rounding) — fixture ids are
+    # non-negative but the operator shouldn't rely on that.
     words = e.groupBy(
-        "event_type", (F.col("user_id") / 63).cast("long").alias("word_idx")
+        "event_type", F.expr("user_id DIV 63").alias("word_idx")
     ).agg(
         F.expr(
             "bit_or(shiftleft(1L, CAST(user_id % 63 AS INT)))"

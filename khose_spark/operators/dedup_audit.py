@@ -64,15 +64,23 @@ _SQL_AGREE = " + ".join(
 )
 
 
-def _det_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _det_signatures(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, s0..s15): md5-permutation MinHash signatures — one
     shuffle on doc_id, map-side partial min. Engine-portable: min over
     fixed-width lowercase-hex slices is identical in Spark and DuckDB.
 
     Permutation i uses slice i%4 of digest md5('{i//4}|' || shingle):
     4 md5 evaluations per shingle instead of 16 (see _SQL_SIG note) —
-    measured 3.2s -> 0.9s for the signature stage at sf0.1."""
-    sh = shingles(t(spark, sf_dir, "documents"))
+    measured 3.2s -> 0.9s for the signature stage at sf0.1.
+
+    ``sh`` lets a caller that already materialized the (doc_id,
+    shingle) relation pass it in EXPLICITLY — relying on the cache
+    manager to canonicalize a rebuilt plan onto the persisted one is
+    fragile, and the shingle scan is the dominant cost here."""
+    if sh is None:
+        sh = shingles(t(spark, sf_dir, "documents"))
     digests = [
         F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))) for s in range(4)
     ]
@@ -244,7 +252,9 @@ def q_llm_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .persist()
     )
-    cand = _band_candidates(_det_signatures(spark, sf_dir).persist()).persist()
+    cand = _band_candidates(
+        _det_signatures(spark, sf_dir, sh=sh).persist()
+    ).persist()
     hit = exact.join(cand, ["id_a", "id_b"], "left_semi")
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))

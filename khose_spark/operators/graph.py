@@ -365,6 +365,26 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (custkey, suppkey) trade edges from lineitem ⋈ orders —
+    the shared bipartite edge list for the co-occurrence and
+    neighborhood-similarity queries (q_graph_pagerank builds its own
+    C-/S-prefixed directed variant). Persisted: every consumer feeds it
+    to multiple downstream stages (degree agg + both self-join sides)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .distinct()
+        .persist()
+    )
+
+
 _COOC_DEG_CAP = 50
 _COOC_MIN_SHARED = 5
 
@@ -407,17 +427,7 @@ def q_graph_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation; the distinct edge list is one shuffle, the pair count
     one more on (s_a, s_b), and the top-20 is TakeOrdered with
     deterministic (count desc, pair asc) ordering — no global sort."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            F.col("o_custkey").alias("custkey"),
-            F.col("l_suppkey").alias("suppkey"),
-        )
-        .distinct()
-        .persist()
-    )
+    edges = _trade_edges(spark, sf_dir)
     deg = edges.groupBy("custkey").agg(F.count(F.lit(1)).alias("d"))
     capped = edges.join(
         deg.filter(F.col("d") <= _COOC_DEG_CAP).select("custkey"),
@@ -483,17 +493,7 @@ def q_graph_supplier_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     float ratio exists; absolute Jaccard levels shrink as the graph
     densifies with scale, so the contract ranks rather than
     thresholds."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            F.col("o_custkey").alias("custkey"),
-            F.col("l_suppkey").alias("suppkey"),
-        )
-        .distinct()
-        .persist()
-    )
+    edges = _trade_edges(spark, sf_dir)
     deg = edges.groupBy("suppkey").agg(F.count(F.lit(1)).alias("d"))
     a = edges.alias("a")
     b = edges.alias("b")
