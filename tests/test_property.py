@@ -121,3 +121,53 @@ def test_connected_components_matches_union_find(spark, edges):
         .to_dict("records")
     }
     assert got == _union_find_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# Half-up integer-permille idiom (used by q_ts_seasonality,
+# q_llm_ngram_novelty, q_llm_winnowing, q_graph_supplier_similarity,
+# q_llm_lsh_recall_audit, q_scan_key_skew ...): the claim is that
+#   (2*k*1000 + d) DIV (2*d)  ==  round_half_up(k/d * 1000)
+# for non-negative k <= d, d > 0, in BOTH engines' integer semantics.
+# ---------------------------------------------------------------------------
+
+from decimal import ROUND_HALF_UP, Decimal  # noqa: E402
+
+
+@given(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**12),
+        st.integers(min_value=1, max_value=10**12),
+    ).map(lambda t: (min(t[0], t[1]), max(t[0] or 1, t[1])))
+)
+@settings(max_examples=300, deadline=None)
+def test_halfup_permille_identity(kd):
+    k, d = kd
+    want = int(
+        (Decimal(k) * 1000 / Decimal(d)).quantize(
+            Decimal("1"), rounding=ROUND_HALF_UP
+        )
+    )
+    assert (2 * k * 1000 + d) // (2 * d) == want
+
+
+def test_halfup_permille_cross_engine(spark, ddb):
+    """The same DIV expression through Spark SQL and DuckDB on the
+    boundary cases (exact halves, 0, d itself)."""
+    rows = [(1, 2000), (1, 3), (999, 1000), (0, 7), (7, 7), (499, 998), (500, 1000)]
+    import pandas as pd  # noqa: F811
+
+    pdf = pd.DataFrame(rows, columns=["k", "d"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("halfup_t")
+    ddb.register("halfup_t", pdf)
+    q = "SELECT k, d, (2*k*1000 + d) {DIV} (2*d) AS p FROM halfup_t"
+    got_spark = {
+        (r.k, r.d): r.p
+        for r in spark.sql(q.format(DIV="DIV")).collect()
+    }
+    got_duck = {
+        (k, d): p for k, d, p in ddb.sql(q.format(DIV="//")).fetchall()
+    }
+    assert got_spark == got_duck
+    assert got_spark[(1, 2000)] == 1  # exact half rounds UP
+    assert got_spark[(500, 1000)] == 500
