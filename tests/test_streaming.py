@@ -441,3 +441,21 @@ def test_ingest_small_files_control_and_compaction(spark, sf_dir, chunks):
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_windowed_topk_converges(spark, sf_dir, chunks):
+    """Windowed leaderboard: stream maintains the 6h (window, user)
+    spend aggregate in complete mode; the rank step runs over the
+    materialized sink table and must equal the batch twin end to end."""
+    from khose_spark.operators.streaming import (
+        rank_topk_spenders,
+        windowed_user_spend,
+    )
+
+    stream = windowed_user_spend(file_stream(spark, chunks))
+    run_stream_to_memory(stream, "t_topk_agg", "complete")
+    got = rank_topk_spenders(spark.table("t_topk_agg"))
+    want = rank_topk_spenders(
+        windowed_user_spend(t(spark, sf_dir, "events"))
+    )
+    assert_frames_equal(got, want, "windowed topk")
