@@ -568,11 +568,23 @@ def q_llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def l2sq(a: str, b: str):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        # Unrolled over the fixed 8-dim subspace instead of a
+        # zip_with/aggregate fold: higher-order lambdas run interpreted
+        # per element, and this expression evaluates once per
+        # (vector-subspace × code) candidate — the hot inner product of
+        # the whole PQ pipeline (~5M lambda evals at sf0.1 before;
+        # element_at chains stay inside whole-stage codegen). Addition
+        # order matches the fold ((0+t1)+t2… ≡ t1+t2…), so results are
+        # bit-identical.
+        terms = [
+            (F.element_at(a, i) - F.element_at(b, i))
+            * (F.element_at(a, i) - F.element_at(b, i))
+            for i in range(1, _PQ_DIM + 1)
+        ]
+        out = terms[0]
+        for term in terms[1:]:
+            out = out + term
+        return out
 
     w_assign = Window.partitionBy("vec_id", "sub_id").orderBy(
         F.asc("d2"), F.asc("code")
