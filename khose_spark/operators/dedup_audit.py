@@ -19,7 +19,7 @@ MinHash→band→verify pipeline hash-checkable end to end:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from khose_spark.operators.llm import shingles
@@ -265,4 +265,102 @@ def q_llm_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return row.select(
         "n_exact", "n_candidates", "n_hit", recall.alias("recall_permille")
+    )
+
+
+_CDC_MOD = 16  # expected chunk length ~16 words
+
+
+@query(
+    "q_llm_cdc_chunking",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, lang, CAST(p.pos AS BIGINT) AS pos, p.w AS w
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(ws) + 1),
+                      i -> {{'pos': i, 'w': ws[i]}})) AS p
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
+              FROM documents)
+      )
+    ), flagged AS (
+      SELECT doc_id, lang, pos, w,
+             CASE WHEN (instr('0123456789abcdef', substr(md5(w), 1, 1)) - 1)
+                       % {_CDC_MOD} = 0
+                  THEN 1 ELSE 0 END AS boundary
+      FROM words
+    ), chunked AS (
+      SELECT doc_id, lang, pos, w,
+             sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS chunk_no
+      FROM flagged
+    ), chunks AS (
+      SELECT doc_id, lang, chunk_no,
+             md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash,
+             count(*) AS chunk_len
+      FROM chunked GROUP BY 1, 2, 3
+    )
+    SELECT lang,
+           count(*) AS n_chunks,
+           count(DISTINCT chunk_hash) AS n_distinct_chunks,
+           CAST(sum(chunk_len) AS BIGINT) AS n_words,
+           CAST((2 * count(DISTINCT chunk_hash) * 1000 + count(*))
+                // (2 * count(*)) AS BIGINT) AS unique_permille
+    FROM chunks GROUP BY lang
+    """,
+)
+def q_llm_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the Rabin-fingerprint storage-dedup
+    primitive, word-granular): a chunk boundary opens wherever the
+    word's own hash lands in a fixed residue class (expected chunk
+    length 16 words) — boundaries depend only on CONTENT, so an
+    insertion shifts at most one chunk instead of re-aligning the whole
+    document (the property fixed-size blocking lacks). Per language:
+    chunk count, distinct chunk hashes, and the dedup-relevant
+    unique-chunk permille.
+
+    Plan: per-word boundary flags map-side (one md5 nibble), chunk ids
+    via ONE doc-partitioned running sum, chunk reassembly as a
+    (doc, chunk) aggregation whose ordered concat uses
+    array_sort(collect_list(struct(pos, w))) — deterministic without a
+    sort within the shuffle. Everything is keyed by doc/chunk —
+    linear, skew-free at any corpus size."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split("text", " ")).alias("pos0", "w"),
+    ).select(
+        "doc_id", "lang", (F.col("pos0") + 1).cast("long").alias("pos"), "w"
+    )
+    nibble = F.conv(F.substring(F.md5("w"), 1, 1), 16, 10).cast("int")
+    flagged = words.withColumn(
+        "boundary", ((nibble % _CDC_MOD) == 0).cast("long")
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    chunked = flagged.withColumn("chunk_no", F.sum("boundary").over(w_run))
+    chunk_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "w"))),
+            lambda x: x["w"],
+        ),
+        " ",
+    )
+    chunks = chunked.groupBy("doc_id", "lang", "chunk_no").agg(
+        F.md5(chunk_text).alias("chunk_hash"),
+        F.count(F.lit(1)).alias("chunk_len"),
+    )
+    return chunks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("chunk_hash").alias("n_distinct_chunks"),
+        F.sum("chunk_len").cast("long").alias("n_words"),
+        F.expr(
+            "CAST((2 * count(DISTINCT chunk_hash) * 1000 + count(*))"
+            " DIV (2 * count(*)) AS BIGINT)"
+        ).alias("unique_permille"),
     )
