@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from khose_spark.registry import query
-from khose_spark.sqlutil import dec_sum, sql_dec_sum
+from khose_spark.sqlutil import dec_round, dec_sum, sql_dec_round, sql_dec_sum
 from khose_spark.tables import t
 
 
@@ -494,4 +494,60 @@ def q_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)) / F.sum(F.lit(1.0) / F.col("l_extendedprice")),
             4,
         ).alias("harm_mean"),
+    )
+
+
+@query(
+    "q_agg_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT l_returnflag,
+             {sql_dec_round('quantile_cont(l_extendedprice, 0.5)', 4)}
+                 AS median_price
+      FROM lineitem GROUP BY l_returnflag
+    ), dev AS (
+      SELECT li.l_returnflag, med.median_price,
+             abs(li.l_extendedprice - med.median_price) AS adev
+      FROM lineitem li JOIN med ON med.l_returnflag = li.l_returnflag
+    )
+    SELECT l_returnflag, count(*) AS n,
+           {sql_dec_round('any_value(median_price)', 4)} AS median_price,
+           {sql_dec_round('quantile_cont(adev, 0.5)', 4)} AS mad
+    FROM dev GROUP BY l_returnflag
+    """,
+)
+def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion: median and median-absolute-deviation of
+    extended price per return flag — the outlier-resistant stats pair
+    (vs q_agg_stats' moment-based stddev) every data-quality monitor
+    wants. Two exact-percentile passes with the median broadcast back
+    between them.
+
+    Determinism: exact interpolated medians of 2-decimal inputs land on
+    half-digit boundaries (x.xx5) — the classic cross-engine rounding
+    trap — so every emitted value goes through the DECIMAL-cast
+    half-up round (sqlutil law): the 1-ulp interpolation difference
+    between engines is far below the cast grid, and decimal rounding
+    agrees exactly. Deviations are computed against the ROUNDED median
+    so both engines measure from an identical reference point.
+
+    Scale: percentile is a sort-based aggregate per group (3 groups) —
+    at 100 TB this flips to approx_percentile (sketch, one pass,
+    q_agg_approx_percentile is that twin); the shape (agg → broadcast
+    join-back → agg) is unchanged."""
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        dec_round(
+            F.expr("percentile(l_extendedprice, 0.5)"), 4
+        ).alias("median_price")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "median_price",
+        F.abs(F.col("l_extendedprice") - F.col("median_price")).alias("adev"),
+    )
+    return dev.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_round(F.first("median_price"), 4).alias("median_price"),
+        dec_round(F.expr("percentile(adev, 0.5)"), 4).alias("mad"),
     )
