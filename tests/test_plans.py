@@ -53,6 +53,15 @@ BNLJ_ALLOWED = {
     "q_fn_geo_haversine",      # 25-row nation dimension self-paired on a
                                # < condition (300 pairs, broadcast by
                                # construction)
+    # partsupp synthesis (tpch_partsupp.synth_partsupp): a 1-row
+    # supplier-count aggregate broadcast-crossed into the part
+    # projection — the scalar-subquery idiom; q11 adds a second 1-row
+    # grand-total cross (classic Q11 scalar subquery).
+    "q_tpch_q2_min_cost_supp",
+    "q_tpch_q9_product_profit",
+    "q_tpch_q11_important_stock",
+    "q_tpch_q16_supplier_cnt",
+    "q_tpch_q20_excess_stock",
 }
 
 # Shuffle-exchange ceilings. Default covers scan→agg/join→window plans;

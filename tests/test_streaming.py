@@ -166,6 +166,83 @@ def test_exactly_once_sink_idempotent_restart(spark, sf_dir, chunks):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_exactly_once_sink_crash_recovery(spark, sf_dir, chunks):
+    """Failure injection for khose's defining guarantee (exactly-once
+    file output), at the two crash points the WAL+manifest protocol has
+    to survive:
+
+    (A) Crash AFTER the sink committed its file manifest
+        (``out/_spark_metadata/<b>``) but BEFORE the checkpoint commit
+        log recorded batch b — simulated by deleting the newest
+        ``ckpt/commits/<b>`` marker after a full drain. On restart the
+        engine replays batch b (its offsets are in the WAL, its commit
+        is missing); the file sink finds b already in the manifest and
+        skips the write. Assert: zero duplicate rows, zero loss, and
+        the data-file inventory is byte-for-byte the same set.
+
+    (B) Crash MID-WRITE: a task landed a data file but the batch never
+        reached the manifest — simulated by dropping an orphan parquet
+        copy into a partition dir. The manifest-driven reader must not
+        see it: uncommitted files are invisible, by construction.
+    """
+    base = tempfile.mkdtemp(prefix="khose_crash_")
+    try:
+        out, ckpt = f"{base}/out", f"{base}/ckpt"
+        ingest_to_parquet(file_stream(spark, chunks), out, ckpt)
+
+        def datafiles():
+            return sorted(
+                os.path.join(r, f)
+                for r, _, fs in os.walk(out)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+
+        files_before = datafiles()
+        assert files_before, "sanity: the drain landed data files"
+        batch_ids = [
+            int(c) for c in os.listdir(f"{ckpt}/commits") if c.isdigit()
+        ]
+        newest = max(batch_ids)
+        os.remove(f"{ckpt}/commits/{newest}")  # (A) inject the crash
+        # the local ChecksumFs shadows every log file with a .crc twin;
+        # a real crash loses both, and a stale .crc makes the restart's
+        # commit rename fail a checksum check
+        crc = f"{ckpt}/commits/.{newest}.crc"
+        if os.path.exists(crc):
+            os.remove(crc)
+
+        # restart from the checkpoint: replays batch `newest`
+        ingest_to_parquet(file_stream(spark, chunks), out, ckpt)
+
+        back = spark.read.parquet(out)
+        orig = t(spark, sf_dir, "events")
+        assert back.count() == orig.count(), "replay duplicated or lost rows"
+        assert (
+            back.agg(F.sum("event_id")).first()[0]
+            == orig.agg(F.sum("event_id")).first()[0]
+        )
+        assert datafiles() == files_before, (
+            "replayed batch re-wrote files instead of skipping the "
+            "already-manifested batch"
+        )
+        assert os.path.exists(f"{ckpt}/commits/{newest}"), (
+            "restart did not re-commit the replayed batch"
+        )
+
+        # (B) orphan data file, never manifested
+        victim = files_before[0]
+        orphan = os.path.join(
+            os.path.dirname(victim), "part-99999-orphan.c000.snappy.parquet"
+        )
+        shutil.copyfile(victim, orphan)
+        assert spark.read.parquet(out).count() == orig.count(), (
+            "manifest-driven read surfaced an uncommitted (orphan) file"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_kinesis_envelope_roundtrip(spark, sf_dir, chunks):
     """Envelope encode -> parse restores typed events exactly."""
     parsed = parse_envelope(kinesis_stream(spark, chunks))
