@@ -50,6 +50,8 @@ HEADLINE = [
     "q_mm_decode_features",
     "q_tpch_q18_large_volume",
     "q_tpch_q21_waiting_supplier",
+    "q_tpch_q2_min_cost_supp",
+    "q_tpch_q9_product_profit",
     "q_llm_pii_scrub",
     "q_llm_seq_pack",
     "q_llm_ann_pq",
@@ -127,6 +129,41 @@ def run_ingest(spark, sf_dir: str) -> dict:
     }
 
 
+def _family(name: str) -> str:
+    """Bucket a query key into its operator family (q_<fam>_...)."""
+    parts = name.split("_")
+    return parts[1] if len(parts) > 1 else name
+
+
+def common_with_prev(timings: dict[str, float]) -> dict | None:
+    """Round-over-round comparability (round-4 verdict nit): subtotal
+    this run over the intersection with the NEWEST BENCH_r*.json on
+    disk, next to the same subtotal from that file — so a changed suite
+    composition can't masquerade as a perf regression/win."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not benches:
+        return None
+    prev_file = benches[-1]
+    try:
+        doc = json.load(open(prev_file))
+        # the driver wraps bench stdout under "parsed"
+        prev = doc.get("queries") or doc.get("parsed", {}).get("queries") or {}
+    except (OSError, ValueError, AttributeError):
+        return None
+    common = sorted(set(prev) & set(timings))
+    if not common:
+        return None
+    return {
+        "prev_file": os.path.basename(prev_file),
+        "n_queries": len(common),
+        "sec": round(sum(timings[k] for k in common), 3),
+        "prev_sec": round(sum(float(prev[k]) for k in common), 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -175,18 +212,24 @@ def main() -> None:
     ing = run_ingest(spark, sf_dir)
     print(f"# ingest: {ing}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "full_suite_total" if "--all" in sys.argv else "headline_suite_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "ingest": ing,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    families: dict[str, float] = {}
+    for name, dt in timings.items():
+        fam = _family(name)
+        families[fam] = round(families.get(fam, 0.0) + dt, 3)
+
+    payload = {
+        "metric": "full_suite_total" if "--all" in sys.argv else "headline_suite_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "families": families,
+        "ingest": ing,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    common = common_with_prev(timings)
+    if common is not None:
+        payload["common_with_prev"] = common
+    print(json.dumps(payload))
     spark.stop()
 
 

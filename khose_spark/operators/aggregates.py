@@ -448,10 +448,13 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both engines fold identical integer words, so even the per-type
     word counts hash-match exactly."""
     e = t(spark, sf_dir, "events")
-    # Integer DIV, not double division + cast: the oracle floor-divides
-    # in bigint space, and the two disagree for negative ids (truncate
-    # vs floor) and past 2^57 (double rounding) — fixture ids are
-    # non-negative but the operator shouldn't rely on that.
+    # Integer DIV, not double division + cast: both engines truncate
+    # bigint division toward zero (Spark DIV == DuckDB //), and staying
+    # in bigint space avoids double rounding past 2^57. PRECONDITION:
+    # ids must be non-negative — for negative ids the SHIFT sides
+    # diverge (Spark shiftleft masks the count to 0..63; DuckDB
+    # 1::BIGINT << negative yields 0), so a production variant over
+    # signed ids would bucket on abs() in both engines first.
     words = e.groupBy(
         "event_type", F.expr("user_id DIV 63").alias("word_idx")
     ).agg(

@@ -168,14 +168,21 @@ def q_llm_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"a.s{i}") == F.col(f"b.s{i}"), 1).otherwise(0)
         for i in range(_N_HASHES)
     )
-    return (
+    out = (
         cand.join(a, cand["id_a"] == F.col("a.doc_id"))
         .join(b, cand["id_b"] == F.col("b.doc_id"))
         .select(
             "id_a", "id_b", agree.cast("long").alias("n_agree")
         )
         .filter(F.col("n_agree") >= _MIN_AGREE)
+        # Pregel-style lifecycle (graph.py loop pattern, ADVICE round
+        # 4): eagerly materialize the small candidate-pair result, then
+        # release the big signature cache instead of leaving it pinned
+        # in executor memory for the rest of the session.
+        .localCheckpoint()
     )
+    sig.unpersist()
+    return out
 
 
 @query(
@@ -252,9 +259,8 @@ def q_llm_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .persist()
     )
-    cand = _band_candidates(
-        _det_signatures(spark, sf_dir, sh=sh).persist()
-    ).persist()
+    sig = _det_signatures(spark, sf_dir, sh=sh).persist()
+    cand = _band_candidates(sig).persist()
     hit = exact.join(cand, ["id_a", "id_b"], "left_semi")
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
@@ -263,9 +269,15 @@ def q_llm_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall = F.when(F.col("n_exact") == 0, F.lit(1000).cast("long")).otherwise(
         F.expr("(n_hit * 2000 + n_exact) DIV (2 * n_exact)").cast("long")
     )
-    return row.select(
+    # Eagerly collapse to the single audit row, then release all four
+    # cached intermediates — this query pinned the largest share of
+    # executor memory across a full-suite session (ADVICE round 4).
+    out = row.select(
         "n_exact", "n_candidates", "n_hit", recall.alias("recall_permille")
-    )
+    ).localCheckpoint()
+    for df in (sh, exact, sig, cand):
+        df.unpersist()
+    return out
 
 
 _CDC_MOD = 16  # expected chunk length ~16 words

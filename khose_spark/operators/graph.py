@@ -366,15 +366,25 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+_TRADE_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (custkey, suppkey) trade edges from lineitem ⋈ orders —
     the shared bipartite edge list for the co-occurrence and
     neighborhood-similarity queries (q_graph_pagerank builds its own
     C-/S-prefixed directed variant). Persisted: every consumer feeds it
-    to multiple downstream stages (degree agg + both self-join sides)."""
+    to multiple downstream stages (degree agg + both self-join sides).
+    Memoized per (application, sf_dir) so the two consumers running in
+    one session share ONE cached relation instead of each persisting
+    its own copy (ADVICE round 4)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _TRADE_EDGES_CACHE.get(key)
+    if hit is not None:
+        return hit
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    return (
+    edges = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(
             F.col("o_custkey").alias("custkey"),
@@ -383,6 +393,8 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    _TRADE_EDGES_CACHE[key] = edges
+    return edges
 
 
 _COOC_DEG_CAP = 50

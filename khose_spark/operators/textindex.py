@@ -13,8 +13,6 @@ streams shuffle once per consumer on doc_id and the model relations
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -294,81 +292,102 @@ def bpe_merge_rounds(stream: DataFrame, rounds: int) -> DataFrame:
     returns (merge_round, left_tok, right_tok, pair_count). Extracted so
     tests can drive it with handcrafted corpora (overlap runs, ties)
     against a pure-Python greedy reference (tests/test_bpe_reference.py).
+
+    Job fusion (round-5 bench finding): each round runs exactly ONE
+    Spark job — the pair-count aggregation whose 1-row top pair is
+    collected directly (the sanctioned scalar fetch, same category as
+    the scalar-subquery idiom; the winning pair IS the algorithm's
+    output). That same job materializes the round's persisted token
+    stream, so the merge application is literal filters + windows over
+    cache — no per-round broadcast-subquery job, and no re-evaluation
+    of the winners at output time (the result is built from the already
+    -known rows). The previous round's cache is unpersisted as soon as
+    the next round's stream is materialized, bounding executor memory
+    to one round (the ADVICE round-4 leak). NOTE: a prior experiment
+    that broadcast/localCheckpointed the TOKEN STREAM regressed
+    (SURVEY.md perf notes) — this fuses jobs instead of moving data.
     """
+    spark = stream.sparkSession
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
-    tops = []
-    cached = []
+    out_rows: list[tuple[int, str, str, int]] = []
+    prev: DataFrame | None = None
     for r in range(1, rounds + 1):
         pr = stream.withColumn("nxt", F.lead("tok").over(w_doc)).persist()
-        cached.append(pr)
-        top = (
+        win = (
             pr.filter(F.col("nxt").isNotNull())
-            .groupBy(F.col("tok").alias("l"), F.col("nxt").alias("rt"))
+            .groupBy("tok", "nxt")
             .agg(F.count(F.lit(1)).alias("c"))
-            .orderBy(F.desc("c"), "l", "rt")
+            .orderBy(F.desc("c"), "tok", "nxt")
             .limit(1)
+            .collect()
         )
-        tops.append(
-            top.select(
-                F.lit(r).alias("merge_round"),
-                F.col("l").alias("left_tok"),
-                F.col("rt").alias("right_tok"),
-                F.col("c").cast("long").alias("pair_count"),
-            )
-        )
-        cand = (
-            pr.join(
-                F.broadcast(top),
-                (F.col("tok") == F.col("l")) & (F.col("nxt") == F.col("rt")),
-            )
-            .select("doc_id", "pos")
-            .withColumn("rn", F.row_number().over(w_doc))
-        )
-        sel = (
-            cand.withColumn(
-                "k",
-                F.row_number().over(
-                    Window.partitionBy(
-                        "doc_id", (F.col("pos") - F.col("rn"))
-                    ).orderBy("pos")
-                ),
-            )
-            .filter(F.col("k") % 2 == 1)
-            .select("doc_id", "pos")
-        )
-        m = sel.select(
-            F.col("doc_id").alias("m_doc"), F.col("pos").alias("m_pos")
-        )
-        dropped = sel.select(
-            F.col("doc_id").alias("d_doc"), (F.col("pos") + 1).alias("d_pos")
+        if prev is not None:
+            prev.unpersist()
+        if not win:  # corpus exhausted before `rounds` merges
+            pr.unpersist()
+            break
+        left, right, cnt = win[0]["tok"], win[0]["nxt"], int(win[0]["c"])
+        out_rows.append((r, left, right, cnt))
+        prev = pr
+        if r == rounds:  # last winner needs no merge application
+            break
+        # Merge application as pure window arithmetic over the ONE
+        # (doc_id, pos) ordering — no self-joins and no island-keyed
+        # exchange (the round-5 rewrite; the unchanged gaps-and-islands
+        # oracle CTE hash-certifies it). A "run" is a maximal stretch of
+        # ADJACENT matched tokens (overlapping occurrences of the
+        # winning pair); greedy-leftmost merges at even match offsets
+        # from the run start and drops each merged token's right
+        # neighbor. ``pos`` is the ORIGINAL position, kept stable across
+        # rounds (rows are filtered, never renumbered): adjacency is
+        # row-adjacency in pos order (seq below), so the ordering —
+        # and with it the physical sort — survives every round, and
+        # rounds 2..n plan with zero Exchange and zero Sort under the
+        # windows. ``seq`` (dense row number) carries the parity
+        # arithmetic the old renumbered pos used to.
+        w_run = w_doc.rowsBetween(Window.unboundedPreceding, 0)
+        is_match = (F.col("tok") == F.lit(left)) & (
+            F.col("nxt") == F.lit(right)
         )
         stream = (
-            pr.join(
-                m,
-                (F.col("doc_id") == F.col("m_doc"))
-                & (F.col("pos") == F.col("m_pos")),
-                "left",
+            pr.withColumn("mt", is_match)
+            .withColumn("seq", F.row_number().over(w_doc))
+            .withColumn(
+                "rstart",
+                F.col("mt")
+                & ~F.coalesce(F.lag("mt").over(w_doc), F.lit(False)),
             )
-            .join(
-                dropped,
-                (F.col("doc_id") == F.col("d_doc"))
-                & (F.col("pos") == F.col("d_pos")),
-                "left_anti",
+            .withColumn(
+                "rfirst",
+                F.last(F.when(F.col("rstart"), F.col("seq")), True).over(w_run),
             )
+            .withColumn(
+                "selected",
+                F.col("mt") & ((F.col("seq") - F.col("rfirst")) % 2 == 0),
+            )
+            .withColumn(
+                "drop",
+                F.coalesce(F.lag("selected").over(w_doc), F.lit(False)),
+            )
+            .filter(~F.col("drop"))
             .select(
                 "doc_id",
                 "pos",
                 F.when(
-                    F.col("m_pos").isNotNull(),
+                    F.col("selected"),
                     F.concat("tok", F.lit("+"), "nxt"),
                 )
                 .otherwise(F.col("tok"))
                 .alias("tok"),
             )
-            .withColumn("pos", F.row_number().over(w_doc).cast("long"))
         )
-    out = reduce(lambda a, b: a.unionAll(b), tops)
-    return out
+    if prev is not None:
+        prev.unpersist()
+    return spark.createDataFrame(
+        out_rows,
+        schema="merge_round INT, left_tok STRING, right_tok STRING, "
+        "pair_count BIGINT",
+    )
 
 
 @query(

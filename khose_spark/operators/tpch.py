@@ -759,3 +759,90 @@ def q_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum(F.col("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q_tpch_q13_order_counts",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q_tpch_q13_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the customer-by-order-count distribution,
+    including zero-order customers (fixture adaptation: the classic
+    comment NOT LIKE exclusion becomes "not 1-URGENT" — orders has no
+    comment column). The oracle keeps the classic left-join-then-count
+    form; the Spark plan pre-aggregates orders per custkey FIRST (one
+    fact shuffle at the smallest possible width), then LEFT-joins the
+    customer dim against the broadcast per-customer counts and
+    coalesces absent counts to zero — the hash-match certifies the
+    rewrite. At 100 TB the pre-aggregation is the difference between
+    shuffling |orders| rows and |customers| rows."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    ocnt = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        cust.join(F.broadcast(ocnt), cust.c_custkey == ocnt.o_custkey, "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+_Q15_START = "1996-01-01 00:00:00"
+_Q15_END = "1996-04-01 00:00:00"
+
+
+@query(
+    "q_tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_dec_sum('l_extendedprice * (1 - l_discount)', 4)}
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{_Q15_START}'
+        AND l_shipdate <  TIMESTAMP '{_Q15_END}'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue.
+    The view + scalar-subquery-max of the classic form decorrelates to
+    a 1-row max aggregate broadcast-crossed into the per-supplier
+    revenue relation (the house scalar-subquery idiom); equality on
+    the revenue double is safe because both engines produce it through
+    the decimal-cast law (2-decimal exact). Shipdate range pushes to
+    the scan; one supplier-keyed aggregation shuffle; supplier dim
+    broadcast."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q15_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q15_END).cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+        .alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

@@ -88,3 +88,25 @@ def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_tables):
     assert sorted(map(tuple, _joined(spark).collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+def test_pq_index_search_is_shuffle_free(spark, sf_dir):
+    """The two-job ANN lifecycle (similarity.build_pq_index +
+    q_llm_ann_pq_indexed): the search job must aggregate ADC scores on
+    (qid, vec_id) with ZERO shuffle — the codes table is bucketed by
+    vec_id at index-build time, and hash-distribution on vec_id already
+    clusters (qid, vec_id). The only allowed shuffle Exchange is the
+    final per-query ranking window on qid (10 rows per query)."""
+    import re
+
+    from khose_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["q_llm_ann_pq_indexed"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(hash_exchanges) == 1 and hash_exchanges[0].startswith("qid"), (
+        "search-side plan re-shuffles the bucketed codes:\n" + plan
+    )
+    assert "SortMergeJoin" not in plan, (
+        "LUT join fell out of broadcast:\n" + plan
+    )

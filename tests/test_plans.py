@@ -62,6 +62,9 @@ BNLJ_ALLOWED = {
     "q_tpch_q11_important_stock",
     "q_tpch_q16_supplier_cnt",
     "q_tpch_q20_excess_stock",
+    "q_tpch_q15_top_supplier",  # 1-row max-revenue aggregate broadcast-
+                                # crossed into the revenue view (classic
+                                # Q15 scalar subquery)
 }
 
 # Shuffle-exchange ceilings. Default covers scan→agg/join→window plans;
@@ -244,3 +247,60 @@ def test_flagship_prunes_columns(spark):
     assert "l_orderkey" not in plan.split("ReadSchema")[-1], (
         "flagship scan reads columns the query never uses"
     )
+
+
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    """AQE's OptimizeSkewedJoin is the FIRST line of skew defense at
+    100 TB (salting — q_join_salted — is the manual second). Prove the
+    runtime re-plan actually fires in this engine: a deliberately
+    skewed fact side (~99% of rows funneled onto one join key) against
+    a distinct-key dim, thresholds scaled to fixture bytes, broadcast
+    disabled so the join must sort-merge. The executed adaptive plan
+    must mark the join skew=true (i.e. the hot partition was split)."""
+    from khose_spark.tables import t as t_
+
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    # fixture-scaled: the hot partition is a few KB compressed at
+    # sf0.001, so the "what counts as skewed" knobs shrink with it
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = t_(spark, sf_dir, "lineitem")
+        # repartition(8) first: AQE splits a skewed reduce partition by
+        # MAP-OUTPUT RANGES, so the join's shuffle needs >1 mapper — a
+        # single-file fixture scan is one map task and would leave the
+        # rule nothing to split by (found empirically; at production
+        # scale the map side is always wide, so this is test-only prep).
+        fact = li.select(
+            F.when(F.col("l_orderkey") % 100 != 0, F.lit(0))
+            .otherwise(F.col("l_orderkey"))
+            .alias("key"),
+            (F.col("l_orderkey") * 7919 + F.col("l_linenumber"))
+            .alias("payload"),
+        ).repartition(8)
+        dim = t_(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("key"), "o_orderpriority"
+        )
+        joined = fact.join(dim, "key").groupBy("o_orderpriority").count()
+        joined.collect()  # AQE finalizes the plan only on execution
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, (
+            "AQE did not split the skewed join:\n" + plan
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
