@@ -462,3 +462,58 @@ def q_llm_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+_RES_DENOM = 16**8  # md5-derived uniform granularity (8 hex chars)
+
+
+@query(
+    "q_llm_reservoir_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             round(ln(({" + ".join(
+                 f"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {j}, 1)) - 1)"
+                 f" * {16 ** (8 - j)}"
+                 for j in range(1, 9)
+             )} + 1) / CAST({_RES_DENOM} AS DOUBLE)) / n_chars, 9) AS samp_key
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, samp_key, rnk FROM (
+      SELECT *, row_number() OVER (ORDER BY samp_key DESC, doc_id) AS rnk
+      FROM keyed
+    ) WHERE rnk <= 20
+    """,
+)
+def q_llm_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling (Efraimidis–Spirakis A-ES): each doc
+    draws a deterministic uniform u from its md5 (8 hex chars → (0,1])
+    and scores key = ln(u)/weight with weight = n_chars; the top-20 by
+    key IS a weighted-without-replacement sample — longer documents
+    proportionally likelier, yet the whole draw is repeatable across
+    engines and runs (the property a distributed mixture pipeline needs:
+    no RNG state, no coordination, resharding-invariant).
+
+    Determinism: u is exact integer arithmetic; ln(u)/w is rounded to
+    9 decimals before ranking (libm vs JVM log differ in the last ULP)
+    with doc_id tiebreak. Plan: map-side key derivation, global top-20
+    via WindowGroupLimit — one partial-top-k pass, no full sort; at
+    100 TB this is a single scan + 20-row reduce, and sampling k per
+    STRATUM is the same plan with a partitionBy."""
+    docs = t(spark, sf_dir, "documents")
+    v = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    u = (v + 1) / F.lit(_RES_DENOM).cast("double")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(F.ln(u) / F.col("n_chars"), 9).alias("samp_key"),
+    )
+    w = Window.orderBy(F.desc("samp_key"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("doc_id", "lang", "n_chars", "samp_key", "rnk")
+    )

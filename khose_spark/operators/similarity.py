@@ -681,20 +681,35 @@ def build_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     hit = _PQ_INDEX_CACHE.get(key)
     if hit is not None:
         return hit
-    # stable across processes (Python hash() is seed-salted), so reruns
-    # overwrite the same warehouse tables instead of accreting new ones
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     codes_tbl, cb_tbl = f"pq_codes_{tag}", f"pq_codebook_{tag}"
+    # EXTERNAL tables in a fresh process-scoped location: the session
+    # catalog is in-memory but a managed table's warehouse directory is
+    # not, so a second process would die with LOCATION_ALREADY_EXISTS
+    # on the leftover dir. A tempdir per build sidesteps the collision
+    # (and keeps test/bench runs from accreting into the repo
+    # warehouse); in production the location is the index's permanent
+    # object-store prefix and the catalog is shared, so overwrite
+    # semantics apply instead.
+    import tempfile
+
+    loc = tempfile.mkdtemp(prefix=f"khose_pq_{tag}_")
     sub = _pq_subvectors(t(spark, sf_dir, "embeddings"))
     cb = _pq_codebook(sub)
+    spark.sql(f"DROP TABLE IF EXISTS {codes_tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {cb_tbl}")
     (
         _pq_assign(sub, cb)
         .write.format("parquet")
         .bucketBy(_PQ_BUCKETS, "vec_id")
-        .mode("overwrite")
+        .option("path", f"{loc}/codes")
         .saveAsTable(codes_tbl)
     )
-    cb.write.format("parquet").mode("overwrite").saveAsTable(cb_tbl)
+    (
+        cb.write.format("parquet")
+        .option("path", f"{loc}/codebook")
+        .saveAsTable(cb_tbl)
+    )
     _PQ_INDEX_CACHE[key] = (codes_tbl, cb_tbl)
     return codes_tbl, cb_tbl
 
@@ -939,3 +954,148 @@ def q_llm_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vecs.join(F.broadcast(n_vecs), "label").select(
         "label", "n_vecs", "n_dims", "centroid_norm", "max_abs_dim"
     )
+
+
+_SEMDEDUP_THRESH = 0.3  # fixture-scaled (random 64-d cosines ~N(0, .12))
+
+
+@query(
+    "q_llm_semdedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent AS (
+      SELECT vec_id // 50 AS cid, v AS cv FROM base WHERE vec_id % 50 = 0
+    ), assign AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT b.vec_id, b.v, c.cid,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY round(list_sum(list_transform(range(1, 65),
+                           i -> (b.v[i] - c.cv[i]) ^ 2)), 6) ASC, c.cid ASC
+               ) AS rn
+        FROM base b CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), pairs AS (
+      SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assign a JOIN assign b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {_SEMDEDUP_THRESH}
+    ), members AS (
+      SELECT cid, count(*) AS n_members FROM assign GROUP BY cid
+    ), pstats AS (
+      SELECT cid, count(*) AS n_dup_pairs,
+             count(DISTINCT id_b) AS n_dropped
+      FROM pairs GROUP BY cid
+    )
+    SELECT m.cid AS cluster_id, n_members,
+           COALESCE(n_dup_pairs, 0) AS n_dup_pairs,
+           COALESCE(n_dropped, 0) AS n_dropped,
+           n_members - COALESCE(n_dropped, 0) AS n_kept
+    FROM members m LEFT JOIN pstats p ON m.cid = p.cid
+    """,
+)
+def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (cluster-then-prune; the published
+    two-stage pattern for embedding dedup at corpus scale): assign every
+    vector to its nearest seed centroid (deterministic k = n/50 seeds,
+    map-side argmin fold over a 1-row broadcast centroid array — the
+    q_llm_kmeans assignment, no shuffle), then search for near-dup
+    pairs ONLY within each cluster (cosine >= 0.3, round(4)) and drop
+    the higher id of each pair. Output: per-cluster members / dup
+    pairs / dropped / kept — the dedup audit a curation run logs.
+
+    Why this scales where all-pairs cannot: the candidate space shrinks
+    from O(n²) to sum over clusters of |c|² — with balanced clusters a
+    k-fold reduction, tunable via k; the within-cluster self-join is an
+    equi-join on cid (one shuffle of (id, vec) pairs), and vectors
+    never move for the assignment itself. The oracle recomputes the
+    identical pipeline as a CTE chain — hash-certified, not rows-only."""
+    e = t(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("vec_id", dbl.alias("v"))
+    cent = base.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") / 50).cast("long").alias("cid"),
+        F.col("v").alias("cv"),
+    )
+
+    def l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = lambda cents: F.transform(  # noqa: E731
+        cents,
+        lambda c: F.struct(
+            F.round(l2sq(F.col("v"), c["cv"]), 6).alias("d2"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    init = F.struct(
+        F.lit(float("inf")).alias("d2"), F.lit(-1).cast("long").alias("cid")
+    )
+    cents_row = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents")
+    )
+    assign = (
+        base.crossJoin(F.broadcast(cents_row))
+        .select(
+            "vec_id",
+            "v",
+            F.aggregate(
+                scored(F.col("cents")),
+                init,
+                lambda acc, x: F.when(x["d2"] < acc["d2"], x).otherwise(acc),
+                lambda acc: acc["cid"],
+            ).alias("cid"),
+        )
+        .persist()
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    a = assign.select(
+        F.col("cid").alias("p_cid"),
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+    )
+    b = assign.select(
+        F.col("cid").alias("b_cid"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va")))
+        * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("p_cid") == F.col("b_cid")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(F.round(cos, 4) >= _SEMDEDUP_THRESH)
+        .select(F.col("p_cid").alias("cid"), "id_a", "id_b")
+    )
+    members = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    pstats = pairs.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("id_b").alias("n_dropped"),
+    )
+    # k-row audit: eagerly materialize, then release the assignment
+    # cache (the persist-lifecycle law from the round-4 ADVICE)
+    out = (
+        members.join(F.broadcast(pstats), "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("n_members") - F.coalesce("n_dropped", F.lit(0)))
+            .alias("n_kept"),
+        )
+        .localCheckpoint()
+    )
+    assign.unpersist()
+    return out

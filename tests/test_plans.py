@@ -65,6 +65,9 @@ BNLJ_ALLOWED = {
     "q_tpch_q15_top_supplier",  # 1-row max-revenue aggregate broadcast-
                                 # crossed into the revenue view (classic
                                 # Q15 scalar subquery)
+    "q_llm_semdedup",           # 1-row broadcast centroid-array collapse
+                                # crossed into the corpus (the kmeans
+                                # map-side argmin fold, single pass)
 }
 
 # Shuffle-exchange ceilings. Default covers scan→agg/join→window plans;
