@@ -582,3 +582,124 @@ def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("spend_permille"),
     )
+
+
+@query(
+    "q_ts_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+             {sql_dec_sum('value', 4)} AS spend
+      FROM events GROUP BY 1, 2
+    ), centered AS (
+      SELECT event_type, d, spend,
+             avg(spend) OVER (PARTITION BY event_type) AS mu,
+             count(*) OVER (PARTITION BY event_type) AS n_days
+      FROM daily
+    ), cusum AS (
+      SELECT event_type, d, spend, n_days,
+             round(abs(sum(spend - mu) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+               AS c_abs
+      FROM centered
+    ), cp AS (
+      SELECT event_type, d AS cp_day, c_abs, n_days FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY event_type ORDER BY c_abs DESC, d ASC) AS rn
+        FROM cusum
+      ) WHERE rn = 1
+    )
+    SELECT c.event_type, cp_day, round(c_abs, 4) AS cusum_max,
+           CAST(c.n_days AS BIGINT) AS n_days,
+           CAST((2 * sum(CASE WHEN y.d <= cp_day THEN cents ELSE 0 END)
+                 + count(CASE WHEN y.d <= cp_day THEN 1 END))
+                // (2 * count(CASE WHEN y.d <= cp_day THEN 1 END))
+                AS BIGINT) AS mean_before_cents,
+           CASE WHEN count(CASE WHEN y.d > cp_day THEN 1 END) = 0 THEN NULL
+                ELSE CAST((2 * sum(CASE WHEN y.d > cp_day THEN cents ELSE 0 END)
+                           + count(CASE WHEN y.d > cp_day THEN 1 END))
+                          // (2 * count(CASE WHEN y.d > cp_day THEN 1 END))
+                          AS BIGINT) END AS mean_after_cents
+    FROM cp c
+    JOIN (SELECT event_type, d, spend,
+                 CAST(round(spend * 100, 0) AS BIGINT) AS cents
+          FROM daily) y
+      ON y.event_type = c.event_type
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint estimation per event type: the day
+    t* = argmax |sum_{i<=t}(x_i - mean)| of the cumulative deviation
+    path is the classic single-changepoint estimator (the
+    at-most-one-change CUSUM statistic), reported with the level before
+    and after the break — the mean-shift audit a metrics pipeline runs
+    over every series after a deploy.
+
+    Determinism: daily totals go through the decimal-cast law so both
+    engines feed identical doubles into the running sum; the argmax
+    compares the |CUSUM| ROUNDED to 6 with day tiebreak; and the
+    before/after levels are HALF-UP INTEGER CENTS via the integer
+    division idiom — an avg() of exact 2-decimal money lands exactly
+    on 4-decimal halves (sum/n is a small-denominator rational), the
+    one case round() genuinely diverges on, caught by the sf0.01
+    sweep. Plan: one (type, day) aggregation shuffle, then everything
+    is windows over the same type partitioning (mean + count as
+    full-frame windows, the deviation path as a running frame, argmax
+    as row_number) plus one broadcast join-back for the before/after
+    levels — per-series sequential state expressed as windows, no
+    recursion, no UDF."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .agg(dec_sum(F.col("value"), 4).alias("spend"))
+    )
+    w_type = Window.partitionBy("event_type")
+    w_run = w_type.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = (
+        daily.withColumn("mu", F.avg("spend").over(w_type))
+        .withColumn("n_days", F.count(F.lit(1)).over(w_type))
+        .withColumn(
+            "c_abs",
+            F.round(F.abs(F.sum(F.col("spend") - F.col("mu")).over(w_run)), 6),
+        )
+    )
+    cp = (
+        cusum.withColumn(
+            "rn",
+            F.row_number().over(w_type.orderBy(F.desc("c_abs"), F.asc("d"))),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("event_type").alias("cp_type"),
+            F.col("d").alias("cp_day"),
+            "c_abs",
+            "n_days",
+        )
+    )
+    before = F.col("d") <= F.col("cp_day")
+    cents = F.round(F.col("spend") * 100, 0).cast("bigint")
+    return (
+        daily.join(F.broadcast(cp), daily.event_type == F.col("cp_type"))
+        .groupBy(
+            "event_type", "cp_day",
+            F.round("c_abs", 4).alias("cusum_max"),
+            F.col("n_days").cast("long").alias("n_days"),
+        )
+        .agg(
+            F.sum(F.when(before, cents).otherwise(F.lit(0))).alias("s_b"),
+            F.count(F.when(before, F.lit(1))).alias("n_b"),
+            F.sum(F.when(~before, cents).otherwise(F.lit(0))).alias("s_a"),
+            F.count(F.when(~before, F.lit(1))).alias("n_a"),
+        )
+        .select(
+            "event_type", "cp_day", "cusum_max", "n_days",
+            F.expr("CAST((2 * s_b + n_b) DIV (2 * n_b) AS BIGINT)")
+            .alias("mean_before_cents"),
+            F.expr(
+                "CASE WHEN n_a = 0 THEN NULL ELSE "
+                "CAST((2 * s_a + n_a) DIV (2 * n_a) AS BIGINT) END"
+            ).alias("mean_after_cents"),
+        )
+    )

@@ -71,3 +71,56 @@ def test_pipeline_plan_stays_in_codegen(spark, sf_dir, tmp_path):
     df = build_pipeline(spark, _config(chunks, tmp_path))
     plan = df._jdf.queryExecution().analyzed().toString()
     assert "pythonUDF" not in plan and "PythonUDF" not in plan
+
+def test_synth_partsupp_shape(spark, sf_dir):
+    """The synthesized partsupp (tpch_partsupp.synth_partsupp) must be
+    a valid TPC-H-style catalog: exactly 4 DISTINCT suppliers per part
+    (the formula's spacing argument), every ps_suppkey a real supplier
+    key, and all derived columns in their documented ranges."""
+    from pyspark.sql import functions as F
+
+    from khose_spark.operators.tpch_partsupp import synth_partsupp
+    from khose_spark.tables import t
+
+    ps = synth_partsupp(spark, sf_dir)
+    n_parts = t(spark, sf_dir, "part").count()
+    n_supp = t(spark, sf_dir, "supplier").count()
+    assert ps.count() == 4 * n_parts
+    per_part = ps.groupBy("ps_partkey").agg(
+        F.countDistinct("ps_suppkey").alias("k")
+    )
+    assert per_part.filter(F.col("k") != 4).count() == 0
+    bad = ps.filter(
+        (F.col("ps_suppkey") < 0) | (F.col("ps_suppkey") >= n_supp)
+        | (F.col("ps_availqty") < 1) | (F.col("ps_availqty") > 9999)
+        | (F.col("ps_costcents") < 100) | (F.col("ps_costcents") > 99999)
+    )
+    assert bad.count() == 0
+
+
+def test_pq_index_build_is_memoized(spark, sf_dir):
+    """build_pq_index must be build-once-search-many WITHIN a session:
+    the second call returns the same catalog tables without rewriting."""
+    import os
+
+    from khose_spark.operators.similarity import build_pq_index
+
+    codes1, cb1 = build_pq_index(spark, sf_dir)
+    loc1 = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {codes1}")
+        .filter("col_name = 'Location'")
+        .first()["data_type"]
+    )
+    mtime1 = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(loc1.replace("file:", ""))
+        for f in fs
+    )
+    codes2, cb2 = build_pq_index(spark, sf_dir)
+    assert (codes1, cb1) == (codes2, cb2)
+    mtime2 = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(loc1.replace("file:", ""))
+        for f in fs
+    )
+    assert mtime1 == mtime2, "second build rewrote the index files"
