@@ -703,3 +703,192 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_after_cents"),
         )
     )
+
+
+_LTTB_B = 8  # interior buckets (downsampled series = B + first + last)
+
+
+def _lttb_oracle() -> str:
+    """Unrolled LTTB twin: one CTE per interior bucket, each selecting
+    the candidate maximizing the ALL-INTEGER scaled triangle area with
+    the previously selected point and the next bucket's (cnt-scaled)
+    centroid. Multiplying the classic area formula through by the next
+    bucket's count keeps every term in int64 — the argmax is exact, no
+    float enters any comparison."""
+    bucket = "1 + (rn - 2) * %d // (n - 2)" % _LTTB_B
+    ctes = [
+        f"""pts AS (
+      SELECT event_type, h, rn, n, cents FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n,
+               cents
+        FROM (
+          SELECT event_type, strftime(date_trunc('hour', ts),
+                                      '%Y-%m-%d %H') AS h,
+                 CAST(sum(CAST(value AS DECIMAL(28,2))) * 100 AS BIGINT)
+                   AS cents
+          FROM events GROUP BY 1, 2
+        )
+      )
+    )""",
+        "firstp AS (SELECT * FROM pts WHERE rn = 1)",
+        "lastp AS (SELECT * FROM pts WHERE rn = n)",
+        f"""cent AS (
+      SELECT event_type, {bucket} AS bucket, count(*) AS cnt,
+             sum(rn) AS sx, sum(cents) AS sy
+      FROM pts WHERE rn > 1 AND rn < n GROUP BY 1, 2
+    )""",
+        "sel0 AS (SELECT event_type, rn, h, cents FROM firstp)",
+    ]
+    for b in range(1, _LTTB_B + 1):
+        if b < _LTTB_B:
+            nxt = f"JOIN cent nx ON nx.event_type = c.event_type AND nx.bucket = {b + 1}"
+            area = (
+                "abs((p.rn * nx.cnt - nx.sx) * (c.cents - p.cents)"
+                " - (p.rn - c.rn) * (nx.sy - p.cents * nx.cnt))"
+            )
+        else:
+            nxt = "JOIN lastp nx ON nx.event_type = c.event_type"
+            area = (
+                "abs((p.rn - nx.rn) * (c.cents - p.cents)"
+                " - (p.rn - c.rn) * (nx.cents - p.cents))"
+            )
+        ctes.append(f"""sel{b} AS (
+      SELECT event_type, rn, h, cents FROM (
+        SELECT c.event_type, c.rn, c.h, c.cents,
+               row_number() OVER (PARTITION BY c.event_type
+                                  ORDER BY {area} DESC, c.rn ASC) AS k
+        FROM pts c
+        JOIN sel{b - 1} p ON p.event_type = c.event_type
+        {nxt}
+        WHERE c.rn > 1 AND c.rn < c.n
+          AND 1 + (c.rn - 2) * {_LTTB_B} // (c.n - 2) = {b}
+      ) WHERE k = 1
+    )""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT event_type, CAST(rn AS BIGINT) AS rn, h, "
+        f"CAST(cents AS BIGINT) AS val_cents FROM sel{b}"
+        for b in range(_LTTB_B + 1)
+    )
+    unions += (
+        "\n    UNION ALL SELECT event_type, CAST(rn AS BIGINT) AS rn, h, "
+        "CAST(cents AS BIGINT) AS val_cents FROM lastp"
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + unions
+
+
+@query("q_ts_lttb_downsample", oracle=_lttb_oracle())
+def q_ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB (Largest-Triangle-Three-Buckets) downsampling of each event
+    type's hourly spend series to first + 8 + last points — THE
+    standard dashboard/viz downsampling algorithm: each interior bucket
+    keeps the point forming the largest triangle with the previously
+    KEPT point and the next bucket's centroid, preserving visual
+    extremes that averaging would flatten.
+
+    Determinism: the sequential prev-point dependency is unrolled
+    (8 fixed bucket steps, like the kmeans/BPE loops), and the triangle
+    area is computed in SCALED INTEGER form — multiply the classic
+    formula through by the next bucket's count so every term is int64
+    cents×index — which makes the per-bucket argmax exact with rn
+    tiebreak. No float exists anywhere in the operator.
+
+    Scale shape: the hourly rollup is one shuffle; each bucket step
+    touches only that bucket's rows (the series is partitioned by
+    bucket, so the 8 steps together scan the series once) joined
+    against TWO one-row-per-series broadcasts (previous selection,
+    next centroid). At 100 TB with millions of series the same plan
+    holds — the selections stay one row per series per step."""
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH").alias("h"),
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(28,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w_type = Window.partitionBy("event_type")
+    pts = (
+        hourly.withColumn("rn", F.row_number().over(w_type.orderBy("h")))
+        .withColumn("n", F.count(F.lit(1)).over(w_type))
+        .persist()
+    )
+    firstp = pts.filter(F.col("rn") == 1)
+    lastp = pts.filter(F.col("rn") == F.col("n"))
+    interior = pts.filter((F.col("rn") > 1) & (F.col("rn") < F.col("n")))
+    bucket = F.expr(f"1 + (rn - 2) * {_LTTB_B} DIV (n - 2)")
+    cent = (
+        interior.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("rn").alias("sx"),
+            F.sum("cents").alias("sy"),
+        )
+    )
+    sel = firstp.select("event_type", "rn", "h", "cents")
+    out_frames = [sel]
+    for b in range(1, _LTTB_B + 1):
+        prev = sel.select(
+            F.col("event_type").alias("p_type"),
+            F.col("rn").alias("p_rn"),
+            F.col("cents").alias("p_cents"),
+        )
+        cand = interior.filter(bucket == b).join(
+            F.broadcast(prev), F.col("event_type") == F.col("p_type")
+        )
+        if b < _LTTB_B:
+            nxt = cent.filter(F.col("bucket") == b + 1).select(
+                F.col("event_type").alias("n_type"),
+                "cnt", "sx", "sy",
+            )
+            cand = cand.join(
+                F.broadcast(nxt), F.col("event_type") == F.col("n_type")
+            )
+            area = F.abs(
+                (F.col("p_rn") * F.col("cnt") - F.col("sx"))
+                * (F.col("cents") - F.col("p_cents"))
+                - (F.col("p_rn") - F.col("rn"))
+                * (F.col("sy") - F.col("p_cents") * F.col("cnt"))
+            )
+        else:
+            nxt = lastp.select(
+                F.col("event_type").alias("n_type"),
+                F.col("rn").alias("n_rn"),
+                F.col("cents").alias("n_cents"),
+            )
+            cand = cand.join(
+                F.broadcast(nxt), F.col("event_type") == F.col("n_type")
+            )
+            area = F.abs(
+                (F.col("p_rn") - F.col("n_rn"))
+                * (F.col("cents") - F.col("p_cents"))
+                - (F.col("p_rn") - F.col("rn"))
+                * (F.col("n_cents") - F.col("p_cents"))
+            )
+        w_pick = Window.partitionBy("event_type").orderBy(
+            F.desc("area"), F.asc("rn")
+        )
+        sel = (
+            cand.withColumn("area", area)
+            .withColumn("k", F.row_number().over(w_pick))
+            .filter(F.col("k") == 1)
+            .select("event_type", "rn", "h", "cents")
+        )
+        out_frames.append(sel)
+    out_frames.append(lastp.select("event_type", "rn", "h", "cents"))
+    out = out_frames[0]
+    for fr in out_frames[1:]:
+        out = out.unionAll(fr)
+    result = out.select(
+        "event_type",
+        F.col("rn").cast("long").alias("rn"),
+        "h",
+        F.col("cents").cast("long").alias("val_cents"),
+    ).localCheckpoint()
+    pts.unpersist()
+    return result
