@@ -67,6 +67,12 @@ HEADLINE = [
     "q_llm_ann_pq_indexed",
     "q_llm_semdedup",
     "q_ts_lttb_downsample",
+    # Round-5b statistical/resolution family: ACF, Zipf fit, sorted-
+    # neighborhood ER (the window-scan dedup), triangle counting.
+    "q_ts_acf",
+    "q_llm_zipf",
+    "q_er_sorted_neighborhood",
+    "q_graph_triangles",
 ]
 
 

@@ -376,3 +376,90 @@ def q_llm_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * count(*)) AS BIGINT)"
         ).alias("unique_permille"),
     )
+
+
+# Sorted-neighborhood matching bands: exact duplicates (dist 0) vs near
+# matches (dist 1..4 — two-word part names sharing the block adjective
+# differ by up to one noun swap).
+_SNM_NEAR_MAX = 4
+_SNM_WINDOW = 2  # each record compares against the next 2 neighbors
+
+
+@query(
+    "q_er_sorted_neighborhood",
+    oracle=f"""
+    WITH base AS (
+      SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+      FROM part
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY blk
+                                   ORDER BY p_name, p_partkey) AS rn
+      FROM base
+    ), pairs AS (
+      SELECT a.blk, levenshtein(a.p_name, b.p_name) AS dist
+      FROM ranked a
+      JOIN ranked b ON b.blk = a.blk
+                   AND b.rn - a.rn BETWEEN 1 AND {_SNM_WINDOW}
+    ), recs AS (
+      SELECT blk, count(*) AS n_records FROM base GROUP BY 1
+    )
+    SELECT r.blk, r.n_records,
+           count(p.dist) AS n_pairs,
+           CAST(sum(CASE WHEN p.dist = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact,
+           CAST(sum(CASE WHEN p.dist BETWEEN 1 AND {_SNM_NEAR_MAX}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_near
+    FROM recs r LEFT JOIN pairs p ON p.blk = r.blk
+    GROUP BY 1, 2
+    """,
+)
+def q_er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution (Hernandez/Stolfo SNM)
+    over part records: block by the name's first word, sort each block
+    by (name, key), compare every record against its next 2 neighbors
+    with edit distance, and report the per-block match-band audit
+    (records, pairs compared, exact duplicates, near matches) — the
+    linear-comparison dedup that replaces the O(n^2) all-pairs match.
+
+    The Spark plan IS the SNM scan: one shuffle on the block key, two
+    `lead()` lookups over the sorted window (no self-join at all), then
+    a per-block aggregate. The oracle recomputes the same neighborhood
+    via row_number + self-join, so the hash-match certifies the
+    window-scan ≡ join formulation. All-integer output.
+
+    Scale: block key cardinality bounds the shuffle and the window
+    partitions; window w=2 makes comparisons exactly 2n regardless of
+    block size. Skewed blocks (one giant adjective) degrade the window
+    to one task — production mitigation is a composite block key
+    (adjective + name-length bucket), same plan shape."""
+    base = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split("p_name", " ").getItem(0).alias("blk"),
+    )
+    w = Window.partitionBy("blk").orderBy("p_name", "p_partkey")
+    with_leads = base.select(
+        "blk",
+        "p_name",
+        *[
+            F.lead("p_name", i).over(w).alias(f"nb{i}")
+            for i in range(1, _SNM_WINDOW + 1)
+        ],
+    )
+    dists = with_leads.select(
+        "blk",
+        *[
+            F.levenshtein("p_name", f"nb{i}").alias(f"d{i}")
+            for i in range(1, _SNM_WINDOW + 1)
+        ],
+    )
+    dcols = [F.col(f"d{i}") for i in range(1, _SNM_WINDOW + 1)]
+    return dists.groupBy("blk").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        sum(F.count(c) for c in dcols).alias("n_pairs"),
+        sum(F.sum((c == 0).cast("long")) for c in dcols).alias("n_exact"),
+        sum(
+            F.sum(((c >= 1) & (c <= _SNM_NEAR_MAX)).cast("long"))
+            for c in dcols
+        ).alias("n_near"),
+    )

@@ -212,3 +212,123 @@ def q_llm_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_chars",
         )
     )
+
+
+# Generalization ladder: acctbal band widths, narrowest first. Level i
+# uses width _GEN_WIDTHS[i-1]; the audit picks the narrowest level
+# whose EVERY (segment, nation, band) class reaches k, else the widest.
+_GEN_WIDTHS = [500, 1000, 2000, 4000]
+
+
+@query(
+    "q_priv_generalize",
+    oracle=f"""
+    WITH leveled AS (
+      SELECT c_mktsegment, c_nationkey, lvl.level, lvl.width,
+             CAST(floor(c_acctbal / lvl.width) AS BIGINT) AS band
+      FROM customer
+      CROSS JOIN (
+        SELECT unnest([{", ".join(str(i + 1) for i in range(len(_GEN_WIDTHS)))}]) AS level,
+               unnest([{", ".join(str(w) for w in _GEN_WIDTHS)}]) AS width
+      ) lvl
+    ), groups AS (
+      SELECT c_mktsegment, level, c_nationkey, band, count(*) AS n
+      FROM leveled GROUP BY 1, 2, 3, 4
+    ), per_level AS (
+      SELECT c_mktsegment, level,
+             count(*) AS n_groups,
+             min(n) AS min_group_n,
+             CAST(sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
+                 AS n_suppressed
+      FROM groups GROUP BY 1, 2
+    ), chosen AS (
+      SELECT c_mktsegment,
+             coalesce(min(CASE WHEN min_group_n >= {_KANON_K} THEN level END),
+                      {len(_GEN_WIDTHS)}) AS chosen_level
+      FROM per_level GROUP BY 1
+    )
+    SELECT p.c_mktsegment, c.chosen_level,
+           p.n_groups, p.min_group_n, p.n_suppressed
+    FROM chosen c
+    JOIN per_level p ON p.c_mktsegment = c.c_mktsegment
+                    AND p.level = c.chosen_level
+    """,
+)
+def q_priv_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity generalization ladder: widen the balance band (500 ->
+    1000 -> 2000 -> 4000) until every (segment, nation, band)
+    equivalence class reaches k=5, per segment — the
+    generalize-then-suppress decision a privacy review automates
+    (Samarati's full-domain generalization, one attribute). Emits the
+    chosen level and its group/suppression stats; if no level
+    satisfies k for a segment, the widest level is chosen and the
+    residual suppression count is the report.
+
+    All-integer (floor of an exact-at-boundary division, counts,
+    mins), fully hash-checked.
+
+    Scale: the 4-level explode is map-side (4x row fan-out before the
+    first shuffle, constant factor); group cardinality after the first
+    aggregate is bounded by the QI domain x levels, so the per-level
+    and chosen-level stages run on tiny relations. One data-sized
+    shuffle total, like q_priv_kanon."""
+    levels = F.array(
+        *[
+            F.struct(F.lit(i + 1).alias("level"), F.lit(w).alias("width"))
+            for i, w in enumerate(_GEN_WIDTHS)
+        ]
+    )
+    leveled = (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "c_acctbal",
+            F.explode(levels).alias("lvl"),
+        )
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            F.col("lvl.level").alias("level"),
+            F.floor(F.col("c_acctbal") / F.col("lvl.width"))
+            .cast("long")
+            .alias("band"),
+        )
+    )
+    groups = leveled.groupBy(
+        "c_mktsegment", "level", "c_nationkey", "band"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_level = (
+        groups.groupBy("c_mktsegment", "level")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.min("n").alias("min_group_n"),
+            F.sum(
+                F.when(F.col("n") < _KANON_K, F.col("n")).otherwise(0)
+            ).alias("n_suppressed"),
+        )
+        .persist()
+    )
+    chosen = per_level.groupBy("c_mktsegment").agg(
+        F.coalesce(
+            F.min(
+                F.when(F.col("min_group_n") >= _KANON_K, F.col("level"))
+            ),
+            F.lit(len(_GEN_WIDTHS)),
+        ).alias("chosen_level")
+    )
+    return (
+        per_level.alias("p")
+        .join(
+            F.broadcast(chosen).alias("c"),
+            (F.col("p.c_mktsegment") == F.col("c.c_mktsegment"))
+            & (F.col("p.level") == F.col("c.chosen_level")),
+        )
+        .select(
+            F.col("p.c_mktsegment").alias("c_mktsegment"),
+            F.col("c.chosen_level").alias("chosen_level"),
+            "n_groups",
+            "min_group_n",
+            "n_suppressed",
+        )
+    )

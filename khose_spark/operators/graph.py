@@ -536,3 +536,126 @@ def q_graph_supplier_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "s_a", "s_b", "n_common", "deg_a", "deg_b", "jaccard_permille"
     ).orderBy(F.desc("jaccard_permille"), "s_a", "s_b").limit(20)
+
+
+# Edge admission threshold for the nation trade graph: a nation pair is
+# connected when it carries >= 2 permille of ALL lineitems (uniform
+# expectation over the 25x25 grid is ~1.6 permille, so the threshold
+# keeps roughly the heavier half of the pairs and the graph is neither
+# empty nor complete at any fixture sf).
+_TRI_PERMILLE = 2
+
+
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH flows AS (
+      SELECT c.c_nationkey AS cn, s.s_nationkey AS sn, count(*) AS cnt
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ), total AS (
+      SELECT sum(cnt) AS total_cnt FROM flows
+    ), pairs AS (
+      SELECT least(cn, sn) AS a, greatest(cn, sn) AS b, sum(cnt) AS cnt
+      FROM flows WHERE cn <> sn GROUP BY 1, 2
+    ), edges AS (
+      SELECT a, b FROM pairs, total
+      WHERE cnt * 1000 >= total_cnt * {_TRI_PERMILLE}
+    ), tris AS (
+      SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), members AS (
+      SELECT a AS nk FROM tris
+      UNION ALL SELECT b FROM tris
+      UNION ALL SELECT c FROM tris
+    )
+    SELECT n.n_name, count(*) AS n_triangles
+    FROM members m JOIN nation n ON n.n_nationkey = m.nk
+    GROUP BY 1
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the nation-level trade graph (nations are
+    connected when their customer->supplier flow carries >= 2 permille of
+    all lineitems): per-nation triangle membership counts — the
+    clustering/community-density primitive (triangle counts feed
+    clustering coefficients and spam/anomaly detection in every graph
+    analytics stack).
+
+    The admission threshold is a SHARE, not an absolute count, so the
+    graph stays comparable across scale factors; the exact integer
+    permille test (cnt*1000 >= total*2) has no float surface.
+
+    Scale: the fact table collapses to the 25x25 nation-flow grid in one
+    aggregate (customer/supplier dims broadcast; the lineitem-orders
+    fact-fact join is the only big shuffle); everything after — the
+    1-row total broadcast cross, the triangle enumeration (three-way
+    self-join with a < b < c canonical ordering, so each triangle is
+    found exactly once), and the membership aggregate — runs on a
+    <=300-row edge list. At 100 TB the nation grid is still 625 rows:
+    triangle cost is independent of data volume for a bounded-domain
+    graph; for open-domain graphs (user-user) the same plan shape runs
+    over a degree-capped edge list (q_graph_cooccurrence's cap)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    flows = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("cn"), F.col("s_nationkey").alias("sn")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    total = flows.agg(F.sum("cnt").alias("total_cnt"))
+    pairs = (
+        flows.filter(F.col("cn") != F.col("sn"))
+        .groupBy(
+            F.least("cn", "sn").alias("a"), F.greatest("cn", "sn").alias("b")
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    # localCheckpoint (eager) rather than persist: the <=300-row edge
+    # list feeds THREE self-join sides, and checkpointing cuts the
+    # flows/total lineage out of the triangle plan (which would
+    # otherwise embed the fact-join subplan 3x in the plan string).
+    edges = (
+        pairs.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 1000 >= F.col("total_cnt") * _TRI_PERMILLE)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tris = (
+        e1.join(F.broadcast(e2), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            F.broadcast(e3),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    members = (
+        tris.select(F.col("a").alias("nk"))
+        .unionAll(tris.select(F.col("b").alias("nk")))
+        .unionAll(tris.select(F.col("c").alias("nk")))
+    )
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        members.join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -688,3 +688,170 @@ def q_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+_ZIPF_TOP = 50
+
+
+@query(
+    "q_llm_zipf",
+    oracle=f"""
+    WITH tf AS (
+      SELECT lang, term, count(*) AS cnt
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT lang, cnt,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, term) AS rk
+      FROM tf
+    )
+    SELECT lang,
+           count(*) AS n_terms,
+           round(regr_slope(ln(CAST(cnt AS DOUBLE)),
+                            ln(CAST(rk AS DOUBLE))), 4) AS zipf_slope,
+           round(regr_r2(ln(CAST(cnt AS DOUBLE)),
+                         ln(CAST(rk AS DOUBLE))), 4) AS zipf_r2
+    FROM ranked WHERE rk <= {_ZIPF_TOP}
+    GROUP BY lang
+    """,
+)
+def q_llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: least-squares slope and R^2 of
+    ln(frequency) on ln(rank) over each language's top-50 terms — the
+    corpus-health diagnostic that flags synthetic/templated text (a
+    natural corpus slopes near -1; boilerplate flattens, spam steepens).
+
+    Determinism: frequencies and ranks are integers (rank ties broken
+    by term asc), ln of identical integer-valued doubles agrees across
+    engines (the q_llm_surprisal/q_agg_geomean precedent), and the
+    regression aggregates are continuous under round(4).
+
+    Scale: one (lang, term) count shuffle over the token stream
+    (vocabulary-bounded output), a per-lang ranking window that
+    InferWindowGroupLimit prunes to 50 rows per partition map-side,
+    and a 250-row regression aggregate. Same posture as q_llm_tfidf."""
+    d = t(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "term")
+    ranked = tf.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _ZIPF_TOP
+    )
+    ln_cnt = F.log(F.col("cnt").cast("double"))
+    ln_rk = F.log(F.col("rk").cast("double"))
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(ln_cnt, ln_rk), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(ln_cnt, ln_rk), 4).alias("zipf_r2"),
+    )
+
+
+# Eval slice for the attribution query: the same id<50 eval convention
+# as q_llm_contamination would make the candidate join 50x|train|-wide;
+# 20 docs keep it tight while still exercising every tie/zero path.
+_ROUGE_EVAL_MAX_ID = 20
+
+
+@query(
+    "q_llm_rouge_attribution",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, unnest(list_distinct(g)) AS gram
+      FROM (
+        SELECT doc_id,
+               list_transform(range(1, len(w)),
+                              i -> w[i] || ' ' || w[i + 1]) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      )
+    ), eval_g AS (
+      SELECT doc_id, gram FROM grams WHERE doc_id < {_ROUGE_EVAL_MAX_ID}
+    ), train_g AS (
+      SELECT doc_id, gram FROM grams WHERE doc_id >= {_ROUGE_EVAL_MAX_ID}
+    ), esize AS (
+      SELECT doc_id, count(*) AS n_eval_bigrams FROM eval_g GROUP BY 1
+    ), overlap AS (
+      SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+             count(*) AS n_overlap
+      FROM eval_g e JOIN train_g t ON t.gram = e.gram
+      GROUP BY 1, 2
+    ), best AS (
+      SELECT eval_id, train_id, n_overlap,
+             row_number() OVER (PARTITION BY eval_id
+                                ORDER BY n_overlap DESC, train_id) AS rk
+      FROM overlap
+    )
+    SELECT b.eval_id, b.train_id AS best_train_id,
+           s.n_eval_bigrams, b.n_overlap,
+           CAST((2000 * b.n_overlap + s.n_eval_bigrams)
+                // (2 * s.n_eval_bigrams) AS BIGINT) AS recall_permille
+    FROM best b JOIN esize s ON s.doc_id = b.eval_id
+    WHERE b.rk = 1
+    """,
+)
+def q_llm_rouge_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2-style training-data attribution: for each eval document
+    (doc_id < 20), the single training document with the highest
+    distinct-bigram recall (|overlap| / |eval bigrams|, half-up integer
+    permille; ties broken by smallest train id) — the "which training
+    document does this eval item leak from?" report that pairs with
+    q_llm_contamination's boolean flag.
+
+    Eval docs sharing no bigram with any training doc emit no row (the
+    inner candidate join is the contract; a zero-overlap doc has no
+    best match).
+
+    Scale: candidates come from an equi-join on the bigram key — each
+    bigram fans out by (eval docs containing it x train docs containing
+    it), and the eval side is a fixed 20-doc slice, so join output is
+    linear in the training corpus. Per-doc distinct bigrams are built
+    map-side (array_distinct inside the row, the shingles() posture);
+    the argmax is a 20-partition window. No all-pairs stage anywhere."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingle_array(words, 2))
+        ).alias("gram"),
+    )
+    eval_g = grams.filter(F.col("doc_id") < _ROUGE_EVAL_MAX_ID).persist()
+    train_g = grams.filter(F.col("doc_id") >= _ROUGE_EVAL_MAX_ID)
+    esize = eval_g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_eval_bigrams")
+    )
+    overlap = (
+        eval_g.alias("e")
+        .join(train_g.alias("t"), F.col("t.gram") == F.col("e.gram"))
+        .groupBy(
+            F.col("e.doc_id").alias("eval_id"),
+            F.col("t.doc_id").alias("train_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    w = Window.partitionBy("eval_id").orderBy(
+        F.desc("n_overlap"), "train_id"
+    )
+    best = overlap.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    return (
+        best.join(
+            F.broadcast(esize),
+            best["eval_id"] == esize["doc_id"],
+        )
+        .select(
+            "eval_id",
+            F.col("train_id").alias("best_train_id"),
+            "n_eval_bigrams",
+            "n_overlap",
+            F.expr(
+                "CAST((2000 * n_overlap + n_eval_bigrams)"
+                " DIV (2 * n_eval_bigrams) AS BIGINT)"
+            ).alias("recall_permille"),
+        )
+    )

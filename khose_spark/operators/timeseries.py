@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from khose_spark.registry import query
-from khose_spark.sqlutil import dec_sum, sql_dec_sum
+from khose_spark.sqlutil import dec_round, dec_sum, sql_dec_sum
 from khose_spark.tables import t
 
 _DEC = "decimal(28,2)"
@@ -867,4 +867,170 @@ def q_ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return hourly.groupBy("event_type").applyInPandas(
         lttb, "event_type string, rn long, h string, val_cents long"
+    )
+
+
+_ACF_LAGS = [1, 2, 3]
+
+
+@query(
+    "q_ts_acf",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS spend
+      FROM events GROUP BY 1, 2
+    ), lags AS (
+      SELECT unnest([{", ".join(str(g) for g in _ACF_LAGS)}]) AS lag
+    )
+    SELECT a.event_type, l.lag,
+           count(*) AS n_pairs,
+           round(corr(a.spend, b.spend), 4) AS acf
+    FROM daily a
+    CROSS JOIN lags l
+    JOIN daily b ON b.event_type = a.event_type AND b.d = a.d + l.lag
+    GROUP BY 1, 2
+    """,
+)
+def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation (Pearson form over lagged day pairs) of
+    each event type's daily spend series at lags 1..3 — the
+    periodicity/persistence diagnostic run before any forecasting model
+    (and the ACF half of a Box-Jenkins identification step).
+
+    Pairing is by CALENDAR day arithmetic (join on d+lag), not row
+    adjacency, so missing days pair with nothing instead of silently
+    pairing across gaps — both engines join the identical exact-decimal
+    day grid. corr over identical double inputs is continuous under
+    round(4) (sqlutil law, same posture as q_ts_corr_matrix).
+
+    Scale: raw events collapse to one row per (type, day) FIRST (one
+    shuffle, map-side partial decimal sums); the lagged self-join and
+    the final (type, lag) aggregate run on the tiny rollup (days ×
+    types rows) — at 100 TB the rollup is megabytes, so the join is a
+    broadcast and total cost is one scan + one shuffle."""
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.to_date("ts").alias("d")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("spend")
+        )
+        .persist()
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(g) for g in _ACF_LAGS])).alias("lag")
+    )
+    a = daily.alias("a").crossJoin(F.broadcast(lags).alias("l"))
+    b = daily.alias("b")
+    paired = a.join(
+        F.broadcast(b),
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.d") == F.expr("date_add(a.d, l.lag)")),
+    )
+    out = (
+        paired.groupBy(
+            F.col("a.event_type").alias("event_type"), F.col("l.lag").alias("lag")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("a.spend", "b.spend"), 4).alias("acf"),
+        )
+    )
+    return out
+
+
+_WINSOR_LO = 0.05
+_WINSOR_HI = 0.95
+
+
+@query(
+    "q_ts_winsorize",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT event_type,
+             CAST(round(CAST(quantile_cont(value, {_WINSOR_LO}) AS DECIMAL(18,6)), 4) AS DOUBLE) AS p05,
+             CAST(round(CAST(quantile_cont(value, {_WINSOR_HI}) AS DECIMAL(18,6)), 4) AS DOUBLE) AS p95
+      FROM events GROUP BY event_type
+    ), clipped AS (
+      SELECT e.event_type, c.p05, c.p95, e.value,
+             least(greatest(e.value, c.p05), c.p95) AS w
+      FROM events e JOIN cuts c ON c.event_type = e.event_type
+    )
+    SELECT event_type, count(*) AS n,
+           any_value(p05) AS p05, any_value(p95) AS p95,
+           CAST(sum(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+           CAST(sum(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+           CAST((2 * CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+                 + count(*)) // (2 * count(*)) AS DOUBLE) / 100.0 AS mean_before,
+           CAST((2 * CAST(sum(CAST(w AS DECIMAL(18,4)) * 10000) AS BIGINT)
+                 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0 AS mean_after
+    FROM clipped GROUP BY event_type
+    """,
+)
+def q_ts_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust scaling audit: clip each event type's value at
+    its own exact p05/p95, reporting cut points, clip counts, and the
+    mean before/after — the outlier-capping preprocessing step (and its
+    QA report) run before any mean-based downstream statistic.
+
+    Determinism: interpolated percentiles of 2-decimal inputs are exact
+    4-decimal values (the interpolation fraction has 2 decimals), so
+    both engines recover them through the DECIMAL(18,6)->round(4) cast
+    (sqlutil law); clipping compares identical doubles. Both means use
+    the all-integer half-up idiom — values scaled to exact integer
+    cents (before) / 1e-4 units (after), summed as int64, divided
+    half-up in integer space — so no float division ever happens.
+
+    Scale: percentile is a per-group sort-based aggregate (5 groups) —
+    the approx_percentile sketch is the 100 TB stand-in, same shape
+    (q_agg_approx_percentile documents that twin); the clip pass itself
+    is map-side against broadcast cut points plus one final shuffle."""
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    cuts = ev.groupBy("event_type").agg(
+        dec_round(
+            F.expr(f"percentile(value, {_WINSOR_LO})"), 6, 4
+        ).alias("p05"),
+        dec_round(
+            F.expr(f"percentile(value, {_WINSOR_HI})"), 6, 4
+        ).alias("p95"),
+    )
+    clipped = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "value",
+        "p05",
+        "p95",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias(
+            "w"
+        ),
+    )
+    agg = clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("p05").alias("p05"),
+        F.first("p95").alias("p95"),
+        F.sum((F.col("value") < F.col("p05")).cast("long")).alias("n_clip_lo"),
+        F.sum((F.col("value") > F.col("p95")).cast("long")).alias("n_clip_hi"),
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias(
+            "_sum_c"
+        ),
+        F.sum((F.col("w").cast("decimal(18,4)") * 10000).cast("long")).alias(
+            "_sum_q"
+        ),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "p05",
+        "p95",
+        "n_clip_lo",
+        "n_clip_hi",
+        (
+            F.expr("(2 * _sum_c + n) DIV (2 * n)").cast("double") / 100.0
+        ).alias("mean_before"),
+        (
+            F.expr("(2 * _sum_q + n) DIV (2 * n)").cast("double") / 10000.0
+        ).alias("mean_after"),
     )

@@ -68,6 +68,11 @@ BNLJ_ALLOWED = {
     "q_llm_semdedup",           # 1-row broadcast centroid-array collapse
                                 # crossed into the corpus (the kmeans
                                 # map-side argmin fold, single pass)
+    "q_ts_acf",                 # 3-row broadcast lag dimension crossed
+                                # into the tiny daily rollup
+    "q_graph_triangles",        # 1-row grand-total aggregate broadcast-
+                                # crossed into the 625-row nation grid
+                                # (edge admission threshold)
 }
 
 # Shuffle-exchange ceilings. Default covers scan→agg/join→window plans;
@@ -141,6 +146,13 @@ MAX_SHUFFLES = {
                                   # custkey pair self-join + TakeOrdered;
                                   # persisted edge list embedded 3x in
                                   # the plan string (audited: 9)
+    "q_priv_generalize": 6,       # groups agg + per-level agg + chosen
+                                  # agg; persisted per-level relation
+                                  # embedded 2x in the string (audited: 5)
+    "q_graph_triangles": 6,       # nation-flow agg chain (fact join +
+                                  # grid agg) before the checkpointed
+                                  # edge list; triangle joins broadcast
+                                  # (audited: 4 post-checkpoint)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
