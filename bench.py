@@ -73,6 +73,9 @@ HEADLINE = [
     "q_llm_zipf",
     "q_er_sorted_neighborhood",
     "q_graph_triangles",
+    "q_llm_kl_divergence",
+    "q_llm_heaps",
+    "q_ml_logreg",
 ]
 
 

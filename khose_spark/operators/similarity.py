@@ -1099,3 +1099,140 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assign.unpersist()
     return out
+
+
+# Logistic-regression hyperparameters: 4 embedding dims + bias, fixed
+# learning rate, 3 full-batch gradient steps from w = 0.
+_LR_DIMS = 4
+_LR_RATE = 1.0
+_LR_ITERS = 3
+_LR_ROUND = 6
+
+
+def _lr_oracle() -> str:
+    xs = [
+        f"CAST(embedding[{j}] AS DOUBLE) AS x{j}"
+        for j in range(1, _LR_DIMS + 1)
+    ]
+    margin = " + ".join(
+        ["w0"] + [f"w{j} * x{j}" for j in range(1, _LR_DIMS + 1)]
+    )
+    prev = "it0"
+    ctes = [
+        "base AS (SELECT CAST(label % 2 AS DOUBLE) AS y, "
+        + ", ".join(xs)
+        + " FROM embeddings)",
+        "it0 AS (SELECT "
+        + ", ".join(f"0.0 AS w{j}" for j in range(_LR_DIMS + 1))
+        + ")",
+    ]
+    for i in range(1, _LR_ITERS + 1):
+        ctes.append(
+            f"p{i} AS (SELECT b.*, "
+            + ", ".join(f"w{j}" for j in range(_LR_DIMS + 1))
+            + f", 1.0 / (1.0 + exp(-({margin}))) AS p "
+            f"FROM base b CROSS JOIN {prev})"
+        )
+        updates = [
+            f"round(any_value(w0) - {_LR_RATE} * avg((p - y) * 1.0),"
+            f" {_LR_ROUND}) AS w0"
+        ] + [
+            f"round(any_value(w{j}) - {_LR_RATE} * avg((p - y) * x{j}),"
+            f" {_LR_ROUND}) AS w{j}"
+            for j in range(1, _LR_DIMS + 1)
+        ]
+        ctes.append(f"it{i} AS (SELECT " + ", ".join(updates) + f" FROM p{i})")
+        prev = f"it{i}"
+    return (
+        "WITH " + ", ".join(ctes) + f"""
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN (({margin}) > 0) = (y = 1.0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST((2000 * sum(CASE WHEN (({margin}) > 0) = (y = 1.0)
+                                 THEN 1 ELSE 0 END) + count(*))
+                // (2 * count(*)) AS BIGINT) AS accuracy_permille,
+           """
+        + ", ".join(
+            f"any_value(w{j}) AS w{j}" for j in range(_LR_DIMS + 1)
+        )
+        + f" FROM base CROSS JOIN {prev}"
+    )
+
+
+@query("q_ml_logreg", oracle=_lr_oracle())
+def q_ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression (full-batch gradient descent, 3
+    steps, lr=1.0, w=0 start) predicting label parity from the first 4
+    embedding dimensions + bias; emits the learned weights and the
+    resubstitution accuracy — the third fully-oracled ITERATIVE
+    algorithm (after k-means and PageRank): the DuckDB twin unrolls the
+    gradient loop as a CTE chain.
+
+    Determinism contract (the kmeans calculus): each step's weights are
+    ROUNDED to 6 decimals before the next step, re-synchronizing both
+    engines' floats so sigmoid/summation ulp noise cannot compound; the
+    margin is written as the SAME left-associated chain on both sides,
+    so the final sign test (margin > 0) compares identical doubles; the
+    accuracy share uses the half-up integer-permille idiom.
+
+    Scale shape: each iteration is one map-side pass over the corpus
+    against a ONE-ROW broadcast weight vector plus a single 1-row
+    gradient aggregate (avg is an associative partial agg) — vectors
+    never shuffle; 3 iterations = 3 broadcast-crosses + 3 tiny
+    reductions, the standard distributed GD layout (and exactly how
+    MLlib's LogisticRegression treeAggregates its gradient)."""
+    e = t(spark, sf_dir, "embeddings")
+    base = e.select(
+        (F.col("label") % 2).cast("double").alias("y"),
+        *[
+            F.element_at("embedding", j).cast("double").alias(f"x{j}")
+            for j in range(1, _LR_DIMS + 1)
+        ],
+    )
+
+    def margin_col():
+        m = F.col("w0")
+        for j in range(1, _LR_DIMS + 1):
+            m = m + F.col(f"w{j}") * F.col(f"x{j}")
+        return m
+
+    w_row = spark.range(1).select(
+        *[F.lit(0.0).alias(f"w{j}") for j in range(_LR_DIMS + 1)]
+    )
+    for _ in range(_LR_ITERS):
+        scored = base.crossJoin(F.broadcast(w_row)).withColumn(
+            "p", F.lit(1.0) / (F.lit(1.0) + F.exp(-margin_col()))
+        )
+        w_row = scored.agg(
+            F.round(
+                F.first("w0") - _LR_RATE * F.avg((F.col("p") - F.col("y"))),
+                _LR_ROUND,
+            ).alias("w0"),
+            *[
+                F.round(
+                    F.first(f"w{j}")
+                    - _LR_RATE
+                    * F.avg((F.col("p") - F.col("y")) * F.col(f"x{j}")),
+                    _LR_ROUND,
+                ).alias(f"w{j}")
+                for j in range(1, _LR_DIMS + 1)
+            ],
+        )
+    final = base.crossJoin(F.broadcast(w_row))
+    correct = ((margin_col() > 0) == (F.col("y") == 1.0)).cast("long")
+    return final.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(correct).alias("n_correct"),
+        F.expr(
+            f"CAST((2000 * sum(CAST((("
+            + " + ".join(
+                ["w0"] + [f"w{j} * x{j}" for j in range(1, _LR_DIMS + 1)]
+            )
+            + f") > 0) = (y = 1.0) AS BIGINT)) + count(*))"
+            f" DIV (2 * count(*)) AS BIGINT)"
+        ).alias("accuracy_permille"),
+        *[
+            F.first(f"w{j}").alias(f"w{j}")
+            for j in range(_LR_DIMS + 1)
+        ],
+    )

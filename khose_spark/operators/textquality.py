@@ -14,7 +14,7 @@ deterministic computation, which the DuckDB oracle checks exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from khose_spark.registry import query
@@ -386,4 +386,177 @@ def q_llm_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+@query(
+    "q_llm_kl_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), st AS (
+      SELECT source, term, count(*) AS c_st FROM toks GROUP BY 1, 2
+    ), ct AS (
+      SELECT term, sum(c_st) AS c_t FROM st GROUP BY 1
+    ), ns AS (
+      SELECT source, sum(c_st) AS n_s FROM st GROUP BY 1
+    ), n AS (
+      SELECT sum(c_st) AS n_tot FROM st
+    )
+    SELECT st.source,
+           count(*) AS n_terms,
+           CAST(any_value(ns.n_s) AS BIGINT) AS n_tokens,
+           round(sum((CAST(st.c_st AS DOUBLE) / ns.n_s)
+                     * ln((CAST(st.c_st AS DOUBLE) * n.n_tot)
+                          / (CAST(ct.c_t AS DOUBLE) * ns.n_s))), 4)
+               AS kl_vs_corpus
+    FROM st
+    JOIN ct ON ct.term = st.term
+    JOIN ns ON ns.source = st.source
+    CROSS JOIN n
+    GROUP BY st.source
+    """,
+)
+def q_llm_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift audit: KL divergence of each source's term
+    distribution against the whole-corpus distribution — the drift
+    detector a crawl pipeline runs per ingest source (a source whose
+    unigram distribution diverges hard from the corpus is boilerplate,
+    spam, or another language). Every term of a source exists in the
+    corpus by construction, so the divergence is total (no zero-
+    probability smoothing needed).
+
+    Determinism: probabilities are ratios of exact integer counts —
+    identical doubles in both engines — and ln of identical doubles
+    agrees (the q_llm_surprisal precedent); the per-source sum is
+    continuous under round(4).
+
+    Scale: one token-stream shuffle to (source, term) counts; the
+    corpus marginal re-aggregates that vocabulary-bounded relation
+    (not the raw stream) and joins back on the term key UNHINTED — AQE
+    broadcasts it at runtime when the vocabulary is small and falls
+    back to a linear term-keyed shuffle when it is open-domain huge;
+    totals are a 20-row and a 1-row broadcast. Same posture as
+    q_llm_tfidf."""
+    d = t(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        .persist()
+    )
+    ct = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    n = st.agg(F.sum("c_st").alias("n_tot"))
+    joined = (
+        st.join(ct, "term")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    contrib = (F.col("c_st").cast("double") / F.col("n_s")) * F.log(
+        (F.col("c_st").cast("double") * F.col("n_tot"))
+        / (F.col("c_t").cast("double") * F.col("n_s"))
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.first("n_s").cast("long").alias("n_tokens"),
+        F.round(F.sum(contrib), 4).alias("kl_vs_corpus"),
+    )
+
+
+@query(
+    "q_llm_heaps",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_toks,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(text), doc_id) AS rk
+      FROM documents
+    ), terms AS (
+      SELECT lang, unnest(list_distinct(string_split(text, ' '))) AS term,
+             rk
+      FROM ranked
+    ), firsts AS (
+      SELECT lang, term, min(rk) AS first_rk FROM terms GROUP BY 1, 2
+    ), novel AS (
+      SELECT lang, first_rk AS rk, count(*) AS n_novel
+      FROM firsts GROUP BY 1, 2
+    ), curve AS (
+      SELECT r.lang, r.rk,
+             sum(r.n_toks) OVER (PARTITION BY r.lang ORDER BY r.rk) AS cum_toks,
+             sum(coalesce(nv.n_novel, 0))
+                 OVER (PARTITION BY r.lang ORDER BY r.rk) AS cum_vocab
+      FROM ranked r
+      LEFT JOIN novel nv ON nv.lang = r.lang AND nv.rk = r.rk
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(regr_slope(ln(CAST(cum_vocab AS DOUBLE)),
+                            ln(CAST(cum_toks AS DOUBLE))), 4) AS heaps_beta,
+           round(regr_intercept(ln(CAST(cum_vocab AS DOUBLE)),
+                                ln(CAST(cum_toks AS DOUBLE))), 4) AS heaps_ln_k,
+           round(regr_r2(ln(CAST(cum_vocab AS DOUBLE)),
+                         ln(CAST(cum_toks AS DOUBLE))), 4) AS heaps_r2
+    FROM curve GROUP BY lang
+    """,
+)
+def q_llm_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit per language: regress ln(cumulative vocabulary)
+    on ln(cumulative tokens) along the corpus read in deterministic
+    md5 order — V = K·n^beta, the vocabulary-growth curve that predicts
+    how much NEW vocabulary the next TB of crawl will contribute (and,
+    like the Zipf fit, flags templated corpora: natural text sits near
+    beta 0.4-0.6, boilerplate saturates early).
+
+    The sequential-looking "cumulative distinct vocabulary" is computed
+    distributively: each distinct (lang, term) is charged to the FIRST
+    document (min rank) containing it — the q_llm_ngram_novelty trick —
+    so cumulative vocabulary is a running sum of per-rank novel-term
+    counts, never a sequential distinct scan.
+
+    Scale: one (lang, term) first-occurrence aggregate over the token
+    stream (vocabulary-bounded output), a per-lang ranking window, two
+    running-sum windows over the per-doc relation, and a 5-row
+    regression aggregate. ln over exact integers; regression continuous
+    under round(4)."""
+    d = t(spark, sf_dir, "documents")
+    w_rank = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    ranked = d.select(
+        "lang",
+        F.size(F.split("text", " ")).alias("n_toks"),
+        F.array_distinct(F.split("text", " ")).alias("terms"),
+        F.row_number().over(w_rank).alias("rk"),
+    ).persist()
+    firsts = (
+        ranked.select("lang", "rk", F.explode("terms").alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.min("rk").alias("first_rk"))
+    )
+    novel = firsts.groupBy(
+        "lang", F.col("first_rk").alias("rk")
+    ).agg(F.count(F.lit(1)).alias("n_novel"))
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = (
+        ranked.drop("terms")
+        .join(F.broadcast(novel), ["lang", "rk"], "left")
+        .select(
+            "lang",
+            F.sum("n_toks").over(w_cum).alias("cum_toks"),
+            F.sum(F.coalesce(F.col("n_novel"), F.lit(0)))
+            .over(w_cum)
+            .alias("cum_vocab"),
+        )
+    )
+    ln_v = F.log(F.col("cum_vocab").cast("double"))
+    ln_n = F.log(F.col("cum_toks").cast("double"))
+    return curve.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.regr_slope(ln_v, ln_n), 4).alias("heaps_beta"),
+        F.round(F.regr_intercept(ln_v, ln_n), 4).alias("heaps_ln_k"),
+        F.round(F.regr_r2(ln_v, ln_n), 4).alias("heaps_r2"),
     )

@@ -70,6 +70,11 @@ BNLJ_ALLOWED = {
                                 # map-side argmin fold, single pass)
     "q_ts_acf",                 # 3-row broadcast lag dimension crossed
                                 # into the tiny daily rollup
+    "q_ml_logreg",              # 1-row broadcast weight vector crossed
+                                # into the corpus each gradient step
+                                # (the kmeans map-side collapse idiom)
+    "q_llm_kl_divergence",      # 1-row corpus-total aggregate broadcast-
+                                # crossed into the per-source term stats
     "q_graph_triangles",        # 1-row grand-total aggregate broadcast-
                                 # crossed into the 625-row nation grid
                                 # (edge admission threshold)
@@ -153,6 +158,17 @@ MAX_SHUFFLES = {
                                   # grid agg) before the checkpointed
                                   # edge list; triangle joins broadcast
                                   # (audited: 4 post-checkpoint)
+    "q_llm_kl_divergence": 10,    # (source,term) agg + vocab re-agg +
+                                  # term join (AQE decides broadcast) +
+                                  # totals; persisted term stats embedded
+                                  # 4x in the string (audited: 8)
+    "q_llm_heaps": 7,             # first-occurrence agg + novel re-agg +
+                                  # rank/cumsum windows + regression agg;
+                                  # persisted ranked relation embedded 2x
+                                  # (audited: 5)
+    "q_ml_logreg": 8,             # 3 chained 1-row gradient aggregates +
+                                  # final accuracy agg over the corpus
+                                  # scan (audited: 4; headroom for AQE)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
