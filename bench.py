@@ -76,6 +76,8 @@ HEADLINE = [
     "q_llm_kl_divergence",
     "q_llm_heaps",
     "q_ml_logreg",
+    "q_ts_window_funnel",
+    "q_agg_weighted_percentile",
 ]
 
 

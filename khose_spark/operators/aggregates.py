@@ -7,7 +7,7 @@ the order-insensitive value-hash (SURVEY.md §4.2.5).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from khose_spark.registry import query
@@ -553,4 +553,66 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dec_round(F.first("median_price"), 4).alias("median_price"),
         dec_round(F.expr("percentile(adev, 0.5)"), 4).alias("mad"),
+    )
+
+
+@query(
+    "q_agg_weighted_percentile",
+    oracle="""
+    WITH by_price AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT l_returnflag, price, w,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS cum_w,
+             sum(w) OVER (PARTITION BY l_returnflag) AS total_w
+      FROM by_price
+    )
+    SELECT l_returnflag,
+           CAST(any_value(total_w) AS BIGINT) AS total_weight,
+           min(CASE WHEN 2 * cum_w >= total_w THEN price END)
+               AS weighted_median_price
+    FROM cum GROUP BY l_returnflag
+    """,
+)
+def q_agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag (lower weighted
+    median: the smallest price whose cumulative quantity weight reaches
+    half the total) — the volume-aware robust center every pricing /
+    inventory report wants, and an aggregate no SQL engine ships as a
+    builtin.
+
+    Exactness: quantities are integral (cast BIGINT), so the crossing
+    test 2*cum_w >= total_w is pure integer arithmetic — ties at equal
+    prices are collapsed into one (flag, price) row FIRST, making the
+    cumulative sum order-unambiguous; the emitted median is a raw
+    2-decimal input value, never an interpolation.
+
+    Scale: one (flag, price) pre-aggregate shrinks the window input to
+    the distinct-price domain; the cumulative window runs per flag over
+    that reduced relation. At open-domain 100 TB the same shape runs
+    over bucketed prices (the q_reshape_histogram grid) — weighted
+    quantiles on a bounded grid, the standard production downgrade."""
+    li = t(spark, sf_dir, "lineitem")
+    by_price = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = by_price.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(w_cum).alias("cum_w"),
+        F.sum("w").over(w_all).alias("total_w"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.first("total_w").cast("long").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("cum_w") >= F.col("total_w"), F.col("price"))
+        ).alias("weighted_median_price"),
     )

@@ -276,3 +276,97 @@ def q_ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_match"
         ),
     )
+
+
+# windowFunnel budget: each later stage must land within 12 hours of
+# the previous stage's matched event (fixture inter-event gaps average
+# ~4.5h/user, so 12h populates every funnel level at sf>=0.01).
+_WF_BUDGET = "INTERVAL 12 HOURS"
+
+
+@query(
+    "q_ts_window_funnel",
+    oracle=f"""
+    WITH users AS (
+      SELECT DISTINCT user_id FROM events
+    ), s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > s1.t1 AND e.ts <= s1.t1 + {_WF_BUDGET}
+      GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > s2.t2 AND e.ts <= s2.t2 + {_WF_BUDGET}
+      GROUP BY 1
+    ), leveled AS (
+      SELECT u.user_id,
+             CASE WHEN s3.user_id IS NOT NULL THEN 3
+                  WHEN s2.user_id IS NOT NULL THEN 2
+                  WHEN s1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS level
+      FROM users u
+      LEFT JOIN s1 ON s1.user_id = u.user_id
+      LEFT JOIN s2 ON s2.user_id = u.user_id
+      LEFT JOIN s3 ON s3.user_id = u.user_id
+    )
+    SELECT level, count(*) AS n_users FROM leveled GROUP BY level
+    """,
+)
+def q_ts_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-budgeted funnel (the ClickHouse ``windowFunnel`` shape):
+    deepest view -> click -> purchase level each user reaches where
+    every later stage must occur WITHIN 12 HOURS of the previous
+    stage's matched event — contrast q_ts_funnel, whose stages may be arbitrarily
+    far apart. Emits users per deepest level (0 = never viewed).
+
+    Matching is greedy-earliest (each stage anchors on the MIN
+    qualifying timestamp), which is deterministic and the standard
+    windowFunnel semantics; timestamps compare exactly in both engines
+    under the UTC session pin.
+
+    Scale: three chained user-keyed min-aggregates, each joined back
+    user-keyed (the q_ts_funnel layout plus a time-range predicate) —
+    per-stage relations shrink monotonically, no window over raw
+    events, no self-join fan-out."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    users = ev.select("user_id").distinct()
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr(_WF_BUDGET))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr(_WF_BUDGET))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    leveled = (
+        users.join(s1.select("user_id", F.lit(1).alias("l1")), "user_id", "left")
+        .join(s2.select("user_id", F.lit(2).alias("l2")), "user_id", "left")
+        .join(s3.select("user_id", F.lit(3).alias("l3")), "user_id", "left")
+        .select(
+            F.coalesce("l3", "l2", "l1", F.lit(0)).alias("level")
+        )
+    )
+    return leveled.groupBy("level").agg(F.count(F.lit(1)).alias("n_users"))

@@ -332,3 +332,58 @@ def q_priv_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_suppressed",
         )
     )
+
+
+_LDIV_L = 3
+
+
+@query(
+    "q_priv_ldiversity",
+    oracle=f"""
+    WITH classes AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             count(DISTINCT c_mktsegment) AS n_sensitive,
+             count(*) AS n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c_nationkey,
+           count(*) AS n_classes,
+           CAST(sum(CASE WHEN n_sensitive < {_LDIV_L} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_classes_below_l,
+           CAST(sum(CASE WHEN n_sensitive < {_LDIV_L} THEN n ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk,
+           CAST(sum(CASE WHEN n_sensitive >= {_LDIV_L} THEN n ELSE 0 END)
+                AS BIGINT) AS n_rows_safe
+    FROM classes GROUP BY c_nationkey
+    """,
+)
+def q_priv_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=3) complementing q_priv_kanon: a QI class
+    (nation, $1000 balance band) is safe only if it contains >= 3
+    DISTINCT values of the sensitive attribute (market segment) — the
+    homogeneity-attack check k-anonymity alone misses (a class of 50
+    rows all in one segment leaks the segment). Per nation: classes,
+    classes below l, and rows at risk vs safe.
+
+    Scale: one shuffle on the QI tuple with a distinct-count aggregate
+    (Spark's Expand rewrite, bounded by the 5-value sensitive domain),
+    then a 25-row re-agg. All-integer, fully hash-checked."""
+    classes = (
+        t(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+        )
+        .agg(
+            F.countDistinct("c_mktsegment").alias("n_sensitive"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    risky = F.col("n_sensitive") < _LDIV_L
+    return classes.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(risky.cast("long")).alias("n_classes_below_l"),
+        F.sum(F.when(risky, F.col("n")).otherwise(0)).alias("n_rows_at_risk"),
+        F.sum(F.when(~risky, F.col("n")).otherwise(0)).alias("n_rows_safe"),
+    )

@@ -573,18 +573,32 @@ _TRI_PERMILLE = 2
       SELECT a AS nk FROM tris
       UNION ALL SELECT b FROM tris
       UNION ALL SELECT c FROM tris
+    ), tri_counts AS (
+      SELECT nk, count(*) AS n_triangles FROM members GROUP BY 1
+    ), degrees AS (
+      SELECT nk, count(*) AS degree
+      FROM (SELECT a AS nk FROM edges UNION ALL SELECT b FROM edges)
+      GROUP BY 1
     )
-    SELECT n.n_name, count(*) AS n_triangles
-    FROM members m JOIN nation n ON n.n_nationkey = m.nk
-    GROUP BY 1
+    SELECT n.n_name, d.degree,
+           CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN d.degree < 2 THEN 0
+                ELSE (2000 * 2 * coalesce(tc.n_triangles, 0)
+                      + d.degree * (d.degree - 1))
+                     // (2 * d.degree * (d.degree - 1)) END AS BIGINT)
+               AS clustering_permille
+    FROM degrees d
+    LEFT JOIN tri_counts tc ON tc.nk = d.nk
+    JOIN nation n ON n.n_nationkey = d.nk
     """,
 )
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over the nation-level trade graph (nations are
     connected when their customer->supplier flow carries >= 2 permille of
-    all lineitems): per-nation triangle membership counts — the
-    clustering/community-density primitive (triangle counts feed
-    clustering coefficients and spam/anomaly detection in every graph
+    all lineitems): per-nation degree, triangle membership count, and
+    local clustering coefficient 2T/(d(d-1)) as half-up integer
+    permille — the community-density primitives (triangle counts and
+    clustering coefficients feed spam/anomaly detection in every graph
     analytics stack).
 
     The admission threshold is a SHARE, not an absolute count, so the
@@ -653,9 +667,40 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tris.select(F.col("b").alias("nk")))
         .unionAll(tris.select(F.col("c").alias("nk")))
     )
+    tri_counts = members.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    degrees = (
+        edges.select(F.col("a").alias("nk"))
+        .unionAll(edges.select(F.col("b").alias("nk")))
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
     nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    return (
-        members.join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
-        .groupBy("n_name")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    joined = (
+        degrees.join(F.broadcast(tri_counts), "nk", "left")
+        .join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+        )
+    )
+    # Local clustering coefficient 2T/(d(d-1)) as half-up integer
+    # permille; degree-1 nodes close no wedges (coefficient 0).
+    wedges = F.col("degree") * (F.col("degree") - 1)
+    return joined.select(
+        "n_name",
+        "degree",
+        "n_triangles",
+        F.when(F.col("degree") < 2, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "CAST((2000 * 2 * n_triangles + degree * (degree - 1))"
+                " DIV (2 * degree * (degree - 1)) AS BIGINT)"
+            )
+        )
+        .alias("clustering_permille"),
     )

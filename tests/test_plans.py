@@ -169,6 +169,9 @@ MAX_SHUFFLES = {
     "q_ml_logreg": 8,             # 3 chained 1-row gradient aggregates +
                                   # final accuracy agg over the corpus
                                   # scan (audited: 4; headroom for AQE)
+    "q_ts_window_funnel": 9,      # distinct users + 3 chained per-stage
+                                  # min-ts aggs + stage joins + level agg
+                                  # (the q_ts_funnel layout; audited: 7)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
