@@ -1056,20 +1056,24 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
+    # Precompute each vector's norm ONCE on the persisted assignment:
+    # higher-order lambdas run interpreted, and recomputing both norms
+    # inside every candidate pair tripled the per-pair fold work
+    # (sqrt(dot(v,v)) here is the same expression over the same doubles,
+    # so the cosine value — and the hash — is bit-identical).
     a = assign.select(
         F.col("cid").alias("p_cid"),
         F.col("vec_id").alias("id_a"),
         F.col("v").alias("va"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("na"),
     )
     b = assign.select(
         F.col("cid").alias("b_cid"),
         F.col("vec_id").alias("id_b"),
         F.col("v").alias("vb"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nb"),
     )
-    cos = dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(dot(F.col("va"), F.col("va")))
-        * F.sqrt(dot(F.col("vb"), F.col("vb")))
-    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     pairs = (
         a.join(
             b,
