@@ -78,6 +78,7 @@ HEADLINE = [
     "q_ml_logreg",
     "q_ts_window_funnel",
     "q_agg_weighted_percentile",
+    "q_llm_bloom_prefilter",
 ]
 
 

@@ -463,3 +463,198 @@ def q_er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in dcols
         ).alias("n_near"),
     )
+
+
+# Bloom prefilter geometry: m = 63 * 1024 bit positions (63-bit words
+# dodge signed-shift overflow in both engines, the q_agg_bitmap_distinct
+# trick), k = 2 md5-derived hash functions (16 hex bits each).
+_BLOOM_WORDS = 1024
+_BLOOM_M = 63 * _BLOOM_WORDS
+_BLOOM_EVAL_MAX_ID = 50
+
+
+def _bloom_pos(col, lo: int):
+    """Hash position lo..lo+3 hex chars of md5 -> [0, _BLOOM_M)."""
+    return (
+        F.conv(F.substring(F.md5(col), lo, 4), 16, 10).cast("long")
+        % _BLOOM_M
+    )
+
+
+def _sql_bloom_pos(expr: str, lo: int) -> str:
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5({expr}), {lo + j}, 1)) - 1)"
+        f" * {16 ** (3 - j)}"
+        for j in range(4)
+    )
+    return f"(({terms}) % {_BLOOM_M})"
+
+
+@query(
+    "q_llm_bloom_prefilter",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(w) - 1, 1)),
+                 i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+        FROM words
+      ) WHERE len(string_split(shingle, ' ')) = 3
+    ), train_sh AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id >= {_BLOOM_EVAL_MAX_ID}
+    ), eval_sh AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id < {_BLOOM_EVAL_MAX_ID}
+    ), positions AS (
+      SELECT {_sql_bloom_pos('shingle', 1)} AS pos FROM train_sh
+      UNION ALL
+      SELECT {_sql_bloom_pos('shingle', 5)} AS pos FROM train_sh
+    ), bloom AS (
+      SELECT pos // 63 AS word_idx,
+             bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS word
+      FROM positions GROUP BY 1
+    ), bloom_stats AS (
+      SELECT count(*) AS n_words_used,
+             CAST(sum(bit_count(word)) AS BIGINT) AS n_bits_set
+      FROM bloom
+    ), probes AS (
+      SELECT shingle, unnest([{_sql_bloom_pos('shingle', 1)},
+                              {_sql_bloom_pos('shingle', 5)}]) AS pos
+      FROM eval_sh
+    ), tested AS (
+      SELECT p.shingle,
+             bool_and(coalesce((b.word & (1::BIGINT << CAST(p.pos % 63 AS INT)))
+                               <> 0, FALSE)) AS bloom_hit
+      FROM probes p LEFT JOIN bloom b ON b.word_idx = p.pos // 63
+      GROUP BY 1
+    ), flagged AS (
+      SELECT t.shingle, t.bloom_hit,
+             (ts.shingle IS NOT NULL) AS is_member
+      FROM tested t LEFT JOIN train_sh ts ON ts.shingle = t.shingle
+    )
+    SELECT count(*) AS n_eval_shingles,
+           CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_members,
+           CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_hits,
+           CAST(sum(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST((2000 * sum(CASE WHEN bloom_hit AND NOT is_member
+                                 THEN 1 ELSE 0 END)
+                 + sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END))
+                // (2 * sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END))
+                AS BIGINT) AS fp_permille,
+           any_value(n_words_used) AS n_words_used,
+           any_value(n_bits_set) AS n_bits_set
+    FROM flagged CROSS JOIN bloom_stats
+    """,
+)
+def q_llm_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom-filter prefilter audit — the measured scale
+    path q_llm_contamination's docstring promises: build a 64512-bit /
+    2-hash Bloom filter over the training corpus's distinct 3-gram
+    shingles, probe every eval-side shingle, and report hits vs ground
+    truth (exact membership join) plus the false-positive permille and
+    filter saturation — exactly the sizing report that decides whether
+    a Bloom prefilter can replace the exact shingle join at 100 TB
+    (expected FP rate at load factor p_set: p_set^k).
+
+    Determinism: hashes are md5 hex arithmetic (engine-portable, the
+    split_assign idiom), the filter is 1024 63-bit words built with
+    bit_or (exactly the q_agg_bitmap_distinct wire format), and every
+    output is an integer — even the Bloom BITS are hash-checked against
+    the oracle's independently-built filter.
+
+    Scale: filter build is one bit_or aggregate over 2 positions per
+    distinct train shingle (map-side partial OR, 1024-row output);
+    probing joins eval probes against the <=1024-row broadcast filter;
+    the exact-membership join exists ONLY because this is the audit —
+    the production prefilter drops it (that being the point)."""
+    docs = t(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    train_sh = (
+        sh.filter(F.col("doc_id") >= _BLOOM_EVAL_MAX_ID)
+        .select("shingle")
+        .distinct()
+        .persist()
+    )
+    eval_sh = (
+        sh.filter(F.col("doc_id") < _BLOOM_EVAL_MAX_ID)
+        .select("shingle")
+        .distinct()
+    )
+    positions = train_sh.select(
+        F.explode(
+            F.array(
+                _bloom_pos(F.col("shingle"), 1),
+                _bloom_pos(F.col("shingle"), 5),
+            )
+        ).alias("pos")
+    )
+    bloom = positions.groupBy(
+        (F.col("pos") / 63).cast("long").alias("word_idx")
+    ).agg(
+        F.expr("bit_or(shiftleft(1L, CAST(pos % 63 AS INT)))").alias("word")
+    ).persist()
+    bloom_stats = bloom.agg(
+        F.count(F.lit(1)).alias("n_words_used"),
+        F.sum(F.bit_count("word")).cast("long").alias("n_bits_set"),
+    )
+    probes = eval_sh.select(
+        "shingle",
+        F.explode(
+            F.array(
+                _bloom_pos(F.col("shingle"), 1),
+                _bloom_pos(F.col("shingle"), 5),
+            )
+        ).alias("pos"),
+    )
+    tested = (
+        probes.join(
+            F.broadcast(bloom),
+            (F.col("pos") / 63).cast("long") == F.col("word_idx"),
+            "left",
+        )
+        .groupBy("shingle")
+        .agg(
+            F.min(
+                F.coalesce(
+                    F.expr(
+                        "(word & shiftleft(1L, CAST(pos % 63 AS INT))) != 0"
+                    ),
+                    F.lit(False),
+                )
+            ).alias("bloom_hit")
+        )
+    )
+    flagged = tested.join(
+        train_sh.withColumn("is_member", F.lit(True)), "shingle", "left"
+    ).select(
+        "bloom_hit", F.coalesce("is_member", F.lit(False)).alias("is_member")
+    )
+    non_member = (~F.col("is_member")).cast("long")
+    fp = (F.col("bloom_hit") & ~F.col("is_member")).cast("long")
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_eval_shingles"),
+        F.sum(F.col("is_member").cast("long")).alias("n_members"),
+        F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hits"),
+        F.sum(fp).alias("n_false_pos"),
+        F.sum(non_member).alias("_n_non_members"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(bloom_stats))
+        .select(
+            "n_eval_shingles",
+            "n_members",
+            "n_bloom_hits",
+            "n_false_pos",
+            F.expr(
+                "CAST((2000 * n_false_pos + _n_non_members)"
+                " DIV (2 * _n_non_members) AS BIGINT)"
+            ).alias("fp_permille"),
+            "n_words_used",
+            "n_bits_set",
+        )
+    )

@@ -75,6 +75,8 @@ BNLJ_ALLOWED = {
                                 # (the kmeans map-side collapse idiom)
     "q_llm_kl_divergence",      # 1-row corpus-total aggregate broadcast-
                                 # crossed into the per-source term stats
+    "q_llm_bloom_prefilter",    # 1-row filter-saturation stats broadcast-
+                                # crossed into the 1-row FP audit
     "q_graph_triangles",        # 1-row grand-total aggregate broadcast-
                                 # crossed into the 625-row nation grid
                                 # (edge admission threshold)
@@ -172,6 +174,10 @@ MAX_SHUFFLES = {
     "q_ts_window_funnel": 9,      # distinct users + 3 chained per-stage
                                   # min-ts aggs + stage joins + level agg
                                   # (the q_ts_funnel layout; audited: 7)
+    "q_llm_bloom_prefilter": 10,  # train/eval shingle distincts + filter
+                                  # bit_or agg + probe agg + membership
+                                  # join + audit agg; persisted train
+                                  # set embedded 2x (audited: 8)
 }
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -171,3 +171,58 @@ def test_halfup_permille_cross_engine(spark, ddb):
     assert got_spark == got_duck
     assert got_spark[(1, 2000)] == 1  # exact half rounds UP
     assert got_spark[(500, 1000)] == 500
+
+
+# ---------------------------------------------------------------------------
+# Weighted-median crossing idiom (q_agg_weighted_percentile): the claim
+# is that collapsing ties to (value, total_weight) rows first, then
+# taking min(value where 2*cum_weight >= total) computes the classic
+# lower weighted median — the smallest v with sum(w | value <= v) >=
+# total/2 — for ANY multiset of (value, positive integer weight).
+# ---------------------------------------------------------------------------
+
+wm_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50).map(lambda n: n * 0.25),
+        st.integers(min_value=1, max_value=20),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _lower_weighted_median(rows):
+    total = sum(w for _, w in rows)
+    cum = 0
+    for v, w in sorted(rows):
+        cum += w
+        if 2 * cum >= total:
+            return v
+    raise AssertionError("unreachable")
+
+
+@given(rows=wm_rows_strategy)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_weighted_median_crossing_idiom(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["v", "w"]).astype(
+        {"v": "float64", "w": "int64"}
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("wm_t")
+    got = spark.sql(
+        """
+        WITH by_v AS (
+          SELECT v, sum(w) AS w FROM wm_t GROUP BY v
+        ), cum AS (
+          SELECT v,
+                 sum(w) OVER (ORDER BY v) AS cum_w,
+                 sum(w) OVER () AS total_w
+          FROM by_v
+        )
+        SELECT min(CASE WHEN 2 * cum_w >= total_w THEN v END) AS m FROM cum
+        """
+    ).collect()[0].m
+    assert got == _lower_weighted_median(rows)
