@@ -79,6 +79,8 @@ HEADLINE = [
     "q_ts_window_funnel",
     "q_agg_weighted_percentile",
     "q_llm_bloom_prefilter",
+    "q_ts_theil_sen",
+    "q_graph_adamic_adar",
 ]
 
 

@@ -704,3 +704,84 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("clustering_permille"),
     )
+
+
+@query(
+    "q_graph_adamic_adar",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS custkey, l.l_suppkey AS suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), cdeg AS (
+      SELECT custkey, count(*) AS deg FROM edges GROUP BY 1
+    ), pairs AS (
+      SELECT a.suppkey AS s_a, b.suppkey AS s_b, a.custkey
+      FROM edges a
+      JOIN edges b ON b.custkey = a.custkey AND a.suppkey < b.suppkey
+      JOIN cdeg d ON d.custkey = a.custkey AND d.deg <= 50
+    )
+    SELECT s_a, s_b,
+           count(*) AS n_common,
+           round(sum(1.0 / ln(CAST(d.deg AS DOUBLE))), 4) AS aa_score
+    FROM pairs p JOIN cdeg d ON d.custkey = p.custkey
+    GROUP BY 1, 2
+    ORDER BY aa_score DESC, s_a, s_b
+    LIMIT 20
+    """,
+)
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction over the customer↔supplier trade
+    graph: top-20 supplier pairs scored by sum(1/ln(deg(c))) over their
+    shared customers — the common-neighbor score that discounts
+    promiscuous hubs (a customer buying from everyone says little; a
+    two-supplier customer says a lot), one rung above the raw
+    co-occurrence count (q_graph_cooccurrence) and Jaccard
+    (q_graph_supplier_similarity) in the link-prediction ladder.
+
+    Shared customers connect to BOTH endpoints, so deg >= 2 and
+    ln(deg) >= ln 2 — the score is total (no division-by-zero edge).
+    Degrees are exact integers, 1/ln(deg) is identical in both engines
+    (the surprisal ln precedent), and the sum is continuous under
+    round(4); ranking ties break on the integer pair.
+
+    Scale: the q_graph_cooccurrence posture — distinct edge list (one
+    fact shuffle, shared via the memoized _trade_edges cache), a
+    degree-capped (<=50) customer-keyed self-join bounding pair fan-out
+    to deg^2 per customer, and a TakeOrdered top-20. The degree cap is
+    the documented production contract for open-degree graphs, not a
+    truncation: hub customers carry ~zero AA signal by design."""
+    edges = _trade_edges(spark, sf_dir)
+    cdeg = edges.groupBy("custkey").agg(F.count(F.lit(1)).alias("deg"))
+    a = edges.alias("a")
+    b = edges.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.custkey") == F.col("a.custkey"))
+            & (F.col("a.suppkey") < F.col("b.suppkey")),
+        )
+        .join(
+            F.broadcast(
+                cdeg.filter(F.col("deg") <= 50).withColumnRenamed(
+                    "custkey", "d_custkey"
+                )
+            ),
+            F.col("d_custkey") == F.col("a.custkey"),
+        )
+        .select(
+            F.col("a.suppkey").alias("s_a"),
+            F.col("b.suppkey").alias("s_b"),
+            "deg",
+        )
+    )
+    return (
+        pairs.groupBy("s_a", "s_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.round(
+                F.sum(F.lit(1.0) / F.log(F.col("deg").cast("double"))), 4
+            ).alias("aa_score"),
+        )
+        .orderBy(F.desc("aa_score"), "s_a", "s_b")
+        .limit(20)
+    )

@@ -1034,3 +1034,113 @@ def q_ts_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(2 * _sum_q + n) DIV (2 * n)").cast("double") / 10000.0
         ).alias("mean_after"),
     )
+
+
+@query(
+    "q_ts_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+                 AS cents
+      FROM events GROUP BY 1, 2
+    ), slopes AS (
+      SELECT a.event_type,
+             CAST(b.cents - a.cents AS DOUBLE) / (b.x - a.x) AS slope,
+             a.x AS xi, b.x AS xj
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.x > a.x
+    ), ranked AS (
+      SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope, xi, xj) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_pairs
+      FROM slopes
+    )
+    SELECT r.event_type,
+           d.n_days,
+           any_value(r.n_pairs) AS n_pairs,
+           round(min(CASE WHEN rn = (n_pairs + 1) // 2 THEN slope END), 6)
+               AS theil_sen_slope_cents
+    FROM ranked r
+    JOIN (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1) d
+      ON d.event_type = r.event_type
+    GROUP BY 1, 2
+    """,
+)
+def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimate per event type: the LOWER MEDIAN
+    of all pairwise day-to-day slopes of the daily spend series (in
+    cents/day) — the outlier-proof alternative to least-squares trend
+    (one wild day corrupts regr_slope; it moves a rank-median slope by
+    at most one position).
+
+    Determinism: slopes are ratios of exact integers (cents delta /
+    day delta) — identical doubles in both engines; the median is a
+    pure ORDER STATISTIC (row_number = (n+1) DIV 2 with (slope, xi, xj)
+    total order), never an interpolation, so no rounding law is even
+    needed; round(6) only trims the printed ratio.
+
+    Scale: raw events collapse to one row per (type, day) first; the
+    pairwise slope join runs on the tiny rollup (days^2/2 pairs per
+    type — ~500 at a month horizon, invariant in row count). For
+    multi-year horizons the standard downgrade is Siegel's repeated
+    median or a windowed Theil–Sen over bounded lag pairs — same
+    rollup-first shape."""
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("long").alias("x"),
+        )
+        .agg(
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .alias("cents")
+        )
+        .persist()
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        F.broadcast(b),
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.x") > F.col("a.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / (F.col("b.x") - F.col("a.x"))
+        ).alias("slope"),
+        F.col("a.x").alias("xi"),
+        F.col("b.x").alias("xj"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("slope", "xi", "xj")
+    w_all = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_pairs"),
+    )
+    n_days = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.first("n_pairs").alias("n_pairs"),
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("rn") == F.expr("(n_pairs + 1) DIV 2"),
+                        F.col("slope"),
+                    )
+                ),
+                6,
+            ).alias("theil_sen_slope_cents"),
+        )
+        .join(F.broadcast(n_days), "event_type")
+        .select(
+            "event_type", "n_days", "n_pairs", "theil_sen_slope_cents"
+        )
+    )

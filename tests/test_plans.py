@@ -178,6 +178,13 @@ MAX_SHUFFLES = {
                                   # bit_or agg + probe agg + membership
                                   # join + audit agg; persisted train
                                   # set embedded 2x (audited: 8)
+    "q_ts_theil_sen": 7,          # daily rollup + slope rank window +
+                                  # median agg + n_days join; persisted
+                                  # rollup embedded 3x (audited: 5)
+    "q_graph_adamic_adar": 9,     # distinct edges + degree agg + capped
+                                  # custkey self-join + TakeOrdered; the
+                                  # memoized edge list embedded 3x in
+                                  # the string (audited: 7)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
