@@ -81,6 +81,9 @@ HEADLINE = [
     "q_llm_bloom_prefilter",
     "q_ts_theil_sen",
     "q_graph_adamic_adar",
+    "q_ts_m4_downsample",
+    "q_llm_embedding_drift",
+    "q_ts_wow_growth",
 ]
 
 

@@ -1240,3 +1240,84 @@ def q_ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_LR_DIMS + 1)
         ],
     )
+
+
+@query(
+    "q_llm_embedding_drift",
+    oracle="""
+    WITH halves AS (
+      SELECT label, vec_id % 2 AS half,
+             unnest(list_transform(range(1, 65),
+                    i -> {'dim': i, 'v': embedding[i]})) AS dv
+      FROM embeddings
+    ), means AS (
+      SELECT label, dv.dim AS dim,
+             round(avg(CAST(dv.v AS DOUBLE))
+                   FILTER (WHERE half = 0), 6) AS ma,
+             round(avg(CAST(dv.v AS DOUBLE))
+                   FILTER (WHERE half = 1), 6) AS mb
+      FROM halves GROUP BY 1, 2
+    ), counts AS (
+      SELECT label,
+             CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_a,
+             CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_b
+      FROM embeddings GROUP BY 1
+    )
+    SELECT m.label, c.n_a, c.n_b,
+           round(sqrt(sum((ma - mb) * (ma - mb))), 4) AS centroid_l2,
+           round(sum(ma * mb)
+                 / (sqrt(sum(ma * ma)) * sqrt(sum(mb * mb))), 4)
+               AS centroid_cos
+    FROM means m JOIN counts c ON c.label = m.label
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_llm_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-drift monitor: split each label's vectors into two
+    deterministic halves (vec_id parity — the A/B cohorts a refreshed
+    embedding model or a new crawl batch would occupy), compute both
+    half-centroids, and report their L2 distance and cosine — the check
+    that catches a silently re-versioned encoder (centroids jump) or a
+    domain-shifted ingest batch before an ANN index is rebuilt over
+    mixed-geometry vectors.
+
+    Per-dim means round to 6 before the distance/cosine fold (the
+    q_llm_embed_pool calculus: partial-agg order noise sits at 1e-15,
+    far under the rounding grid) and the final scalars round to 4.
+
+    Scale: one posexplode pass folds everything into the fixed
+    (label, dim) grid — 640 cells, conditional aggs splitting the
+    halves — then a 10-row re-agg; raw vectors never shuffle."""
+    e = t(spark, sf_dir, "embeddings")
+    halves = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))),
+    ).select("label", "half", (F.col("pos") + 1).alias("dim"), F.col("col").alias("v"))
+    means = halves.groupBy("label", "dim").agg(
+        F.round(F.avg(F.when(F.col("half") == 0, F.col("v"))), 6).alias("ma"),
+        F.round(F.avg(F.when(F.col("half") == 1, F.col("v"))), 6).alias("mb"),
+    )
+    counts = e.groupBy("label").agg(
+        F.sum((F.col("vec_id") % 2 == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("vec_id") % 2 == 1).cast("long")).alias("n_b"),
+    )
+    drift = means.groupBy("label").agg(
+        F.round(
+            F.sqrt(F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))),
+            4,
+        ).alias("centroid_l2"),
+        F.round(
+            F.sum(F.col("ma") * F.col("mb"))
+            / (
+                F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+            ),
+            4,
+        ).alias("centroid_cos"),
+    )
+    return drift.join(F.broadcast(counts), "label").select(
+        "label", "n_a", "n_b", "centroid_l2", "centroid_cos"
+    )
