@@ -1,0 +1,269 @@
+"""Corpus quality-rule auditing (SURVEY.md §2.8/§2.14 extension family):
+Gopher-style rule filters, per-document token entropy, and n-gram
+containment (asymmetric near-dup) over the ``documents`` table.
+
+These are the filter-stage primitives of a pretraining data pipeline
+(cf. the Gopher / MassiveText and C4 cleaning rules): cheap map-side
+predicates that remove the bulk of junk before the expensive dedup and
+embedding stages run. All three stay inside WholeStageCodegen for the
+per-document work and shuffle only small aggregates / candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from khose_spark.operators.llm import shingle_array
+from khose_spark.registry import query
+from khose_spark.tables import t
+
+# Rule thresholds (contract constants, not tuned): word count bounds,
+# mean-word-length bounds (expressed as integer cross-multiplications so
+# no division ever happens), max symbol share, min stopword hits.
+_MIN_WORDS = 20
+_MAX_WORDS = 500
+_MIN_MWL = 4  # mean word length >= 4  <=>  4*n_words <= n_alpha_chars
+_MAX_MWL = 10  # mean word length <= 10 <=> n_alpha_chars <= 10*n_words
+_SYM_PERMILLE = 100  # symbols <= 10% of chars <=> 10*n_sym <= n_chars
+_STOPWORDS = ("the", "a", "and", "of")
+_MIN_STOP_HITS = 2
+
+
+@query(
+    "q_llm_gopher_rules",
+    oracle=f"""
+    WITH feats AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n_words,
+             length(replace(text, ' ', '')) AS n_nonspace,
+             length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_sym,
+             length(text) AS n_chars,
+             ({" + ".join(
+                 "CASE WHEN concat(' ', text, ' ') LIKE '% " + w + " %' "
+                 "THEN 1 ELSE 0 END" for w in _STOPWORDS
+             )}) AS stop_hits
+      FROM documents
+    ), flags AS (
+      SELECT lang,
+        CASE WHEN n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+             THEN 1 ELSE 0 END AS p_wc,
+        CASE WHEN {_MIN_MWL} * n_words <= n_nonspace
+              AND n_nonspace <= {_MAX_MWL} * n_words
+             THEN 1 ELSE 0 END AS p_mwl,
+        CASE WHEN 1000 * n_sym <= {_SYM_PERMILLE} * n_chars
+             THEN 1 ELSE 0 END AS p_sym,
+        CASE WHEN stop_hits >= {_MIN_STOP_HITS} THEN 1 ELSE 0 END AS p_stop
+      FROM feats
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(p_wc) AS BIGINT) AS pass_wordcount,
+           CAST(sum(p_mwl) AS BIGINT) AS pass_wordlen,
+           CAST(sum(p_sym) AS BIGINT) AS pass_symbol,
+           CAST(sum(p_stop) AS BIGINT) AS pass_stopword,
+           CAST(sum(p_wc * p_mwl * p_sym * p_stop) AS BIGINT) AS pass_all
+    FROM flags GROUP BY lang
+    """,
+)
+def q_llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style quality-rule audit: per language, how many
+    documents pass each cheap structural filter (word-count bounds,
+    mean-word-length bounds, symbol share, stopword presence) and how
+    many pass all four.
+
+    Every predicate is integer arithmetic — mean word length and symbol
+    share are cross-multiplied (``3*n_words <= n_chars``), never
+    divided, so the oracle comparison has zero float surface. The whole
+    computation is map-side per document; the only shuffle carries the
+    ~5-language partial-count rows. At 100 TB this is a single scan."""
+    d = t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    stop_hits = None
+    for w in _STOPWORDS:
+        hit = F.when(padded.like(f"% {w} %"), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    feats = d.select(
+        "lang",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
+            "n_nonspace"
+        ),
+        F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", "")).alias("n_sym"),
+        F.length("text").alias("n_chars"),
+        stop_hits.alias("stop_hits"),
+    )
+    flags = feats.select(
+        "lang",
+        F.when(
+            F.col("n_words").between(_MIN_WORDS, _MAX_WORDS), 1
+        ).otherwise(0).alias("p_wc"),
+        F.when(
+            (_MIN_MWL * F.col("n_words") <= F.col("n_nonspace"))
+            & (F.col("n_nonspace") <= _MAX_MWL * F.col("n_words")),
+            1,
+        ).otherwise(0).alias("p_mwl"),
+        F.when(
+            1000 * F.col("n_sym") <= _SYM_PERMILLE * F.col("n_chars"), 1
+        ).otherwise(0).alias("p_sym"),
+        F.when(F.col("stop_hits") >= _MIN_STOP_HITS, 1).otherwise(0).alias(
+            "p_stop"
+        ),
+    )
+    return flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("p_wc").alias("pass_wordcount"),
+        F.sum("p_mwl").alias("pass_wordlen"),
+        F.sum("p_sym").alias("pass_symbol"),
+        F.sum("p_stop").alias("pass_stopword"),
+        F.sum(
+            F.col("p_wc") * F.col("p_mwl") * F.col("p_sym") * F.col("p_stop")
+        ).alias("pass_all"),
+    )
+
+
+@query(
+    "q_llm_doc_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, lang, w, count(*) AS c
+      FROM tok GROUP BY 1, 2, 3
+    ), per_doc AS (
+      SELECT doc_id, lang,
+             round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+      FROM tf GROUP BY 1, 2
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(entropy), 4) AS avg_entropy,
+           round(min(entropy), 4) AS min_entropy,
+           round(max(entropy), 4) AS max_entropy
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_llm_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats), profiled per language
+    — the repetition/templating detector that catches low-diversity junk
+    (boilerplate, keyword stuffing) that length filters miss. Entropy is
+    computed in the algebraically stable form ``ln(n) − Σ c·ln(c) / n``
+    so only one division happens per document, and per-doc values are
+    rounded to 4 dp BEFORE the per-language min/avg/max so both engines
+    aggregate identical inputs.
+
+    Plan: split+explode → (doc_id, word) count → per-doc agg → 5-row
+    language agg. Two shuffles, both keyed on doc_id-dominated keys that
+    scale linearly with the corpus; no all-pairs anywhere."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    tf = tok.groupBy("doc_id", "lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = tf.groupBy("doc_id", "lang").agg(
+        F.round(
+            F.log(F.sum("c"))
+            - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+            4,
+        ).alias("entropy")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("entropy"), 4).alias("avg_entropy"),
+        F.round(F.min("entropy"), 4).alias("min_entropy"),
+        F.round(F.max("entropy"), 4).alias("max_entropy"),
+    )
+
+
+_CONTAIN_PERMILLE = 800  # report pairs with containment >= 0.8
+
+
+@query(
+    "q_llm_containment",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(w) - 1, 1)),
+                 i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+        FROM words
+      ) WHERE len(string_split(shingle, ' ')) = 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT id_a, id_b, n_common,
+             least(sa.n, sb.n) AS n_small,
+             CAST((2 * 1000 * n_common + least(sa.n, sb.n))
+                  // (2 * least(sa.n, sb.n)) AS BIGINT) AS containment_permille
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, n_common, n_small, containment_permille
+    FROM scored WHERE containment_permille >= {_CONTAIN_PERMILLE}
+    """,
+)
+def q_llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram containment near-dup detection: |A∩B| / min(|A|,|B|) over
+    3-word shingle sets, reported for pairs ≥ 0.8 in half-up integer
+    permille. Containment (asymmetric Jaccard) is the sub-document /
+    superset detector — a page embedded inside a larger page scores
+    ~1.0 here while plain Jaccard dilutes it toward 0, so this is the
+    rule that catches wrapper-page duplication Jaccard misses.
+
+    Plan: shingle-keyed equi-join generates candidates (linear in
+    shared-shingle volume, never all-pairs), then two size lookups. The
+    division is replaced by the half-up integer-permille idiom, so the
+    output is all-integer and the threshold compare is exact. Same
+    scale posture as q_llm_neardup_jaccard; at 100 TB the shingle join
+    would run over MinHash bands instead (q_llm_minhash_det), with this
+    exact form as the per-candidate verifier."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingle_array(words, 3))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    scored = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("n", "na")
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "n", "nb"
+            ),
+            "id_b",
+        )
+        .withColumn("n_small", F.least("na", "nb"))
+        .withColumn(
+            "containment_permille",
+            F.expr(
+                "CAST((2 * 1000 * n_common + n_small)"
+                " DIV (2 * n_small) AS BIGINT)"
+            ),
+        )
+    )
+    return scored.filter(
+        F.col("containment_permille") >= _CONTAIN_PERMILLE
+    ).select("id_a", "id_b", "n_common", "n_small", "containment_permille")
