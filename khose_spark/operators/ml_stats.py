@@ -1,0 +1,254 @@
+"""Classical-ML / corpus-statistics primitives (SURVEY.md §2.14 family):
+a one-split decision stump learned by exact misclassification count, and
+PMI collocation mining over the ``documents`` table.
+
+Both follow the house exactness discipline: the stump is ALL-INTEGER
+(counts and cross-multiplied accuracy — no impurity fractions ever
+materialize), and PMI does all its integer multiplication in int64
+before a single double division + ln, rounded to 4 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from khose_spark.operators.llm import shingle_array
+from khose_spark.registry import query
+from khose_spark.tables import t
+
+# Decision-stump contract constants: $25,000 candidate-threshold grid,
+# positive class = urgent/high order priority.
+_BAND_CENTS = 2_500_000
+_POS_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+@query(
+    "q_ml_decision_stump",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               // {_BAND_CENTS} AS band,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ), per_band AS (
+      SELECT band, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos
+      FROM labeled GROUP BY band
+    ), cum AS (
+      SELECT band,
+             sum(n) OVER (ORDER BY band) AS n_left,
+             sum(n_pos) OVER (ORDER BY band) AS pos_left,
+             sum(n) OVER () AS n_total,
+             sum(n_pos) OVER () AS pos_total
+      FROM per_band
+    ), scored AS (
+      SELECT (band + 1) * {_BAND_CENTS} AS threshold_cents,
+             CAST(n_left AS BIGINT) AS n_left,
+             CAST(n_total - n_left AS BIGINT) AS n_right,
+             CAST(pos_left AS BIGINT) AS pos_left,
+             CAST(pos_total - pos_left AS BIGINT) AS pos_right,
+             CAST(greatest(pos_left, n_left - pos_left)
+                  + greatest(pos_total - pos_left,
+                             (n_total - n_left) - (pos_total - pos_left))
+                  AS BIGINT) AS n_correct,
+             CAST(n_total AS BIGINT) AS n_total
+      FROM cum WHERE n_left < n_total
+    )
+    SELECT threshold_cents, n_left, n_right, pos_left, pos_right, n_correct,
+           CAST((2 * 1000 * n_correct + n_total)
+                // (2 * n_total) AS BIGINT) AS accuracy_permille
+    FROM scored
+    ORDER BY n_correct DESC, threshold_cents ASC
+    LIMIT 5
+    """,
+)
+def q_ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision stump (one-split tree) predicting urgent/high order
+    priority from the order total, learned by EXACT misclassification
+    count: each candidate threshold on a $25k grid splits the orders,
+    each side predicts its majority class, and the split maximizing
+    correct predictions wins. Emits the top-5 thresholds with their
+    confusion counts and half-up integer-permille accuracy.
+
+    No Gini/entropy fractions ever materialize — majority-side correct
+    counts are integers, so the argmax (and the oracle comparison) is
+    exact. Plan: one map-side band+label projection, a ~20-row band
+    aggregation, and cumulative windows over that tiny grid — the scan
+    is the only data-sized stage, so the shape is one pass at 100 TB
+    (the per-band partial aggregation is map-side combined)."""
+    labeled = t(spark, sf_dir, "orders").select(
+        F.expr(
+            f"CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            f" DIV {_BAND_CENTS}"
+        ).alias("band"),
+        F.when(F.col("o_orderpriority").isin(*_POS_PRIORITIES), 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    per_band = labeled.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
+    )
+    w_cum = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_band.select(
+        "band",
+        F.sum("n").over(w_cum).alias("n_left"),
+        F.sum("n_pos").over(w_cum).alias("pos_left"),
+        F.sum("n").over(w_all).alias("n_total"),
+        F.sum("n_pos").over(w_all).alias("pos_total"),
+    )
+    scored = (
+        cum.filter(F.col("n_left") < F.col("n_total"))
+        .select(
+            ((F.col("band") + 1) * _BAND_CENTS).alias("threshold_cents"),
+            "n_left",
+            (F.col("n_total") - F.col("n_left")).alias("n_right"),
+            "pos_left",
+            (F.col("pos_total") - F.col("pos_left")).alias("pos_right"),
+            (
+                F.greatest(
+                    F.col("pos_left"), F.col("n_left") - F.col("pos_left")
+                )
+                + F.greatest(
+                    F.col("pos_total") - F.col("pos_left"),
+                    (F.col("n_total") - F.col("n_left"))
+                    - (F.col("pos_total") - F.col("pos_left")),
+                )
+            ).alias("n_correct"),
+            "n_total",
+        )
+    )
+    return (
+        scored.withColumn(
+            "accuracy_permille",
+            F.expr(
+                "CAST((2 * 1000 * n_correct + n_total)"
+                " DIV (2 * n_total) AS BIGINT)"
+            ),
+        )
+        .orderBy(F.col("n_correct").desc(), F.col("threshold_cents").asc())
+        .limit(5)
+        .drop("n_total")
+    )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 20
+
+
+@query(
+    "q_llm_pmi",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), uni AS (
+      SELECT unnest(w) AS word FROM words
+    ), uni_counts AS (
+      SELECT word, count(*) AS c FROM uni GROUP BY word
+    ), n_uni AS (
+      SELECT CAST(sum(c) AS BIGINT) AS nu FROM uni_counts
+    ), big AS (
+      SELECT unnest(list_transform(
+               range(1, greatest(len(w), 1)),
+               i -> concat_ws(' ', w[i], w[i+1]))) AS bigram
+      FROM words
+    ), big_counts AS (
+      SELECT bigram, count(*) AS c_xy FROM big GROUP BY bigram
+    ), n_big AS (
+      SELECT CAST(sum(c_xy) AS BIGINT) AS nb FROM big_counts
+    ), scored AS (
+      SELECT b.bigram, b.c_xy,
+             round(ln(CAST(b.c_xy * n_uni.nu * n_uni.nu AS DOUBLE)
+                      / CAST(n_big.nb * cx.c * cy.c AS DOUBLE)), 4) AS pmi
+      FROM big_counts b
+      JOIN uni_counts cx ON cx.word = string_split(b.bigram, ' ')[1]
+      JOIN uni_counts cy ON cy.word = string_split(b.bigram, ' ')[2]
+      CROSS JOIN n_uni
+      CROSS JOIN n_big
+      WHERE b.c_xy >= {_PMI_MIN_COUNT}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY pmi DESC, bigram ASC) AS INT)
+             AS rk,
+           bigram, c_xy, pmi
+    FROM scored
+    ORDER BY rk LIMIT {_PMI_TOP_K}
+    """,
+)
+def q_llm_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining: top-20 adjacent-word bigrams by pointwise
+    mutual information ``ln(p(x,y) / (p(x)·p(y)))`` with a min-count
+    floor — the classic multiword-expression detector feeding tokenizer
+    vocab decisions and boilerplate discovery.
+
+    All counts multiply in int64 (``c_xy·N_u²`` and ``N_b·c_x·c_y`` both
+    stay far under 2^53 at fixture scale) so the single double division
+    is exact on both engines; one ln + round(4) is the only float
+    surface. At 100 TB the products exceed 2^53, so the scale path
+    switches to the log-sum form ``ln c_xy + 2·ln N_u − ln N_b − ln c_x
+    − ln c_y`` — same plan shape, noted here because the fixture oracle
+    deliberately certifies the exact-ratio form.
+
+    Plan: bigram counts (duplicates preserved — the same shifted-copies
+    idiom as shingle_array, k=2), unigram counts, two broadcast scalar
+    totals, two broadcastable joins against the (min-count-bounded)
+    vocabulary, then a global top-k. The bigram aggregation is the only
+    corpus-sized shuffle; everything after is vocabulary-bounded."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    uni = d.select(F.explode(words).alias("word"))
+    uni_counts = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = uni_counts.agg(F.sum("c").cast("long").alias("nu"))
+    big = d.select(
+        F.explode(shingle_array(words, 2)).alias("bigram")
+    )
+    big_counts = (
+        big.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+    )
+    n_big = (
+        d.select(F.explode(shingle_array(words, 2)).alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    )
+    cx = uni_counts.select(
+        F.col("word").alias("w1"), F.col("c").alias("c_x")
+    )
+    cy = uni_counts.select(
+        F.col("word").alias("w2"), F.col("c").alias("c_y")
+    )
+    scored = (
+        big_counts.withColumn(
+            "w1", F.split("bigram", " ").getItem(0)
+        )
+        .withColumn("w2", F.split("bigram", " ").getItem(1))
+        .join(F.broadcast(cx), "w1")
+        .join(F.broadcast(cy), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "bigram",
+            "c_xy",
+            F.round(
+                F.log(
+                    (
+                        F.col("c_xy") * F.col("nu") * F.col("nu")
+                    ).cast("double")
+                    / (
+                        F.col("nb") * F.col("c_x") * F.col("c_y")
+                    ).cast("double")
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _PMI_TOP_K)
+        .select("rk", "bigram", "c_xy", "pmi")
+    )
