@@ -252,3 +252,111 @@ def q_llm_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _PMI_TOP_K)
         .select("rk", "bigram", "c_xy", "pmi")
     )
+
+
+def _holt_oracle() -> str:
+    return """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+             CAST(sum(CAST(value AS DECIMAL(28,2))) * 100 AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ), daily_rn AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_days
+      FROM daily
+    ), h AS (
+      SELECT d2.event_type, CAST(2 AS BIGINT) AS rn,
+             d2.cents AS l, d2.cents - d1.cents AS b,
+             d2.n_days AS n_days
+      FROM daily_rn d1
+      JOIN daily_rn d2 ON d1.event_type = d2.event_type AND d2.rn = 2
+      WHERE d1.rn = 1 AND d2.n_days >= 2
+      UNION ALL
+      SELECT h.event_type, h.rn + 1,
+             (d.cents + h.l + h.b) // 2 AS l,
+             ((d.cents + h.l + h.b) // 2 - h.l + h.b) // 2 AS b,
+             h.n_days
+      FROM h JOIN daily_rn d
+        ON d.event_type = h.event_type AND d.rn = h.rn + 1
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           l AS level_cents, b AS trend_cents,
+           l + b AS fc1_cents, l + 2 * b AS fc2_cents,
+           l + 3 * b AS fc3_cents
+    FROM h WHERE rn = n_days
+    """
+
+
+@query("q_ts_holt_forecast", oracle=_holt_oracle())
+def q_ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend,
+    alpha = beta = 1/2) over each event type's daily spend, with a
+    1/2/3-step-ahead linear forecast — the classic capacity-planning
+    smoother one notch up from the EWMA (q_ts_ewma) that cannot track
+    trend.
+
+    Exactness: the recursion is defined in INTEGER cents with
+    truncate-toward-zero halving at every update (``l' = (y + l + b)
+    div 2``, ``b' = (l' - l + b) div 2``) — the alpha=1/2 special case
+    makes the whole state machine integer arithmetic, so the pandas
+    loop and the DuckDB recursive CTE agree bit-for-bit with zero
+    float/rounding surface (Python ``//`` FLOORS, so the trunc-div is
+    explicit on the Spark side). Init: after the first update the
+    state collapses to ``l_2 = y_2, b_2 = y_2 - y_1`` exactly, which
+    is where both recursions start.
+
+    Plan: one map-side-combined daily aggregation, then ONE Arrow
+    batch per series via applyInPandas (same posture as
+    q_ts_lttb_downsample: sequential state per series, embarrassingly
+    parallel across the millions of series a 100 TB metrics store
+    holds). The driver never sees the series."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("d")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(28,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+
+    def holt(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                columns=[
+                    "event_type", "n_days", "level_cents", "trend_cents",
+                    "fc1_cents", "fc2_cents", "fc3_cents",
+                ]
+            )
+
+        def tdiv2(a: int) -> int:  # truncate toward zero, like DuckDB //
+            return a // 2 if a >= 0 else -((-a) // 2)
+
+        y = [int(c) for c in pdf["cents"]]
+        l, b = y[1], y[1] - y[0]
+        for yt in y[2:]:
+            l_new = tdiv2(yt + l + b)
+            b = tdiv2(l_new - l + b)
+            l = l_new
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [n],
+                "level_cents": [l],
+                "trend_cents": [b],
+                "fc1_cents": [l + b],
+                "fc2_cents": [l + 2 * b],
+                "fc3_cents": [l + 3 * b],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        holt,
+        "event_type string, n_days long, level_cents long, "
+        "trend_cents long, fc1_cents long, fc2_cents long, fc3_cents long",
+    )
