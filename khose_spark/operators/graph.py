@@ -24,7 +24,7 @@ forbids aggregates inside), over the same Jaccard >= 0.8 edges.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from khose_spark.operators.llm import q_llm_neardup_jaccard
@@ -785,3 +785,165 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_score"), "s_a", "s_b")
         .limit(20)
     )
+
+
+_LPA_ROUNDS = 2
+_LPA_KNN = 3
+
+
+def _lpa_oracle() -> str:
+    """Unrolled 2-round synchronous label propagation over the
+    symmetrized 3-NN supplier co-occurrence graph."""
+    rounds = []
+    prev = "labels0"
+    for r in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+    msgs{r} AS (
+      SELECT adj.node AS node, l.label AS label
+      FROM adj JOIN {prev} l ON l.node = adj.nbr
+      UNION ALL
+      SELECT node, label FROM {prev}
+    ), cnt{r} AS (
+      SELECT node, label, count(*) AS c FROM msgs{r} GROUP BY 1, 2
+    ), labels{r} AS (
+      SELECT node, label FROM (
+        SELECT node, label, row_number() OVER (
+          PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+        FROM cnt{r}
+      ) WHERE rn = 1
+    )""")
+        prev = f"labels{r}"
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS custkey, l.l_suppkey AS suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), deg AS (
+      SELECT custkey, count(*) AS d FROM edges GROUP BY custkey
+    ), capped AS (
+      SELECT e.custkey, e.suppkey FROM edges e
+      JOIN deg ON deg.custkey = e.custkey
+      WHERE deg.d <= {_COOC_DEG_CAP}
+    ), pairs AS (
+      SELECT a.suppkey AS s_a, b.suppkey AS s_b, count(*) AS n
+      FROM capped a JOIN capped b
+        ON a.custkey = b.custkey AND a.suppkey < b.suppkey
+      GROUP BY 1, 2
+    ), directed AS (
+      SELECT s_a AS node, s_b AS nbr, n FROM pairs
+      UNION ALL
+      SELECT s_b AS node, s_a AS nbr, n FROM pairs
+    ), knn AS (
+      SELECT node, nbr FROM (
+        SELECT node, nbr, row_number() OVER (
+          PARTITION BY node ORDER BY n DESC, nbr ASC) AS rn
+        FROM directed
+      ) WHERE rn <= {_LPA_KNN}
+    ), adj AS (
+      SELECT node, nbr FROM knn
+      UNION
+      SELECT nbr AS node, node AS nbr FROM knn
+    ), labels0 AS (
+      SELECT DISTINCT node, node AS label FROM adj
+    ),{",".join(rounds)}
+    SELECT label AS community, count(*) AS n_members,
+           CAST(min(node) AS BIGINT) AS min_member,
+           CAST(max(node) AS BIGINT) AS max_member
+    FROM {prev}
+    GROUP BY label
+    ORDER BY n_members DESC, community ASC
+    LIMIT 20
+    """
+
+
+@query("q_graph_labelprop", oracle=_lpa_oracle())
+def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (2 unrolled
+    rounds, Raghavan et al.'s LPA) over the supplier co-occurrence
+    graph, SPARSIFIED to each node's 3 strongest partners — the raw
+    co-occurrence graph is a near-clique (every supplier pair shares
+    customers), so LPA is run on the symmetrized 3-NN backbone, the
+    standard sparsification that keeps community structure while
+    bounding degree (and making the admission scale-INVARIANT: an
+    absolute shared-count threshold would mean a different graph at
+    every sf). Each node adopts the mode of its neighbors' labels plus
+    its own, ties to the smallest label — fully deterministic. Top-20
+    communities by size, with member-range audits.
+
+    Plan: capped pair counts (one shuffle), per-node top-3 window, then
+    per round one (node,label) count shuffle + one argmax window.
+    Rounds are FIXED at 2 (contract, matching the unrolled oracle), so
+    lineage is static — no checkpoint loop needed; the dynamic-round
+    variant would localCheckpoint per round like connected_components."""
+    edges = _trade_edges(spark, sf_dir)
+    deg = edges.groupBy("custkey").agg(F.count(F.lit(1)).alias("d"))
+    capped = edges.join(
+        deg.filter(F.col("d") <= _COOC_DEG_CAP).select("custkey"),
+        "custkey",
+        "left_semi",
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.custkey") == F.col("b.custkey"))
+            & (F.col("a.suppkey") < F.col("b.suppkey")),
+        )
+        .groupBy(
+            F.col("a.suppkey").alias("s_a"), F.col("b.suppkey").alias("s_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    directed = pairs.select(
+        F.col("s_a").alias("node"), F.col("s_b").alias("nbr"), "n"
+    ).unionAll(
+        pairs.select(
+            F.col("s_b").alias("node"), F.col("s_a").alias("nbr"), "n"
+        )
+    )
+    w_knn = Window.partitionBy("node").orderBy(
+        F.col("n").desc(), F.col("nbr").asc()
+    )
+    knn = (
+        directed.withColumn("rn", F.row_number().over(w_knn))
+        .filter(F.col("rn") <= _LPA_KNN)
+        .select("node", "nbr")
+    )
+    adj = (
+        knn.unionAll(
+            knn.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w_pick = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(_LPA_ROUNDS):
+        msgs = (
+            adj.join(
+                labels.withColumnRenamed("node", "nbr"), "nbr"
+            ).select("node", "label")
+        ).unionAll(labels)
+        labels = (
+            msgs.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w_pick))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    out = (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("node").cast("long").alias("min_member"),
+            F.max("node").cast("long").alias("max_member"),
+        )
+        .orderBy(F.desc("n_members"), F.asc("community"))
+        .limit(20)
+    ).localCheckpoint()
+    adj.unpersist()
+    return out
