@@ -11,7 +11,7 @@ per-document work and shuffle only small aggregates / candidate pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from khose_spark.operators.llm import shingle_array
@@ -267,3 +267,245 @@ def q_llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(
         F.col("containment_permille") >= _CONTAIN_PERMILLE
     ).select("id_a", "id_b", "n_common", "n_small", "containment_permille")
+
+
+@query(
+    "q_llm_ccnet_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), vocab AS (
+      SELECT lang, term, count(*) AS n FROM tok GROUP BY 1, 2
+    ), totals AS (
+      SELECT lang, count(*) AS tot FROM tok GROUP BY 1
+    ), per_doc AS (
+      SELECT t.doc_id, t.lang, count(*) AS n_tokens,
+             round(avg(ln(CAST(s.tot AS DOUBLE) / v.n)), 4) AS score
+      FROM tok t
+      JOIN vocab v ON t.lang = v.lang AND t.term = v.term
+      JOIN totals s ON t.lang = s.lang
+      GROUP BY t.doc_id, t.lang
+    ), bucketed AS (
+      SELECT lang, n_tokens, score,
+             ntile(3) OVER (PARTITION BY lang
+                            ORDER BY score ASC, doc_id ASC) AS tercile
+      FROM per_doc
+    )
+    SELECT lang,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(min(score), 4) AS min_score,
+           round(max(score), 4) AS max_score
+    FROM bucketed GROUP BY 1, 2
+    """,
+)
+def q_llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document by average
+    unigram surprisal under its language's own model (the q_llm_surprisal
+    statistic), then split each language into head/middle/tail TERCILES
+    — the exact partitioning CCNet uses to keep the cleanest third of a
+    crawl and route the rest to lighter use.
+
+    Terciles are assigned by ntile(3) over a TOTAL order (rounded score,
+    then doc_id), not by interpolated quantile cuts — rank-based
+    bucketing has zero float surface beyond the already-rounded per-doc
+    score, and both engines implement standard SQL ntile identically
+    (larger buckets first). Model build + broadcast scoring is the
+    surprisal plan; the tercile window shuffles once on lang. At 100 TB
+    the per-lang sort is the cost — the production path samples the
+    score distribution for approximate cut points instead, same
+    downstream contract."""
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    vocab = tok.groupBy("lang", "term").agg(F.count("*").alias("n"))
+    totals = tok.groupBy("lang").agg(F.count("*").alias("tot"))
+    per_doc = (
+        tok.join(F.broadcast(vocab), ["lang", "term"])
+        .join(F.broadcast(totals), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("tot").cast("double") / F.col("n"))), 4
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score").asc(), F.col("doc_id").asc()
+    )
+    bucketed = per_doc.withColumn("tercile", F.ntile(3).over(w))
+    return (
+        bucketed.groupBy(
+            "lang",
+            F.when(F.col("tercile") == 1, "head")
+            .when(F.col("tercile") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.min("score"), 4).alias("min_score"),
+            F.round(F.max("score"), 4).alias("max_score"),
+        )
+    )
+
+
+_NDCG_TERMS = ("join", "filter", "window")
+_NDCG_K = 10
+_NDCG_K1 = 1.2
+_NDCG_B = 0.75
+
+
+@query(
+    "q_llm_ndcg",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), dl AS (
+      SELECT doc_id, len(w) AS dl FROM docs
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+    ), toks AS (
+      SELECT doc_id, unnest(w) AS term FROM docs
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('join', 'filter', 'window')
+      GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.term, tf.doc_id,
+             round(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * ({_NDCG_K1} + 1.0)
+                   / (tf.tf + {_NDCG_K1} * (1.0 - {_NDCG_B}
+                      + {_NDCG_B} * dl.dl / s.avgdl)), 4) AS score
+      FROM tf
+      JOIN dl ON dl.doc_id = tf.doc_id
+      JOIN df ON df.term = tf.term
+      CROSS JOIN stats s
+    ), ranked AS (
+      SELECT term, doc_id, score,
+             row_number() OVER (PARTITION BY term
+                                ORDER BY score DESC, doc_id ASC) AS rk
+      FROM scored
+    ), topk AS (
+      SELECT term, doc_id, rk,
+             CAST((doc_id + length(term)) % 4 AS BIGINT) AS rel
+      FROM ranked WHERE rk <= {_NDCG_K}
+    ), ideal AS (
+      SELECT term, rel,
+             row_number() OVER (PARTITION BY term
+                                ORDER BY rel DESC, doc_id ASC) AS irk
+      FROM topk
+    ), dcg AS (
+      SELECT term,
+             count(*) AS n_results,
+             sum((power(2.0, rel) - 1.0) / log2(CAST(rk + 1 AS DOUBLE)))
+               AS dcg_raw
+      FROM topk GROUP BY term
+    ), idcg AS (
+      SELECT term,
+             sum((power(2.0, rel) - 1.0) / log2(CAST(irk + 1 AS DOUBLE)))
+               AS idcg_raw
+      FROM ideal GROUP BY term
+    )
+    SELECT d.term, CAST(d.n_results AS BIGINT) AS n_results,
+           round(d.dcg_raw, 4) AS dcg,
+           round(i.idcg_raw, 4) AS idcg,
+           round(d.dcg_raw / i.idcg_raw, 4) AS ndcg
+    FROM dcg d JOIN idcg i ON i.term = d.term
+    """,
+)
+def q_llm_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: nDCG@10 per query for three
+    single-term BM25 queries, against deterministic pseudo-relevance
+    labels ``rel = (doc_id + len(term)) % 4`` — the evaluation harness
+    shape (rank, graded relevance, DCG / ideal-DCG) that any search or
+    RAG pipeline bolts onto its index, with synthetic labels standing in
+    for human judgments (FIXTURES.md has none; the CONTRACT is the
+    metric computation, which the oracle checks exactly).
+
+    Determinism: BM25 scores are rounded to 4 dp BEFORE ranking (the
+    naive-bayes argmax precedent) so both engines rank identically;
+    gains ``2^rel − 1`` are exact small integers; the only remaining
+    float surface is the log2 discount + one division, rounded to 4.
+
+    Plan: tf is filtered to the query terms AT THE SCAN (three terms →
+    tiny tf/df relations, all broadcastable), the per-term ranking is a
+    WindowGroupLimit top-10, and the DCG aggregation runs over 30 rows.
+    At 100 TB only the token scan is data-sized."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    dl = d.select("doc_id", F.size(words).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    toks = d.select("doc_id", F.explode(words).alias("term"))
+    tf = (
+        toks.filter(F.col("term").isin(*_NDCG_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + _NDCG_K1 * (
+        1.0 - _NDCG_B + _NDCG_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            F.round(idf * F.col("tf") * (_NDCG_K1 + 1.0) / denom, 4).alias(
+                "score"
+            ),
+        )
+    )
+    w_rank = Window.partitionBy("term").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    topk = (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= _NDCG_K)
+        .withColumn(
+            "rel",
+            ((F.col("doc_id") + F.length("term")) % 4).cast("long"),
+        )
+    )
+    w_ideal = Window.partitionBy("term").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    ideal = topk.withColumn("irk", F.row_number().over(w_ideal))
+    gain = F.pow(F.lit(2.0), F.col("rel")) - 1.0
+    dcg = topk.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_results"),
+        F.sum(gain / F.log2((F.col("rk") + 1).cast("double"))).alias(
+            "dcg_raw"
+        ),
+    )
+    idcg = ideal.groupBy("term").agg(
+        F.sum(gain / F.log2((F.col("irk") + 1).cast("double"))).alias(
+            "idcg_raw"
+        )
+    )
+    return (
+        dcg.join(idcg, "term")
+        .select(
+            "term",
+            "n_results",
+            F.round("dcg_raw", 4).alias("dcg"),
+            F.round("idcg_raw", 4).alias("idcg"),
+            F.round(F.col("dcg_raw") / F.col("idcg_raw"), 4).alias("ndcg"),
+        )
+    )
