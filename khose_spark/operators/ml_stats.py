@@ -201,20 +201,22 @@ def q_llm_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     words = F.split("text", " ")
     uni = d.select(F.explode(words).alias("word"))
-    uni_counts = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    # Both count relations feed multiple consumers (cx + cy lookups /
+    # the nb total + the filtered candidate set), so they are persisted
+    # and released after the eager localCheckpoint below — the
+    # dedup_audit share-then-release pattern (ADVICE round 4).
+    uni_counts = (
+        uni.groupBy("word").agg(F.count(F.lit(1)).alias("c")).persist()
+    )
     n_uni = uni_counts.agg(F.sum("c").cast("long").alias("nu"))
     big = d.select(
         F.explode(shingle_array(words, 2)).alias("bigram")
     )
-    big_counts = (
-        big.groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("c_xy"))
-        .filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+    big_all = (
+        big.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_xy")).persist()
     )
-    n_big = (
-        d.select(F.explode(shingle_array(words, 2)).alias("b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("nb"))
-    )
+    n_big = big_all.agg(F.sum("c_xy").cast("long").alias("nb"))
+    big_counts = big_all.filter(F.col("c_xy") >= _PMI_MIN_COUNT)
     cx = uni_counts.select(
         F.col("word").alias("w1"), F.col("c").alias("c_x")
     )
@@ -247,11 +249,14 @@ def q_llm_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.orderBy(F.col("pmi").desc(), F.col("bigram").asc())
-    return (
+    out = (
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= _PMI_TOP_K)
         .select("rk", "bigram", "c_xy", "pmi")
-    )
+    ).localCheckpoint()
+    uni_counts.unpersist()
+    big_all.unpersist()
+    return out
 
 
 def _holt_oracle() -> str:

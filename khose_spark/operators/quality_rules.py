@@ -447,10 +447,15 @@ def q_llm_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
     )
     toks = d.select("doc_id", F.explode(words).alias("term"))
+    # tf feeds both the df aggregation and the scoring join; topk feeds
+    # both the DCG and ideal-DCG branches — persist each and release
+    # after the eager localCheckpoint (the dedup_audit pattern), else
+    # the whole scan+explode pipeline executes once per branch.
     tf = (
         toks.filter(F.col("term").isin(*_NDCG_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
@@ -482,6 +487,7 @@ def q_llm_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel",
             ((F.col("doc_id") + F.length("term")) % 4).cast("long"),
         )
+        .persist()
     )
     w_ideal = Window.partitionBy("term").orderBy(
         F.col("rel").desc(), F.col("doc_id").asc()
@@ -499,7 +505,7 @@ def q_llm_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "idcg_raw"
         )
     )
-    return (
+    out = (
         dcg.join(idcg, "term")
         .select(
             "term",
@@ -508,4 +514,7 @@ def q_llm_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("idcg_raw", 4).alias("idcg"),
             F.round(F.col("dcg_raw") / F.col("idcg_raw"), 4).alias("ndcg"),
         )
-    )
+    ).localCheckpoint()
+    tf.unpersist()
+    topk.unpersist()
+    return out
