@@ -387,3 +387,110 @@ def q_priv_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(risky, F.col("n")).otherwise(0)).alias("n_rows_at_risk"),
         F.sum(F.when(~risky, F.col("n")).otherwise(0)).alias("n_rows_safe"),
     )
+
+
+# Two-sided-geometric (discrete-Laplace) noise ladder for the DP
+# histogram, alpha = 1/2 (epsilon = ln 2, sensitivity 1). Exact integer
+# masses out of M = 3*2^20: P(0) = 1/3 -> 2^20; P(+/-k) = (1/3)*2^-k ->
+# 2^20/2^k each. Truncated at |k| = 10; the residual 2048/M mass is
+# assigned to 0 (documented truncation, not a bug).
+_DP_M = 3 * (2**20)
+
+
+def _dp_ladder() -> list[tuple[int, int]]:
+    """(cumulative_upper_bound_exclusive, noise) pairs in ladder order
+    0, +1, -1, +2, -2, ... +10, -10; remainder maps to 0."""
+    out = []
+    cum = 2**20  # mass of 0
+    out.append((cum, 0))
+    for k in range(1, 11):
+        m = (2**20) // (2**k)
+        for noise in (k, -k):
+            cum += m
+            out.append((cum, noise))
+    return out
+
+
+@query(
+    "q_priv_dp_histogram",
+    oracle=f"""
+    WITH true_counts AS (
+      SELECT n.n_name, count(*) AS true_n
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1
+    ), seeded AS (
+      SELECT n_name, true_n,
+             ({" + ".join(
+                 f"(instr('0123456789abcdef', substr(md5(concat('dp:', n_name)), {j}, 1)) - 1)"
+                 f" * {16 ** (6 - j)}"
+                 for j in range(1, 7)
+             )}) % {_DP_M} AS u
+      FROM true_counts
+    ), noised AS (
+      SELECT n_name, true_n, u,
+             CASE {" ".join(
+                 f"WHEN u < {hi} THEN {noise}"
+                 for hi, noise in _dp_ladder()
+             )} ELSE 0 END AS noise
+      FROM seeded
+    )
+    SELECT n_name, CAST(true_n AS BIGINT) AS true_n,
+           CAST(noise AS BIGINT) AS noise,
+           CAST(greatest(true_n + noise, 0) AS BIGINT) AS released_n
+    FROM noised
+    """,
+)
+def q_priv_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release (customers per nation)
+    under two-sided geometric (discrete-Laplace) noise, alpha = 1/2
+    (epsilon = ln 2, sensitivity 1), with negative releases clamped to
+    zero — the standard count-release mechanism (Ghosh-Roughgarden-
+    Sundararajan's geometric mechanism).
+
+    The noise here is DETERMINISTIC BY DESIGN: the uniform draw comes
+    from md5 of the group key (the q_llm_split_assign idiom), pushed
+    through an EXACT integer inverse-CDF ladder (masses of 1/3·2^-|k|
+    out of M = 3·2^20, truncated at |k| = 10, residual to 0) — so the
+    mechanism's plumbing is hash-checkable while a production
+    deployment swaps only the uniform source for a CSPRNG. True counts
+    are emitted alongside because this operator is the release AUDIT,
+    not the release itself.
+
+    Plan: one broadcast dim join + one 25-row aggregation; the noise
+    ladder folds into the projection as a literal CASE chain — map-side,
+    zero extra shuffles at any scale."""
+    cust = t(spark, sf_dir, "customer").select("c_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    true_counts = (
+        cust.join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp:"), F.col("n_name"))), 1, 6),
+            16,
+            10,
+        ).cast("long")
+        % _DP_M
+    )
+    noise = None
+    for hi, nz in _dp_ladder():
+        cond = F.col("u") < hi
+        noise = F.when(cond, nz) if noise is None else noise.when(cond, nz)
+    noise = noise.otherwise(0)
+    return (
+        true_counts.withColumn("u", u)
+        .withColumn("noise", noise.cast("long"))
+        .select(
+            "n_name",
+            F.col("true_n").cast("long").alias("true_n"),
+            "noise",
+            F.greatest(
+                F.col("true_n") + F.col("noise"), F.lit(0)
+            ).cast("long").alias("released_n"),
+        )
+    )

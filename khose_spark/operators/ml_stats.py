@@ -365,3 +365,171 @@ def q_ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, n_days long, level_cents long, "
         "trend_cents long, fc1_cents long, fc2_cents long, fc3_cents long",
     )
+
+
+@query(
+    "q_ml_linreg_2f",
+    oracle="""
+    WITH feats AS (
+      SELECT l.l_orderkey AS k,
+             count(*) AS x1,
+             CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 // 100
+                  ) AS BIGINT) AS x2
+      FROM lineitem l GROUP BY 1
+    ), xy AS (
+      SELECT f.x1, f.x2,
+             CAST(round(CAST(o.o_totalprice AS DECIMAL(18,2)), 0)
+                  AS BIGINT) AS y
+      FROM feats f JOIN orders o ON o.o_orderkey = f.k
+    ), sums AS (
+      SELECT count(*) AS n,
+             CAST(sum(x1) AS BIGINT) AS s1,
+             CAST(sum(x2) AS BIGINT) AS s2,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x1 * x1) AS BIGINT) AS s11,
+             CAST(sum(x2 * x2) AS BIGINT) AS s22,
+             CAST(sum(x1 * x2) AS BIGINT) AS s12,
+             CAST(sum(x1 * y) AS BIGINT) AS s1y,
+             CAST(sum(x2 * y) AS BIGINT) AS s2y,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM xy
+    ), alg AS (
+      SELECT n,
+             CAST(s1 AS DOUBLE) / n AS m1, CAST(s2 AS DOUBLE) / n AS m2,
+             CAST(sy AS DOUBLE) / n AS my,
+             CAST(s11 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+               * (CAST(s1 AS DOUBLE) / n) AS c11,
+             CAST(s22 AS DOUBLE) / n - (CAST(s2 AS DOUBLE) / n)
+               * (CAST(s2 AS DOUBLE) / n) AS c22,
+             CAST(s12 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+               * (CAST(s2 AS DOUBLE) / n) AS c12,
+             CAST(s1y AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+               * (CAST(sy AS DOUBLE) / n) AS c1y,
+             CAST(s2y AS DOUBLE) / n - (CAST(s2 AS DOUBLE) / n)
+               * (CAST(sy AS DOUBLE) / n) AS c2y,
+             CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n)
+               * (CAST(sy AS DOUBLE) / n) AS cyy
+      FROM sums
+    ), coef AS (
+      SELECT n, m1, m2, my, c1y, c2y, cyy,
+             (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+             (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+      FROM alg
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(my - b1 * m1 - b2 * m2, 6) AS b0,
+           round(b1, 6) AS b1,
+           round(b2, 6) AS b2,
+           round((b1 * c1y + b2 * c2y) / cyy, 6) AS r2
+    FROM coef
+    """,
+)
+def q_ml_linreg_2f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS with intercept, solved in closed form (normal
+    equations via Cramer on the 2×2 centered-covariance system):
+    predict each order's whole-dollar total from its line count and
+    total quantity — the multi-feature step past the built-in
+    regr_slope (q_agg_regression), done as ONE aggregation plus scalar
+    algebra, no iteration and no driver-side solver.
+
+    Exactness: features and the whole-dollar response (DECIMAL-cast
+    half-up law) are int64, so all nine sufficient statistics
+    (n, Σx, Σy, Σx², Σxy, Σy²) are EXACT integer sums (Σy² ≈ 4e17 at
+    sf1 — within int64; the >sf10 path would move to DECIMAL(38)
+    accumulators). The covariance algebra then runs in doubles with
+    the SAME expression tree in both engines (IEEE ops are
+    deterministic given identical inputs and order), rounded to 6 dp.
+
+    Plan: per-order feature agg (one l_orderkey shuffle, map-side
+    combined) + broadcast-sized join to orders + a single 1-row
+    reduce. At 100 TB this is the canonical two-pass-free shape: no
+    per-coefficient jobs, no gradient iterations (q_ml_logreg covers
+    the iterative family)."""
+    li = t(spark, sf_dir, "lineitem")
+    feats = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("x1"),
+        F.expr(
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * 100 DIV 100)"
+            " AS BIGINT)"
+        ).alias("x2"),
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 0) AS BIGINT)"
+        ).alias("y"),
+    )
+    xy = feats.join(orders, "k")
+    sums = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    # Mirror the oracle's expression tree exactly: every mean is
+    # (double)S / n, every centered moment is S/n - mean*mean.
+    alg = sums.select(
+        "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("m1"),
+        (F.col("s2").cast("double") / F.col("n")).alias("m2"),
+        (F.col("sy").cast("double") / F.col("n")).alias("my"),
+        (
+            F.col("s11").cast("double") / F.col("n")
+            - (F.col("s1").cast("double") / F.col("n"))
+            * (F.col("s1").cast("double") / F.col("n"))
+        ).alias("c11"),
+        (
+            F.col("s22").cast("double") / F.col("n")
+            - (F.col("s2").cast("double") / F.col("n"))
+            * (F.col("s2").cast("double") / F.col("n"))
+        ).alias("c22"),
+        (
+            F.col("s12").cast("double") / F.col("n")
+            - (F.col("s1").cast("double") / F.col("n"))
+            * (F.col("s2").cast("double") / F.col("n"))
+        ).alias("c12"),
+        (
+            F.col("s1y").cast("double") / F.col("n")
+            - (F.col("s1").cast("double") / F.col("n"))
+            * (F.col("sy").cast("double") / F.col("n"))
+        ).alias("c1y"),
+        (
+            F.col("s2y").cast("double") / F.col("n")
+            - (F.col("s2").cast("double") / F.col("n"))
+            * (F.col("sy").cast("double") / F.col("n"))
+        ).alias("c2y"),
+        (
+            F.col("syy").cast("double") / F.col("n")
+            - (F.col("sy").cast("double") / F.col("n"))
+            * (F.col("sy").cast("double") / F.col("n"))
+        ).alias("cyy"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    b1 = (F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y")) / det
+    b2 = (F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y")) / det
+    coef = alg.select(
+        "n", "m1", "m2", "my", "c1y", "c2y", "cyy",
+        b1.alias("b1"), b2.alias("b2"),
+    )
+    return coef.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("my")
+            - F.col("b1") * F.col("m1")
+            - F.col("b2") * F.col("m2"),
+            6,
+        ).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round("b2", 6).alias("b2"),
+        F.round(
+            (F.col("b1") * F.col("c1y") + F.col("b2") * F.col("c2y"))
+            / F.col("cyy"),
+            6,
+        ).alias("r2"),
+    )
