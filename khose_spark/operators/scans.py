@@ -211,3 +211,59 @@ def q_source_jsonl_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).option("compression", "gzip").json(path)
     back = spark.read.schema(EVENTS_SCHEMA).option("timestampFormat", fmt).json(path)
     return _events_agg(back)
+
+
+@query(
+    "q_source_xml_roundtrip",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n,
+           {sql_dec_sum('value', 2)} AS sum_value,
+           strftime(max(CAST(ts AS DATE)), '%Y-%m-%d') AS max_day
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML egress + ingest roundtrip (Spark 4's NATIVE xml data source —
+    no spark-xml jar needed): write events as <row> elements, read them
+    back with an EXPLICIT schema, and aggregate to the events contract.
+    Feeds/partner-exchange XML is still a real ingest surface for
+    enterprise pipelines, and this pins the native reader's behavior.
+
+    Timestamps cross the XML boundary as formatted strings (the
+    TIMESTAMP_NTZ formatting trap documented in SURVEY §9 applies to
+    every text format — CSV, JSON, and XML alike), and doubles
+    round-trip exactly because Spark writes shortest-round-trip decimal
+    text for 2-decimal values. Explicit read schema: XML inference
+    would widen everything to string/long and is a per-file extra pass.
+
+    Scale: the roundtrip is embarrassingly parallel (one XML part-file
+    per task, no shuffle until the final aggregation); XML parsing is
+    ~5-10x slower per byte than parquet, which is the point of pinning
+    it as an INGEST format, not a storage format."""
+    path = _scratch(sf_dir, "xml_roundtrip")
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+    (
+        ev.repartition(4)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "events")
+        .option("rowTag", "event")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema("event_type string, value double, ts_s string")
+        .load(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum(F.col("value"), 2).alias("sum_value"),
+        F.max(F.substring("ts_s", 1, 10)).alias("max_day"),
+    )
