@@ -947,3 +947,121 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     adj.unpersist()
     return out
+
+
+_HITS_ITERS = 2
+_HITS_TOP = 10
+
+
+def _hits_oracle() -> str:
+    """Unrolled 2-iteration HITS twin: L1-normalized authority/hub
+    updates with round(10) re-sync per step (the pagerank idiom)."""
+    sql = """
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), hubs0 AS (
+      SELECT DISTINCT c, 1.0 AS h FROM edges
+    )"""
+    prev_h = "hubs0"
+    for it in range(1, _HITS_ITERS + 1):
+        sql += f""", araw{it} AS (
+      SELECT e.s, sum(p.h) AS a FROM edges e
+      JOIN {prev_h} p ON p.c = e.c GROUP BY e.s
+    ), anorm{it} AS (
+      SELECT sum(a) AS tot FROM araw{it}
+    ), auth{it} AS (
+      SELECT s, round(a / tot, 10) AS a
+      FROM araw{it} CROSS JOIN anorm{it}
+    ), hraw{it} AS (
+      SELECT e.c, sum(p.a) AS h FROM edges e
+      JOIN auth{it} p ON p.s = e.s GROUP BY e.c
+    ), hnorm{it} AS (
+      SELECT sum(h) AS tot FROM hraw{it}
+    ), hubs{it} AS (
+      SELECT c, round(h / tot, 10) AS h
+      FROM hraw{it} CROSS JOIN hnorm{it}
+    )"""
+        prev_h = f"hubs{it}"
+    return sql + f"""
+    SELECT kind, node, score, rk FROM (
+      SELECT 'auth' AS kind, s AS node, a AS score,
+             row_number() OVER (ORDER BY a DESC, s ASC) AS rk
+      FROM auth{_HITS_ITERS}
+      UNION ALL
+      SELECT 'hub' AS kind, c AS node, h AS score,
+             row_number() OVER (ORDER BY h DESC, c ASC) AS rk
+      FROM hubs{_HITS_ITERS}
+    ) WHERE rk <= {_HITS_TOP}
+    """
+
+
+@query("q_graph_hits", oracle=_hits_oracle())
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg hubs & authorities, 2 fixed iterations) over the
+    bipartite customer->supplier trade graph: customers are hubs
+    (breadth of sourcing), suppliers are authorities (endorsement by
+    strong hubs) — the mutual-reinforcement complement to
+    q_graph_pagerank's single-score random walk. Top-10 of each side.
+
+    Determinism: updates are L1-normalized (divide by the score SUM —
+    no sqrt, so no extra float surface beyond one division) and rounded
+    to 10 decimals after every half-step, re-syncing both engines
+    exactly as the pagerank/k-means oracles do. The dual ranking
+    total-orders on (score DESC, node ASC).
+
+    Scale shape: the distinct edge list persists once and is re-joined
+    per half-step keyed on the propagating side; scores are node-sized;
+    normalization totals are 1-row broadcast crosses; final cut is
+    TakeOrdered-style via a bounded window. Two authority shuffles +
+    two hub shuffles total — identical posture to pagerank, with
+    per-iteration localCheckpoint lineage cuts."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+        .persist()
+    )
+    hubs = edges.select("c").distinct().select("c", F.lit(1.0).alias("h"))
+    auth = None
+    for _ in range(_HITS_ITERS):
+        araw = (
+            edges.join(hubs, "c").groupBy("s").agg(F.sum("h").alias("a"))
+        )
+        atot = araw.agg(F.sum("a").alias("tot"))
+        auth = (
+            araw.crossJoin(F.broadcast(atot))
+            .select("s", F.round(F.col("a") / F.col("tot"), 10).alias("a"))
+            .localCheckpoint()
+        )
+        hraw = (
+            edges.join(auth, "s").groupBy("c").agg(F.sum("a").alias("h"))
+        )
+        htot = hraw.agg(F.sum("h").alias("tot"))
+        hubs = (
+            hraw.crossJoin(F.broadcast(htot))
+            .select("c", F.round(F.col("h") / F.col("tot"), 10).alias("h"))
+            .localCheckpoint()
+        )
+    w_a = Window.orderBy(F.col("score").desc(), F.col("node").asc())
+    out_a = auth.select(
+        F.lit("auth").alias("kind"),
+        F.col("s").alias("node"),
+        F.col("a").alias("score"),
+    ).withColumn("rk", F.row_number().over(w_a))
+    out_h = hubs.select(
+        F.lit("hub").alias("kind"),
+        F.col("c").alias("node"),
+        F.col("h").alias("score"),
+    ).withColumn("rk", F.row_number().over(w_a))
+    out = (
+        out_a.filter(F.col("rk") <= _HITS_TOP)
+        .unionAll(out_h.filter(F.col("rk") <= _HITS_TOP))
+        .localCheckpoint()
+    )
+    edges.unpersist()
+    return out
