@@ -533,3 +533,206 @@ def q_ml_linreg_2f(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@query(
+    "q_ts_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+             CAST(sum(CAST(value AS DECIMAL(28,2))) * 100 AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ), s_stat AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1
+                           ELSE 0 END) AS BIGINT) AS s
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+      GROUP BY 1
+    ), nn AS (
+      SELECT event_type, count(*) AS n FROM daily GROUP BY 1
+    ), ties AS (
+      SELECT event_type,
+             CAST(coalesce(sum(tt * (tt - 1) * (2 * tt + 5)), 0)
+                  AS BIGINT) AS tie_term
+      FROM (
+        SELECT event_type, cents, count(*) AS tt
+        FROM daily GROUP BY 1, 2
+      ) GROUP BY 1
+    )
+    SELECT s.event_type, CAST(n.n AS BIGINT) AS n_days, s.s AS s_stat,
+           CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term
+                AS BIGINT) AS var18,
+           CASE WHEN s.s > 0 THEN 'increasing'
+                WHEN s.s < 0 THEN 'decreasing'
+                ELSE 'no-trend' END AS trend
+    FROM s_stat s
+    JOIN nn n ON n.event_type = s.event_type
+    JOIN ties t ON t.event_type = s.event_type
+    """,
+)
+def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event type over the daily-cents
+    series: S = sum of sign(x_j - x_i) over all ordered day pairs, plus
+    the tie-corrected variance SCALED BY 18 so it stays an integer
+    (Var(S) = [n(n-1)(2n+5) - sum t(t-1)(2t+5)]/18) — the
+    non-parametric significance test that pairs with q_ts_theil_sen's
+    robust slope (the two are THE standard monotonic-trend toolkit).
+    Zero float surface anywhere: signs, counts, and the x18 variance
+    are all int64, so the oracle match is exact by construction.
+
+    Plan: tiny daily rollup (the only data-sized stage, map-side
+    combined), then an intra-type pairwise join over ~30-row series
+    (same bounded self-join as Theil-Sen — per-series quadratic over
+    rollup rows, NOT over raw events) + two per-type aggs. At 100 TB
+    with millions of series the pair join stays per-series bounded."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("d")
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(28,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .persist()
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    s_stat = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.cents") > F.col("a.cents"), 1)
+                .when(F.col("b.cents") < F.col("a.cents"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("tt"))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tt") * (F.col("tt") - 1) * (2 * F.col("tt") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    out = (
+        s_stat.join(nn, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            "s_stat",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie_term")
+            )
+            .cast("long")
+            .alias("var18"),
+            F.when(F.col("s_stat") > 0, "increasing")
+            .when(F.col("s_stat") < 0, "decreasing")
+            .otherwise("no-trend")
+            .alias("trend"),
+        )
+    ).localCheckpoint()
+    daily.unpersist()
+    return out
+
+
+# Benford expected first-digit shares in half-up integer permille,
+# precomputed as LITERALS (round(1000*log10(1+1/d))) so neither engine
+# ever evaluates a log: 1->301, 2->176, ... 9->46.
+_BENFORD_PERMILLE = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67,
+                     7: 58, 8: 51, 9: 46}
+
+
+@query(
+    "q_agg_benford",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+    ), counts AS (
+      SELECT digit, count(*) AS n FROM digits GROUP BY digit
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_total FROM counts
+    )
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           CAST((2 * 1000 * n + n_total) // (2 * n_total) AS BIGINT)
+             AS obs_permille,
+           CAST(CASE digit
+             {" ".join(f"WHEN {d} THEN {p}"
+                       for d, p in _BENFORD_PERMILLE.items())}
+           END AS BIGINT) AS benford_permille,
+           CAST((2 * 1000 * n + n_total) // (2 * n_total)
+                - CASE digit
+                  {" ".join(f"WHEN {d} THEN {p}"
+                            for d, p in _BENFORD_PERMILLE.items())}
+                  END AS BIGINT) AS delta_permille
+    FROM counts CROSS JOIN tot
+    """,
+)
+def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fraud/fabrication screen a finance data-quality pipeline runs on
+    every monetary column. Observed first-digit shares (half-up integer
+    permille) sit next to the Benford expectation, which is folded in
+    as PRECOMPUTED integer literals (round(1000·log10(1+1/d))) so no
+    engine ever evaluates a logarithm — the whole operator is integer
+    arithmetic on exact cents.
+
+    Plan: map-side digit extraction (decimal-cast cents → first char),
+    a 9-row aggregation, and a 1-row total broadcast-crossed back in.
+    One shuffle of 9 partial rows at any scale."""
+    digit = F.expr(
+        "CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+        " AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+    )
+    counts = (
+        t(spark, sf_dir, "orders")
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("long").alias("n_total"))
+    expected = None
+    for d, p in _BENFORD_PERMILLE.items():
+        expected = (
+            F.when(F.col("digit") == d, p)
+            if expected is None
+            else expected.when(F.col("digit") == d, p)
+        )
+    obs = F.expr(
+        "CAST((2 * 1000 * n + n_total) DIV (2 * n_total) AS BIGINT)"
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            obs.alias("obs_permille"),
+            expected.cast("long").alias("benford_permille"),
+            (obs - expected.cast("long")).alias("delta_permille"),
+        )
+    )
