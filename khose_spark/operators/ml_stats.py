@@ -736,3 +736,84 @@ def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             (obs - expected.cast("long")).alias("delta_permille"),
         )
     )
+
+
+_STREAK_TOP = 20
+
+
+@query(
+    "q_win_streaks",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(ts AS DATE) - DATE '1970-01-01' AS ed
+      FROM events
+    ), islands AS (
+      SELECT user_id, ed,
+             ed - row_number() OVER (PARTITION BY user_id ORDER BY ed)
+               AS island
+      FROM days
+    ), streaks AS (
+      SELECT user_id, island, count(*) AS streak_days,
+             min(ed) AS start_ed, max(ed) AS end_ed
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id, streak_days,
+           strftime(DATE '1970-01-01' + INTERVAL (start_ed) DAY,
+                    '%Y-%m-%d') AS start_day,
+           strftime(DATE '1970-01-01' + INTERVAL (end_ed) DAY,
+                    '%Y-%m-%d') AS end_day
+    FROM streaks
+    ORDER BY streak_days DESC, user_id ASC, start_ed ASC
+    LIMIT {_STREAK_TOP}
+    """,
+)
+def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streaks (gaps-and-islands): the
+    canonical retention idiom — distinct active days per user, island
+    key = epoch_day − row_number (constant within a consecutive run),
+    streak = island size. Top-20 streaks with their date spans.
+
+    The island key is pure integer arithmetic on epoch days, so the
+    grouping is exact; the final cut total-orders on (length DESC,
+    user ASC, start ASC). Plan: distinct (user, day) — one shuffle,
+    the data-sized stage — then a per-user window and a (user, island)
+    agg on the day-grid relation (events-days sized, far smaller than
+    raw events), ending in TakeOrdered. Nothing quadratic, no state
+    beyond the window."""
+    e = t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("ed"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("ed")
+    islands = days.withColumn(
+        "island", F.col("ed") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("ed").alias("start_ed"),
+        F.max("ed").alias("end_ed"),
+    )
+    return (
+        streaks.select(
+            "user_id",
+            "streak_days",
+            F.date_format(
+                F.date_add(F.lit("1970-01-01"), F.col("start_ed")),
+                "yyyy-MM-dd",
+            ).alias("start_day"),
+            F.date_format(
+                F.date_add(F.lit("1970-01-01"), F.col("end_ed")),
+                "yyyy-MM-dd",
+            ).alias("end_day"),
+            "start_ed",
+        )
+        .orderBy(
+            F.col("streak_days").desc(),
+            F.col("user_id").asc(),
+            F.col("start_ed").asc(),
+        )
+        .limit(_STREAK_TOP)
+        .drop("start_ed")
+    )
