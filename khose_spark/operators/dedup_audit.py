@@ -658,3 +658,216 @@ def q_llm_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bits_set",
         )
     )
+
+
+# Fellegi-Sunter parameters (contract constants): m-probability per
+# comparison field, the assumed u for the name-edit comparison (the one
+# field whose random-agreement rate would need an all-pairs pass), and
+# the decision thresholds on the rounded total weight.
+_FS_M = 0.9
+_FS_U_NAME = 0.001
+_FS_SIZE_TOL = 2
+_FS_NAME_TOL = 4
+_FS_T_LINK = 4.0
+_FS_T_NONLINK = 0.0
+
+
+@query(
+    "q_er_fellegi_sunter",
+    oracle=f"""
+    WITH base AS (
+      SELECT p_partkey, p_name, p_brand, p_type, p_size,
+             string_split(p_name, ' ')[1] AS blk
+      FROM part
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY blk
+                                   ORDER BY p_name, p_partkey) AS rn
+      FROM base
+    ), pairs AS (
+      SELECT CASE WHEN a.p_brand = b.p_brand THEN '1' ELSE '0' END ||
+             CASE WHEN a.p_type = b.p_type THEN '1' ELSE '0' END ||
+             CASE WHEN abs(a.p_size - b.p_size) <= {_FS_SIZE_TOL}
+                  THEN '1' ELSE '0' END ||
+             CASE WHEN levenshtein(a.p_name, b.p_name) <= {_FS_NAME_TOL}
+                  THEN '1' ELSE '0' END AS pattern
+      FROM ranked a
+      JOIN ranked b ON b.blk = a.blk AND b.rn - a.rn BETWEEN 1 AND 2
+    ), patt AS (
+      SELECT pattern, count(*) AS n_pairs FROM pairs GROUP BY pattern
+    ), nrec AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM base
+    ), ub AS (
+      SELECT CAST(sum(f * f) AS BIGINT) AS s2
+      FROM (SELECT count(*) AS f FROM base GROUP BY p_brand)
+    ), ut AS (
+      SELECT CAST(sum(f * f) AS BIGINT) AS s2
+      FROM (SELECT count(*) AS f FROM base GROUP BY p_type)
+    ), us AS (
+      SELECT CAST(sum(x.f * y.f) AS BIGINT) AS s2
+      FROM (SELECT p_size, count(*) AS f FROM base GROUP BY 1) x
+      JOIN (SELECT p_size, count(*) AS f FROM base GROUP BY 1) y
+        ON abs(x.p_size - y.p_size) <= {_FS_SIZE_TOL}
+    ), u AS (
+      SELECT CAST(ub.s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+               AS u_brand,
+             CAST(ut.s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+               AS u_type,
+             CAST(us.s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+               AS u_size,
+             {_FS_U_NAME} AS u_name
+      FROM nrec CROSS JOIN ub CROSS JOIN ut CROSS JOIN us
+    ), weighted AS (
+      SELECT pattern, n_pairs,
+             round(
+               CASE substr(pattern, 1, 1) WHEN '1'
+                 THEN ln({_FS_M} / u_brand)
+                 ELSE ln({1.0 - _FS_M} / (1.0 - u_brand)) END
+             + CASE substr(pattern, 2, 1) WHEN '1'
+                 THEN ln({_FS_M} / u_type)
+                 ELSE ln({1.0 - _FS_M} / (1.0 - u_type)) END
+             + CASE substr(pattern, 3, 1) WHEN '1'
+                 THEN ln({_FS_M} / u_size)
+                 ELSE ln({1.0 - _FS_M} / (1.0 - u_size)) END
+             + CASE substr(pattern, 4, 1) WHEN '1'
+                 THEN ln({_FS_M} / u_name)
+                 ELSE ln({1.0 - _FS_M} / (1.0 - u_name)) END, 4)
+               AS weight
+      FROM patt CROSS JOIN u
+    )
+    SELECT pattern, CAST(n_pairs AS BIGINT) AS n_pairs, weight,
+           CASE WHEN weight >= {_FS_T_LINK} THEN 'link'
+                WHEN weight <= {_FS_T_NONLINK} THEN 'non-link'
+                ELSE 'possible' END AS decision
+    FROM weighted
+    """,
+)
+def q_er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage scoring over the
+    sorted-neighborhood candidate pairs (q_er_sorted_neighborhood's
+    blocking): each pair's four field comparisons (brand equal, type
+    equal, size within ±2, name edit distance ≤ 4) collapse into an
+    AGREEMENT PATTERN, and each pattern gets the classic log-likelihood
+    match weight Σ ln(m/u) − the decision-theoretic core of every
+    production ER engine (Splink et al.).
+
+    u-probabilities (random-agreement rates) are ESTIMATED FROM DATA as
+    Σf²/N² (exact int64 frequency sums, one double division); the name
+    comparison's u is a contract constant (estimating it needs the
+    all-pairs scan blocking exists to avoid). m = 0.9 per field.
+    Weights are computed PER PATTERN (≤16 rows), not per pair — the
+    per-pair work is pure integer/bit pattern formation, so the float
+    surface is 16 rounded weight evaluations from broadcast scalars.
+
+    Plan: one block-key window pass (the SNM scan, 2 lead lookups, no
+    self-join), a ≤16-row pattern aggregation, frequency aggs for the
+    u-estimates (vocabulary-sized), and a broadcast cross of the 1-row
+    u-scalars. At 100 TB the candidate generation is linear in records
+    (window w=2) and everything downstream is pattern/vocab-sized."""
+    base = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.split("p_name", " ").getItem(0).alias("blk"),
+    ).persist()
+    w = Window.partitionBy("blk").orderBy("p_name", "p_partkey")
+    leads = base.select(
+        "p_name",
+        "p_brand",
+        "p_type",
+        "p_size",
+        *[
+            F.lead(c, i).over(w).alias(f"{c}_{i}")
+            for i in (1, 2)
+            for c in ("p_name", "p_brand", "p_type", "p_size")
+        ],
+    )
+    pair_sets = []
+    for i in (1, 2):
+        bit = lambda c: F.when(c, "1").otherwise("0")  # noqa: E731
+        pair_sets.append(
+            leads.filter(F.col(f"p_name_{i}").isNotNull()).select(
+                F.concat(
+                    bit(F.col("p_brand") == F.col(f"p_brand_{i}")),
+                    bit(F.col("p_type") == F.col(f"p_type_{i}")),
+                    bit(
+                        F.abs(F.col("p_size") - F.col(f"p_size_{i}"))
+                        <= _FS_SIZE_TOL
+                    ),
+                    bit(
+                        F.levenshtein("p_name", f"p_name_{i}")
+                        <= _FS_NAME_TOL
+                    ),
+                ).alias("pattern")
+            )
+        )
+    patt = (
+        pair_sets[0]
+        .unionAll(pair_sets[1])
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    nrec = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ub = (
+        base.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(F.sum(F.col("f") * F.col("f")).cast("long").alias("s2_brand"))
+    )
+    ut = (
+        base.groupBy("p_type")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(F.sum(F.col("f") * F.col("f")).cast("long").alias("s2_type"))
+    )
+    sizes = base.groupBy("p_size").agg(F.count(F.lit(1)).alias("f"))
+    us = (
+        sizes.alias("x")
+        .join(
+            sizes.alias("y"),
+            F.abs(F.col("x.p_size") - F.col("y.p_size")) <= _FS_SIZE_TOL,
+        )
+        .agg(
+            F.sum(F.col("x.f") * F.col("y.f")).cast("long").alias("s2_size")
+        )
+    )
+    n2 = F.col("n").cast("double") * F.col("n").cast("double")
+    u_scalars = (
+        nrec.crossJoin(F.broadcast(ub))
+        .crossJoin(F.broadcast(ut))
+        .crossJoin(F.broadcast(us))
+        .select(
+            (F.col("s2_brand").cast("double") / n2).alias("u_brand"),
+            (F.col("s2_type").cast("double") / n2).alias("u_type"),
+            (F.col("s2_size").cast("double") / n2).alias("u_size"),
+            F.lit(_FS_U_NAME).alias("u_name"),
+        )
+    )
+
+    def term(pos: int, u_col: str):
+        agree = F.substring("pattern", pos, 1) == "1"
+        return F.when(agree, F.log(_FS_M / F.col(u_col))).otherwise(
+            F.log((1.0 - _FS_M) / (1.0 - F.col(u_col)))
+        )
+
+    weighted = patt.crossJoin(F.broadcast(u_scalars)).select(
+        "pattern",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(
+            term(1, "u_brand")
+            + term(2, "u_type")
+            + term(3, "u_size")
+            + term(4, "u_name"),
+            4,
+        ).alias("weight"),
+    )
+    out = weighted.select(
+        "pattern",
+        "n_pairs",
+        "weight",
+        F.when(F.col("weight") >= _FS_T_LINK, "link")
+        .when(F.col("weight") <= _FS_T_NONLINK, "non-link")
+        .otherwise("possible")
+        .alias("decision"),
+    ).localCheckpoint()
+    base.unpersist()
+    return out
