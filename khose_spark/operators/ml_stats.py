@@ -817,3 +817,150 @@ def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_STREAK_TOP)
         .drop("start_ed")
     )
+
+
+_HASH_DIM = 4096  # 2^12 feature buckets
+
+
+@query(
+    "q_llm_hash_features",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), vocab AS (
+      SELECT DISTINCT lang, term FROM tok
+    ), hashed AS (
+      SELECT lang, term,
+             ({" + ".join(
+                 f"(instr('0123456789abcdef', substr(md5(term), {j}, 1)) - 1)"
+                 f" * {16 ** (4 - j)}"
+                 for j in range(1, 5)
+             )}) % {_HASH_DIM} AS bucket
+      FROM vocab
+    ), stats AS (
+      SELECT lang,
+             count(*) AS n_terms,
+             count(DISTINCT bucket) AS n_buckets
+      FROM hashed GROUP BY lang
+    )
+    SELECT lang, CAST(n_terms AS BIGINT) AS n_terms,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(n_terms - n_buckets AS BIGINT) AS n_collisions,
+           CAST((2 * 1000 * (n_terms - n_buckets) + n_terms)
+                // (2 * n_terms) AS BIGINT) AS collision_permille
+    FROM stats
+    """,
+)
+def q_llm_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) collision audit: hash each
+    language's distinct vocabulary into 2^12 buckets (md5-derived, the
+    q_llm_hash_sample idiom) and report how many terms collide — the
+    capacity check run before replacing a vocabulary with a hashed
+    feature space (Weinberger et al.'s hashing trick; collisions are
+    the accuracy cost, and this measures them exactly).
+
+    All-integer: bucket assignment is md5 hex arithmetic, collisions
+    are ``distinct terms − distinct buckets``, and the rate is half-up
+    integer permille. Plan: one (lang, term) distinct — the only
+    corpus-sized shuffle — then a vocabulary-sized map-side hash and a
+    5-row agg. At 100 TB the vocabulary relation, not the corpus,
+    bounds everything after the first distinct."""
+    tok = t(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    vocab = tok.distinct()
+    bucket = (
+        F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("int")
+        % _HASH_DIM
+    )
+    hashed = vocab.select("lang", bucket.alias("bucket"))
+    stats = hashed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.countDistinct("bucket").alias("n_buckets"),
+    )
+    return stats.select(
+        "lang",
+        F.col("n_terms").cast("long").alias("n_terms"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        (F.col("n_terms") - F.col("n_buckets"))
+        .cast("long")
+        .alias("n_collisions"),
+        F.expr(
+            "CAST((2 * 1000 * (n_terms - n_buckets) + n_terms)"
+            " DIV (2 * n_terms) AS BIGINT)"
+        ).alias("collision_permille"),
+    )
+
+
+@query(
+    "q_agg_gini",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS x
+      FROM orders
+    ), ranked AS (
+      SELECT o_orderpriority, x,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY x, x) AS i
+      FROM cents
+    ), sums AS (
+      SELECT o_orderpriority,
+             count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(i * x) AS BIGINT) AS six
+      FROM ranked GROUP BY 1
+    )
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+           CAST((2 * 1000 * (2 * CAST(six AS HUGEINT) - (n + 1) * sx)
+                 + CAST(n AS HUGEINT) * sx)
+                // (2 * CAST(n AS HUGEINT) * sx) AS BIGINT)
+             AS gini_permille
+    FROM sums
+    ORDER BY o_orderpriority
+    """,
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order-value concentration per order priority,
+    in half-up integer permille — the inequality/concentration metric
+    (what share of revenue the largest orders hold) that spend-analysis
+    and fairness audits both reach for.
+
+    Uses the rank formulation G = (2Σi·x_i − (n+1)Σx) / (nΣx) over
+    cents sorted ascending: every term is an EXACT int64 (Σi·x ≈ 1e16
+    at sf1 — within range), and the single division is the half-up
+    permille idiom, so the operator has zero float surface. Ties in x
+    get consecutive ranks; the formula's value is tie-invariant because
+    equal x values contribute the same total regardless of rank order
+    within the tie.
+
+    Plan: map-side cents + one per-priority sort window (the rank is
+    the only O(n log n) stage — at 100 TB the same statistic comes from
+    a value-histogram formulation, same contract) + a 5-row agg."""
+    cents = t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("x"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("x")
+    ranked = cents.withColumn("i", F.row_number().over(w))
+    sums = ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("six"),
+    )
+    return sums.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        # int64 overflows at sf>=0.1 (2*1000*2*Σi·x ≈ 4e19), so the
+        # half-up division runs in DECIMAL(38,0) / HUGEINT on the two
+        # engines — both exact integer arithmetic.
+        F.expr(
+            "CAST((2 * 1000 * (2 * CAST(six AS DECIMAL(38,0))"
+            " - (n + 1) * sx) + CAST(n AS DECIMAL(38,0)) * sx)"
+            " DIV (2 * CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)"
+        ).alias("gini_permille"),
+    ).orderBy("o_orderpriority")
