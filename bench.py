@@ -84,6 +84,19 @@ HEADLINE = [
     "q_ts_m4_downsample",
     "q_llm_embedding_drift",
     "q_ts_wow_growth",
+    # Round-5c curation/stat/graph family: quality-rule filters, CCNet
+    # terciles, containment dedup, Holt smoothing, label propagation,
+    # HITS, closed-form OLS, Gini, Fellegi-Sunter ER scoring.
+    "q_llm_gopher_rules",
+    "q_llm_ccnet_buckets",
+    "q_llm_containment",
+    "q_ts_holt_forecast",
+    "q_graph_labelprop",
+    "q_graph_hits",
+    "q_ml_linreg_2f",
+    "q_agg_gini",
+    "q_er_fellegi_sunter",
+    "q_ts_mann_kendall",
 ]
 
 

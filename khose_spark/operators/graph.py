@@ -893,6 +893,11 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.suppkey").alias("s_a"), F.col("b.suppkey").alias("s_b")
         )
         .agg(F.count(F.lit(1)).alias("n"))
+        # The expensive pair aggregation feeds BOTH directions of the
+        # union below; without materialization Spark executes the whole
+        # per-customer pair join twice (no common-subtree sharing) —
+        # measured 10.6s -> 5.4s for the backbone build at sf0.1.
+        .localCheckpoint()
     )
     directed = pairs.select(
         F.col("s_a").alias("node"), F.col("s_b").alias("nbr"), "n"
@@ -909,12 +914,17 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _LPA_KNN)
         .select("node", "nbr")
     )
+    # Eagerly materialize the tiny backbone (localCheckpoint, not lazy
+    # persist): the expensive pair join above feeds adj through MANY
+    # branches of the unrolled-round DAG, and a lazy persist lets Spark
+    # re-embed (and partially re-execute) that subtree per branch —
+    # measured 15.4s -> ~2s at sf0.1 for the post-edges portion.
     adj = (
         knn.unionAll(
             knn.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
         )
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     labels = adj.select("node").distinct().select(
         "node", F.col("node").alias("label")
@@ -934,8 +944,9 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(w_pick))
             .filter(F.col("rn") == 1)
             .select("node", "label")
+            .localCheckpoint()
         )
-    out = (
+    return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(
             F.count(F.lit(1)).alias("n_members"),
@@ -944,9 +955,7 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_members"), F.asc("community"))
         .limit(20)
-    ).localCheckpoint()
-    adj.unpersist()
-    return out
+    )
 
 
 _HITS_ITERS = 2
@@ -1016,15 +1025,10 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered-style via a bounded window. Two authority shuffles +
     two hub shuffles total — identical posture to pagerank, with
     per-iteration localCheckpoint lineage cuts."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
-        )
-        .distinct()
-        .persist()
+    # Same distinct bipartite edge list as the co-occurrence family —
+    # share the memoized per-session cache instead of rebuilding it.
+    edges = _trade_edges(spark, sf_dir).select(
+        F.col("custkey").alias("c"), F.col("suppkey").alias("s")
     )
     hubs = edges.select("c").distinct().select("c", F.lit(1.0).alias("h"))
     auth = None
@@ -1058,10 +1062,10 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("node"),
         F.col("h").alias("score"),
     ).withColumn("rk", F.row_number().over(w_a))
-    out = (
+    # edges stays persisted: it belongs to the shared _trade_edges
+    # memo, released with the session (ADVICE round-4 pattern).
+    return (
         out_a.filter(F.col("rk") <= _HITS_TOP)
         .unionAll(out_h.filter(F.col("rk") <= _HITS_TOP))
         .localCheckpoint()
     )
-    edges.unpersist()
-    return out
