@@ -228,10 +228,13 @@ def q_llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact form as the per-candidate verifier."""
     d = t(spark, sf_dir, "documents")
     words = F.split("text", " ")
+    # sh feeds three consumers (sizes + both self-join sides) — persist
+    # so the shingle explode runs once (the q_llm_neardup_jaccard
+    # pattern), released after the eager checkpoint below.
     sh = d.select(
         "doc_id",
         F.explode(F.array_distinct(shingle_array(words, 3))).alias("shingle"),
-    )
+    ).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -264,9 +267,13 @@ def q_llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return scored.filter(
-        F.col("containment_permille") >= _CONTAIN_PERMILLE
-    ).select("id_a", "id_b", "n_common", "n_small", "containment_permille")
+    out = (
+        scored.filter(F.col("containment_permille") >= _CONTAIN_PERMILLE)
+        .select("id_a", "id_b", "n_common", "n_small", "containment_permille")
+        .localCheckpoint()
+    )
+    sh.unpersist()
+    return out
 
 
 @query(
