@@ -1069,3 +1069,153 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(out_h.filter(F.col("rk") <= _HITS_TOP))
         .localCheckpoint()
     )
+
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    """Unrolled 3-round k-core peeling over the 3-NN backbone: each
+    round keeps nodes whose degree within the CURRENT subgraph is >= k."""
+    rounds = []
+    prev = "adj"
+    # Every adj{r} is MATERIALIZED: the per-round stats UNION references
+    # each subgraph several times, and without the hint DuckDB re-inlines
+    # the whole 18M-row pair chain per reference (minutes at sf0.1 vs
+    # 1.3s materialized).
+    for r in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(f"""
+    deg{r} AS (
+      SELECT node, count(*) AS d FROM {prev} GROUP BY node
+    ), keep{r} AS (
+      SELECT node FROM deg{r} WHERE d >= {_KCORE_K}
+    ), adj{r} AS MATERIALIZED (
+      SELECT a.node, a.nbr FROM {prev} a
+      JOIN keep{r} kn ON kn.node = a.node
+      JOIN keep{r} kb ON kb.node = a.nbr
+    )""")
+        prev = f"adj{r}"
+    per_round = "\n      UNION ALL\n".join(
+        f"""      SELECT {r} AS round,
+             (SELECT count(*) FROM (SELECT DISTINCT node FROM adj{r}))
+               AS n_nodes,
+             (SELECT count(*) FROM adj{r}) AS n_dir_edges"""
+        for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS custkey, l.l_suppkey AS suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), deg AS (
+      SELECT custkey, count(*) AS d FROM edges GROUP BY custkey
+    ), capped AS MATERIALIZED (
+      SELECT e.custkey, e.suppkey FROM edges e
+      JOIN deg ON deg.custkey = e.custkey
+      WHERE deg.d <= {_COOC_DEG_CAP}
+    ), pairs AS MATERIALIZED (
+      SELECT a.suppkey AS s_a, b.suppkey AS s_b, count(*) AS n
+      FROM capped a JOIN capped b
+        ON a.custkey = b.custkey AND a.suppkey < b.suppkey
+      GROUP BY 1, 2
+    ), directed AS (
+      SELECT s_a AS node, s_b AS nbr, n FROM pairs
+      UNION ALL
+      SELECT s_b AS node, s_a AS nbr, n FROM pairs
+    ), knn AS (
+      SELECT node, nbr FROM (
+        SELECT node, nbr, row_number() OVER (
+          PARTITION BY node ORDER BY n DESC, nbr ASC) AS rn
+        FROM directed
+      ) WHERE rn <= {_LPA_KNN}
+    ), adj AS MATERIALIZED (
+      SELECT node, nbr FROM knn
+      UNION
+      SELECT nbr AS node, node AS nbr FROM knn
+    ),{",".join(rounds)}
+    SELECT round, CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_dir_edges AS BIGINT) AS n_dir_edges
+    FROM (
+{per_round}
+    ) ORDER BY round
+    """
+
+
+@query("q_graph_kcore", oracle=_kcore_oracle())
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=4, 3 unrolled rounds) over the same symmetrized
+    3-NN supplier backbone q_graph_labelprop runs on: repeatedly drop
+    nodes whose degree in the CURRENT subgraph falls below k, keeping
+    both endpoints' survival as the edge-retention rule — the standard
+    dense-subgraph extraction that separates a graph's cohesive core
+    from its fringe (and the precursor to coreness-based influence
+    ranking). Emits (round, surviving nodes, surviving directed edges)
+    so the peeling cascade itself is the audited output.
+
+    All-integer (degrees and counts), deterministic by construction.
+    Rounds are FIXED at 3 — contract, matching the unrolled oracle; a
+    to-fixpoint variant would localCheckpoint per round exactly like
+    connected_components. Each round is one degree aggregation + two
+    semi-join-shaped edge filters, all keyed on node id — linear
+    shuffles at any scale; the backbone build amortizes across the
+    graph family via the shared memoized edge cache."""
+    edges = _trade_edges(spark, sf_dir)
+    deg = edges.groupBy("custkey").agg(F.count(F.lit(1)).alias("d"))
+    capped = edges.join(
+        deg.filter(F.col("d") <= _COOC_DEG_CAP).select("custkey"),
+        "custkey",
+        "left_semi",
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.custkey") == F.col("b.custkey"))
+            & (F.col("a.suppkey") < F.col("b.suppkey")),
+        )
+        .groupBy(
+            F.col("a.suppkey").alias("s_a"), F.col("b.suppkey").alias("s_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()  # feeds both union directions (LPA finding)
+    )
+    directed = pairs.select(
+        F.col("s_a").alias("node"), F.col("s_b").alias("nbr"), "n"
+    ).unionAll(
+        pairs.select(
+            F.col("s_b").alias("node"), F.col("s_a").alias("nbr"), "n"
+        )
+    )
+    w_knn = Window.partitionBy("node").orderBy(
+        F.col("n").desc(), F.col("nbr").asc()
+    )
+    knn = (
+        directed.withColumn("rn", F.row_number().over(w_knn))
+        .filter(F.col("rn") <= _LPA_KNN)
+        .select("node", "nbr")
+    )
+    adj = (
+        knn.unionAll(
+            knn.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    stats = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg_r = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg_r.filter(F.col("d") >= _KCORE_K).select("node")
+        adj = (
+            adj.join(keep, "node", "left_semi")
+            .join(
+                keep.withColumnRenamed("node", "nbr"), "nbr", "left_semi"
+            )
+            .localCheckpoint()
+        )
+        n_nodes = adj.select("node").distinct().count()
+        n_edges = adj.count()
+        stats.append((r, n_nodes, n_edges))
+    return spark.createDataFrame(
+        stats, "round int, n_nodes long, n_dir_edges long"
+    )

@@ -964,3 +964,76 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)"
         ).alias("gini_permille"),
     ).orderBy("o_orderpriority")
+
+
+@query(
+    "q_agg_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name, l.l_suppkey,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2
+    ), sums AS (
+      SELECT n_name,
+             count(*) AS n_suppliers,
+             CAST(sum(cents) AS HUGEINT) AS tot,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS s2
+      FROM rev GROUP BY 1
+    )
+    SELECT n_name, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(tot AS BIGINT) AS total_cents,
+           CAST((2 * 10000 * s2 + tot * tot) // (2 * tot * tot)
+                AS BIGINT) AS hhi
+    FROM sums
+    """,
+)
+def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market-concentration index per supplier
+    nation: HHI = Σ(100·share_i)² over each nation's suppliers' revenue
+    shares, on the standard 0–10000 scale — the antitrust/market-
+    structure statistic a spend-analysis pipeline computes per category
+    (pairs with q_agg_gini: Gini measures inequality, HHI measures
+    concentration against the merger-review thresholds).
+
+    Exactness: revenue is exact int64 cents; Σs² and the final half-up
+    division run in DECIMAL(38)/HUGEINT (cents² ≈ 4e19 overflows int64
+    even at sf0.01 — same widening the Gini permille needed at sf0.1).
+    Zero float surface.
+
+    Plan: fact scan → (nation, supplier) revenue agg (one shuffle,
+    map-side combined, supplier/nation dims broadcast) → 25-row
+    re-aggregation. One data-sized stage at any scale."""
+    li = t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name", "l_suppkey")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)"
+                " AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    sums = rev.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("cents").cast("long").alias("tot"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)") * F.col("cents")
+        ).alias("s2"),
+    )
+    return sums.select(
+        "n_name",
+        F.col("n_suppliers").cast("long").alias("n_suppliers"),
+        F.col("tot").alias("total_cents"),
+        F.expr(
+            "CAST((2 * 10000 * s2 + CAST(tot AS DECIMAL(38,0)) * tot)"
+            " DIV (2 * CAST(tot AS DECIMAL(38,0)) * tot) AS BIGINT)"
+        ).alias("hhi"),
+    )

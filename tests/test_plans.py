@@ -80,6 +80,8 @@ BNLJ_ALLOWED = {
     "q_graph_triangles",        # 1-row grand-total aggregate broadcast-
                                 # crossed into the 625-row nation grid
                                 # (edge admission threshold)
+    "q_agg_benford",            # 1-row order-count total broadcast-
+                                # crossed into the 9-row digit histogram
 }
 
 # Shuffle-exchange ceilings. Default covers scan→agg/join→window plans;
