@@ -226,3 +226,125 @@ def test_weighted_median_crossing_idiom(spark, rows):
         """
     ).collect()[0].m
     assert got == _lower_weighted_median(rows)
+
+
+# ---------------------------------------------------------------------------
+# Round-5c idiom references: the new statistical operators' integer
+# formulations checked against independent pure-Python references.
+
+
+@given(
+    xs=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60
+    )
+)
+@settings(deadline=None, max_examples=200)
+def test_gini_rank_formula_matches_pairwise_definition(xs):
+    """q_agg_gini's rank formulation G = (2Σi·x − (n+1)Σx)/(nΣx) must
+    equal the textbook mean-absolute-difference definition
+    G = ΣΣ|x_i − x_j| / (2n²μ) — verified in exact Fractions, then the
+    half-up permille idiom against decimal ROUND_HALF_UP."""
+    from decimal import ROUND_HALF_UP, Decimal
+    from fractions import Fraction
+
+    sx = sum(xs)
+    if sx == 0:
+        return  # undefined (division by zero) — operator domain excludes it
+    n = len(xs)
+    srt = sorted(xs)
+    num = 2 * sum((i + 1) * x for i, x in enumerate(srt)) - (n + 1) * sx
+    rank_g = Fraction(num, n * sx)
+    mad = sum(abs(a - b) for a in xs for b in xs)
+    pair_g = Fraction(mad, 2 * n * sx)
+    assert rank_g == pair_g
+    # the half-up integer division used in both engines
+    idiom = (2 * 1000 * num + n * sx) // (2 * n * sx)
+    ref = int(
+        (Decimal(num * 1000) / Decimal(n * sx)).quantize(
+            Decimal("1"), rounding=ROUND_HALF_UP
+        )
+    )
+    assert idiom == ref
+
+
+def test_dp_ladder_is_exact_twosided_geometric():
+    """q_priv_dp_histogram's integer inverse-CDF ladder: masses must be
+    symmetric, halve per step (alpha = 1/2), cover [0, M) exhaustively,
+    and leave exactly the documented 2048/M residual on zero."""
+    from khose_spark.operators.governance import _DP_M, _dp_ladder
+
+    ladder = _dp_ladder()
+    bounds = [hi for hi, _ in ladder]
+    assert bounds == sorted(bounds)  # CASE ladder is a proper CDF
+    masses: dict[int, int] = {}
+    prev = 0
+    for hi, noise in ladder:
+        masses[noise] = masses.get(noise, 0) + (hi - prev)
+        prev = hi
+    residual = _DP_M - prev
+    assert residual == 2048  # documented truncation mass -> noise 0
+    assert masses[0] == 2**20
+    for k in range(1, 11):
+        assert masses[k] == masses[-k] == (2**20) // (2**k)
+
+
+@given(a=st.integers(min_value=-(10**15), max_value=10**15))
+@settings(deadline=None, max_examples=200)
+def test_holt_truncdiv_matches_duckdb_integer_division(a):
+    """q_ts_holt_forecast's explicit trunc-toward-zero halving must equal
+    DuckDB's // on the same operand (Python // floors, which differs on
+    negative odd numbers — the exact bug the helper exists to avoid)."""
+    import duckdb
+
+    tdiv2 = a // 2 if a >= 0 else -((-a) // 2)
+    assert tdiv2 == duckdb.sql(f"SELECT CAST({a} AS BIGINT) // 2").fetchone()[0]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),  # band
+            st.booleans(),  # positive label
+        ),
+        min_size=2,
+        max_size=80,
+    )
+)
+@settings(deadline=None, max_examples=200)
+def test_decision_stump_cumulative_formula_matches_brute_force(rows):
+    """q_ml_decision_stump's cumulative-window accuracy must equal a
+    brute-force rescan per threshold (majority class on each side)."""
+    bands = sorted({b for b, _ in rows})
+    if len(bands) < 2:
+        return  # no non-degenerate split exists
+    # brute force: for split 'band <= t' (t = all but the last band)
+    best_bf = -1
+    for tband in bands[:-1]:
+        left = [p for b, p in rows if b <= tband]
+        right = [p for b, p in rows if b > tband]
+        correct = max(sum(left), len(left) - sum(left)) + max(
+            sum(right), len(right) - sum(right)
+        )
+        best_bf = max(best_bf, correct)
+    # cumulative formulation (the operator's shape)
+    from collections import Counter
+
+    per_band = Counter()
+    per_band_pos = Counter()
+    for b, p in rows:
+        per_band[b] += 1
+        per_band_pos[b] += int(p)
+    n_total = len(rows)
+    pos_total = sum(per_band_pos.values())
+    n_left = pos_left = 0
+    best_cum = -1
+    for b in bands:
+        n_left += per_band[b]
+        pos_left += per_band_pos[b]
+        if n_left == n_total:
+            continue
+        correct = max(pos_left, n_left - pos_left) + max(
+            pos_total - pos_left, (n_total - n_left) - (pos_total - pos_left)
+        )
+        best_cum = max(best_cum, correct)
+    assert best_cum == best_bf
