@@ -1037,3 +1037,65 @@ def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * CAST(tot AS DECIMAL(38,0)) * tot) AS BIGINT)"
         ).alias("hhi"),
     )
+
+
+@query(
+    "q_agg_tukey_fences",
+    oracle="""
+    WITH cuts AS (
+      SELECT event_type,
+             CAST(round(CAST(quantile_cont(value, 0.25) AS DECIMAL(18,6)), 4)
+                  AS DOUBLE) AS q1,
+             CAST(round(CAST(quantile_cont(value, 0.75) AS DECIMAL(18,6)), 4)
+                  AS DOUBLE) AS q3
+      FROM events GROUP BY event_type
+    ), fenced AS (
+      SELECT e.event_type, e.value, c.q1, c.q3,
+             c.q1 - 1.5 * (c.q3 - c.q1) AS lo,
+             c.q3 + 1.5 * (c.q3 - c.q1) AS hi
+      FROM events e JOIN cuts c ON c.event_type = e.event_type
+    )
+    SELECT event_type, count(*) AS n,
+           any_value(q1) AS q1, any_value(q3) AS q3,
+           CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below,
+           CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above
+    FROM fenced GROUP BY event_type
+    """,
+)
+def q_agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot outlier fences per event type: exact Q1/Q3 (the
+    DECIMAL-cast half-up law — 2-decimal inputs make interpolated
+    quartiles exact 4-decimal values), fences at ±1.5·IQR, and the
+    outlier counts beyond each fence — the boxplot-rule screen that
+    complements the z-score (q_ts_anomaly) and winsorize
+    (q_ts_winsorize) robust-stats family.
+
+    The fence comparison happens on identical doubles in both engines
+    (q1/q3 recovered exactly, 1.5·IQR is one IEEE multiply+add chain
+    mirrored verbatim), so the counts are exact. Plan: per-type exact
+    percentile agg (5 groups; approx_percentile is the 100 TB twin) +
+    broadcast cut join + map-side count — one data-sized pass."""
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    from khose_spark.sqlutil import dec_round
+
+    cuts = ev.groupBy("event_type").agg(
+        dec_round(F.percentile("value", F.lit(0.25)), 6, 4).alias("q1"),
+        dec_round(F.percentile("value", F.lit(0.75)), 6, 4).alias("q3"),
+    )
+    fenced = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "value",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return fenced.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("q1").alias("q1"),
+        F.first("q3").alias("q3"),
+        F.sum((F.col("value") < F.col("lo")).cast("long")).alias("n_below"),
+        F.sum((F.col("value") > F.col("hi")).cast("long")).alias("n_above"),
+    )

@@ -267,3 +267,82 @@ def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum(F.col("value"), 2).alias("sum_value"),
         F.max(F.substring("ts_s", 1, 10)).alias("max_day"),
     )
+
+
+@query(
+    "q_source_schema_evolution",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_bonus,
+           {sql_dec_sum('value', 2)} AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution via mergeSchema: half the events land
+    WITHOUT the later-added ``bonus_cents`` column (the original
+    producer), half WITH it (the upgraded producer writing into the
+    same table path), and one mergeSchema read unifies them — the
+    evolving-producer pattern every long-lived ingest table hits. Rows
+    from old files surface NULL bonus, which the audit counts.
+
+    mergeSchema=true costs a footer read per file at planning time (at
+    100 TB: thousands of footers — the production path pins the merged
+    schema in a metastore and passes it explicitly; this operator pins
+    the READER semantics those deployments rely on). The parallel
+    write/read itself shuffles nothing; only the final aggregate does."""
+    path = _scratch(sf_dir, "schema_evo")
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    old = ev.filter(F.col("event_id") % 2 == 0)
+    new = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "bonus_cents",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+    )
+    old.repartition(2).write.mode("overwrite").parquet(path + "/batch=old")
+    new.repartition(2).write.mode("overwrite").parquet(path + "/batch=new")
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("bonus_cents").isNotNull().cast("long")).alias(
+            "n_with_bonus"
+        ),
+        dec_sum(F.col("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "q_source_fixed_width",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def q_source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text ingest (mainframe/EDI-style feeds): nation is
+    serialized as 4+20+4-char fixed columns via rpad/lpad, landed as
+    plain text part-files, then re-parsed with substring+trim+cast into
+    the original schema — a lossless roundtrip the oracle checks as
+    table identity. Fixed-width is the one text format with NO
+    delimiter to quote, so parse is pure positional arithmetic; the
+    text read is as parallel as the line count (one task per split),
+    and both directions are map-side only."""
+    path = _scratch(sf_dir, "fixed_width")
+    nation = t(spark, sf_dir, "nation")
+    lines = nation.select(
+        F.concat(
+            F.lpad(F.col("n_nationkey").cast("string"), 4, "0"),
+            F.rpad(F.col("n_name"), 20, " "),
+            F.lpad(F.col("n_regionkey").cast("string"), 4, "0"),
+        ).alias("value")
+    )
+    lines.coalesce(1).write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    return raw.select(
+        F.substring("value", 1, 4).cast("int").alias("n_nationkey"),
+        F.rtrim(F.substring("value", 5, 20)).alias("n_name"),
+        F.substring("value", 25, 4).cast("int").alias("n_regionkey"),
+    )
