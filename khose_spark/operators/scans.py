@@ -346,3 +346,51 @@ def q_source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rtrim(F.substring("value", 5, 20)).alias("n_name"),
         F.substring("value", 25, 4).cast("int").alias("n_regionkey"),
     )
+
+
+@query(
+    "q_lake_time_travel",
+    oracle="""
+    SELECT 1 AS version, count(*) AS n,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation WHERE n_regionkey = 0
+    UNION ALL
+    SELECT 2 AS version, count(*) AS n,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    ORDER BY version
+    """,
+)
+def q_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel over the manifest-over-parquet versioned
+    table (khose_spark/tables_versioned.py — the lakehouse-lite layer
+    built because no Delta/Iceberg jar ships in this environment,
+    SURVEY §8): commit v1 (region-0 nations) then v2 (all nations) into
+    one table root, read BOTH versions back AS OF their commit, and
+    emit the per-version audit the oracle reproduces from the source
+    table. Snapshots publish atomically (stage data, os.replace the
+    manifest last), so uncommitted data is invisible — the invariant
+    tests/test_versioned_tables.py proves with failure injection.
+
+    Time travel is partition-path selection (read ONLY that version's
+    files), not data filtering — it prunes perfectly at any scale; the
+    manifest listing is one small-dir read."""
+    import shutil
+
+    from khose_spark.tables_versioned import commit_snapshot, read_snapshot
+
+    root = _scratch(sf_dir, "time_travel")
+    shutil.rmtree(root, ignore_errors=True)
+    nation = t(spark, sf_dir, "nation")
+    commit_snapshot(nation.filter(F.col("n_regionkey") == 0), root, "r0")
+    commit_snapshot(nation, root, "full")
+    outs = []
+    for v in (1, 2):
+        outs.append(
+            read_snapshot(spark, root, v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_nationkey").cast("long").alias("key_sum"),
+            )
+        )
+    return outs[0].unionAll(outs[1]).orderBy("version")

@@ -1,0 +1,89 @@
+"""Versioned-table (time-travel-lite) engine tests: snapshot commits,
+historical reads, crash-invisibility of unpublished data, and the
+merge-as-next-version pattern (khose_spark/tables_versioned.py)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from khose_spark.tables import t
+from khose_spark.tables_versioned import (
+    commit_snapshot,
+    list_versions,
+    read_snapshot,
+    snapshot_history,
+)
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="khose_versioned_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_commit_and_time_travel(spark, sf_dir, root):
+    nation = t(spark, sf_dir, "nation")
+    v1 = commit_snapshot(nation.filter(F.col("n_regionkey") == 0), root, "r0")
+    v2 = commit_snapshot(nation, root, "full")
+    assert (v1, v2) == (1, 2)
+    assert list_versions(root) == [1, 2]
+    # latest = v2 (full table); as-of v1 = the filtered snapshot
+    assert read_snapshot(spark, root).count() == nation.count()
+    assert (
+        read_snapshot(spark, root, 1).count()
+        == nation.filter(F.col("n_regionkey") == 0).count()
+    )
+    hist = snapshot_history(root)
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[0]["note"] == "r0"
+    assert all(h["n_files"] >= 1 for h in hist)
+
+
+def test_uncommitted_data_is_invisible(spark, sf_dir, root):
+    """Crash between data write and manifest publish: the orphan data
+    dir must not surface through any reader path — the same invariant
+    the exactly-once ingest sink proves under failure injection."""
+    nation = t(spark, sf_dir, "nation")
+    commit_snapshot(nation, root, "v1")
+    # simulate a crashed writer: stage v2 data, never publish a manifest
+    staged = os.path.join(root, "data", "v=000002")
+    nation.limit(3).write.mode("overwrite").parquet(staged)
+    assert list_versions(root) == [1]
+    assert read_snapshot(spark, root).count() == nation.count()
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, root, 2)
+    # the next committed version REUSES the orphan's slot cleanly
+    # (overwrite mode replaces the staged files)
+    v = commit_snapshot(nation.limit(5), root, "recovered")
+    assert v == 2
+    assert read_snapshot(spark, root, 2).count() == 5
+
+
+def test_merge_is_next_version(spark, sf_dir, root):
+    """CDC merge on snapshots: read latest + apply batch + commit next —
+    the q_cdc_merge_upsert semantics composed with the snapshot log."""
+    base = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    commit_snapshot(base, root, "base")
+    updates = spark.createDataFrame(
+        [(0, "RENAMED"), (999, "BRAND-NEW")], "n_nationkey int, n_name string"
+    )
+    cur = read_snapshot(spark, root)
+    merged = (
+        cur.join(updates, "n_nationkey", "left_anti")
+        .unionByName(updates)
+    )
+    v = commit_snapshot(merged, root, "merge batch 1")
+    got = {
+        r["n_nationkey"]: r["n_name"]
+        for r in read_snapshot(spark, root, v).collect()
+    }
+    assert got[0] == "RENAMED" and got[999] == "BRAND-NEW"
+    assert read_snapshot(spark, root, 1).filter(
+        F.col("n_name") == "RENAMED"
+    ).count() == 0  # history untouched
