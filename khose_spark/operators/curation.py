@@ -517,3 +517,164 @@ def q_llm_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("doc_id", "lang", "n_chars", "samp_key", "rnk")
     )
+
+
+_NEG_K = 3  # negatives per query document
+_NEG_POOL_BUCKETS = 10  # candidate pool = md5 bucket < 10 (~10% of corpus)
+
+
+@query(
+    "q_llm_negative_sampling",
+    oracle=f"""
+    WITH queries AS (
+      SELECT doc_id AS query_id, lang AS q_lang FROM documents
+      WHERE doc_id % 10 = 0
+    ), pool AS (
+      SELECT doc_id AS neg_id, lang AS neg_lang FROM documents
+      WHERE {_sql_hash_bucket('doc_id')} < {_NEG_POOL_BUCKETS}
+    ), scored AS (
+      SELECT q.query_id, p.neg_id, p.neg_lang,
+             md5(concat(CAST(q.query_id AS VARCHAR), '#',
+                        CAST(p.neg_id AS VARCHAR))) AS h
+      FROM queries q JOIN pool p
+        ON p.neg_lang <> q.q_lang
+    ), ranked AS (
+      SELECT query_id, neg_id, neg_lang,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY h, neg_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, CAST(rk AS INT) AS rk, neg_id, neg_lang
+    FROM ranked WHERE rk <= {_NEG_K}
+    """,
+)
+def q_llm_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: every
+    10th document is a query, and each query draws 3 cross-language
+    negatives from a fixed ~10% md5-bucket candidate pool, ranked by
+    md5(query#candidate) — the repeatable negative-pair generator a
+    retrieval/embedding trainer needs (same pairs every run, resharding
+    invariant, no RNG; the q_llm_reservoir_sample/A-ES philosophy
+    applied to pair construction).
+
+    Scale posture: the candidate pool is the BOUNDED side (a content-
+    stable md5 bucket of the corpus — in production a few thousand
+    docs, broadcastable), so the query×pool join is linear in queries
+    with a constant pool factor, never corpus×corpus; per-query top-3
+    is a WindowGroupLimit. The hash ranking is the only compute — pure
+    map-side string work."""
+    d = t(spark, sf_dir, "documents")
+    queries = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("lang").alias("q_lang")
+    )
+    pool = d.filter(
+        hash_bucket(F.col("doc_id")) < _NEG_POOL_BUCKETS
+    ).select(F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang"))
+    scored = queries.join(
+        F.broadcast(pool), F.col("neg_lang") != F.col("q_lang")
+    ).select(
+        "query_id",
+        "neg_id",
+        "neg_lang",
+        F.md5(
+            F.concat(
+                F.col("query_id").cast("string"),
+                F.lit("#"),
+                F.col("neg_id").cast("string"),
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("query_id").orderBy("h", "neg_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _NEG_K)
+        .select("query_id", "rk", "neg_id", "neg_lang")
+    )
+
+
+_SPAN_LEN = 3  # masked-span length (T5-style)
+_SPAN_START_BUCKETS = 10  # span starts at ~10% of positions
+
+
+@query(
+    "q_llm_span_corruption",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+    ), toks AS (
+      SELECT doc_id, lang,
+             CAST(unnest(range(1, len(ws) + 1)) AS BIGINT) AS pos
+      FROM words
+    ), flagged AS (
+      SELECT doc_id, lang, pos,
+             CASE WHEN ({_sql_hash_bucket(
+                 "concat(CAST(doc_id AS VARCHAR), '#', CAST(pos AS VARCHAR))"
+             )}) < {_SPAN_START_BUCKETS} THEN 1 ELSE 0 END AS span_start
+      FROM toks
+    ), masked AS (
+      SELECT doc_id, lang, pos, span_start,
+             max(span_start) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN {_SPAN_LEN - 1} PRECEDING AND CURRENT ROW
+             ) AS is_masked
+      FROM flagged
+    )
+    SELECT lang,
+           count(*) AS n_tokens,
+           CAST(sum(is_masked) AS BIGINT) AS n_masked,
+           CAST(sum(span_start) AS BIGINT) AS n_span_starts,
+           CAST((2 * 1000 * sum(is_masked) + count(*))
+                // (2 * count(*)) AS BIGINT) AS masked_permille
+    FROM masked GROUP BY lang
+    """,
+)
+def q_llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption audit: deterministic span starts at ~10%
+    of token positions (md5 of doc#pos — reproducible across runs and
+    shards), each masking a 3-token span; overlapping spans merge via
+    the windowed max. Reports per-language token/mask counts and the
+    half-up permille mask rate — the preprocessing-stage QA that checks
+    the corruption rate actually hits the configured budget before a
+    pretraining run burns compute on it.
+
+    All-integer + md5; the only window is per-doc ordered by position
+    (ROWS frame, bounded lookback = span length). Plan: split+posexplode
+    → map-side hash flag → one doc-keyed window → 5-row agg. Linear at
+    any scale, embarrassingly parallel across documents."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split("text", " ")).alias("pos0", "token"),
+    ).select(
+        "doc_id", "lang", (F.col("pos0") + 1).cast("long").alias("pos")
+    )
+    flagged = toks.withColumn(
+        "span_start",
+        F.when(
+            hash_bucket(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("#"),
+                    F.col("pos").cast("string"),
+                )
+            )
+            < _SPAN_START_BUCKETS,
+            1,
+        ).otherwise(0),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-( _SPAN_LEN - 1), Window.currentRow)
+    )
+    masked = flagged.withColumn("is_masked", F.max("span_start").over(w))
+    return masked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("is_masked").cast("long").alias("n_masked"),
+        F.sum("span_start").cast("long").alias("n_span_starts"),
+        F.expr(
+            "CAST((2 * 1000 * sum(is_masked) + count(*))"
+            " DIV (2 * count(*)) AS BIGINT)"
+        ).alias("masked_permille"),
+    )
