@@ -1318,3 +1318,72 @@ def q_ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * prev_cents) AS BIGINT)"
         ).alias("growth_permille"),
     )
+
+
+_XCORR_LAGS = [-2, -1, 0, 1, 2]
+_XCORR_A = "purchase"
+_XCORR_B = "view"
+
+
+@query(
+    "q_ts_cross_correlation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS spend
+      FROM events
+      WHERE event_type IN ('{_XCORR_A}', '{_XCORR_B}')
+      GROUP BY 1, 2
+    ), lags AS (
+      SELECT unnest([{", ".join(str(g) for g in _XCORR_LAGS)}]) AS lag
+    )
+    SELECT l.lag,
+           count(*) AS n_pairs,
+           round(corr(a.spend, b.spend), 4) AS xcorr
+    FROM daily a
+    CROSS JOIN lags l
+    JOIN daily b ON b.event_type = '{_XCORR_B}'
+              AND a.event_type = '{_XCORR_A}'
+              AND b.d = a.d + l.lag
+    GROUP BY 1
+    """,
+)
+def q_ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between two series (daily purchase vs
+    view spend) at lags −2..+2 — the lead/lag detector that answers
+    "does viewing activity LEAD purchasing, and by how many days?"
+    (peak at a negative lag = views lead). Pairs with q_ts_acf, which
+    correlates a series with itself; together they're the Box-Jenkins
+    identification pair.
+
+    Same determinism posture as ACF: exact-decimal daily totals, the
+    engines' two-pass corr over identical inputs, round(4). Plan: one
+    filtered daily rollup (tiny), a 5-row lag dimension broadcast-
+    crossed in, and a calendar-shifted self-join on the rollup — all
+    rollup-sized; the fact scan is the only data-sized stage."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_XCORR_A, _XCORR_B)
+    )
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(28,2)"))
+        .cast("double")
+        .alias("spend")
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(g) for g in _XCORR_LAGS])).alias("lag")
+    )
+    a = daily.filter(F.col("event_type") == _XCORR_A).alias("a")
+    b = daily.filter(F.col("event_type") == _XCORR_B).alias("b")
+    paired = (
+        a.crossJoin(F.broadcast(lags).alias("l"))
+        .join(
+            F.broadcast(b),
+            F.col("b.d") == F.expr("date_add(a.d, l.lag)"),
+        )
+    )
+    return paired.groupBy(F.col("l.lag").alias("lag")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.corr("a.spend", "b.spend"), 4).alias("xcorr"),
+    )
