@@ -790,6 +790,100 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LPA_ROUNDS = 2
 _LPA_KNN = 3
 
+# Shared oracle prefix: the symmetrized 3-NN supplier backbone. The
+# heavy CTEs are MATERIALIZED — DuckDB re-inlines chains per reference
+# otherwise (the k-core finding: minutes vs ~1s at sf0.1).
+_BACKBONE_CTES = f"""
+    edges AS (
+      SELECT DISTINCT o.o_custkey AS custkey, l.l_suppkey AS suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), deg AS (
+      SELECT custkey, count(*) AS d FROM edges GROUP BY custkey
+    ), capped AS MATERIALIZED (
+      SELECT e.custkey, e.suppkey FROM edges e
+      JOIN deg ON deg.custkey = e.custkey
+      WHERE deg.d <= {_COOC_DEG_CAP}
+    ), pairs AS MATERIALIZED (
+      SELECT a.suppkey AS s_a, b.suppkey AS s_b, count(*) AS n
+      FROM capped a JOIN capped b
+        ON a.custkey = b.custkey AND a.suppkey < b.suppkey
+      GROUP BY 1, 2
+    ), directed AS (
+      SELECT s_a AS node, s_b AS nbr, n FROM pairs
+      UNION ALL
+      SELECT s_b AS node, s_a AS nbr, n FROM pairs
+    ), knn AS (
+      SELECT node, nbr FROM (
+        SELECT node, nbr, row_number() OVER (
+          PARTITION BY node ORDER BY n DESC, nbr ASC) AS rn
+        FROM directed
+      ) WHERE rn <= {_LPA_KNN}
+    ), adj AS MATERIALIZED (
+      SELECT node, nbr FROM knn
+      UNION
+      SELECT nbr AS node, node AS nbr FROM knn
+    )"""
+
+_BACKBONE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _knn_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized 3-NN co-occurrence backbone (node, nbr), eagerly
+    materialized and memoized per (application, sf_dir) — shared by the
+    LPA / k-core / clustering / assortativity family so the expensive
+    per-customer pair join runs once per session. Eager localCheckpoint,
+    not lazy persist: the pair aggregation would otherwise re-execute
+    per consuming plan branch (measured 15.4s -> 6.0s for LPA alone)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BACKBONE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    edges = _trade_edges(spark, sf_dir)
+    deg = edges.groupBy("custkey").agg(F.count(F.lit(1)).alias("d"))
+    capped = edges.join(
+        deg.filter(F.col("d") <= _COOC_DEG_CAP).select("custkey"),
+        "custkey",
+        "left_semi",
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.custkey") == F.col("b.custkey"))
+            & (F.col("a.suppkey") < F.col("b.suppkey")),
+        )
+        .groupBy(
+            F.col("a.suppkey").alias("s_a"), F.col("b.suppkey").alias("s_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()  # feeds both union directions
+    )
+    directed = pairs.select(
+        F.col("s_a").alias("node"), F.col("s_b").alias("nbr"), "n"
+    ).unionAll(
+        pairs.select(
+            F.col("s_b").alias("node"), F.col("s_a").alias("nbr"), "n"
+        )
+    )
+    w_knn = Window.partitionBy("node").orderBy(
+        F.col("n").desc(), F.col("nbr").asc()
+    )
+    knn = (
+        directed.withColumn("rn", F.row_number().over(w_knn))
+        .filter(F.col("rn") <= _LPA_KNN)
+        .select("node", "nbr")
+    )
+    adj = (
+        knn.unionAll(
+            knn.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    _BACKBONE_CACHE[key] = adj
+    return adj
+
 
 def _lpa_oracle() -> str:
     """Unrolled 2-round synchronous label propagation over the
@@ -814,35 +908,7 @@ def _lpa_oracle() -> str:
     )""")
         prev = f"labels{r}"
     return f"""
-    WITH edges AS (
-      SELECT DISTINCT o.o_custkey AS custkey, l.l_suppkey AS suppkey
-      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-    ), deg AS (
-      SELECT custkey, count(*) AS d FROM edges GROUP BY custkey
-    ), capped AS (
-      SELECT e.custkey, e.suppkey FROM edges e
-      JOIN deg ON deg.custkey = e.custkey
-      WHERE deg.d <= {_COOC_DEG_CAP}
-    ), pairs AS (
-      SELECT a.suppkey AS s_a, b.suppkey AS s_b, count(*) AS n
-      FROM capped a JOIN capped b
-        ON a.custkey = b.custkey AND a.suppkey < b.suppkey
-      GROUP BY 1, 2
-    ), directed AS (
-      SELECT s_a AS node, s_b AS nbr, n FROM pairs
-      UNION ALL
-      SELECT s_b AS node, s_a AS nbr, n FROM pairs
-    ), knn AS (
-      SELECT node, nbr FROM (
-        SELECT node, nbr, row_number() OVER (
-          PARTITION BY node ORDER BY n DESC, nbr ASC) AS rn
-        FROM directed
-      ) WHERE rn <= {_LPA_KNN}
-    ), adj AS (
-      SELECT node, nbr FROM knn
-      UNION
-      SELECT nbr AS node, node AS nbr FROM knn
-    ), labels0 AS (
+    WITH {_BACKBONE_CTES}, labels0 AS (
       SELECT DISTINCT node, node AS label FROM adj
     ),{",".join(rounds)}
     SELECT label AS community, count(*) AS n_members,
@@ -874,58 +940,7 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rounds are FIXED at 2 (contract, matching the unrolled oracle), so
     lineage is static — no checkpoint loop needed; the dynamic-round
     variant would localCheckpoint per round like connected_components."""
-    edges = _trade_edges(spark, sf_dir)
-    deg = edges.groupBy("custkey").agg(F.count(F.lit(1)).alias("d"))
-    capped = edges.join(
-        deg.filter(F.col("d") <= _COOC_DEG_CAP).select("custkey"),
-        "custkey",
-        "left_semi",
-    )
-    a = capped.alias("a")
-    b = capped.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.custkey") == F.col("b.custkey"))
-            & (F.col("a.suppkey") < F.col("b.suppkey")),
-        )
-        .groupBy(
-            F.col("a.suppkey").alias("s_a"), F.col("b.suppkey").alias("s_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        # The expensive pair aggregation feeds BOTH directions of the
-        # union below; without materialization Spark executes the whole
-        # per-customer pair join twice (no common-subtree sharing) —
-        # measured 10.6s -> 5.4s for the backbone build at sf0.1.
-        .localCheckpoint()
-    )
-    directed = pairs.select(
-        F.col("s_a").alias("node"), F.col("s_b").alias("nbr"), "n"
-    ).unionAll(
-        pairs.select(
-            F.col("s_b").alias("node"), F.col("s_a").alias("nbr"), "n"
-        )
-    )
-    w_knn = Window.partitionBy("node").orderBy(
-        F.col("n").desc(), F.col("nbr").asc()
-    )
-    knn = (
-        directed.withColumn("rn", F.row_number().over(w_knn))
-        .filter(F.col("rn") <= _LPA_KNN)
-        .select("node", "nbr")
-    )
-    # Eagerly materialize the tiny backbone (localCheckpoint, not lazy
-    # persist): the expensive pair join above feeds adj through MANY
-    # branches of the unrolled-round DAG, and a lazy persist lets Spark
-    # re-embed (and partially re-execute) that subtree per branch —
-    # measured 15.4s -> ~2s at sf0.1 for the post-edges portion.
-    adj = (
-        knn.unionAll(
-            knn.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    adj = _knn_backbone(spark, sf_dir)
     labels = adj.select("node").distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -1104,35 +1119,7 @@ def _kcore_oracle() -> str:
         for r in range(1, _KCORE_ROUNDS + 1)
     )
     return f"""
-    WITH edges AS (
-      SELECT DISTINCT o.o_custkey AS custkey, l.l_suppkey AS suppkey
-      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-    ), deg AS (
-      SELECT custkey, count(*) AS d FROM edges GROUP BY custkey
-    ), capped AS MATERIALIZED (
-      SELECT e.custkey, e.suppkey FROM edges e
-      JOIN deg ON deg.custkey = e.custkey
-      WHERE deg.d <= {_COOC_DEG_CAP}
-    ), pairs AS MATERIALIZED (
-      SELECT a.suppkey AS s_a, b.suppkey AS s_b, count(*) AS n
-      FROM capped a JOIN capped b
-        ON a.custkey = b.custkey AND a.suppkey < b.suppkey
-      GROUP BY 1, 2
-    ), directed AS (
-      SELECT s_a AS node, s_b AS nbr, n FROM pairs
-      UNION ALL
-      SELECT s_b AS node, s_a AS nbr, n FROM pairs
-    ), knn AS (
-      SELECT node, nbr FROM (
-        SELECT node, nbr, row_number() OVER (
-          PARTITION BY node ORDER BY n DESC, nbr ASC) AS rn
-        FROM directed
-      ) WHERE rn <= {_LPA_KNN}
-    ), adj AS MATERIALIZED (
-      SELECT node, nbr FROM knn
-      UNION
-      SELECT nbr AS node, node AS nbr FROM knn
-    ),{",".join(rounds)}
+    WITH {_BACKBONE_CTES},{",".join(rounds)}
     SELECT round, CAST(n_nodes AS BIGINT) AS n_nodes,
            CAST(n_dir_edges AS BIGINT) AS n_dir_edges
     FROM (
@@ -1159,49 +1146,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join-shaped edge filters, all keyed on node id — linear
     shuffles at any scale; the backbone build amortizes across the
     graph family via the shared memoized edge cache."""
-    edges = _trade_edges(spark, sf_dir)
-    deg = edges.groupBy("custkey").agg(F.count(F.lit(1)).alias("d"))
-    capped = edges.join(
-        deg.filter(F.col("d") <= _COOC_DEG_CAP).select("custkey"),
-        "custkey",
-        "left_semi",
-    )
-    a = capped.alias("a")
-    b = capped.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.custkey") == F.col("b.custkey"))
-            & (F.col("a.suppkey") < F.col("b.suppkey")),
-        )
-        .groupBy(
-            F.col("a.suppkey").alias("s_a"), F.col("b.suppkey").alias("s_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()  # feeds both union directions (LPA finding)
-    )
-    directed = pairs.select(
-        F.col("s_a").alias("node"), F.col("s_b").alias("nbr"), "n"
-    ).unionAll(
-        pairs.select(
-            F.col("s_b").alias("node"), F.col("s_a").alias("nbr"), "n"
-        )
-    )
-    w_knn = Window.partitionBy("node").orderBy(
-        F.col("n").desc(), F.col("nbr").asc()
-    )
-    knn = (
-        directed.withColumn("rn", F.row_number().over(w_knn))
-        .filter(F.col("rn") <= _LPA_KNN)
-        .select("node", "nbr")
-    )
-    adj = (
-        knn.unionAll(
-            knn.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    adj = _knn_backbone(spark, sf_dir)
     stats = []
     for r in range(1, _KCORE_ROUNDS + 1):
         deg_r = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
@@ -1218,4 +1163,121 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.append((r, n_nodes, n_edges))
     return spark.createDataFrame(
         stats, "round int, n_nodes long, n_dir_edges long"
+    )
+
+
+@query(
+    "q_graph_clustering",
+    oracle="""
+    WITH {_BACKBONE}, deg2 AS (
+      SELECT node, count(*) AS d FROM adj GROUP BY node
+    ), tri AS (
+      SELECT count(*) AS t6
+      FROM adj ab
+      JOIN adj bc ON bc.node = ab.nbr
+      JOIN adj ca ON ca.node = bc.nbr AND ca.nbr = ab.node
+    ), wedges AS (
+      SELECT CAST(sum(d * (d - 1)) AS BIGINT) AS w2 FROM deg2
+    )
+    SELECT CAST((SELECT count(*) FROM deg2) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM adj) // 2 AS BIGINT) AS n_edges,
+           CAST(t6 // 6 AS BIGINT) AS n_triangles,
+           CAST(w2 // 2 AS BIGINT) AS n_wedges,
+           CAST((2 * 1000 * (t6 // 2) + w2 // 2) // (2 * (w2 // 2))
+                AS BIGINT) AS clustering_permille
+    FROM tri CROSS JOIN wedges
+    """.replace("{_BACKBONE}", _BACKBONE_CTES.strip()),
+)
+def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the 3-NN supplier
+    backbone: C = 3·triangles / wedges — how often two partners of the
+    same supplier also partner each other, the cohesion statistic that
+    separates clustered procurement communities from hub-and-spoke
+    markets. All-integer: the directed 3-cycle count t6 (each triangle
+    counted 6×), wedge count Σd(d−1)/2, and a half-up permille
+    division — zero float surface.
+
+    Plan: two self-joins of the node-keyed backbone (bounded degree ≤
+    ~2k by the k-NN admission, so the join fan-out is deg² per node at
+    worst — the same cap q_graph_triangles relies on) + a degree agg +
+    1-row combine. The backbone is the shared memoized relation, so
+    repeated graph queries in one session pay the pair join once."""
+    adj = _knn_backbone(spark, sf_dir)
+    deg2 = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    ab = adj.alias("ab")
+    bc = adj.alias("bc")
+    ca = adj.alias("ca")
+    t6 = (
+        ab.join(bc, F.col("bc.node") == F.col("ab.nbr"))
+        .join(
+            ca,
+            (F.col("ca.node") == F.col("bc.nbr"))
+            & (F.col("ca.nbr") == F.col("ab.node")),
+        )
+        .agg(F.count(F.lit(1)).alias("t6"))
+    )
+    stats = deg2.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1)).alias("w2"),
+    )
+    n_edges = adj.agg(
+        F.expr("count(1) DIV 2").cast("long").alias("n_edges")
+    )
+    return (
+        t6.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            "n_edges",
+            F.expr("t6 DIV 6").cast("long").alias("n_triangles"),
+            F.expr("w2 DIV 2").cast("long").alias("n_wedges"),
+            F.expr(
+                "CAST((2 * 1000 * (t6 DIV 2) + w2 DIV 2)"
+                " DIV (2 * (w2 DIV 2)) AS BIGINT)"
+            ).alias("clustering_permille"),
+        )
+    )
+
+
+@query(
+    "q_graph_assortativity",
+    oracle="""
+    WITH {_BACKBONE}, deg2 AS (
+      SELECT node, count(*) AS d FROM adj GROUP BY node
+    )
+    SELECT count(*) AS n_dir_edges,
+           round(corr(CAST(du.d AS DOUBLE), CAST(dv.d AS DOUBLE)), 4)
+             AS assortativity
+    FROM adj
+    JOIN deg2 du ON du.node = adj.node
+    JOIN deg2 dv ON dv.node = adj.nbr
+    """.replace("{_BACKBONE}", _BACKBONE_CTES.strip()),
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman) of the 3-NN backbone: the Pearson
+    correlation of endpoint degrees over all directed edges — positive
+    means hubs partner hubs (assortative core), negative means
+    hub-and-spoke. The one-number structural summary that tells you
+    whether the co-occurrence graph has a rich club before running the
+    heavier community/k-core passes.
+
+    Both engines run two-pass corr over identical integer degree pairs
+    (round 4, the q_ts_acf posture). Plan: degree agg + two broadcast
+    degree lookups on the shared memoized backbone + a 1-row reduce."""
+    adj = _knn_backbone(spark, sf_dir)
+    deg2 = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    du = deg2.withColumnRenamed("node", "u").withColumnRenamed("d", "du")
+    dv = deg2.withColumnRenamed("node", "v").withColumnRenamed("d", "dv")
+    return (
+        adj.join(F.broadcast(du), adj.node == du.u)
+        .join(F.broadcast(dv), adj.nbr == dv.v)
+        .agg(
+            F.count(F.lit(1)).alias("n_dir_edges"),
+            F.round(
+                F.corr(
+                    F.col("du").cast("double"), F.col("dv").cast("double")
+                ),
+                4,
+            ).alias("assortativity"),
+        )
     )
