@@ -1,0 +1,534 @@
+"""Model-evaluation / statistical-testing primitives (SURVEY.md §2.14
+family): ranking metrics (AUC, gains/lift table), a two-proportion
+chi-square A/B test on the md5-bucket split, a two-sample
+Kolmogorov-Smirnov distance, and closed-form 2-feature PCA.
+
+House exactness discipline throughout: ranking metrics quantize scores
+onto a fixed integer band grid so every count, cumulative sum, and
+half-up permille is int64-exact in both engines; the chi-square and PCA
+tails move to doubles only AFTER the int64 moment aggregation, with a
+single deterministic rounding at the boundary (the PMI/surprisal
+precedent). No global per-row window ever materializes — cumulative
+windows run over band/bin aggregates bounded by the grid, never by the
+row count, so every plan here is one scan + tiny-relation windows at
+any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from khose_spark.operators.curation import _sql_hash_bucket, hash_bucket
+from khose_spark.registry import query
+from khose_spark.tables import t
+
+# Ranking-metric contract constants: $1,000 score bands over the order
+# total, positive class = urgent/high order priority (the decision-stump
+# labeling, ml_stats.py).
+_AUC_BAND_CENTS = 100_000
+_POS_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+_POS_SQL = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+_CENTS_SQL = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@query(
+    "q_ml_auc",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT {_CENTS_SQL} // {_AUC_BAND_CENTS} AS band,
+             CASE WHEN {_POS_SQL} THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ), per_band AS (
+      SELECT band, CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(pos) AS BIGINT) AS n_neg
+      FROM labeled GROUP BY band
+    ), cum AS (
+      SELECT n_pos, n_neg,
+             CAST(coalesce(sum(n_neg) OVER (
+               ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS neg_below,
+             sum(n_pos) OVER () AS pos_total,
+             sum(n_neg) OVER () AS neg_total
+      FROM per_band
+    ), folded AS (
+      SELECT CAST(sum(n_pos * (2 * neg_below + n_neg)) AS BIGINT) AS num2,
+             CAST(min(pos_total) AS BIGINT) AS n_pos,
+             CAST(min(neg_total) AS BIGINT) AS n_neg
+      FROM cum
+    )
+    SELECT n_pos, n_neg,
+           (2 * 1000 * num2 + 2 * n_pos * n_neg)
+             // (2 * 2 * n_pos * n_neg) AS auc_permille,
+           2 * ((2 * 1000 * num2 + 2 * n_pos * n_neg)
+             // (2 * 2 * n_pos * n_neg)) - 1000 AS gini_permille
+    FROM folded
+    """,
+)
+def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of "order total predicts urgent/high priority", computed
+    exactly on a $1,000 score grid via the Mann-Whitney pair count:
+    AUC = (# pos>neg pairs + 0.5 * # tied pairs) / (n_pos * n_neg),
+    folded per band as pos_b * (2 * neg_below + neg_b) with everything
+    doubled so the tie half never leaves the integers. Emits the
+    half-up permille AUC and the derived Gini (2*AUC-1000).
+
+    Plan: map-side band+label projection, one band aggregation
+    (map-side combined, grid-bounded output), cumulative windows over
+    the ~500-row band relation, 1-row fold. The scan is the only
+    data-sized stage — identical shape at 100 TB."""
+    labeled = t(spark, sf_dir, "orders").select(
+        F.expr(f"{_CENTS_SQL} DIV {_AUC_BAND_CENTS}").alias("band"),
+        F.when(F.col("o_orderpriority").isin(*_POS_PRIORITIES), 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    per_band = labeled.groupBy("band").agg(
+        F.sum("pos").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("pos")).alias("n_neg"),
+    )
+    w_below = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_band.select(
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(w_below), F.lit(0)).alias(
+            "neg_below"
+        ),
+        F.sum("n_pos").over(w_all).alias("pos_total"),
+        F.sum("n_neg").over(w_all).alias("neg_total"),
+    )
+    folded = cum.agg(
+        F.sum(
+            F.col("n_pos") * (2 * F.col("neg_below") + F.col("n_neg"))
+        ).alias("num2"),
+        F.min("pos_total").alias("n_pos"),
+        F.min("neg_total").alias("n_neg"),
+    )
+    return folded.select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "(2 * 1000 * num2 + 2 * n_pos * n_neg)"
+            " DIV (2 * 2 * n_pos * n_neg)"
+        ).alias("auc_permille"),
+        F.expr(
+            "2 * ((2 * 1000 * num2 + 2 * n_pos * n_neg)"
+            " DIV (2 * 2 * n_pos * n_neg)) - 1000"
+        ).alias("gini_permille"),
+    )
+
+
+@query(
+    "q_ml_gains_table",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT {_CENTS_SQL} // {_AUC_BAND_CENTS} AS band,
+             CASE WHEN {_POS_SQL} THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ), per_band AS (
+      SELECT band, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos
+      FROM labeled GROUP BY band
+    ), positioned AS (
+      SELECT n, n_pos,
+             CAST(coalesce(sum(n) OVER (
+               ORDER BY band DESC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+             sum(n) OVER () AS n_total,
+             sum(n_pos) OVER () AS pos_total
+      FROM per_band
+    ), deciled AS (
+      SELECT (cum_before * 10) // n_total AS decile,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(n_pos) AS BIGINT) AS n_pos,
+             CAST(min(n_total) AS BIGINT) AS n_total,
+             CAST(min(pos_total) AS BIGINT) AS pos_total
+      FROM positioned GROUP BY 1
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n, n_pos,
+           CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+           CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos,
+           CAST((2 * 1000 * sum(n_pos) OVER w + pos_total)
+             // (2 * pos_total) AS BIGINT) AS capture_permille,
+           CAST((2 * 1000 * (sum(n_pos) OVER w) * n_total
+              + (sum(n) OVER w) * pos_total)
+             // (2 * (sum(n) OVER w) * pos_total) AS BIGINT)
+             AS lift_permille
+    FROM deciled
+    WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    ORDER BY decile
+    """,
+)
+def q_ml_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table for the same order-total-predicts-priority
+    ranking: orders sorted by descending $1,000 score band are cut into
+    10 population deciles (a band lands in the decile of its cumulative
+    start position — band-quantized, so the cut is computable from the
+    band aggregate alone), and each decile reports cumulative positive
+    capture and lift vs the base rate, both as half-up permille.
+
+    The campaign-targeting question ("mail the top 30%% — what share of
+    responders do we reach?") answered without ever ranking rows: one
+    grid-bounded band aggregation, windows over ~500 bands, a 10-row
+    re-aggregate. One data-sized scan at any scale."""
+    labeled = t(spark, sf_dir, "orders").select(
+        F.expr(f"{_CENTS_SQL} DIV {_AUC_BAND_CENTS}").alias("band"),
+        F.when(F.col("o_orderpriority").isin(*_POS_PRIORITIES), 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    per_band = labeled.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
+    )
+    w_before = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    positioned = per_band.select(
+        "n",
+        "n_pos",
+        F.coalesce(F.sum("n").over(w_before), F.lit(0)).alias(
+            "cum_before"
+        ),
+        F.sum("n").over(w_all).alias("n_total"),
+        F.sum("n_pos").over(w_all).alias("pos_total"),
+    )
+    deciled = positioned.groupBy(
+        F.expr("(cum_before * 10) DIV n_total").alias("decile")
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("n_pos").alias("n_pos"),
+        F.min("n_total").alias("n_total"),
+        F.min("pos_total").alias("pos_total"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        deciled.select(
+            "decile",
+            "n",
+            "n_pos",
+            F.sum("n").over(w_cum).alias("cum_n"),
+            F.sum("n_pos").over(w_cum).alias("cum_pos"),
+            "n_total",
+            "pos_total",
+        )
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            "cum_n",
+            "cum_pos",
+            F.expr(
+                "(2 * 1000 * cum_pos + pos_total) DIV (2 * pos_total)"
+            ).alias("capture_permille"),
+            F.expr(
+                "(2 * 1000 * cum_pos * n_total + cum_n * pos_total)"
+                " DIV (2 * cum_n * pos_total)"
+            ).alias("lift_permille"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "q_ml_chi2_ab",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT {_sql_hash_bucket('o_custkey', 2)} AS bucket,
+             CASE WHEN {_POS_SQL} THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ), counts AS (
+      SELECT
+        CAST(sum(CASE WHEN bucket = 0 AND pos = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS a,
+        CAST(sum(CASE WHEN bucket = 0 AND pos = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS b,
+        CAST(sum(CASE WHEN bucket = 1 AND pos = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS c,
+        CAST(sum(CASE WHEN bucket = 1 AND pos = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS d
+      FROM assigned
+    )
+    SELECT a AS ctrl_pos, b AS ctrl_neg, c AS treat_pos, d AS treat_neg,
+           (2 * 1000 * a + (a + b)) // (2 * (a + b)) AS ctrl_rate_permille,
+           (2 * 1000 * c + (c + d)) // (2 * (c + d)) AS treat_rate_permille,
+           round(
+             CAST(a + b + c + d AS DOUBLE)
+               * CAST(a * d - b * c AS DOUBLE)
+               * CAST(a * d - b * c AS DOUBLE)
+               / (CAST((a + b) * (c + d) AS DOUBLE)
+                  * CAST((a + c) * (b + d) AS DOUBLE)),
+             3) AS chi2,
+           round(
+             CAST(a + b + c + d AS DOUBLE)
+               * CAST(a * d - b * c AS DOUBLE)
+               * CAST(a * d - b * c AS DOUBLE)
+               / (CAST((a + b) * (c + d) AS DOUBLE)
+                  * CAST((a + c) * (b + d) AS DOUBLE)),
+             3) > 3.841 AS significant_05
+    FROM counts
+    """,
+)
+def q_ml_chi2_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion chi-square A/B test: customers hash into control/
+    treatment by the md5-bucket idiom (the q_llm_split_assign splitter,
+    so assignment is content-stable and resharding-invariant), outcome
+    = the order is urgent/high priority. Emits the 2x2 contingency
+    counts, per-arm half-up permille rates, the chi-square statistic,
+    and the alpha=0.05 verdict (critical value 3.841, df=1).
+
+    Exactness: a*d - b*c stays in int64 (counts < 2^31 make products
+    safe); only the final ratio moves to doubles, every intermediate
+    double is an exactly-represented int64 (< 2^53 after the per-factor
+    casts), and one 3-dp rounding lands before the output. Plan: one
+    map-side projection + a single 1-row aggregate — one pass at any
+    scale, no shuffle beyond the partial-agg combine."""
+    assigned = t(spark, sf_dir, "orders").select(
+        hash_bucket(F.col("o_custkey"), 2).alias("bucket"),
+        F.when(F.col("o_orderpriority").isin(*_POS_PRIORITIES), 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    counts = assigned.agg(
+        F.sum(
+            F.when((F.col("bucket") == 0) & (F.col("pos") == 1), 1)
+            .otherwise(0)
+        ).alias("a"),
+        F.sum(
+            F.when((F.col("bucket") == 0) & (F.col("pos") == 0), 1)
+            .otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when((F.col("bucket") == 1) & (F.col("pos") == 1), 1)
+            .otherwise(0)
+        ).alias("c"),
+        F.sum(
+            F.when((F.col("bucket") == 1) & (F.col("pos") == 0), 1)
+            .otherwise(0)
+        ).alias("d"),
+    )
+    chi2 = (
+        "CAST(a + b + c + d AS DOUBLE)"
+        " * CAST(a * d - b * c AS DOUBLE)"
+        " * CAST(a * d - b * c AS DOUBLE)"
+        " / (CAST((a + b) * (c + d) AS DOUBLE)"
+        "    * CAST((a + c) * (b + d) AS DOUBLE))"
+    )
+    return counts.select(
+        F.col("a").alias("ctrl_pos"),
+        F.col("b").alias("ctrl_neg"),
+        F.col("c").alias("treat_pos"),
+        F.col("d").alias("treat_neg"),
+        F.expr("(2 * 1000 * a + (a + b)) DIV (2 * (a + b))").alias(
+            "ctrl_rate_permille"
+        ),
+        F.expr("(2 * 1000 * c + (c + d)) DIV (2 * (c + d))").alias(
+            "treat_rate_permille"
+        ),
+        F.expr(f"round({chi2}, 3)").alias("chi2"),
+        (F.expr(f"round({chi2}, 3)") > 3.841).alias("significant_05"),
+    )
+
+
+@query(
+    "q_ml_ks_test",
+    oracle="""
+    WITH binned AS (
+      SELECT CAST(floor(value) AS BIGINT) AS bin,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), per_bin AS (
+      SELECT bin, CAST(sum(g1) AS BIGINT) AS c1,
+             CAST(count(*) - sum(g1) AS BIGINT) AS c2
+      FROM binned GROUP BY bin
+    ), cum AS (
+      SELECT bin,
+             sum(c1) OVER w AS cum1, sum(c2) OVER w AS cum2,
+             sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+      FROM per_bin
+      WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ), scored AS (
+      SELECT bin, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             CAST(abs(cum1 * n2 - cum2 * n1) AS BIGINT) AS diff,
+             CAST(max(abs(cum1 * n2 - cum2 * n1)) OVER ()
+                  AS BIGINT) AS max_diff
+      FROM cum
+    )
+    SELECT min(n1) AS n1, min(n2) AS n2,
+           (2 * 1000 * min(max_diff) + min(n1) * min(n2))
+             // (2 * min(n1) * min(n2)) AS ks_permille,
+           min(bin) AS ks_at_bin
+    FROM scored WHERE diff = max_diff
+    """,
+)
+def q_ml_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the click and
+    purchase event-value distributions, exact on unit-value bins:
+    D = max_bin |F1 - F2| evaluated as |cum1*n2 - cum2*n1| over the
+    common denominator n1*n2, so the sup, its argmax bin (smallest on
+    ties), and the half-up permille D are all integer-decided.
+
+    The drift-detection primitive for "did the metric distribution
+    move between cohorts". Plan: map-side bin+flag projection, one
+    bin aggregation (bounded by the value range, not the row count),
+    cumulative windows over the tiny bin relation, 1-row fold."""
+    binned = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.floor("value").cast("long").alias("bin"),
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .alias("g1"),
+        )
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum("g1").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("g1")).alias("c2"),
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_bin.select(
+        "bin",
+        F.sum("c1").over(w_cum).alias("cum1"),
+        F.sum("c2").over(w_cum).alias("cum2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    scored = cum.select(
+        "bin",
+        "n1",
+        "n2",
+        F.abs(
+            F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+        ).alias("diff"),
+        F.max(
+            F.abs(
+                F.col("cum1") * F.col("n2")
+                - F.col("cum2") * F.col("n1")
+            )
+        )
+        .over(w_all)
+        .alias("max_diff"),
+    )
+    return (
+        scored.filter(F.col("diff") == F.col("max_diff"))
+        .agg(
+            F.min("n1").alias("n1"),
+            F.min("n2").alias("n2"),
+            F.min("max_diff").alias("max_diff"),
+            F.min("bin").alias("ks_at_bin"),
+        )
+        .select(
+            "n1",
+            "n2",
+            F.expr(
+                "(2 * 1000 * max_diff + n1 * n2) DIV (2 * n1 * n2)"
+            ).alias("ks_permille"),
+            "ks_at_bin",
+        )
+    )
+
+
+@query(
+    "q_ml_pca_2f",
+    oracle="""
+    WITH feats AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM lineitem
+    ), moments AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM feats
+    ), scatter AS (
+      SELECT n,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS cxx,
+             CAST(n * syy - sy * sy AS DOUBLE) AS cyy,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS cxy
+      FROM moments
+    )
+    SELECT n,
+           round(((cxx + cyy) + sqrt((cxx - cyy) * (cxx - cyy)
+                   + 4 * cxy * cxy))
+                 / (2 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)),
+                 4) AS lambda1,
+           round(((cxx + cyy) - sqrt((cxx - cyy) * (cxx - cyy)
+                   + 4 * cxy * cxy))
+                 / (2 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)),
+                 4) AS lambda2,
+           CAST(round(1000 * ((cxx + cyy) + sqrt((cxx - cyy) * (cxx - cyy)
+                   + 4 * cxy * cxy)) / (2 * (cxx + cyy)), 0)
+                AS BIGINT) AS var1_permille
+    FROM scatter
+    """,
+)
+def q_ml_pca_2f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form 2-feature PCA over (l_quantity, l_discount-percent):
+    the 2x2 covariance eigenvalues from the quadratic formula,
+    lambda = ((cxx+cyy) +- sqrt((cxx-cyy)^2 + 4 cxy^2)) / 2, plus the
+    permille variance share of the first component — the "is this
+    2-D feature pair effectively 1-D" collinearity check.
+
+    Exactness: the five moments accumulate in int64 (quantity <= 50,
+    discount-pct <= 10 keep every product far from overflow); the
+    scatter-matrix entries n*sxx - sx^2 are still exact int64 and
+    convert losslessly to doubles (< 2^53), so the only inexact steps
+    are the final IEEE sqrt/divide — deterministic across engines —
+    and one 4-dp rounding. The linreg-2f closed-form precedent, turned
+    90 degrees. Plan: one map-side projection + a 1-row moment
+    aggregate; single pass at any scale."""
+    feats = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.expr(
+            "CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("y"),
+    )
+    moments = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    scatter = moments.select(
+        "n",
+        F.expr("CAST(n * sxx - sx * sx AS DOUBLE)").alias("cxx"),
+        F.expr("CAST(n * syy - sy * sy AS DOUBLE)").alias("cyy"),
+        F.expr("CAST(n * sxy - sx * sy AS DOUBLE)").alias("cxy"),
+    )
+    disc = "sqrt((cxx - cyy) * (cxx - cyy) + 4 * cxy * cxy)"
+    return scatter.select(
+        "n",
+        F.expr(
+            f"round(((cxx + cyy) + {disc})"
+            f" / (2 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4)"
+        ).alias("lambda1"),
+        F.expr(
+            f"round(((cxx + cyy) - {disc})"
+            f" / (2 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4)"
+        ).alias("lambda2"),
+        F.expr(
+            f"CAST(round(1000 * ((cxx + cyy) + {disc})"
+            f" / (2 * (cxx + cyy)), 0) AS BIGINT)"
+        ).alias("var1_permille"),
+    )

@@ -80,6 +80,9 @@ BNLJ_ALLOWED = {
     "q_graph_triangles",        # 1-row grand-total aggregate broadcast-
                                 # crossed into the 625-row nation grid
                                 # (edge admission threshold)
+    "q_graph_clustering",       # 1-row t6 / degree-stats / edge-count
+                                # aggregates broadcast-crossed into the
+                                # single transitivity row
     "q_agg_benford",            # 1-row order-count total broadcast-
                                 # crossed into the 9-row digit histogram
 }
@@ -187,6 +190,10 @@ MAX_SHUFFLES = {
                                   # custkey self-join + TakeOrdered; the
                                   # memoized edge list embedded 3x in
                                   # the string (audited: 7)
+    "q_graph_clustering": 10,     # two node-keyed triangle self-joins +
+                                  # degree agg + edge-count agg + 1-row
+                                  # combines over the checkpointed
+                                  # backbone (audited: 8)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
