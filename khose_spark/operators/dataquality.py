@@ -240,3 +240,148 @@ def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("key").cast("long").alias("max_key"),
         dec_sum(F.col("balance"), 2).alias("sum_balance"),
     )
+
+
+# Full FK graph of the TPC-H-ish fixture schema: every child→parent
+# edge a referential-integrity audit should certify before a publish.
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _ri_branch_sql(child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+      SELECT '{child}.{fk}->{parent}.{pk}' AS fk_edge,
+             count(*) AS n_child,
+             CAST(sum(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphan
+      FROM {child} c
+      LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+        ON c.{fk} = p.{pk}"""
+
+
+@query(
+    "q_dq_referential",
+    oracle=f"""
+    WITH edges AS (
+      {" UNION ALL ".join(_ri_branch_sql(*e) for e in _FK_EDGES)}
+    )
+    SELECT fk_edge, n_child, n_orphan,
+           (2 * 1000 * (n_child - n_orphan) + n_child)
+             // (2 * n_child) AS coverage_permille
+    FROM edges ORDER BY fk_edge
+    """,
+)
+def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of the full FK graph: for each of
+    the five child->parent edges, how many child rows exist, how many
+    are orphans (FK value absent from the parent), and the half-up
+    permille coverage — the one-page "is the snapshot internally
+    consistent" report, generalizing the single orphan rule inside
+    q_dq_expectations to every edge.
+
+    Scale shape: each edge first collapses the child to distinct FK
+    values with counts (one key shuffle, map-side combined), so the
+    membership join carries |distinct keys| rows, not |child| rows;
+    parent sides join as distinct-key projections (AQE broadcasts the
+    small ones). Orphan rows are summed from the pre-aggregated counts
+    — the child fact is scanned once per edge and never re-shuffled."""
+    dfs = []
+    for child, fk, parent, pk in _FK_EDGES:
+        grouped = (
+            t(spark, sf_dir, child)
+            .groupBy(F.col(fk).alias("fk_val"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        parent_keys = (
+            t(spark, sf_dir, parent)
+            .select(F.col(pk).alias("pk_val"))
+            .distinct()
+        )
+        joined = grouped.join(
+            parent_keys, grouped.fk_val == parent_keys.pk_val, "left_outer"
+        )
+        dfs.append(
+            joined.agg(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("fk_edge"),
+                F.sum("cnt").alias("n_child"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("pk_val").isNull(), F.col("cnt"))
+                        .otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("n_orphan"),
+            )
+        )
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionAll(df)
+    return out.select(
+        "fk_edge",
+        "n_child",
+        "n_orphan",
+        F.expr(
+            "(2 * 1000 * (n_child - n_orphan) + n_child)"
+            " DIV (2 * n_child)"
+        ).alias("coverage_permille"),
+    ).orderBy("fk_edge")
+
+
+@query(
+    "q_dq_freshness",
+    oracle="""
+    WITH per_type AS (
+      SELECT event_type, count(*) AS n_events,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS max_epoch_s
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_events,
+           CAST(max(max_epoch_s) OVER () - max_epoch_s AS BIGINT)
+             // 60 AS minutes_behind,
+           (CAST(max(max_epoch_s) OVER () - max_epoch_s AS BIGINT)
+             // 60) > 1440 AS stale_1d
+    FROM per_type ORDER BY event_type
+    """,
+)
+def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness audit: each event type's row count, its lag
+    in whole minutes behind the newest event anywhere in the table, and
+    a stale flag at the 1-day SLA — the "is any upstream producer
+    silently stuck" monitor a streaming ingest pipeline runs on every
+    snapshot.
+
+    Exact by construction: unix_timestamp floors to whole seconds (the
+    q_fn_ts law, oracle mirrors with floor(epoch())), the lag divides
+    truncation-consistently in both engines (non-negative by
+    construction), and no floats appear. Plan: one map-side partial max
+    per type, a 5-row aggregate, and a window over those 5 rows — the
+    scan is the only data-sized stage at any scale."""
+    per_type = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_timestamp(F.max("ts")).alias("max_epoch_s"),
+        )
+    )
+    w_all = Window.orderBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lag_min = F.expr("(global_max - max_epoch_s) DIV 60")
+    return (
+        per_type.withColumn(
+            "global_max", F.max("max_epoch_s").over(w_all)
+        )
+        .select(
+            "event_type",
+            "n_events",
+            lag_min.alias("minutes_behind"),
+            (lag_min > 1440).alias("stale_1d"),
+        )
+        .orderBy("event_type")
+    )

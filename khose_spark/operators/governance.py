@@ -494,3 +494,102 @@ def q_priv_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("released_n"),
         )
     )
+
+
+@query(
+    "q_priv_tcloseness",
+    oracle="""
+    WITH cells AS (
+      SELECT c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             c_nationkey, count(*) AS c_gs
+      FROM customer GROUP BY 1, 2, 3
+    ), framed AS (
+      SELECT c_mktsegment, bal_band, c_nationkey, c_gs,
+             CAST(sum(c_gs) OVER (
+               PARTITION BY c_mktsegment, bal_band) AS BIGINT) AS n_g,
+             CAST(sum(c_gs) OVER (
+               PARTITION BY c_nationkey) AS BIGINT) AS c_s,
+             CAST(sum(c_gs) OVER () AS BIGINT) AS n
+      FROM cells
+    ), per_group AS (
+      SELECT c_mktsegment, bal_band,
+             CAST(min(n_g) AS BIGINT) AS n_g,
+             CAST(sum(abs(c_gs * n - c_s * n_g)) AS BIGINT) AS tvd_num,
+             CAST(min(n_g) * min(n) AS BIGINT) AS tvd_den
+      FROM framed GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, bal_band, n_g,
+           (2 * 1000 * tvd_num + 2 * tvd_den)
+             // (2 * 2 * tvd_den) AS tvd_permille
+    FROM per_group
+    ORDER BY tvd_permille DESC, c_mktsegment ASC, bal_band ASC
+    LIMIT 10
+    """,
+)
+def q_priv_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit completing the k-anonymity/l-diversity kit:
+    for each quasi-identifier class (mktsegment, $1000 balance band —
+    the q_priv_kanon QI minus nationkey, which here plays the SENSITIVE
+    attribute), the total-variation distance between the class's
+    nation distribution and the global one, as half-up permille. The
+    top-10 worst classes are the ones an attacker learns the most from
+    — l-diversity counts distinct values, t-closeness catches classes
+    whose distribution is merely SKEWED toward one value.
+
+    Exactness: TVD = 1/2 Σ_s |c_gs/n_g − c_s/n| is put over the common
+    denominator n_g·n, so the numerator Σ_s |c_gs·n − c_s·n_g| is an
+    exact int64 sum and one half-up division (doubled once more for the
+    1/2) yields the permille. Plan: one shuffle on the (QI, sensitive)
+    cell grid, three windows over the domain-bounded cell relation
+    (partition keys: QI, sensitive, none — all tiny), a QI-level
+    re-agg, and a top-10. Group cardinality is bounded by the QI x
+    nation domain, never the row count."""
+    cells = (
+        t(spark, sf_dir, "customer")
+        .groupBy(
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0)
+            .cast("long")
+            .alias("bal_band"),
+            "c_nationkey",
+        )
+        .agg(F.count(F.lit(1)).alias("c_gs"))
+    )
+    w_group = Window.partitionBy("c_mktsegment", "bal_band")
+    w_sens = Window.partitionBy("c_nationkey")
+    w_all = Window.partitionBy()
+    framed = cells.select(
+        "c_mktsegment",
+        "bal_band",
+        "c_gs",
+        F.sum("c_gs").over(w_group).alias("n_g"),
+        F.sum("c_gs").over(w_sens).alias("c_s"),
+        F.sum("c_gs").over(w_all).alias("n"),
+    )
+    per_group = framed.groupBy("c_mktsegment", "bal_band").agg(
+        F.min("n_g").alias("n_g"),
+        F.sum(
+            F.abs(
+                F.col("c_gs") * F.col("n") - F.col("c_s") * F.col("n_g")
+            )
+        ).alias("tvd_num"),
+        (F.min("n_g") * F.min("n")).alias("tvd_den"),
+    )
+    return (
+        per_group.select(
+            "c_mktsegment",
+            "bal_band",
+            "n_g",
+            F.expr(
+                "(2 * 1000 * tvd_num + 2 * tvd_den)"
+                " DIV (2 * 2 * tvd_den)"
+            ).alias("tvd_permille"),
+        )
+        .orderBy(
+            F.col("tvd_permille").desc(),
+            F.col("c_mktsegment").asc(),
+            F.col("bal_band").asc(),
+        )
+        .limit(10)
+    )

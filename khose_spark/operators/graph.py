@@ -1281,3 +1281,90 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("assortativity"),
         )
     )
+
+
+@query(
+    "q_graph_bfs",
+    oracle=f"""
+    WITH {_BACKBONE_CTES}, nodes AS (
+      SELECT DISTINCT node FROM adj
+    ), d0 AS MATERIALIZED (
+      SELECT node FROM nodes WHERE node % 7 = 0
+    ), d1 AS MATERIALIZED (
+      SELECT DISTINCT a.nbr AS node FROM adj a
+      JOIN d0 ON d0.node = a.node
+      WHERE a.nbr NOT IN (SELECT node FROM d0)
+    ), d2 AS MATERIALIZED (
+      SELECT DISTINCT a.nbr AS node FROM adj a
+      JOIN d1 ON d1.node = a.node
+      WHERE a.nbr NOT IN (SELECT node FROM d0)
+        AND a.nbr NOT IN (SELECT node FROM d1)
+    ), d3 AS MATERIALIZED (
+      SELECT DISTINCT a.nbr AS node FROM adj a
+      JOIN d2 ON d2.node = a.node
+      WHERE a.nbr NOT IN (SELECT node FROM d0)
+        AND a.nbr NOT IN (SELECT node FROM d1)
+        AND a.nbr NOT IN (SELECT node FROM d2)
+    )
+    SELECT * FROM (
+      SELECT 0 AS hop, count(*) AS n_nodes,
+             min(node) AS min_node, max(node) AS max_node
+      FROM d0 HAVING count(*) > 0
+      UNION ALL
+      SELECT 1, count(*), min(node), max(node) FROM d1
+      HAVING count(*) > 0
+      UNION ALL
+      SELECT 2, count(*), min(node), max(node) FROM d2
+      HAVING count(*) > 0
+      UNION ALL
+      SELECT 3, count(*), min(node), max(node) FROM d3
+      HAVING count(*) > 0
+    ) ORDER BY hop
+    """,
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS reachability over the 3-NN supplier backbone:
+    hop-distance frontiers (3 unrolled rounds) from the deterministic
+    seed set {node : node % 7 = 0}, reporting per-hop frontier size and
+    node-id span — the "how much of the graph is within k hops of the
+    cohort" expansion profile that pairs with the k-core / LPA /
+    clustering family on the same shared relation.
+
+    Plan: the memoized eagerly-checkpointed backbone is re-joined once
+    per round (frontier-keyed equi-join + distinct + anti-join against
+    the visited set), and each round ends in localCheckpoint so the
+    final plan sees only the last frontier — the Pregel discipline of
+    q_graph_pagerank/q_llm_dedup_clusters. Frontier size is bounded by
+    the node set; rounds are a fixed constant. Empty frontiers emit no
+    row in either engine (the oracle guards with HAVING count > 0)."""
+    adj = _knn_backbone(spark, sf_dir)
+    frontier = (
+        adj.select("node")
+        .distinct()
+        .filter(F.col("node") % 7 == 0)
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint()
+    )
+    visited = frontier
+    for h in range(1, 4):
+        nxt = (
+            adj.join(
+                frontier.select("node"), "node", "left_semi"
+            )
+            .select(F.col("nbr").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint()
+        )
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    return (
+        visited.groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("hop")
+    )

@@ -855,3 +855,122 @@ def q_llm_rouge_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_permille"),
         )
     )
+
+
+# RAKE delimiter set: the corpus's function-word stand-ins. Phrases are
+# maximal stopword-free runs, capped at 4 words (the standard RAKE
+# practice that keeps candidate phrases human-sized).
+_RAKE_STOPS = ("the", "a", "data", "row", "value", "key")
+_RAKE_MAX_LEN = 4
+
+
+@query(
+    "q_llm_rake",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), toks AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w) + 1),
+                    i -> {{'pos': i, 'word': w[i]}})) AS pt
+      FROM words
+    ), flagged AS (
+      SELECT doc_id, pt.pos AS pos, pt.word AS word,
+             CASE WHEN pt.word IN {_RAKE_STOPS} THEN 1 ELSE 0 END AS stop
+      FROM toks
+    ), phrased AS (
+      SELECT doc_id, pos, word, stop,
+             CAST(sum(stop) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS pid
+      FROM flagged
+    ), kept AS MATERIALIZED (
+      SELECT doc_id, pid, pos, word, plen FROM (
+        SELECT doc_id, pid, pos, word,
+               CAST(count(*) OVER (PARTITION BY doc_id, pid)
+                    AS BIGINT) AS plen
+        FROM phrased WHERE stop = 0
+      ) WHERE plen <= {_RAKE_MAX_LEN}
+    ), wscore AS (
+      SELECT word,
+             (2 * 1000 * CAST(sum(plen) AS BIGINT) + count(*))
+               // (2 * count(*)) AS score_milli
+      FROM kept GROUP BY word
+    ), poccur AS (
+      SELECT k.doc_id, k.pid,
+             string_agg(k.word, ' ' ORDER BY k.pos) AS phrase,
+             CAST(sum(s.score_milli) AS BIGINT) AS score_milli
+      FROM kept k JOIN wscore s ON s.word = k.word
+      GROUP BY 1, 2
+    )
+    SELECT phrase, count(*) AS n_occ,
+           CAST(min(score_milli) AS BIGINT) AS score_milli
+    FROM poccur GROUP BY phrase
+    ORDER BY score_milli DESC, phrase ASC LIMIT 10
+    """,
+)
+def q_llm_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction over the corpus: candidate phrases are
+    maximal stopword-free word runs (<=4 words), each word scores
+    degree/frequency (degree = total length of the phrases it appears
+    in), a phrase scores the sum of its word scores, and identical
+    phrases aggregate across documents — top-10 by score. The
+    co-occurrence-driven keyword miner complementing tf-idf (document-
+    term weighting) and PMI (bigram association).
+
+    Exactness: word scores are half-up integer milli (degree and
+    frequency are exact counts), phrase scores are int64 sums of those
+    — no float surface. Phrase length comes from a window over the
+    (doc, phrase) partition, not a self-join, so the token stream is
+    one lineage; it is localCheckpoint-ed before fanning into the
+    word-stat and phrase-assembly branches (the shared-subtree law).
+    Plan: posexplode + one doc-keyed window + one (doc,phrase) window +
+    a vocabulary-bounded word agg broadcast back + phrase aggs — all
+    shuffles are token- or vocabulary-keyed, no all-pairs anywhere."""
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    )
+    flagged = toks.withColumn(
+        "stop",
+        F.when(F.col("word").isin(*_RAKE_STOPS), 1).otherwise(0),
+    )
+    w_doc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    phrased = flagged.withColumn("pid", F.sum("stop").over(w_doc))
+    w_phrase = Window.partitionBy("doc_id", "pid")
+    kept = (
+        phrased.filter(F.col("stop") == 0)
+        .withColumn("plen", F.count(F.lit(1)).over(w_phrase))
+        .filter(F.col("plen") <= _RAKE_MAX_LEN)
+        .select("doc_id", "pid", "pos", "word", "plen")
+        .localCheckpoint()  # feeds the word-stat and phrase branches
+    )
+    wscore = kept.groupBy("word").agg(
+        F.expr(
+            "(2 * 1000 * sum(plen) + count(1)) DIV (2 * count(1))"
+        ).alias("score_milli")
+    )
+    poccur = (
+        kept.join(F.broadcast(wscore), "word")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(pos, word))), x -> x.word), ' ')"
+            ).alias("phrase"),
+            F.sum("score_milli").alias("score_milli"),
+        )
+    )
+    return (
+        poccur.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("score_milli").alias("score_milli"),
+        )
+        .orderBy(F.col("score_milli").desc(), F.col("phrase").asc())
+        .limit(10)
+    )

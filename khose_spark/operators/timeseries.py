@@ -1387,3 +1387,205 @@ def q_ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.corr("a.spend", "b.spend"), 4).alias("xcorr"),
     )
+
+
+_HAMPEL_DAILY_SQL = """
+      SELECT o_orderdate AS day,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01'
+                  AS BIGINT) AS d,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2"""
+
+
+@query(
+    "q_ts_hampel",
+    oracle=f"""
+    WITH daily AS ({_HAMPEL_DAILY_SQL}
+    ), offsets AS (
+      SELECT * FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) v(off)
+    ), contrib AS (
+      SELECT daily.d + off AS center, cents FROM daily CROSS JOIN offsets
+    ), med AS (
+      SELECT center, CAST(median(cents) AS BIGINT) AS med_cents
+      FROM contrib GROUP BY center HAVING count(*) = 7
+    ), mad AS (
+      SELECT c.center,
+             CAST(median(abs(c.cents - m.med_cents)) AS BIGINT)
+                 AS mad_cents
+      FROM contrib c JOIN med m ON m.center = c.center
+      GROUP BY c.center
+    )
+    SELECT daily.day, daily.cents, m.med_cents, a.mad_cents,
+           abs(daily.cents - m.med_cents) - 3 * a.mad_cents AS excess,
+           abs(daily.cents - m.med_cents) - 3 * a.mad_cents > 0
+               AS is_outlier
+    FROM daily
+    JOIN med m ON m.center = daily.d
+    JOIN mad a ON a.center = daily.d
+    ORDER BY excess DESC, daily.day ASC
+    LIMIT 10
+    """,
+)
+def q_ts_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter over the daily order-revenue series: each day with
+    a full ±3-day neighborhood is scored against the rolling MEDIAN and
+    rolling MAD (median absolute deviation), and flagged when
+    |x − med| > 3·MAD — the robust spike detector that, unlike the
+    z-score (q_ts_anomaly), is not itself corrupted by the spike. The
+    top-10 days by threshold excess are emitted, flag included, so the
+    output is non-empty even on a quiet series.
+
+    Exactness: 7-element medians of int64 cents are order statistics
+    (odd count — never interpolated), so med, MAD, and the excess are
+    exact integers in both engines. The ±3 window is materialized as an
+    explode-to-center equi-join (7 rows per day), never a range self-
+    join: one shuffle on the center key, aggregates bounded by the day
+    grid. The raw fact collapses to the daily rollup first — the only
+    data-sized stage at 100 TB."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderdate").alias("day"),
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+            .cast("long")
+            .alias("d"),
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+            ).alias("cents")
+        )
+        .persist()
+    )
+    contrib = daily.select(
+        "d",
+        "cents",
+        F.explode(F.array(*[F.lit(i) for i in range(-3, 4)])).alias(
+            "off"
+        ),
+    ).select((F.col("d") + F.col("off")).alias("center"), "cents")
+    med = (
+        contrib.groupBy("center")
+        .agg(
+            F.count(F.lit(1)).alias("n7"),
+            F.expr("CAST(percentile(cents, 0.5) AS BIGINT)").alias(
+                "med_cents"
+            ),
+        )
+        .filter(F.col("n7") == 7)
+        .select(F.col("center").alias("mcenter"), "med_cents")
+    )
+    mad = (
+        contrib.join(med, contrib.center == med.mcenter)
+        .select(
+            F.col("mcenter").alias("c2"),
+            F.abs(F.col("cents") - F.col("med_cents")).alias("dev"),
+        )
+        .groupBy("c2")
+        .agg(
+            F.expr("CAST(percentile(dev, 0.5) AS BIGINT)").alias(
+                "mad_cents"
+            )
+        )
+    )
+    excess = F.abs(F.col("cents") - F.col("med_cents")) - 3 * F.col(
+        "mad_cents"
+    )
+    return (
+        daily.join(med, daily.d == med.mcenter)
+        .join(mad, daily.d == F.col("c2"))
+        .select(
+            "day",
+            "cents",
+            "med_cents",
+            "mad_cents",
+            excess.alias("excess"),
+            (excess > 0).alias("is_outlier"),
+        )
+        .orderBy(F.col("excess").desc(), F.col("day").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q_ts_drawdown",
+    oracle=f"""
+    WITH daily AS ({_HAMPEL_DAILY_SQL}
+    ), cum AS (
+      SELECT day, d,
+             CAST(sum(cents) OVER w AS BIGINT) AS cum_cents
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ), curve AS (
+      SELECT day, cum_cents,
+             CAST(max(cum_cents) OVER w AS BIGINT) AS peak_cents
+      FROM cum
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT day, cum_cents, peak_cents,
+           peak_cents - cum_cents AS dd_cents,
+           (2 * 1000 * (peak_cents - cum_cents) + peak_cents)
+             // (2 * peak_cents) AS dd_permille
+    FROM curve
+    ORDER BY dd_cents DESC, day ASC
+    LIMIT 5
+    """,
+)
+def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of cumulative daily order revenue: running
+    total, running peak, and the gap between them per day, with the
+    top-5 deepest drawdown days (absolute cents + half-up permille of
+    the peak) — the canonical "how far below the high-water mark did
+    the curve sink" risk statistic.
+
+    All-integer: the cumulative sum, running max, gap, and permille
+    never leave int64 (cumulative revenue at sf0.1 is ~2·10^12 cents;
+    2000x that is still safely inside int64). Plan: the fact collapses
+    to the ~2,400-row daily rollup first; both windows and the top-5
+    run on that tiny relation. The sequential-scan prefix structure is
+    inherent to the statistic — at 100 TB the rollup is still the only
+    shuffle."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderdate").alias("day"),
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+            .cast("long")
+            .alias("d"),
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+            ).alias("cents")
+        )
+    )
+    w_cum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "day", "d", F.sum("cents").over(w_cum).alias("cum_cents")
+    )
+    curve = cum.select(
+        "day",
+        "cum_cents",
+        F.max("cum_cents").over(w_cum).alias("peak_cents"),
+    )
+    return (
+        curve.select(
+            "day",
+            "cum_cents",
+            "peak_cents",
+            (F.col("peak_cents") - F.col("cum_cents")).alias("dd_cents"),
+            F.expr(
+                "(2 * 1000 * (peak_cents - cum_cents) + peak_cents)"
+                " DIV (2 * peak_cents)"
+            ).alias("dd_permille"),
+        )
+        .orderBy(F.col("dd_cents").desc(), F.col("day").asc())
+        .limit(5)
+    )

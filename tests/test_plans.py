@@ -194,6 +194,14 @@ MAX_SHUFFLES = {
                                   # degree agg + edge-count agg + 1-row
                                   # combines over the checkpointed
                                   # backbone (audited: 8)
+    "q_dq_referential": 18,       # 5 FK edges x (child distinct-key agg
+                                  # + parent membership join + 1-row
+                                  # fold) unioned — inherently one
+                                  # audit branch per edge (audited: 15)
+    "q_ts_hampel": 9,             # daily rollup + center-keyed median
+                                  # agg + MAD join/agg + final med/mad
+                                  # joins over the tiny day grid
+                                  # (audited: 7)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
