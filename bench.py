@@ -97,6 +97,13 @@ HEADLINE = [
     "q_agg_gini",
     "q_er_fellegi_sunter",
     "q_ts_mann_kendall",
+    # Round-5d eval/audit family: exact banded AUC, full FK-graph
+    # audit, Hampel robust outliers, RAKE phrases, backbone BFS.
+    "q_ml_auc",
+    "q_dq_referential",
+    "q_ts_hampel",
+    "q_llm_rake",
+    "q_graph_bfs",
 ]
 
 

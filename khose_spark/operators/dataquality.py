@@ -385,3 +385,72 @@ def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Primary-key contracts of the fixture tables (composite for lineitem).
+_PK_TABLES = [
+    ("orders", ["o_orderkey"]),
+    ("customer", ["c_custkey"]),
+    ("part", ["p_partkey"]),
+    ("supplier", ["s_suppkey"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("events", ["event_id"]),
+    ("documents", ["doc_id"]),
+]
+
+
+def _pk_branch_sql(table: str, pk: list[str]) -> str:
+    key = ", ".join(pk)
+    return f"""
+      SELECT '{table}({key})' AS pk, count(*) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_keys,
+             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                 AS n_dup_rows
+      FROM (SELECT count(*) AS c FROM {table} GROUP BY {key})"""
+
+
+@query(
+    "q_dq_pk_uniqueness",
+    oracle=f"""
+    SELECT * FROM ({" UNION ALL ".join(
+        _pk_branch_sql(tbl, pk) for tbl, pk in _PK_TABLES)})
+    ORDER BY pk
+    """,
+)
+def q_dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across the seven keyed fixture
+    tables (composite (l_orderkey, l_linenumber) for lineitem): per
+    declared PK, the distinct key count, total rows, and how many
+    keys/rows violate uniqueness — the other half of the publish gate
+    next to q_dq_referential (FKs resolve AND keys are unique).
+
+    Plan: one key-shuffled partial-count aggregate per table (map-side
+    combined), folded to a single row each and unioned — seven
+    independent linear passes, no joins at all. At 100 TB each branch
+    is exactly the q_llm_exact_dedup shuffle shape on its own key."""
+    dfs = []
+    for table, pk in _PK_TABLES:
+        per_key = (
+            t(spark, sf_dir, table)
+            .groupBy(*pk)
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        dfs.append(
+            per_key.agg(
+                F.lit(f"{table}({', '.join(pk)})").alias("pk"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("c").alias("n_rows"),
+                F.sum(
+                    F.when(F.col("c") > 1, 1).otherwise(0)
+                ).alias("n_dup_keys"),
+                F.sum(
+                    F.when(F.col("c") > 1, F.col("c")).otherwise(0)
+                ).alias("n_dup_rows"),
+            )
+        )
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionAll(df)
+    return out.orderBy("pk")

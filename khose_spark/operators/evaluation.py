@@ -532,3 +532,105 @@ def q_ml_pca_2f(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / (2 * (cxx + cyy)), 0) AS BIGINT)"
         ).alias("var1_permille"),
     )
+
+
+# PR-curve threshold grid: $50k..$250k in $50k steps (order-total
+# cents), evaluated as "score >= T predicts positive".
+_PR_THRESHOLDS = [5_000_000 * k for k in range(1, 6)]
+
+
+@query(
+    "q_ml_pr_curve",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT {_CENTS_SQL} AS cents,
+             CASE WHEN {_POS_SQL} THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ), grid AS (
+      SELECT * FROM (VALUES {", ".join(f"({v})" for v in _PR_THRESHOLDS)})
+        g(threshold_cents)
+    ), folded AS (
+      SELECT g.threshold_cents,
+             CAST(sum(CASE WHEN l.cents >= g.threshold_cents
+                           THEN l.pos ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN l.cents >= g.threshold_cents
+                           THEN 1 - l.pos ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN l.cents < g.threshold_cents
+                           THEN l.pos ELSE 0 END) AS BIGINT) AS fn
+      FROM labeled l CROSS JOIN grid g
+      GROUP BY g.threshold_cents
+    )
+    SELECT threshold_cents, tp, fp, fn,
+           (2 * 1000 * tp + (tp + fp)) // (2 * (tp + fp))
+               AS precision_permille,
+           (2 * 1000 * tp + (tp + fn)) // (2 * (tp + fn))
+               AS recall_permille,
+           (2 * 1000 * 2 * tp + (2 * tp + fp + fn))
+               // (2 * (2 * tp + fp + fn)) AS f1_permille
+    FROM folded ORDER BY threshold_cents
+    """,
+)
+def q_ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 curve for the order-total-predicts-priority
+    classifier at a fixed $50k threshold grid: per threshold, the exact
+    confusion counts (score >= T predicts positive) and half-up
+    permille precision, recall, and F1 (2·tp / (2·tp + fp + fn) — one
+    rational, no chained rounded divisions). The operating-point
+    companion to q_ml_auc's ranking view.
+
+    Plan: the 5-row threshold grid broadcast-crosses into the scan
+    (each order contributes one partial-agg row per threshold — a
+    constant 5x map-side expansion, combined before any shuffle), then
+    a 5-row fold. One pass at any scale; every number is int64."""
+    labeled = t(spark, sf_dir, "orders").select(
+        F.expr(_CENTS_SQL).alias("cents"),
+        F.when(F.col("o_orderpriority").isin(*_POS_PRIORITIES), 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    grid = spark.createDataFrame(
+        [(v,) for v in _PR_THRESHOLDS], "threshold_cents bigint"
+    )
+    folded = (
+        labeled.crossJoin(F.broadcast(grid))
+        .groupBy("threshold_cents")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("cents") >= F.col("threshold_cents"),
+                    F.col("pos"),
+                ).otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when(
+                    F.col("cents") >= F.col("threshold_cents"),
+                    1 - F.col("pos"),
+                ).otherwise(0)
+            ).alias("fp"),
+            F.sum(
+                F.when(
+                    F.col("cents") < F.col("threshold_cents"),
+                    F.col("pos"),
+                ).otherwise(0)
+            ).alias("fn"),
+        )
+    )
+    return (
+        folded.select(
+            "threshold_cents",
+            "tp",
+            "fp",
+            "fn",
+            F.expr(
+                "(2 * 1000 * tp + (tp + fp)) DIV (2 * (tp + fp))"
+            ).alias("precision_permille"),
+            F.expr(
+                "(2 * 1000 * tp + (tp + fn)) DIV (2 * (tp + fn))"
+            ).alias("recall_permille"),
+            F.expr(
+                "(2 * 1000 * 2 * tp + (2 * tp + fp + fn))"
+                " DIV (2 * (2 * tp + fp + fn))"
+            ).alias("f1_permille"),
+        )
+        .orderBy("threshold_cents")
+    )

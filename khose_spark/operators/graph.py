@@ -1368,3 +1368,109 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hop")
     )
+
+
+@query(
+    "q_graph_ppr",
+    oracle=f"""
+    WITH {_BACKBONE_CTES}, pdeg AS (
+      SELECT node, count(*) AS dg FROM adj GROUP BY node
+    ), seeds AS MATERIALIZED (
+      SELECT DISTINCT node FROM adj WHERE node % 7 = 0
+    ), r0 AS (
+      SELECT node, CAST(1000 AS BIGINT) AS r FROM seeds
+    ), flow1 AS (
+      SELECT a.nbr AS node,
+             CAST(sum(r0.r // (2 * pdeg.dg)) AS BIGINT) AS f
+      FROM adj a
+      JOIN r0 ON r0.node = a.node
+      JOIN pdeg ON pdeg.node = a.node
+      GROUP BY a.nbr
+    ), r1 AS MATERIALIZED (
+      SELECT coalesce(s.node, f.node) AS node,
+             CAST(CASE WHEN s.node IS NOT NULL THEN 500 ELSE 0 END
+                  + coalesce(f.f, 0) AS BIGINT) AS r
+      FROM seeds s FULL JOIN flow1 f ON f.node = s.node
+    ), flow2 AS (
+      SELECT a.nbr AS node,
+             CAST(sum(r1.r // (2 * pdeg.dg)) AS BIGINT) AS f
+      FROM adj a
+      JOIN r1 ON r1.node = a.node
+      JOIN pdeg ON pdeg.node = a.node
+      GROUP BY a.nbr
+    ), r2 AS (
+      SELECT coalesce(s.node, f.node) AS node,
+             CAST(CASE WHEN s.node IS NOT NULL THEN 500 ELSE 0 END
+                  + coalesce(f.f, 0) AS BIGINT) AS r
+      FROM seeds s FULL JOIN flow2 f ON f.node = s.node
+    )
+    SELECT node, r AS score_milli, node % 7 = 0 AS is_seed
+    FROM r2 ORDER BY r DESC, node ASC LIMIT 10
+    """,
+)
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (2 unrolled rounds, damping 1/2) from the
+    q_graph_bfs seed cohort {node % 7 = 0} over the shared 3-NN
+    backbone: mass starts at 1000 milli on each seed, each round every
+    node forwards r DIV (2·deg) to each neighbor and seeds get their
+    500-milli teleport back — "which suppliers does the cohort's
+    network attention concentrate on", the seed-biased complement to
+    the global q_graph_pagerank.
+
+    ALL-INTEGER by design: truncating integer division per edge makes
+    every round's mass vector exact int64 in both engines, so the
+    2-round unrolled oracle hash-matches with no per-iteration rounding
+    re-sync at all (the float-PageRank pain point eliminated). Plan:
+    per round one frontier-keyed join against the memoized backbone +
+    degree relation, one nbr-keyed aggregate, a full-outer with the
+    seed set, then localCheckpoint (Pregel discipline) — the final plan
+    sees only round 2."""
+    adj = _knn_backbone(spark, sf_dir)
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("dg"))
+    seeds = (
+        adj.select("node")
+        .distinct()
+        .filter(F.col("node") % 7 == 0)
+        .localCheckpoint()
+    )
+    r = seeds.withColumn("r", F.lit(1000).cast("long"))
+    for _ in range(2):
+        contrib = (
+            adj.alias("e")
+            .join(r.alias("rr"), F.col("rr.node") == F.col("e.node"))
+            .join(deg.alias("d"), F.col("d.node") == F.col("e.node"))
+            .select(
+                F.col("e.nbr").alias("node"),
+                F.expr("r DIV (2 * dg)").alias("c"),
+            )
+        )
+        flow = contrib.groupBy("node").agg(F.sum("c").alias("f"))
+        r = (
+            seeds.alias("s")
+            .join(
+                flow.alias("f"),
+                F.col("s.node") == F.col("f.node"),
+                "full_outer",
+            )
+            .select(
+                F.coalesce(F.col("s.node"), F.col("f.node")).alias(
+                    "node"
+                ),
+                (
+                    F.when(F.col("s.node").isNotNull(), 500).otherwise(0)
+                    + F.coalesce(F.col("f.f"), F.lit(0))
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        r.select(
+            "node",
+            F.col("r").alias("score_milli"),
+            (F.col("node") % 7 == 0).alias("is_seed"),
+        )
+        .orderBy(F.col("score_milli").desc(), F.col("node").asc())
+        .limit(10)
+    )

@@ -1589,3 +1589,197 @@ def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dd_cents").desc(), F.col("day").asc())
         .limit(5)
     )
+
+
+@query(
+    "q_ts_ar1",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+                 AS cents
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, cents AS y,
+             lag(cents) OVER (PARTITION BY event_type ORDER BY d) AS x,
+             lag(d) OVER (PARTITION BY event_type ORDER BY d) AS d_prev,
+             d
+      FROM daily
+    ), pairs AS (
+      SELECT event_type, y, x FROM lagged
+      WHERE x IS NOT NULL AND d = d_prev + 1
+    ), moments AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS phi,
+           CAST(round((CAST(sy AS DOUBLE)
+                 - CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 0)
+                AS BIGINT) AS intercept_cents
+    FROM moments ORDER BY event_type
+    """,
+)
+def q_ts_ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) fit per event type on the daily spend series: phi and the
+    intercept of the one-step autoregression y_t = c + phi·y_{t-1},
+    estimated by OLS over CONSECUTIVE-day pairs only (a gap breaks the
+    pair — lagging across gaps would regress on the wrong horizon).
+    The mean-reversion/persistence diagnostic that decides whether
+    yesterday predicts today; pairs with q_ts_acf (which measures
+    correlation at fixed lags) and q_ts_holt_forecast (which assumes
+    trend persistence).
+
+    Exactness: the four sufficient sums accumulate in int64 (daily
+    cents ~1e7 at sf0.1, squares ~1e14, times ~30 days ~1e16 — an
+    order of magnitude of int64 headroom, documented bound); the
+    closed-form slope moves to doubles once, round-4 (the linreg-2f
+    law). Plan: fact collapses to the per-type daily rollup, one lag
+    window per type, a 5-row moment fold."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+            .cast("long")
+            .alias("d"),
+        )
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    w_lag = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        F.col("cents").alias("y"),
+        F.lag("cents").over(w_lag).alias("x"),
+        F.lag("d").over(w_lag).alias("d_prev"),
+        "d",
+    )
+    pairs = lagged.filter(
+        F.col("x").isNotNull() & (F.col("d") == F.col("d_prev") + 1)
+    )
+    moments = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (
+        "CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / CAST(n * sxx - sx * sx AS DOUBLE)"
+    )
+    return moments.select(
+        "event_type",
+        "n",
+        F.expr(f"round({slope}, 4)").alias("phi"),
+        F.expr(
+            f"CAST(round((CAST(sy AS DOUBLE) - {slope}"
+            f" * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 0)"
+            f" AS BIGINT)"
+        ).alias("intercept_cents"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q_ts_sax",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+                 AS cents
+      FROM events GROUP BY 1, 2
+    ), lettered AS (
+      SELECT event_type, d,
+             chr(CAST(96 + ntile(4) OVER (PARTITION BY event_type
+                 ORDER BY cents, d) AS INTEGER)) AS letter
+      FROM daily
+    )
+    SELECT event_type,
+           string_agg(CASE WHEN rn <= 10 THEN letter END, ''
+                      ORDER BY d) AS sax10,
+           CAST(sum(CASE WHEN letter = 'a' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN letter = 'b' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b,
+           CAST(sum(CASE WHEN letter = 'c' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_c,
+           CAST(sum(CASE WHEN letter = 'd' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_d
+    FROM (
+      SELECT event_type, d, letter,
+             row_number() OVER (PARTITION BY event_type ORDER BY d)
+                 AS rn
+      FROM lettered
+    )
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based SAX symbolization of the daily spend series: each
+    day's total maps to a quartile letter a-d via ntile over the
+    (cents, day) total order — rank cuts, not Gaussian breakpoints, so
+    the alphabet assignment is integer-decided with no z-score float
+    surface (the q_llm_ccnet_buckets tercile idiom). Emits each type's
+    first-10-day motif string plus the letter histogram — the
+    discretization that makes series comparable by string distance.
+
+    Plan: fact → per-type daily rollup (the only data-sized stage),
+    one ntile window + one row_number window per type over the ~30-row
+    series, 5-row agg. The motif string is a bounded 10-char
+    projection, never an unbounded concat."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+            .cast("long")
+            .alias("d"),
+        )
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("cents", "d")
+    w_day = Window.partitionBy("event_type").orderBy("d")
+    lettered = daily.select(
+        "event_type",
+        "d",
+        F.chr(F.ntile(4).over(w_rank) + 96).alias("letter"),
+    ).withColumn("rn", F.row_number().over(w_day))
+    return (
+        lettered.groupBy("event_type")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "CASE WHEN rn <= 10 THEN struct(d, letter) END)),"
+                " x -> x.letter), '')"
+            ).alias("sax10"),
+            F.sum(F.when(F.col("letter") == "a", 1).otherwise(0)).alias(
+                "n_a"
+            ),
+            F.sum(F.when(F.col("letter") == "b", 1).otherwise(0)).alias(
+                "n_b"
+            ),
+            F.sum(F.when(F.col("letter") == "c", 1).otherwise(0)).alias(
+                "n_c"
+            ),
+            F.sum(F.when(F.col("letter") == "d", 1).otherwise(0)).alias(
+                "n_d"
+            ),
+        )
+        .orderBy("event_type")
+    )

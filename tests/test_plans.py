@@ -83,6 +83,16 @@ BNLJ_ALLOWED = {
     "q_graph_clustering",       # 1-row t6 / degree-stats / edge-count
                                 # aggregates broadcast-crossed into the
                                 # single transitivity row
+    "q_ts_cross_correlation",   # 5-row broadcast lag dimension crossed
+                                # into the filtered daily rollup (the
+                                # q_ts_acf lag-dim idiom)
+    "q_llm_negative_sampling",  # bounded ~10% md5-bucket candidate
+                                # pool explicitly broadcast into the
+                                # cross-lang != join (docstring's
+                                # declared scale contract)
+    "q_ml_pr_curve",            # 5-row broadcast threshold grid
+                                # crossed into the scan (constant 5x
+                                # map-side expansion, the acf idiom)
     "q_agg_benford",            # 1-row order-count total broadcast-
                                 # crossed into the 9-row digit histogram
 }
@@ -202,6 +212,10 @@ MAX_SHUFFLES = {
                                   # agg + MAD join/agg + final med/mad
                                   # joins over the tiny day grid
                                   # (audited: 7)
+    "q_dq_pk_uniqueness": 16,     # 7 tables x (key-shuffled count agg
+                                  # + 1-row fold) unioned — one audit
+                                  # branch per declared PK
+                                  # (audited: 14)
 }
 
 SF_DIR = "/root/testdata/sf0.001"

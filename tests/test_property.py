@@ -348,3 +348,106 @@ def test_decision_stump_cumulative_formula_matches_brute_force(rows):
         )
         best_cum = max(best_cum, correct)
     assert best_cum == best_bf
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),   # score band
+            st.booleans(),                           # positive label
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(deadline=None, max_examples=200)
+def test_auc_banded_fold_matches_pairwise_definition(rows):
+    """q_ml_auc's per-band fold Σ pos_b·(2·neg_below + neg_b) must equal
+    the doubled Mann-Whitney pair count 2·(#pos>neg) + #ties computed
+    brute-force over all (pos, neg) pairs."""
+    pos = [b for b, p in rows if p]
+    neg = [b for b, p in rows if not p]
+    if not pos or not neg:
+        return  # AUC undefined without both classes
+    brute2 = sum(
+        2 if bp > bn else (1 if bp == bn else 0)
+        for bp in pos
+        for bn in neg
+    )
+    from collections import Counter
+
+    pos_c, neg_c = Counter(pos), Counter(neg)
+    fold2 = 0
+    neg_below = 0
+    for band in sorted(set(pos_c) | set(neg_c)):
+        fold2 += pos_c[band] * (2 * neg_below + neg_c[band])
+        neg_below += neg_c[band]
+    assert fold2 == brute2
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # group id
+            st.integers(min_value=0, max_value=4),   # sensitive value
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(deadline=None, max_examples=200)
+def test_tcloseness_common_denominator_matches_fractions(rows):
+    """q_priv_tcloseness's integer numerator Σ_s |c_gs·n − c_s·n_g| over
+    denominator 2·n_g·n must equal the fraction-space TVD
+    1/2 Σ_s |c_gs/n_g − c_s/n| exactly (checked via fractions)."""
+    from collections import Counter
+    from fractions import Fraction
+
+    n = len(rows)
+    c_s = Counter(s for _, s in rows)
+    for g in {g for g, _ in rows}:
+        cell = Counter(s for gg, s in rows if gg == g)
+        n_g = sum(cell.values())
+        sens_domain = set(c_s) | set(cell)
+        tvd_frac = (
+            Fraction(1, 2)
+            * sum(
+                abs(
+                    Fraction(cell[s], n_g) - Fraction(c_s[s], n)
+                )
+                for s in sens_domain
+            )
+        )
+        num = sum(
+            abs(cell[s] * n - c_s[s] * n_g) for s in sens_domain
+        )
+        assert Fraction(num, 2 * n_g * n) == tvd_frac
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10), min_size=1, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=10), min_size=1, max_size=40),
+)
+@settings(deadline=None, max_examples=200)
+def test_ks_scaled_sup_matches_ecdf_definition(xs, ys):
+    """q_ml_ks_test's integer sup max|cum1·n2 − cum2·n1| over n1·n2 must
+    equal the ECDF-space KS distance sup|F1(t) − F2(t)| (fractions)."""
+    from fractions import Fraction
+
+    n1, n2 = len(xs), len(ys)
+    points = sorted(set(xs) | set(ys))
+    ks_frac = max(
+        abs(
+            Fraction(sum(1 for x in xs if x <= t), n1)
+            - Fraction(sum(1 for y in ys if y <= t), n2)
+        )
+        for t in points
+    )
+    scaled = max(
+        abs(
+            sum(1 for x in xs if x <= t) * n2
+            - sum(1 for y in ys if y <= t) * n1
+        )
+        for t in points
+    )
+    assert Fraction(scaled, n1 * n2) == ks_frac
