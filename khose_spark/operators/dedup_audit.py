@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from khose_spark.operators.llm import shingles
+from khose_spark.operators.llm import shingle_array, shingles
 from khose_spark.registry import query
 from khose_spark.tables import t
 
@@ -871,3 +871,308 @@ def q_er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     base.unpersist()
     return out
+
+
+@query(
+    "q_llm_incremental_dedup",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_SIG}, flagged AS (
+      SELECT DISTINCT a.doc_id AS delta_id
+      FROM sig a JOIN sig b
+        ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      WHERE ({_SQL_AGREE}) >= {_MIN_AGREE}
+    )
+    SELECT d.lang, count(*) AS n_delta,
+           CAST(sum(CASE WHEN f.delta_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST((2 * 1000 * sum(CASE WHEN f.delta_id IS NOT NULL
+                                     THEN 1 ELSE 0 END) + count(*))
+                // (2 * count(*)) AS BIGINT) AS flagged_permille
+    FROM documents d LEFT JOIN flagged f ON f.delta_id = d.doc_id
+    WHERE d.doc_id % 5 = 0
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def q_llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-base) near-dup screening — THE production
+    ingest shape: the new batch (doc_id % 5 = 0 stands in for today's
+    delta) is checked against the existing corpus (the base), never
+    against itself, and per-language flag rates are reported. Uses the
+    portable md5-MinHash signatures with the certified-lossless 8x2
+    banding (>= 10/16 agreement => some band fully agrees, pigeonhole),
+    so the oracle's all-pairs delta x base form hash-matches the
+    banded plan exactly.
+
+    Scale shape: the base signature table is the persisted artifact an
+    incremental pipeline maintains; each delta batch costs one band
+    equi-join (delta bands x base bands — linear in delta, never
+    base x base) + agreement verification on candidates only. Here
+    both sides derive from one signature aggregation (single doc_id
+    shuffle) split by the delta predicate."""
+    sig = _det_signatures(spark, sf_dir).localCheckpoint()
+    delta_sig = sig.filter(F.col("doc_id") % 5 == 0)
+    base_sig = sig.filter(F.col("doc_id") % 5 != 0)
+
+    n_bands = _N_HASHES // _BAND_ROWS
+
+    def _bands(s: DataFrame) -> DataFrame:
+        return s.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"s{b * _BAND_ROWS + r}")
+                                    for r in range(_BAND_ROWS)
+                                ],
+                            ).alias("band_key"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("b"),
+        ).select("doc_id", "b.band_id", "b.band_key")
+
+    cand = (
+        _bands(delta_sig)
+        .alias("d")
+        .join(
+            _bands(base_sig).alias("b"),
+            (F.col("d.band_id") == F.col("b.band_id"))
+            & (F.col("d.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col("d.doc_id").alias("delta_id"),
+            F.col("b.doc_id").alias("base_id"),
+        )
+        .distinct()
+    )
+    agree = sum(
+        (F.col(f"da.s{i}") == F.col(f"ba.s{i}")).cast("int")
+        for i in range(_N_HASHES)
+    )
+    flagged = (
+        cand.join(
+            delta_sig.alias("da"),
+            F.col("delta_id") == F.col("da.doc_id"),
+        )
+        .join(
+            base_sig.alias("ba"), F.col("base_id") == F.col("ba.doc_id")
+        )
+        .filter(agree >= _MIN_AGREE)
+        .select("delta_id")
+        .distinct()
+    )
+    delta_docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "lang")
+    )
+    return (
+        delta_docs.join(
+            flagged, delta_docs.doc_id == flagged.delta_id, "left_outer"
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_delta"),
+            F.sum(
+                F.when(F.col("delta_id").isNotNull(), 1).otherwise(0)
+            ).alias("n_flagged"),
+            F.expr(
+                "CAST((2 * 1000 * sum(CASE WHEN delta_id IS NOT NULL"
+                " THEN 1 ELSE 0 END) + count(1))"
+                " DIV (2 * count(1)) AS BIGINT)"
+            ).alias("flagged_permille"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_er_golden_record",
+    oracle="""
+    WITH ranked AS (
+      SELECT p_name, p_partkey, p_brand, p_size,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS price_cents,
+             row_number() OVER (PARTITION BY p_name
+               ORDER BY CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT) DESC, p_partkey ASC) AS rn
+      FROM part
+    ), golden AS (
+      SELECT p_name, p_partkey AS golden_partkey,
+             price_cents AS golden_price_cents
+      FROM ranked WHERE rn = 1
+    ), merged AS (
+      SELECT p_name, count(*) AS n_members,
+             count(DISTINCT p_brand) AS n_brands,
+             CAST(min(p_size) AS BIGINT) AS min_size,
+             CAST(max(p_size) AS BIGINT) AS max_size
+      FROM ranked GROUP BY p_name
+    )
+    SELECT m.p_name, m.n_members, g.golden_partkey,
+           g.golden_price_cents, m.n_brands, m.min_size, m.max_size
+    FROM merged m JOIN golden g ON g.p_name = m.p_name
+    ORDER BY m.p_name
+    """,
+)
+def q_er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship — the merge step that follows entity
+    matching (q_er_sorted_neighborhood finds the duplicates, this
+    resolves them): part records cluster by exact name, each cluster
+    elects a survivor by the deterministic rule "highest retail price,
+    then lowest key", and the merged row carries cluster size, brand
+    spread, and the size range — the MDM consolidation report.
+
+    Plan: one name-keyed window for the election + one name-keyed
+    aggregate for the merged attributes (same shuffle key — one
+    Exchange feeds both), joined back on the ~64-row cluster relation.
+    Cluster count is bounded by the name domain, not the row count;
+    prices compare as exact cents so the election is integer-decided."""
+    ranked = t(spark, sf_dir, "part").select(
+        "p_name",
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    w = Window.partitionBy("p_name").orderBy(
+        F.col("price_cents").desc(), F.col("p_partkey").asc()
+    )
+    with_rn = ranked.withColumn("rn", F.row_number().over(w))
+    golden = with_rn.filter(F.col("rn") == 1).select(
+        F.col("p_name").alias("g_name"),
+        F.col("p_partkey").alias("golden_partkey"),
+        F.col("price_cents").alias("golden_price_cents"),
+    )
+    merged = ranked.groupBy("p_name").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.countDistinct("p_brand").alias("n_brands"),
+        F.min("p_size").cast("long").alias("min_size"),
+        F.max("p_size").cast("long").alias("max_size"),
+    )
+    return (
+        merged.join(golden, merged.p_name == golden.g_name)
+        .select(
+            "p_name",
+            "n_members",
+            "golden_partkey",
+            "golden_price_cents",
+            "n_brands",
+            "min_size",
+            "max_size",
+        )
+        .orderBy("p_name")
+    )
+
+
+@query(
+    "q_llm_source_overlap",
+    oracle="""
+    WITH words AS (
+      SELECT source, string_split(text, ' ') AS w FROM documents
+    ), ss AS MATERIALIZED (
+      SELECT DISTINCT source, shingle FROM (
+        SELECT source,
+               unnest(list_transform(
+                 range(1, greatest(len(w) - 1, 1)),
+                 i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+        FROM words
+      ) WHERE len(string_split(shingle, ' ')) = 3
+    ), sizes AS (
+      SELECT source, count(*) AS n FROM ss GROUP BY source
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             count(*) AS n_common
+      FROM ss a JOIN ss b
+        ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.n_common,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST((2 * 1000 * i.n_common + (sa.n + sb.n - i.n_common))
+                // (2 * (sa.n + sb.n - i.n_common)) AS BIGINT)
+               AS jaccard_permille
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    ORDER BY jaccard_permille DESC, i.src_a ASC, i.src_b ASC
+    LIMIT 20
+    """,
+)
+def q_llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content overlap between corpus SOURCES: each source's
+    distinct 3-shingle vocabulary, intersected per source pair via a
+    shingle-keyed equi-join (a shingle contributes at most
+    |sources-per-shingle| choose 2 pair hits — linear shuffle volume,
+    never source-vocabulary cross products), Jaccard in half-up
+    permille, top-20 most-overlapping pairs. The provenance-level
+    dedup view: q_llm_contamination asks "did eval leak into train",
+    this asks "which feeds are re-crawling each other".
+
+    Plan: map-side per-doc shingling (the shingles() no-shuffle law)
+    → (source, shingle) distinct (one shuffle) → self-join on shingle
+    + pair agg → two broadcast size lookups. Pair cardinality is
+    bounded by the source-count square, not the corpus."""
+    docs = t(spark, sf_dir, "documents")
+    ss = (
+        docs.select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    shingle_array(F.split(F.col("text"), " "))
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+        .localCheckpoint()  # feeds sizes + both join sides
+    )
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        ss.alias("a")
+        .join(
+            ss.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"),
+                                     F.col("n").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"),
+                                     F.col("n").alias("n_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST((2 * 1000 * n_common + (n_a + n_b - n_common))"
+                " DIV (2 * (n_a + n_b - n_common)) AS BIGINT)"
+            ).alias("jaccard_permille"),
+        )
+        .orderBy(
+            F.col("jaccard_permille").desc(),
+            F.col("src_a").asc(),
+            F.col("src_b").asc(),
+        )
+        .limit(20)
+    )

@@ -1783,3 +1783,108 @@ def q_ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_ts_forecast_eval",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+                 AS cents
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, d, cents,
+             lag(cents, 1) OVER w AS naive_hat,
+             lag(d, 1) OVER w AS d1,
+             lag(cents, 7) OVER w AS snaive_hat,
+             lag(d, 7) OVER w AS d7
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ), stacked AS (
+      SELECT event_type, 'naive_lag1' AS method,
+             abs(cents - naive_hat) AS ae, cents
+      FROM lagged WHERE naive_hat IS NOT NULL AND d = d1 + 1
+      UNION ALL
+      SELECT event_type, 'seasonal_lag7' AS method,
+             abs(cents - snaive_hat) AS ae, cents
+      FROM lagged WHERE snaive_hat IS NOT NULL AND d = d7 + 7
+    )
+    SELECT event_type, method, count(*) AS n_days,
+           CAST((2 * sum(ae) + count(*)) // (2 * count(*)) AS BIGINT)
+               AS mae_cents,
+           CAST((2 * 1000 * sum(ae) + sum(cents))
+                // (2 * sum(cents)) AS BIGINT) AS wape_permille
+    FROM stacked GROUP BY 1, 2 ORDER BY event_type, method
+    """,
+)
+def q_ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest per event type: the naive (yesterday repeats)
+    and seasonal-naive (last week's same weekday repeats) baselines are
+    scored against the realized daily spend with half-up MAE in cents
+    and WAPE permille (Σ|err| / Σactual — ONE rational, unlike MAPE's
+    per-day division, so it stays integer-exact and is robust to small
+    denominators). Forecasts only count when the lag really is 1 (or
+    7) calendar days — gaps break the pair, the q_ts_ar1 law. The
+    benchmark every fancier model (Holt, AR(1)) must beat.
+
+    Plan: fact → per-type daily rollup, ONE lag window per type
+    computing both horizons, a stacked union of the two scored views,
+    and a 10-row aggregate. One data-sized stage at any scale."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+            .cast("long")
+            .alias("d"),
+        )
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "d",
+        "cents",
+        F.lag("cents", 1).over(w).alias("naive_hat"),
+        F.lag("d", 1).over(w).alias("d1"),
+        F.lag("cents", 7).over(w).alias("snaive_hat"),
+        F.lag("d", 7).over(w).alias("d7"),
+    ).localCheckpoint()  # feeds both stacked branches
+    naive = lagged.filter(
+        F.col("naive_hat").isNotNull() & (F.col("d") == F.col("d1") + 1)
+    ).select(
+        "event_type",
+        F.lit("naive_lag1").alias("method"),
+        F.abs(F.col("cents") - F.col("naive_hat")).alias("ae"),
+        "cents",
+    )
+    snaive = lagged.filter(
+        F.col("snaive_hat").isNotNull()
+        & (F.col("d") == F.col("d7") + 7)
+    ).select(
+        "event_type",
+        F.lit("seasonal_lag7").alias("method"),
+        F.abs(F.col("cents") - F.col("snaive_hat")).alias("ae"),
+        "cents",
+    )
+    return (
+        naive.unionAll(snaive)
+        .groupBy("event_type", "method")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.expr(
+                "CAST((2 * sum(ae) + count(1)) DIV (2 * count(1))"
+                " AS BIGINT)"
+            ).alias("mae_cents"),
+            F.expr(
+                "CAST((2 * 1000 * sum(ae) + sum(cents))"
+                " DIV (2 * sum(cents)) AS BIGINT)"
+            ).alias("wape_permille"),
+        )
+        .orderBy("event_type", "method")
+    )

@@ -216,6 +216,10 @@ MAX_SHUFFLES = {
                                   # + 1-row fold) unioned — one audit
                                   # branch per declared PK
                                   # (audited: 14)
+    "q_llm_incremental_dedup": 7, # band equi-join + 2 sig lookups +
+                                  # flagged distinct + lang agg over the
+                                  # checkpointed signature table
+                                  # (audited: 5)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
