@@ -634,3 +634,130 @@ def q_ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_cents")
     )
+
+
+@query(
+    "q_agg_spearman",
+    oracle="""
+    WITH pairs AS (
+      SELECT CAST(l_quantity AS BIGINT) AS bx,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) // 100000 AS by
+      FROM lineitem
+    ), joint AS (
+      SELECT bx, by, count(*) AS cnt FROM pairs GROUP BY bx, by
+    ), margx AS (
+      SELECT bx,
+             2 * coalesce(sum(cnt) OVER (ORDER BY bx ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cnt + 1 AS rx2
+      FROM (SELECT bx, CAST(sum(cnt) AS BIGINT) AS cnt
+            FROM joint GROUP BY bx)
+    ), margy AS (
+      SELECT by,
+             2 * coalesce(sum(cnt) OVER (ORDER BY by ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cnt + 1 AS ry2
+      FROM (SELECT by, CAST(sum(cnt) AS BIGINT) AS cnt
+            FROM joint GROUP BY by)
+    ), moments AS (
+      SELECT CAST(sum(j.cnt) AS HUGEINT) AS n,
+             CAST(sum(j.cnt * mx.rx2) AS HUGEINT) AS sx,
+             CAST(sum(j.cnt * my.ry2) AS HUGEINT) AS sy,
+             CAST(sum(j.cnt * mx.rx2 * mx.rx2) AS HUGEINT) AS sxx,
+             CAST(sum(j.cnt * my.ry2 * my.ry2) AS HUGEINT) AS syy,
+             CAST(sum(j.cnt * mx.rx2 * my.ry2) AS HUGEINT) AS sxy
+      FROM joint j
+      JOIN (SELECT bx, CAST(rx2 AS BIGINT) AS rx2 FROM margx) mx
+        ON mx.bx = j.bx
+      JOIN (SELECT by, CAST(ry2 AS BIGINT) AS ry2 FROM margy) my
+        ON my.by = j.by
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 4)
+               AS spearman_rho
+    FROM moments
+    """,
+)
+def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (with ties) between line-item quantity
+    and the $1,000 price band, computed WITHOUT ever ranking a row:
+    both variables quantize onto integer grids, midranks come from
+    cumulative counts over the tiny marginals (doubled — 2·below +
+    count + 1 — so the tie-average half never leaves int64), and
+    Pearson-on-midranks folds from the joint band table. The monotone-
+    association complement to q_agg_regression's linear view.
+
+    Exactness: moment sums reach ~4n^3 (~1e18 at sf0.1) so the centered
+    scatter n·sxx − sx² is widened to DECIMAL(38)/HUGEINT (the
+    Gini/HHI law); one double division + sqrt + round-4 at the end.
+    Plan: one joint-grid aggregation (grid-bounded), windows over the
+    two marginals, broadcast midrank lookups, a 1-row fold — the scan
+    is the only data-sized stage at any scale."""
+    pairs = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("bx"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100"
+            " AS BIGINT) DIV 100000"
+        ).alias("by"),
+    )
+    # Eager localCheckpoint, not lazy persist: the grid feeds THREE plan
+    # branches (both marginals + the moment fold) and would re-execute
+    # the data-sized scan per branch otherwise (the LPA-backbone law).
+    joint = (
+        pairs.groupBy("bx", "by")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+
+    def _midranks(marg: DataFrame, key: str, out: str) -> DataFrame:
+        w_below = Window.orderBy(key).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return marg.select(
+            key,
+            (
+                2 * F.coalesce(F.sum("cnt").over(w_below), F.lit(0))
+                + F.col("cnt")
+                + 1
+            ).alias(out),
+        )
+
+    margx = _midranks(
+        joint.groupBy("bx").agg(F.sum("cnt").alias("cnt")), "bx", "rx2"
+    )
+    margy = _midranks(
+        joint.groupBy("by").agg(F.sum("cnt").alias("cnt")), "by", "ry2"
+    )
+    moments = (
+        joint.join(F.broadcast(margx), "bx")
+        .join(F.broadcast(margy), "by")
+        .agg(
+            F.sum("cnt").cast("decimal(38,0)").alias("n"),
+            F.sum(F.col("cnt") * F.col("rx2"))
+            .cast("decimal(38,0)")
+            .alias("sx"),
+            F.sum(F.col("cnt") * F.col("ry2"))
+            .cast("decimal(38,0)")
+            .alias("sy"),
+            F.sum(F.col("cnt") * F.col("rx2") * F.col("rx2"))
+            .cast("decimal(38,0)")
+            .alias("sxx"),
+            F.sum(F.col("cnt") * F.col("ry2") * F.col("ry2"))
+            .cast("decimal(38,0)")
+            .alias("syy"),
+            F.sum(F.col("cnt") * F.col("rx2") * F.col("ry2"))
+            .cast("decimal(38,0)")
+            .alias("sxy"),
+        )
+    )
+    return moments.select(
+        F.col("n").cast("long").alias("n"),
+        F.expr(
+            "round(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+            "        * CAST(n * syy - sy * sy AS DOUBLE)), 4)"
+        ).alias("spearman_rho"),
+    )

@@ -561,3 +561,51 @@ def q_fn_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(km, 3).alias("km"),
     )
     return pairs.orderBy("km", "name_a", "name_b").limit(10)
+
+
+@query(
+    "q_fn_dow_portable",
+    oracle="""
+    WITH keyed AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01'
+                  AS BIGINT) AS epoch_day,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents
+      FROM orders
+    )
+    SELECT ((epoch_day + 2) % 7) + 1 AS iso_dow,
+           count(*) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM keyed GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_fn_dow_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week revenue profile with a PORTABLE ISO weekday number:
+    engines disagree on day-of-week conventions (DuckDB dayofweek is
+    0=Sunday, Spark dayofweek is 1=Sunday, ISO wants 1=Monday), so the
+    weekday is derived arithmetically from the epoch-day offset of a
+    known anchor — 1992-01-01 was a Wednesday (ISO 3), hence
+    iso_dow = ((days_since_anchor + 2) % 7) + 1 — pure non-negative
+    integer arithmetic, identical in every engine. Pins the house law:
+    never ship an engine dow() across a federation boundary.
+
+    Plan: map-side keying + a 7-row aggregate — one pass, map-side
+    combined, at any scale."""
+    keyed = t(spark, sf_dir, "orders").select(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("long")
+        .alias("epoch_day"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    return (
+        keyed.groupBy(
+            (((F.col("epoch_day") + 2) % 7) + 1).alias("iso_dow")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("iso_dow")
+    )

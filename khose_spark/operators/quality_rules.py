@@ -525,3 +525,131 @@ def q_llm_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf.unpersist()
     topk.unpersist()
     return out
+
+
+@query(
+    "q_llm_filter_funnel",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_words,
+             length(replace(text, ' ', '')) AS n_nonspace,
+             ({" + ".join(
+                 "CASE WHEN concat(' ', text, ' ') LIKE '% " + w + " %' "
+                 "THEN 1 ELSE 0 END" for w in _STOPWORDS
+             )}) AS stop_hits
+      FROM documents
+    ), flagged AS (
+      SELECT
+        CASE WHEN n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+             THEN 1 ELSE 0 END AS f1,
+        CASE WHEN {_MIN_MWL} * n_words <= n_nonspace
+              AND n_nonspace <= {_MAX_MWL} * n_words
+             THEN 1 ELSE 0 END AS f2,
+        CASE WHEN stop_hits >= {_MIN_STOP_HITS} THEN 1 ELSE 0 END AS f3,
+        CASE WHEN row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) = 1
+             THEN 1 ELSE 0 END AS f4
+      FROM feats
+    ), folded AS (
+      SELECT count(*) AS n0,
+             CAST(sum(f1) AS BIGINT) AS n1,
+             CAST(sum(f1 * f2) AS BIGINT) AS n2,
+             CAST(sum(f1 * f2 * f3) AS BIGINT) AS n3,
+             CAST(sum(f1 * f2 * f3 * f4) AS BIGINT) AS n4
+      FROM flagged
+    )
+    SELECT stage, rule, n_in, n_out, n_in - n_out AS n_dropped,
+           (2 * 1000 * n_out + n0) // (2 * n0) AS survive_permille
+    FROM (
+      SELECT 1 AS stage, 'wordcount' AS rule, n0 AS n_in, n1 AS n_out,
+             n0 FROM folded
+      UNION ALL
+      SELECT 2, 'mean_wordlen', n1, n2, n0 FROM folded
+      UNION ALL
+      SELECT 3, 'stopword', n2, n3, n0 FROM folded
+      UNION ALL
+      SELECT 4, 'exact_dedup', n3, n4, n0 FROM folded
+    ) ORDER BY stage
+    """,
+)
+def q_llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel — the survival report every corpus
+    pipeline publishes: the four gates (Gopher word-count bound, mean-
+    word-length bound, stopword presence, exact-dedup first-occurrence)
+    applied CUMULATIVELY, with per-stage in/out/drop counts and the
+    cumulative half-up permille survival vs the raw corpus. The
+    composition view over q_llm_gopher_rules' independent per-rule
+    audit: rule order matters in a funnel, and this pins it.
+
+    Plan: all three content gates are row-local map-side flags; the
+    dedup gate is one row_number window keyed on md5(text) (the
+    q_llm_exact_dedup shuffle); then a single 1-row fold is unpivoted
+    into the 4 funnel rows via stack(). One data-sized shuffle total,
+    output size is the constant stage count."""
+    docs = t(spark, sf_dir, "documents")
+    stop_hits = sum(
+        F.when(
+            F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like(
+                f"% {w} %"
+            ),
+            1,
+        ).otherwise(0)
+        for w in _STOPWORDS
+    )
+    feats = docs.select(
+        "doc_id",
+        "text",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.length(F.regexp_replace("text", " ", "")).alias("n_nonspace"),
+        stop_hits.alias("stop_hits"),
+    )
+    w_dedup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    flagged = feats.select(
+        F.when(
+            F.col("n_words").between(_MIN_WORDS, _MAX_WORDS), 1
+        )
+        .otherwise(0)
+        .alias("f1"),
+        F.when(
+            (_MIN_MWL * F.col("n_words") <= F.col("n_nonspace"))
+            & (F.col("n_nonspace") <= _MAX_MWL * F.col("n_words")),
+            1,
+        )
+        .otherwise(0)
+        .alias("f2"),
+        F.when(F.col("stop_hits") >= _MIN_STOP_HITS, 1)
+        .otherwise(0)
+        .alias("f3"),
+        F.when(F.row_number().over(w_dedup) == 1, 1)
+        .otherwise(0)
+        .alias("f4"),
+    )
+    folded = flagged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("f1").alias("n1"),
+        F.sum(F.col("f1") * F.col("f2")).alias("n2"),
+        F.sum(F.col("f1") * F.col("f2") * F.col("f3")).alias("n3"),
+        F.sum(
+            F.col("f1") * F.col("f2") * F.col("f3") * F.col("f4")
+        ).alias("n4"),
+    )
+    return (
+        folded.selectExpr(
+            "stack(4,"
+            " 1, 'wordcount',    n0, n1,"
+            " 2, 'mean_wordlen', n1, n2,"
+            " 3, 'stopword',     n2, n3,"
+            " 4, 'exact_dedup',  n3, n4) AS (stage, rule, n_in, n_out)",
+            "n0",
+        )
+        .selectExpr(
+            "stage",
+            "rule",
+            "n_in",
+            "n_out",
+            "n_in - n_out AS n_dropped",
+            "(2 * 1000 * n_out + n0) DIV (2 * n0) AS survive_permille",
+        )
+        .orderBy("stage")
+    )

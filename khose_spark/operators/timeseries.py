@@ -1888,3 +1888,82 @@ def q_ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "method")
     )
+
+
+@query(
+    "q_ts_peaks",
+    oracle=f"""
+    WITH daily AS ({_HAMPEL_DAILY_SQL}
+    ), framed AS (
+      SELECT day, d, cents,
+             lag(cents) OVER w AS prev_c, lag(d) OVER w AS prev_d,
+             lead(cents) OVER w AS next_c, lead(d) OVER w AS next_d
+      FROM daily WINDOW w AS (ORDER BY d)
+    )
+    SELECT day, cents,
+           cents - greatest(prev_c, next_c) AS prominence_cents
+    FROM framed
+    WHERE prev_c IS NOT NULL AND next_c IS NOT NULL
+      AND d = prev_d + 1 AND next_d = d + 1
+      AND cents > prev_c AND cents > next_c
+    ORDER BY prominence_cents DESC, day ASC
+    LIMIT 10
+    """,
+)
+def q_ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum peak detection on the daily revenue series: a day
+    is a peak when it strictly exceeds BOTH calendar neighbors (gaps
+    disqualify — comparing across a missing day is not a local
+    maximum), ranked by prominence against the higher neighbor, top-10.
+    The event-shaped complement to q_ts_hampel's distribution-shaped
+    outlier test: Hampel asks "far from the rolling median", this asks
+    "strictly above both neighbors".
+
+    All-integer (cents, integer day keys); one lag/lead window over
+    the tiny daily rollup. The fact scan is the only data-sized stage
+    at any scale."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderdate").alias("day"),
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+            .cast("long")
+            .alias("d"),
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+            ).alias("cents")
+        )
+    )
+    w = Window.orderBy("d")
+    framed = daily.select(
+        "day",
+        "d",
+        "cents",
+        F.lag("cents").over(w).alias("prev_c"),
+        F.lag("d").over(w).alias("prev_d"),
+        F.lead("cents").over(w).alias("next_c"),
+        F.lead("d").over(w).alias("next_d"),
+    )
+    return (
+        framed.filter(
+            F.col("prev_c").isNotNull()
+            & F.col("next_c").isNotNull()
+            & (F.col("d") == F.col("prev_d") + 1)
+            & (F.col("next_d") == F.col("d") + 1)
+            & (F.col("cents") > F.col("prev_c"))
+            & (F.col("cents") > F.col("next_c"))
+        )
+        .select(
+            "day",
+            "cents",
+            (
+                F.col("cents")
+                - F.greatest(F.col("prev_c"), F.col("next_c"))
+            ).alias("prominence_cents"),
+        )
+        .orderBy(F.col("prominence_cents").desc(), F.col("day").asc())
+        .limit(10)
+    )

@@ -220,6 +220,10 @@ MAX_SHUFFLES = {
                                   # flagged distinct + lang agg over the
                                   # checkpointed signature table
                                   # (audited: 5)
+    "q_agg_spearman": 8,          # checkpointed joint grid feeding two
+                                  # marginal re-aggs + their midrank
+                                  # windows + the 1-row moment fold
+                                  # (audited: 6)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
