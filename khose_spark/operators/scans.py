@@ -394,3 +394,59 @@ def q_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionAll(outs[1]).orderBy("version")
+
+
+@query(
+    "q_sink_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_items,
+           CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pay-the-shuffle-once lifecycle as a user-visible operator:
+    both fact tables are written BUCKETED on the join key (8 buckets,
+    sorted within bucket, saveAsTable so the bucket metadata lands in
+    the catalog), then the priority rollup joins the bucketed tables —
+    co-located, so the sort-merge join plans with no Exchange on either
+    side (asserted plan-level in tests/test_bucketing.py; this key
+    carries the RESULT correctness vs the plain-join oracle).
+
+    At 100 TB this is the difference between re-shuffling the fact
+    table on every key join and never shuffling it again: the bucketed
+    write is the one-time cost, every downstream key join rides the
+    layout. Bucket count scales with cluster width; 8 matches the
+    fixture size."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    onames = f"orders_bj_{tag}", f"lineitem_bj_{tag}"
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    (
+        t(spark, sf_dir, "orders")
+        .write.format("parquet")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", _scratch(sf_dir, "orders_bj"))
+        .mode("overwrite")
+        .saveAsTable(onames[0])
+    )
+    (
+        t(spark, sf_dir, "lineitem")
+        .write.format("parquet")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", _scratch(sf_dir, "lineitem_bj"))
+        .mode("overwrite")
+        .saveAsTable(onames[1])
+    )
+    o = spark.table(onames[0])
+    li = spark.table(onames[1])
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").cast("long").alias("total_qty"),
+        )
+    )
