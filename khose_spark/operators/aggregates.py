@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from khose_spark.operators.curation import _sql_hash_bucket, hash_bucket
 from khose_spark.registry import query
 from khose_spark.sqlutil import dec_round, dec_sum, sql_dec_round, sql_dec_sum
 from khose_spark.tables import t
@@ -615,4 +616,82 @@ def q_agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(
             F.when(2 * F.col("cum_w") >= F.col("total_w"), F.col("price"))
         ).alias("weighted_median_price"),
+    )
+
+
+# Count-min sketch geometry: d=2 md5-seeded hash rows x w=1024 buckets.
+_CMS_W = 1024
+
+
+@query(
+    "q_agg_countmin_audit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ), hashed AS (
+      SELECT term,
+             {_sql_hash_bucket("concat('0|', term)", _CMS_W)} AS b0,
+             {_sql_hash_bucket("concat('1|', term)", _CMS_W)} AS b1
+      FROM toks
+    ), cms0 AS (
+      SELECT b0 AS bucket, count(*) AS c FROM hashed GROUP BY b0
+    ), cms1 AS (
+      SELECT b1 AS bucket, count(*) AS c FROM hashed GROUP BY b1
+    ), exact AS (
+      SELECT term, count(*) AS exact_n,
+             {_sql_hash_bucket("concat('0|', term)", _CMS_W)} AS b0,
+             {_sql_hash_bucket("concat('1|', term)", _CMS_W)} AS b1
+      FROM toks GROUP BY term
+    )
+    SELECT e.term, e.exact_n,
+           CAST(least(c0.c, c1.c) AS BIGINT) AS cms_n,
+           CAST(least(c0.c, c1.c) - e.exact_n AS BIGINT) AS over_n
+    FROM exact e
+    JOIN cms0 c0 ON c0.bucket = e.b0
+    JOIN cms1 c1 ON c1.bucket = e.b1
+    ORDER BY e.exact_n DESC, e.term ASC LIMIT 20
+    """,
+)
+def q_agg_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch with a DETERMINISTIC audit: a d=2 x w=1024 CMS
+    over the corpus term stream is built from md5-seeded bucket hashes
+    (engine-portable, so DuckDB reconstructs the identical sketch), and
+    the top-20 terms compare their exact counts against the CMS
+    estimate (min over rows) — the one-sided-overestimate guarantee
+    measured, not assumed. The hash-checkable twin pattern
+    (q_agg_count_distinct / q_agg_approx_distinct) applied to the
+    second workhorse sketch.
+
+    Plan: one token explode feeding three grid-bounded aggregates (two
+    1024-bucket CMS rows + the vocabulary-bounded exact counts), then
+    broadcast bucket lookups. At 100 TB the CMS aggregation is the
+    whole point: 2x1024 cells of state regardless of stream size,
+    map-side combined."""
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+    b0 = hash_bucket(F.concat(F.lit("0|"), F.col("term")), _CMS_W)
+    b1 = hash_bucket(F.concat(F.lit("1|"), F.col("term")), _CMS_W)
+    hashed = toks.select("term", b0.alias("b0"), b1.alias("b1"))
+    hashed = hashed.localCheckpoint()  # feeds cms0 + cms1 + exact
+    cms0 = hashed.groupBy("b0").agg(F.count(F.lit(1)).alias("c0"))
+    cms1 = hashed.groupBy("b1").agg(F.count(F.lit(1)).alias("c1"))
+    exact = hashed.groupBy("term").agg(
+        F.count(F.lit(1)).alias("exact_n"),
+        F.min("b0").alias("b0"),
+        F.min("b1").alias("b1"),
+    )
+    return (
+        exact.join(F.broadcast(cms0), "b0")
+        .join(F.broadcast(cms1), "b1")
+        .select(
+            "term",
+            "exact_n",
+            F.least(F.col("c0"), F.col("c1")).alias("cms_n"),
+            (F.least(F.col("c0"), F.col("c1")) - F.col("exact_n")).alias(
+                "over_n"
+            ),
+        )
+        .orderBy(F.col("exact_n").desc(), F.col("term").asc())
+        .limit(20)
     )

@@ -1967,3 +1967,62 @@ def q_ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("prominence_cents").desc(), F.col("day").asc())
         .limit(10)
     )
+
+
+@query(
+    "q_ts_outage_gaps",
+    oracle="""
+    WITH stamped AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ), gapped AS (
+      SELECT event_type,
+             es - lag(es) OVER (PARTITION BY event_type ORDER BY es)
+                 AS gap_s
+      FROM stamped
+    )
+    SELECT event_type, count(gap_s) AS n_gaps,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+           CAST((2 * sum(gap_s) + count(gap_s))
+                // (2 * count(gap_s)) AS BIGINT) AS mean_gap_s,
+           CAST(sum(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gaps_over_1h
+    FROM gapped WHERE gap_s IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_ts_outage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap monitor per stream: consecutive-event gaps in
+    whole seconds (unix_timestamp floor law), with the max gap (the
+    worst silence), half-up mean gap, and the count of gaps exceeding
+    the 1-hour SLA — the "was the producer ever down" audit pairing
+    with q_dq_freshness's "is it stale right now" view.
+
+    Exact integers throughout (epoch seconds, integer differences).
+    Plan: map-side stamping, one lag window per event type (partition
+    count = stream count), a 5-row aggregate. Ties in ts order inside
+    one type produce gap 0 regardless of tiebreak, so the unordered-
+    duplicate window is still hash-stable."""
+    stamped = t(spark, sf_dir, "events").select(
+        "event_type", F.unix_timestamp("ts").alias("es")
+    )
+    w = Window.partitionBy("event_type").orderBy("es")
+    gapped = stamped.select(
+        "event_type",
+        (F.col("es") - F.lag("es").over(w)).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gapped.groupBy("event_type")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.max("gap_s").alias("max_gap_s"),
+            F.expr(
+                "CAST((2 * sum(gap_s) + count(gap_s))"
+                " DIV (2 * count(gap_s)) AS BIGINT)"
+            ).alias("mean_gap_s"),
+            F.sum(
+                F.when(F.col("gap_s") > 3600, 1).otherwise(0)
+            ).alias("n_gaps_over_1h"),
+        )
+        .orderBy("event_type")
+    )
