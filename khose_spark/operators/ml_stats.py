@@ -1099,3 +1099,131 @@ def q_agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("value") < F.col("lo")).cast("long")).alias("n_below"),
         F.sum((F.col("value") > F.col("hi")).cast("long")).alias("n_above"),
     )
+
+
+# Multi-feature stump comparison: which line-item feature best predicts
+# a returned item. Features quantize to small integer grids.
+_STUMP_FEATURES = [
+    ("quantity", "CAST(l_quantity AS BIGINT)"),
+    (
+        "discount_pct",
+        "CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)",
+    ),
+    ("tax_pct", "CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+    (
+        "price_10k",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " // 1000000",
+    ),
+]
+_RET_POS_SQL = "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"
+
+
+def _stump_branch_sql(fname: str, band_expr: str) -> str:
+    return f"""
+      SELECT * FROM (
+        SELECT '{fname}' AS feature, band + 1 AS threshold_band,
+               CAST(greatest(pos_left, n_left - pos_left)
+                    + greatest(pos_total - pos_left,
+                               (n_total - n_left)
+                                 - (pos_total - pos_left))
+                    AS BIGINT) AS n_correct,
+               CAST(n_total AS BIGINT) AS n_total
+        FROM (
+          SELECT band,
+                 sum(n) OVER (ORDER BY band) AS n_left,
+                 sum(n_pos) OVER (ORDER BY band) AS pos_left,
+                 sum(n) OVER () AS n_total,
+                 sum(n_pos) OVER () AS pos_total
+          FROM (
+            SELECT {band_expr} AS band, count(*) AS n,
+                   CAST(sum({_RET_POS_SQL}) AS BIGINT) AS n_pos
+            FROM lineitem GROUP BY 1
+          )
+        ) WHERE n_left < n_total
+        ORDER BY n_correct DESC, threshold_band ASC LIMIT 1
+      )"""
+
+
+@query(
+    "q_ml_feature_stumps",
+    oracle=f"""
+    SELECT feature, threshold_band, n_correct, n_total,
+           (2 * 1000 * n_correct + n_total) // (2 * n_total)
+               AS accuracy_permille
+    FROM ({" UNION ALL ".join(
+        _stump_branch_sql(f, e) for f, e in _STUMP_FEATURES)})
+    ORDER BY accuracy_permille DESC, feature ASC
+    """,
+)
+def q_ml_feature_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-split feature comparison — the poor man's feature
+    importance: for each of four line-item features (quantity,
+    discount %, tax %, $10k price band) the best decision stump
+    predicting a returned item is learned by exact misclassification
+    count, and the four winners are ranked by half-up permille
+    accuracy. Ties inside a feature resolve to the smallest threshold;
+    the output answers "which signal moves returns at all" before
+    anyone trains a real model.
+
+    The q_ml_decision_stump machinery swept across a feature list:
+    per feature one grid-bounded band aggregation + cumulative windows
+    over the tiny grid + a 1-row argmax — four independent scans (at
+    100 TB: one scan computing all four band aggregates would fuse
+    them; kept separate here so each branch stays the audited stump
+    shape)."""
+    branches = []
+    for fname, band_expr in _STUMP_FEATURES:
+        band_expr_spark = band_expr.replace("//", "DIV")
+        labeled = t(spark, sf_dir, "lineitem").select(
+            F.expr(band_expr_spark).alias("band"),
+            F.expr(_RET_POS_SQL).alias("pos"),
+        )
+        per_band = labeled.groupBy("band").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
+        )
+        w_cum = Window.orderBy("band").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        w_all = Window.orderBy("band").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cum = per_band.select(
+            "band",
+            F.sum("n").over(w_cum).alias("n_left"),
+            F.sum("n_pos").over(w_cum).alias("pos_left"),
+            F.sum("n").over(w_all).alias("n_total"),
+            F.sum("n_pos").over(w_all).alias("pos_total"),
+        )
+        scored = cum.filter(F.col("n_left") < F.col("n_total")).select(
+            F.lit(fname).alias("feature"),
+            (F.col("band") + 1).alias("threshold_band"),
+            (
+                F.greatest(
+                    F.col("pos_left"), F.col("n_left") - F.col("pos_left")
+                )
+                + F.greatest(
+                    F.col("pos_total") - F.col("pos_left"),
+                    (F.col("n_total") - F.col("n_left"))
+                    - (F.col("pos_total") - F.col("pos_left")),
+                )
+            ).alias("n_correct"),
+            "n_total",
+        )
+        branches.append(
+            scored.orderBy(
+                F.col("n_correct").desc(), F.col("threshold_band").asc()
+            ).limit(1)
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out.select(
+        "feature",
+        "threshold_band",
+        "n_correct",
+        "n_total",
+        F.expr(
+            "(2 * 1000 * n_correct + n_total) DIV (2 * n_total)"
+        ).alias("accuracy_permille"),
+    ).orderBy(F.col("accuracy_permille").desc(), F.col("feature").asc())

@@ -2026,3 +2026,89 @@ def q_ts_outage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_ts_rolling_wau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d
+      FROM events
+    ), days AS (
+      SELECT DISTINCT d FROM du
+    ), contrib AS (
+      SELECT du.user_id, du.d + v.off AS center
+      FROM du CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6))
+        v(off)
+    ), wau AS (
+      SELECT c.center, count(DISTINCT c.user_id) AS wau
+      FROM contrib c JOIN days ON days.d = c.center
+      GROUP BY c.center
+    ), dau AS (
+      SELECT d, count(*) AS dau FROM du GROUP BY d
+    ), bounds AS (
+      SELECT min(d) AS d0 FROM du
+    )
+    SELECT dau.d AS day_idx, CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           (2 * 1000 * dau.dau + wau.wau) // (2 * wau.wau)
+               AS stickiness_permille
+    FROM dau JOIN wau ON wau.center = dau.d CROSS JOIN bounds
+    WHERE dau.d >= bounds.d0 + 6
+    ORDER BY dau.d
+    """,
+)
+def q_ts_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users (WAU) against same-day distinct
+    users (DAU) with the DAU/WAU stickiness permille — the engagement
+    dashboard primitive. Rolling COUNT DISTINCT is not a window
+    aggregate in any engine; the scale shape is the explode-to-center
+    trick (each (user, day) pair contributes to the 7 trailing window
+    anchors it belongs to), then one distinct-count per anchor — a
+    constant 7x expansion of the DEDUPED pair relation, never of the
+    raw event stream. Warm-up days (first 6) are excluded.
+
+    All-integer. Plan: distinct (user, day) pairs (one shuffle — the
+    only data-sized stage), 7x map-side explode, anchor-keyed distinct
+    count, tiny DAU re-agg, 1-row min-day broadcast cross."""
+    du = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+            .cast("long")
+            .alias("d"),
+        )
+        .distinct()
+        .localCheckpoint()  # feeds contrib, days, dau, bounds
+    )
+    days = du.select("d").distinct()
+    contrib = du.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(i) for i in range(7)])).alias("off"),
+        "d",
+    ).select("user_id", (F.col("d") + F.col("off")).alias("center"))
+    wau = (
+        contrib.join(
+            days.withColumnRenamed("d", "center"), "center", "left_semi"
+        )
+        .groupBy("center")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    bounds = du.agg(F.min("d").alias("d0"))
+    return (
+        dau.join(wau, dau.d == wau.center)
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("d") >= F.col("d0") + 6)
+        .select(
+            F.col("d").alias("day_idx"),
+            "dau",
+            "wau",
+            F.expr(
+                "(2 * 1000 * dau + wau) DIV (2 * wau)"
+            ).alias("stickiness_permille"),
+        )
+        .orderBy("day_idx")
+    )

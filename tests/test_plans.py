@@ -93,6 +93,9 @@ BNLJ_ALLOWED = {
     "q_ml_pr_curve",            # 5-row broadcast threshold grid
                                 # crossed into the scan (constant 5x
                                 # map-side expansion, the acf idiom)
+    "q_ts_rolling_wau",         # 1-row min-day bound broadcast-crossed
+                                # into the per-day DAU/WAU relation
+                                # (warm-up exclusion)
     "q_agg_benford",            # 1-row order-count total broadcast-
                                 # crossed into the 9-row digit histogram
 }
@@ -223,6 +226,13 @@ MAX_SHUFFLES = {
     "q_agg_spearman": 8,          # checkpointed joint grid feeding two
                                   # marginal re-aggs + their midrank
                                   # windows + the 1-row moment fold
+                                  # (audited: 6)
+    "q_ml_feature_stumps": 10,    # 4 independent stump branches x
+                                  # (band agg + grid windows) unioned
+                                  # (audited: 8)
+    "q_ts_rolling_wau": 8,        # checkpointed distinct-pair relation
+                                  # feeding anchor distinct-count +
+                                  # DAU re-agg + semi join + bound
                                   # (audited: 6)
 }
 
