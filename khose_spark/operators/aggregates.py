@@ -695,3 +695,125 @@ def q_agg_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_n").desc(), F.col("term").asc())
         .limit(20)
     )
+
+
+# Binned-quantile sketch geometry: the $1k AUC band grid; audited
+# quantiles in permille.
+_QBIN_CENTS = 100_000
+_QBIN_QS = (500, 900, 990)
+
+
+@query(
+    "q_agg_quantile_bin_audit",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS c
+      FROM orders
+    ), bands AS (
+      SELECT c // {_QBIN_CENTS} AS band, count(*) AS n
+      FROM cents GROUP BY 1
+    ), cum AS (
+      SELECT band,
+             CAST(sum(n) OVER (ORDER BY band) AS BIGINT) AS cum_n,
+             CAST(sum(n) OVER () AS BIGINT) AS n_total
+      FROM bands
+    ), grid AS (
+      SELECT * FROM (VALUES {", ".join(f"({q})" for q in _QBIN_QS)})
+        g(q_permille)
+    ), est AS (
+      SELECT g.q_permille,
+             CAST(min(cum.band + 1) * {_QBIN_CENTS} AS BIGINT)
+                 AS est_upper_cents
+      FROM grid g JOIN cum
+        ON cum.cum_n * 1000 >= g.q_permille * cum.n_total
+      GROUP BY g.q_permille
+    ), exact AS (
+      SELECT {", ".join(
+        f"CAST(round(quantile_cont(c, {q / 1000.0}), 0) AS BIGINT)"
+        f" AS e{q}" for q in _QBIN_QS)}
+      FROM cents
+    )
+    SELECT q_permille,
+           CASE q_permille {" ".join(
+               f"WHEN {q} THEN e{q}" for q in _QBIN_QS)} END
+               AS exact_cents,
+           est_upper_cents,
+           abs(est_upper_cents - CASE q_permille {" ".join(
+               f"WHEN {q} THEN e{q}" for q in _QBIN_QS)} END)
+               AS abs_err_cents
+    FROM est CROSS JOIN exact
+    ORDER BY q_permille
+    """,
+)
+def q_agg_quantile_bin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned-quantile sketch with a MEASURED error: p50/p90/p99 of the
+    order total estimated from the fixed $1k-band histogram (estimate =
+    upper bound of the first band whose cumulative count reaches the
+    integer rank — the compare is cum·1000 >= q·n, never a float), set
+    against the engines' certified-identical exact interpolated
+    percentile, with the absolute error in cents. Completes the
+    sketch-audit family (q_agg_countmin_audit, q_agg_approx_distinct's
+    exact twin): at 100 TB only the grid-bounded histogram is
+    maintainable incrementally; this key prices the accuracy you give
+    up for that.
+
+    Plan: one map-side banding + grid-bounded histogram + cumulative
+    windows over ~500 bands + a 3-row quantile-grid join; the exact
+    percentile runs beside it as the (already-certified) reference."""
+    cents = t(spark, sf_dir, "orders").select(
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("c")
+    ).localCheckpoint()  # feeds the histogram + the exact reference
+    bands = cents.groupBy(
+        F.expr(f"c DIV {_QBIN_CENTS}").alias("band")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_cum = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = bands.select(
+        "band",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n").over(w_all).alias("n_total"),
+    )
+    grid = spark.createDataFrame(
+        [(q,) for q in _QBIN_QS], "q_permille bigint"
+    )
+    est = (
+        F.broadcast(grid)
+        .join(
+            cum,
+            cum.cum_n * 1000 >= F.col("q_permille") * cum.n_total,
+        )
+        .groupBy("q_permille")
+        .agg(
+            ((F.min("band") + 1) * _QBIN_CENTS).alias("est_upper_cents")
+        )
+    )
+    exact = cents.agg(
+        *[
+            F.round(F.percentile("c", F.lit(q / 1000.0)), 0)
+            .cast("long")
+            .alias(f"e{q}")
+            for q in _QBIN_QS
+        ]
+    )
+    exact_case = "CASE q_permille " + " ".join(
+        f"WHEN {q} THEN e{q}" for q in _QBIN_QS
+    ) + " END"
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "q_permille",
+            F.expr(exact_case).alias("exact_cents"),
+            "est_upper_cents",
+            F.expr(f"abs(est_upper_cents - {exact_case})").alias(
+                "abs_err_cents"
+            ),
+        )
+        .orderBy("q_permille")
+    )

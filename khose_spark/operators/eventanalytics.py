@@ -10,7 +10,7 @@ survives a 100 TB event log.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from khose_spark.registry import query
@@ -370,3 +370,115 @@ def q_ts_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return leveled.groupBy("level").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+_SESSION_GAP_S = 1800  # 30-minute inactivity closes a session
+
+
+@query(
+    "q_ts_sessionize",
+    oracle=f"""
+    WITH stamped AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             event_id
+      FROM events
+    ), flagged AS (
+      SELECT user_id, es, event_id,
+             CASE WHEN es - lag(es) OVER w > {_SESSION_GAP_S}
+                    OR lag(es) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM stamped WINDOW w AS (PARTITION BY user_id
+                                ORDER BY es, event_id)
+    ), sessioned AS (
+      SELECT user_id, es,
+             sum(new_s) OVER (PARTITION BY user_id
+               ORDER BY es, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, sid, count(*) AS n_events,
+             max(es) - min(es) AS dur_s
+      FROM sessioned GROUP BY user_id, sid
+    )
+    SELECT count(*) AS n_sessions,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bounce,
+           CAST((2 * 1000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0
+                                     END) + count(*))
+                // (2 * count(*)) AS BIGINT) AS bounce_permille,
+           CAST((2 * 1000 * sum(n_events) + count(*))
+                // (2 * count(*)) AS BIGINT) AS mean_events_milli,
+           CAST(max(n_events) AS BIGINT) AS max_events,
+           CAST((2 * sum(dur_s) + count(*)) // (2 * count(*))
+                AS BIGINT) AS mean_dur_s
+    FROM sessions
+    """,
+)
+def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with a 30-minute inactivity gap — the
+    canonical web-analytics rollup: per-user event streams split into
+    sessions by the gaps-and-islands flag-cumsum idiom, then one global
+    report (sessions, users, bounce rate, mean events x1000, longest
+    session, mean duration). The BATCH twin of the streaming session
+    window (q_stream_session_batchsem) — same gap semantics, but
+    grading the whole history at rest.
+
+    Determinism under timestamp ties: BOTH windows (the new-session
+    flag and the session-id cumsum) order by the (es, event_id) total
+    order — a ROWS cumsum over a ties-only ordering would let the two
+    engines disagree on which tie-row a flag's increment reaches. All
+    outputs are exact integers (epoch-floor seconds, half-up ratios).
+    Plan: one user-keyed window pass (two stacked frames), a
+    (user, session) aggregate on the same key, a 1-row fold."""
+    stamped = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("es"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    flagged = stamped.select(
+        "user_id",
+        "es",
+        "event_id",
+        F.when(
+            F.lag("es").over(w).isNull()
+            | ((F.col("es") - F.lag("es").over(w)) > _SESSION_GAP_S),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessioned = flagged.select(
+        "user_id", "es", F.sum("new_s").over(w_cum).alias("sid")
+    )
+    sessions = sessioned.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("es") - F.min("es")).alias("dur_s"),
+    )
+    return sessions.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias(
+            "n_bounce"
+        ),
+        F.expr(
+            "CAST((2 * 1000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0"
+            " END) + count(1)) DIV (2 * count(1)) AS BIGINT)"
+        ).alias("bounce_permille"),
+        F.expr(
+            "CAST((2 * 1000 * sum(n_events) + count(1))"
+            " DIV (2 * count(1)) AS BIGINT)"
+        ).alias("mean_events_milli"),
+        F.max("n_events").alias("max_events"),
+        F.expr(
+            "CAST((2 * sum(dur_s) + count(1)) DIV (2 * count(1))"
+            " AS BIGINT)"
+        ).alias("mean_dur_s"),
+    )

@@ -1474,3 +1474,55 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_milli").desc(), F.col("node").asc())
         .limit(10)
     )
+
+
+@query(
+    "q_graph_degree_dist",
+    oracle=f"""
+    WITH {_BACKBONE_CTES}, gdeg AS (
+      SELECT node, count(*) AS d FROM adj GROUP BY node
+    ), hist AS (
+      SELECT d, count(*) AS n_nodes FROM gdeg GROUP BY d
+    )
+    SELECT d AS degree, n_nodes,
+           CAST((2 * 1000 * n_nodes + sum(n_nodes) OVER ())
+                // (2 * sum(n_nodes) OVER ()) AS BIGINT)
+               AS share_permille,
+           CAST(sum(n_nodes) OVER (ORDER BY d DESC ROWS BETWEEN
+                UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_nodes_at_least
+    FROM hist ORDER BY degree
+    """,
+)
+def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the 3-NN supplier backbone: per degree,
+    the node count, its half-up permille share, and the complementary
+    cumulative count (nodes with degree >= d) — the first thing anyone
+    plots before trusting a graph algorithm's cost model (the k-NN
+    admission caps out-degree at 3, but symmetrization lets popular
+    nodes exceed it; this measures by how much).
+
+    Plan: the shared memoized backbone + one degree aggregate + a
+    degree-bounded histogram + two windows over that tiny relation —
+    amortized to near-zero after any other graph-family query."""
+    adj = _knn_backbone(spark, sf_dir)
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("n_nodes"))
+    w_all = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_ccdf = Window.orderBy(F.col("d").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        F.col("d").alias("degree"),
+        "n_nodes",
+        F.expr(
+            "CAST((2 * 1000 * n_nodes + sum(n_nodes) OVER"
+            " (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED"
+            " FOLLOWING)) DIV (2 * sum(n_nodes) OVER (ROWS BETWEEN"
+            " UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))"
+            " AS BIGINT)"
+        ).alias("share_permille"),
+        F.sum("n_nodes").over(w_ccdf).alias("n_nodes_at_least"),
+    ).orderBy("degree")

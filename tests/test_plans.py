@@ -96,6 +96,10 @@ BNLJ_ALLOWED = {
     "q_ts_rolling_wau",         # 1-row min-day bound broadcast-crossed
                                 # into the per-day DAU/WAU relation
                                 # (warm-up exclusion)
+    "q_agg_quantile_bin_audit", # 3-row broadcast quantile grid >= -
+                                # joined into the ~500-band cum
+                                # histogram + 1-row exact reference
+                                # cross
     "q_agg_benford",            # 1-row order-count total broadcast-
                                 # crossed into the 9-row digit histogram
 }
