@@ -482,3 +482,66 @@ def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("mean_dur_s"),
     )
+
+
+@query(
+    "q_ts_transition_matrix",
+    oracle="""
+    WITH stamped AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id
+      FROM events
+    ), hops AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY es, event_id) AS dst
+      FROM stamped
+    ), counted AS (
+      SELECT src, dst, count(*) AS n FROM hops
+      WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           CAST((2 * 1000 * n + sum(n) OVER (PARTITION BY src))
+                // (2 * sum(n) OVER (PARTITION BY src)) AS BIGINT)
+               AS p_permille
+    FROM counted ORDER BY src, dst
+    """,
+)
+def q_ts_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for every (src -> dst) consecutive pair, the raw count
+    and the half-up permille row-conditional probability — the
+    behavioral-flow summary feeding funnels, next-action prediction,
+    and anomaly baselines. Consecutive order rides the (epoch,
+    event_id) total order (the q_ts_sessionize tie law).
+
+    Plan: one user-keyed lead window (the only data-sized shuffle), a
+    type-pair aggregate bounded by |types|^2 = 25 cells, one window
+    over those cells. Identical shape at any scale."""
+    stamped = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("es"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    hops = stamped.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counted = hops.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_src = Window.partitionBy("src")
+    return (
+        counted.select(
+            "src",
+            "dst",
+            "n",
+            F.expr(
+                "CAST((2 * 1000 * n + sum(n) OVER (PARTITION BY src))"
+                " DIV (2 * sum(n) OVER (PARTITION BY src)) AS BIGINT)"
+            ).alias("p_permille"),
+        )
+        .orderBy("src", "dst")
+    )

@@ -1227,3 +1227,89 @@ def q_ml_feature_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(2 * 1000 * n_correct + n_total) DIV (2 * n_total)"
         ).alias("accuracy_permille"),
     ).orderBy(F.col("accuracy_permille").desc(), F.col("feature").asc())
+
+
+@query(
+    "q_ml_anova_f",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM events
+    ), per_group AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM obs GROUP BY event_type
+    ), folded AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(s) AS BIGINT) AS s,
+             CAST(sum(ss) AS BIGINT) AS ss,
+             sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n AS DOUBLE)) AS sum_s2n
+      FROM per_group
+    )
+    SELECT k, n,
+           round((sum_s2n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / (k - 1)
+                 / ((CAST(ss AS DOUBLE) - sum_s2n) / (n - k)),
+                 4) AS f_stat,
+           round((sum_s2n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                 / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                    * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)),
+                 4) AS eta_squared
+    FROM folded
+    """,
+)
+def q_ml_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across the five event types: does the event value
+    differ by type more than within-type noise explains? Emits the F
+    statistic (between-group mean square over within-group mean square)
+    and eta-squared (the share of variance the grouping explains) —
+    the hypothesis-test companion to q_ml_ks_test's two-sample view.
+
+    Exactness: per-group (n, sum, sum-of-squares) accumulate as int64
+    cents (value <= ~330 => c^2 ~ 1e9, times 1e5 rows ~ 1e14 — four
+    orders of headroom); the group fold then evaluates ONE identical
+    double expression tree per engine with round-4 at the boundary
+    (the linreg-2f law — per-group s^2/n must happen in doubles since
+    the rationals have different denominators). Plan: one map-side
+    projection + a 5-row group aggregate + a 1-row fold."""
+    obs = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("c"),
+    )
+    per_group = obs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    folded = per_group.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("ss").alias("ss"),
+        F.sum(
+            F.expr(
+                "CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+                " / CAST(n AS DOUBLE)"
+            )
+        ).alias("sum_s2n"),
+    )
+    grand = "CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    return folded.select(
+        "k",
+        "n",
+        F.expr(
+            f"round((sum_s2n - {grand}) / (k - 1)"
+            f" / ((CAST(ss AS DOUBLE) - sum_s2n) / (n - k)), 4)"
+        ).alias("f_stat"),
+        F.expr(
+            f"round((sum_s2n - {grand})"
+            f" / (CAST(ss AS DOUBLE) - {grand}), 4)"
+        ).alias("eta_squared"),
+    )

@@ -450,3 +450,49 @@ def q_sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_quantity").cast("long").alias("total_qty"),
         )
     )
+
+
+@query("q_source_json_multiline", oracle=_EVENTS_AGG_ORACLE)
+def q_source_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline-JSON ingest (each file is ONE pretty-printable JSON
+    ARRAY — the partner-feed/API-dump format, vs the JSONL streaming
+    format of q_source_json_lines): the egress side assembles one
+    array per partition WITHOUT any driver collect (an Arrow
+    mapInPandas fold buffers the partition's rows and emits a single
+    array string), and the read side uses multiLine=true with the
+    EXPLICIT schema + timestamp format. Roundtrip is checked against
+    the original-table oracle.
+
+    Scale note: multiLine JSON is inherently file-at-a-time (a file is
+    one JSON value, so splitting is impossible) — the right shape for
+    small partner feeds, and exactly why the streaming ingest path
+    uses JSONL instead; this key pins both the capability and the
+    caveat."""
+    import pandas as pd
+
+    path = _scratch(sf_dir, "json_multiline")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    rows_json = t(spark, sf_dir, "events").select(
+        F.to_json(
+            F.struct("event_id", "ts", "user_id", "event_type",
+                     "value", "props"),
+            {"timestampFormat": fmt},
+        ).alias("j")
+    )
+
+    def _fold(batches):
+        buf: list[str] = []
+        for pdf in batches:
+            buf.extend(pdf["j"].tolist())
+        if buf:
+            yield pd.DataFrame({"txt": ["[" + ",".join(buf) + "]"]})
+
+    arr = rows_json.mapInPandas(_fold, "txt string")
+    arr.write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(EVENTS_SCHEMA)
+        .option("multiLine", "true")
+        .option("timestampFormat", fmt)
+        .json(path)
+    )
+    return _events_agg(back)
