@@ -451,3 +451,78 @@ def test_ks_scaled_sup_matches_ecdf_definition(xs, ys):
         for t in points
     )
     assert Fraction(scaled, n1 * n2) == ks_frac
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5000),  # epoch second
+            st.integers(min_value=0, max_value=99),    # event id
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[1],
+    )
+)
+@settings(deadline=None, max_examples=200)
+def test_sessionize_is_tie_order_invariant(rows):
+    """q_ts_sessionize's session partition must be identical no matter
+    how timestamp-tied rows arrive: both the new-session flag and the
+    id-cumsum ride the (es, event_id) total order, so any input
+    permutation yields the same multiset of session sizes."""
+    GAP = 1800
+
+    def sessions(order):
+        order = sorted(order, key=lambda r: (r[0], r[1]))
+        sizes, cur = [], 0
+        prev = None
+        for es, _eid in order:
+            if prev is None or es - prev > GAP:
+                if cur:
+                    sizes.append(cur)
+                cur = 0
+            cur += 1
+            prev = es
+        sizes.append(cur)
+        return sorted(sizes)
+
+    base = sessions(rows)
+    assert sessions(list(reversed(rows))) == base
+    # rotate to exercise a third arrival order
+    assert sessions(rows[1:] + rows[:1]) == base
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # day index
+            st.integers(min_value=0, max_value=9),   # user id
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+@settings(deadline=None, max_examples=200)
+def test_rolling_wau_explode_equals_window_definition(rows):
+    """q_ts_rolling_wau's explode-to-anchor shape must equal the direct
+    definition: distinct users active in [d-6, d] for every observed
+    day d past the warm-up."""
+    pairs = {(d, u) for d, u in rows}
+    days = sorted({d for d, _ in pairs})
+    d0 = days[0]
+    direct = {
+        d: len({u for (dd, u) in pairs if d - 6 <= dd <= d})
+        for d in days
+        if d >= d0 + 6
+    }
+    # explode formulation
+    from collections import defaultdict
+
+    anchors = defaultdict(set)
+    for d, u in pairs:
+        for off in range(7):
+            anchors[d + off].add(u)
+    exploded = {
+        d: len(anchors[d]) for d in days if d >= d0 + 6
+    }
+    assert exploded == direct
