@@ -317,3 +317,128 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             max(event_id) AS pid
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), c AS (
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events WHERE event_type = 'click'
+    ), b AS (
+      SELECT c.event_id, p.pid AS bpid, p.es AS bes
+      FROM c ASOF LEFT JOIN p
+        ON p.user_id = c.user_id AND p.es <= c.es
+    ), f AS (
+      SELECT c.event_id, p.pid AS fpid, p.es AS fes
+      FROM c ASOF LEFT JOIN p
+        ON p.user_id = c.user_id AND p.es >= c.es
+    )
+    SELECT c.event_id, c.user_id,
+           CASE WHEN bes IS NULL AND fes IS NULL THEN NULL
+                WHEN fes IS NULL THEN bpid
+                WHEN bes IS NULL THEN fpid
+                WHEN c.es - bes <= fes - c.es THEN bpid
+                ELSE fpid END AS nearest_purchase_id,
+           CASE WHEN bes IS NULL AND fes IS NULL THEN NULL
+                WHEN fes IS NULL THEN c.es - bes
+                WHEN bes IS NULL THEN fes - c.es
+                WHEN c.es - bes <= fes - c.es THEN c.es - bes
+                ELSE fes - c.es END AS dist_s,
+           CASE WHEN bes IS NULL AND fes IS NULL THEN 'none'
+                WHEN fes IS NULL THEN 'back'
+                WHEN bes IS NULL THEN 'fwd'
+                WHEN c.es - bes <= fes - c.es THEN 'back'
+                ELSE 'fwd' END AS direction
+    FROM c
+    JOIN b ON b.event_id = c.event_id
+    JOIN f ON f.event_id = c.event_id
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join: each click attaches its closest
+    purchase by the SAME user in EITHER time direction (tie -> the
+    earlier, i.e. backward one) — the sensor-fusion/attribution variant
+    of the backward-only q_join_asof. Spark still has no ASOF JOIN;
+    the forward pass is the SAME union-fill idiom as backward run on
+    the negated time axis (forward as-of == backward as-of on -t), so
+    the whole operator is two linear union-window passes, never a
+    join explosion. DuckDB's native bidirectional ASOF is the oracle.
+
+    Right side pre-dedupes per (user, second) with max event_id so
+    equal-time ties are engine-identical; distances are integer
+    seconds (epoch-floor law)."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("es")
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.unix_timestamp("ts").alias("es"))
+        .agg(F.max("event_id").alias("pid"))
+    )
+    back = asof_join(
+        clicks.select("event_id", "user_id", F.col("es").alias("t")),
+        purch.select(
+            "user_id",
+            F.col("es").alias("t"),
+            "pid",
+            F.col("es").alias("bes"),
+        ),
+        on="t",
+        by=["user_id"],
+        value_cols=["pid", "bes"],
+    ).select(
+        F.col("event_id").alias("b_eid"),
+        F.col("pid").alias("bpid"),
+        "bes",
+    )
+    fwd = asof_join(
+        clicks.select(
+            "event_id", "user_id", (-F.col("es")).alias("t")
+        ),
+        purch.select(
+            "user_id",
+            (-F.col("es")).alias("t"),
+            "pid",
+            F.col("es").alias("fes"),
+        ),
+        on="t",
+        by=["user_id"],
+        value_cols=["pid", "fes"],
+    ).select(
+        F.col("event_id").alias("f_eid"),
+        F.col("pid").alias("fpid"),
+        "fes",
+    )
+    joined = clicks.join(
+        back, clicks.event_id == back.b_eid
+    ).join(fwd, clicks.event_id == fwd.f_eid)
+    pick_back = (
+        F.col("fes").isNull()
+        | (
+            F.col("bes").isNotNull()
+            & (F.col("es") - F.col("bes") <= F.col("fes") - F.col("es"))
+        )
+    )
+    none = F.col("bes").isNull() & F.col("fes").isNull()
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(none, F.lit(None).cast("long"))
+        .when(pick_back, F.col("bpid"))
+        .otherwise(F.col("fpid"))
+        .alias("nearest_purchase_id"),
+        F.when(none, F.lit(None).cast("long"))
+        .when(pick_back, F.col("es") - F.col("bes"))
+        .otherwise(F.col("fes") - F.col("es"))
+        .alias("dist_s"),
+        F.when(none, "none")
+        .when(pick_back, "back")
+        .otherwise("fwd")
+        .alias("direction"),
+    )
