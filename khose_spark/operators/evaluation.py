@@ -761,3 +761,183 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             "        * CAST(n * syy - sy * sy AS DOUBLE)), 4)"
         ).alias("spearman_rho"),
     )
+
+
+# 5-fold CV geometry: md5 folds on the order key, the $25k stump grid,
+# urgent/high priority as the positive class (the q_ml_decision_stump
+# contract, evaluated honestly on held-out data).
+_CV_FOLDS = 5
+_CV_BAND_CENTS = 2_500_000
+
+
+@query(
+    "q_ml_cross_val",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT {_CENTS_SQL} // {_CV_BAND_CENTS} AS band,
+             {_sql_hash_bucket('o_orderkey', _CV_FOLDS)} AS fold,
+             CASE WHEN {_POS_SQL} THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ), grid AS (
+      SELECT band, fold, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos
+      FROM labeled GROUP BY band, fold
+    ), band_tot AS (
+      SELECT band, CAST(sum(n) AS BIGINT) AS bn,
+             CAST(sum(n_pos) AS BIGINT) AS bp
+      FROM grid GROUP BY band
+    ), train AS (
+      SELECT g.fold, g.band,
+             CAST(bt.bn - g.n AS BIGINT) AS tr_n,
+             CAST(bt.bp - g.n_pos AS BIGINT) AS tr_pos,
+             g.n AS te_n, g.n_pos AS te_pos
+      FROM grid g JOIN band_tot bt ON bt.band = g.band
+    ), cum AS (
+      SELECT fold, band,
+             sum(tr_n) OVER w AS trn_l, sum(tr_pos) OVER w AS trp_l,
+             sum(tr_n) OVER p AS trn_t, sum(tr_pos) OVER p AS trp_t,
+             sum(te_n) OVER w AS ten_l, sum(te_pos) OVER w AS tep_l,
+             sum(te_n) OVER p AS ten_t, sum(te_pos) OVER p AS tep_t
+      FROM train
+      WINDOW w AS (PARTITION BY fold ORDER BY band
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             p AS (PARTITION BY fold)
+    ), scored AS (
+      SELECT fold, band,
+             greatest(trp_l, trn_l - trp_l)
+               + greatest(trp_t - trp_l,
+                          (trn_t - trn_l) - (trp_t - trp_l))
+               AS tr_correct,
+             CASE WHEN 2 * trp_l > trn_l THEN 1 ELSE 0 END AS pred_l,
+             CASE WHEN 2 * (trp_t - trp_l) > (trn_t - trn_l)
+                  THEN 1 ELSE 0 END AS pred_r,
+             ten_l, tep_l, ten_t, tep_t
+      FROM cum WHERE trn_l < trn_t
+    ), best AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fold
+          ORDER BY tr_correct DESC, band ASC) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT fold, (band + 1) * {_CV_BAND_CENTS} AS threshold_cents,
+           CAST(ten_t AS BIGINT) AS test_n,
+           CAST(CASE WHEN pred_l = 1 THEN tep_l
+                     ELSE ten_l - tep_l END
+                + CASE WHEN pred_r = 1 THEN tep_t - tep_l
+                       ELSE (ten_t - ten_l) - (tep_t - tep_l) END
+                AS BIGINT) AS test_correct,
+           CAST((2 * 1000 * (CASE WHEN pred_l = 1 THEN tep_l
+                     ELSE ten_l - tep_l END
+                + CASE WHEN pred_r = 1 THEN tep_t - tep_l
+                       ELSE (ten_t - ten_l) - (tep_t - tep_l) END)
+                + ten_t) // (2 * ten_t) AS BIGINT) AS acc_permille
+    FROM best ORDER BY fold
+    """,
+)
+def q_ml_cross_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honest 5-fold cross-validation of the decision stump: folds come
+    from the md5 bucket of the order key (content-stable, resharding-
+    invariant), each fold's threshold is learned on the OTHER four
+    folds and evaluated on the held-out one, with both side-majority
+    predictions taken from the TRAINING side only. Per fold: chosen
+    threshold, held-out size, correct count, half-up permille accuracy
+    — the generalization check q_ml_decision_stump's in-sample top-5
+    cannot give.
+
+    Single-scan trick: ONE (band, fold) grid aggregation serves all
+    five folds — training counts for fold f are the band totals minus
+    f's own cells, so no second pass over the data ever happens;
+    everything after the grid is fold-partitioned windows over ~100
+    cells. All counts, majority calls (strict 2p > n — ties predict
+    negative), and accuracies are exact integers."""
+    labeled = t(spark, sf_dir, "orders").select(
+        F.expr(f"{_CENTS_SQL} DIV {_CV_BAND_CENTS}").alias("band"),
+        hash_bucket(F.col("o_orderkey"), _CV_FOLDS).alias("fold"),
+        F.when(F.col("o_orderpriority").isin(*_POS_PRIORITIES), 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    grid = labeled.groupBy("band", "fold").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
+    )
+    w_band = Window.partitionBy("band")
+    train = grid.select(
+        "fold",
+        "band",
+        (F.sum("n").over(w_band) - F.col("n")).alias("tr_n"),
+        (F.sum("n_pos").over(w_band) - F.col("n_pos")).alias("tr_pos"),
+        F.col("n").alias("te_n"),
+        F.col("n_pos").alias("te_pos"),
+    )
+    w_cum = (
+        Window.partitionBy("fold")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fold = Window.partitionBy("fold")
+    cum = train.select(
+        "fold",
+        "band",
+        F.sum("tr_n").over(w_cum).alias("trn_l"),
+        F.sum("tr_pos").over(w_cum).alias("trp_l"),
+        F.sum("tr_n").over(w_fold).alias("trn_t"),
+        F.sum("tr_pos").over(w_fold).alias("trp_t"),
+        F.sum("te_n").over(w_cum).alias("ten_l"),
+        F.sum("te_pos").over(w_cum).alias("tep_l"),
+        F.sum("te_n").over(w_fold).alias("ten_t"),
+        F.sum("te_pos").over(w_fold).alias("tep_t"),
+    )
+    scored = cum.filter(F.col("trn_l") < F.col("trn_t")).select(
+        "fold",
+        "band",
+        (
+            F.greatest(F.col("trp_l"), F.col("trn_l") - F.col("trp_l"))
+            + F.greatest(
+                F.col("trp_t") - F.col("trp_l"),
+                (F.col("trn_t") - F.col("trn_l"))
+                - (F.col("trp_t") - F.col("trp_l")),
+            )
+        ).alias("tr_correct"),
+        F.when(2 * F.col("trp_l") > F.col("trn_l"), 1)
+        .otherwise(0)
+        .alias("pred_l"),
+        F.when(
+            2 * (F.col("trp_t") - F.col("trp_l"))
+            > (F.col("trn_t") - F.col("trn_l")),
+            1,
+        )
+        .otherwise(0)
+        .alias("pred_r"),
+        "ten_l",
+        "tep_l",
+        "ten_t",
+        "tep_t",
+    )
+    w_best = Window.partitionBy("fold").orderBy(
+        F.col("tr_correct").desc(), F.col("band").asc()
+    )
+    best = scored.withColumn("rk", F.row_number().over(w_best)).filter(
+        F.col("rk") == 1
+    )
+    test_correct = (
+        "CASE WHEN pred_l = 1 THEN tep_l ELSE ten_l - tep_l END"
+        " + CASE WHEN pred_r = 1 THEN tep_t - tep_l"
+        " ELSE (ten_t - ten_l) - (tep_t - tep_l) END"
+    )
+    return (
+        best.select(
+            "fold",
+            ((F.col("band") + 1) * _CV_BAND_CENTS).alias(
+                "threshold_cents"
+            ),
+            F.col("ten_t").alias("test_n"),
+            F.expr(f"CAST({test_correct} AS BIGINT)").alias(
+                "test_correct"
+            ),
+            F.expr(
+                f"CAST((2 * 1000 * ({test_correct}) + ten_t)"
+                f" DIV (2 * ten_t) AS BIGINT)"
+            ).alias("acc_permille"),
+        )
+        .orderBy("fold")
+    )
