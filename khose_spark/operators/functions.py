@@ -9,7 +9,7 @@ rendering of dates).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from khose_spark.registry import query
@@ -609,3 +609,72 @@ def q_fn_dow_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("iso_dow")
     )
+
+
+@query(
+    "q_fn_intdiv_laws",
+    oracle="""
+    WITH cents AS (
+      SELECT c_custkey,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS bal_cents
+      FROM customer
+    ), extremes AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (ORDER BY bal_cents ASC,
+                                     c_custkey ASC) AS rneg,
+               row_number() OVER (ORDER BY bal_cents DESC,
+                                  c_custkey ASC) AS rpos
+        FROM cents
+      ) WHERE rneg <= 5 OR rpos <= 5
+    )
+    SELECT c_custkey, bal_cents,
+           bal_cents // 100 AS trunc_div_100,
+           bal_cents % 100 AS mod_trunc,
+           (bal_cents - (((bal_cents % 100) + 100) % 100)) // 100
+               AS floor_div_100,
+           ((bal_cents % 100) + 100) % 100 AS mod_floor
+    FROM extremes ORDER BY bal_cents, c_custkey
+    """,
+)
+def q_fn_intdiv_laws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer division/modulo law pinning on NEGATIVE values: for the
+    5 most-negative and 5 most-positive customer balances, the
+    truncating division both engines share (DIV / `//` truncate toward
+    zero; `%` takes the dividend's sign) next to the PORTABLE floor
+    division derived from it — floor_div = (x − mod_floor) / 100 with
+    mod_floor = ((x % 100) + 100) % 100, always in [0, 100). This is
+    the law every half-up permille in the repo silently relies on
+    ("non-negative only"); this key makes the negative-value behavior
+    itself a hash-checked contract so an engine swap that floors
+    instead of truncating fails loudly.
+
+    Plan: map-side cents + two rank windows over the scan + a 10-row
+    projection — entirely grid-free, one pass."""
+    cents = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(
+            "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("bal_cents"),
+    )
+    w_neg = Window.orderBy(
+        F.col("bal_cents").asc(), F.col("c_custkey").asc()
+    )
+    w_pos = Window.orderBy(
+        F.col("bal_cents").desc(), F.col("c_custkey").asc()
+    )
+    extremes = (
+        cents.withColumn("rneg", F.row_number().over(w_neg))
+        .withColumn("rpos", F.row_number().over(w_pos))
+        .filter((F.col("rneg") <= 5) | (F.col("rpos") <= 5))
+    )
+    return extremes.select(
+        "c_custkey",
+        "bal_cents",
+        F.expr("bal_cents DIV 100").alias("trunc_div_100"),
+        F.expr("bal_cents % 100").alias("mod_trunc"),
+        F.expr(
+            "(bal_cents - (((bal_cents % 100) + 100) % 100)) DIV 100"
+        ).alias("floor_div_100"),
+        F.expr("((bal_cents % 100) + 100) % 100").alias("mod_floor"),
+    ).orderBy("bal_cents", "c_custkey")

@@ -974,3 +974,98 @@ def q_llm_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_milli").desc(), F.col("phrase").asc())
         .limit(10)
     )
+
+
+@query(
+    "q_llm_log_odds",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ), cell AS (
+      SELECT source, word, count(*) AS c FROM toks GROUP BY 1, 2
+    ), framed AS (
+      SELECT source, word, c,
+             CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+             CAST(sum(c) OVER (PARTITION BY word) AS BIGINT) AS c_w,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM cell
+    ), scored AS (
+      SELECT source, word, c,
+             round(ln(CAST(c + 1 AS DOUBLE)
+                      / CAST(n_s - c + 1 AS DOUBLE))
+                   - ln(CAST(c_w - c + 1 AS DOUBLE)
+                        / CAST(n - n_s - (c_w - c) + 1 AS DOUBLE)),
+                   4) AS log_odds
+      FROM framed
+    )
+    SELECT source, word, c AS n_in_source, log_odds FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+        ORDER BY log_odds DESC, word ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 3 ORDER BY source, rk
+    """,
+)
+def q_llm_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source via the smoothed log-odds
+    ratio: each (source, word) cell compares the word's in-source odds
+    against its odds in the REST of the corpus (+1 smoothing on all
+    four counts), and each source reports its top-3 most-distinctive
+    words — "what does this feed talk about that the others don't",
+    the corpus-comparison companion to tf-idf (which compares
+    documents, not provenances).
+
+    Exactness: all four odds components are exact int64 counts from
+    one grid aggregation; ln + one subtraction + round-4 is the only
+    float surface (the PMI law). Plan: token explode + a
+    (source x vocab)-bounded cell aggregation + three domain-bounded
+    windows + a per-source top-3 rank. One data-sized stage."""
+    toks = t(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    cell = toks.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    framed = cell.select(
+        "source",
+        "word",
+        "c",
+        F.sum("c").over(Window.partitionBy("source")).alias("n_s"),
+        F.sum("c").over(Window.partitionBy("word")).alias("c_w"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    scored = framed.select(
+        "source",
+        "word",
+        "c",
+        F.round(
+            F.log(
+                (F.col("c") + 1).cast("double")
+                / (F.col("n_s") - F.col("c") + 1).cast("double")
+            )
+            - F.log(
+                (F.col("c_w") - F.col("c") + 1).cast("double")
+                / (
+                    F.col("n")
+                    - F.col("n_s")
+                    - (F.col("c_w") - F.col("c"))
+                    + 1
+                ).cast("double")
+            ),
+            4,
+        ).alias("log_odds"),
+    )
+    w_rk = Window.partitionBy("source").orderBy(
+        F.col("log_odds").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "source",
+            "word",
+            F.col("c").alias("n_in_source"),
+            "log_odds",
+        )
+        .orderBy("source", "rk")
+    )
