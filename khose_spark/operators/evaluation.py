@@ -941,3 +941,80 @@ def q_ml_cross_val(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@query(
+    "q_ml_mcc",
+    oracle=f"""
+    WITH counts AS (
+      SELECT
+        CAST(sum(CASE WHEN {_CENTS_SQL} >= 10000000
+                       AND ({_POS_SQL}) THEN 1 ELSE 0 END)
+             AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN {_CENTS_SQL} >= 10000000
+                       AND NOT ({_POS_SQL}) THEN 1 ELSE 0 END)
+             AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN {_CENTS_SQL} < 10000000
+                       AND ({_POS_SQL}) THEN 1 ELSE 0 END)
+             AS BIGINT) AS fn,
+        CAST(sum(CASE WHEN {_CENTS_SQL} < 10000000
+                       AND NOT ({_POS_SQL}) THEN 1 ELSE 0 END)
+             AS BIGINT) AS tn
+      FROM orders
+    )
+    SELECT tp, fp, fn, tn,
+           round((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+                  - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+                 / sqrt(CAST((tp + fp) AS DOUBLE)
+                        * CAST((tp + fn) AS DOUBLE)
+                        * CAST((tn + fp) AS DOUBLE)
+                        * CAST((tn + fn) AS DOUBLE)),
+                 4) AS mcc
+    FROM counts
+    """,
+)
+def q_ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient of the $100k-threshold priority
+    classifier: the single-number confusion summary that, unlike
+    accuracy or F1, stays honest under class imbalance (it is the
+    Pearson correlation of the binary prediction/label pair). Completes
+    the operating-point metric block (PR curve, chi-square, MCC) on
+    the same contract.
+
+    Counts are one exact int64 pass; the tp·tn − fp·fn products move
+    to doubles (each factor an exactly-represented int64), one IEEE
+    sqrt + round-4 at the boundary. Plan: single map-side 1-row
+    aggregate — one pass at any scale."""
+    counts = t(spark, sf_dir, "orders").agg(
+        *[
+            F.sum(
+                F.when(F.expr(cond), 1).otherwise(0)
+            ).alias(name)
+            for name, cond in [
+                ("tp", f"{_CENTS_SQL} >= 10000000 AND ({_POS_SQL})"),
+                (
+                    "fp",
+                    f"{_CENTS_SQL} >= 10000000 AND NOT ({_POS_SQL})",
+                ),
+                ("fn", f"{_CENTS_SQL} < 10000000 AND ({_POS_SQL})"),
+                (
+                    "tn",
+                    f"{_CENTS_SQL} < 10000000 AND NOT ({_POS_SQL})",
+                ),
+            ]
+        ]
+    )
+    return counts.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr(
+            "round((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)"
+            " - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))"
+            " / sqrt(CAST((tp + fp) AS DOUBLE)"
+            " * CAST((tp + fn) AS DOUBLE)"
+            " * CAST((tn + fp) AS DOUBLE)"
+            " * CAST((tn + fn) AS DOUBLE)), 4)"
+        ).alias("mcc"),
+    )

@@ -545,3 +545,179 @@ def q_ts_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "dst")
     )
+
+
+@query(
+    "q_ts_cohort_ltv",
+    oracle="""
+    WITH purch AS (
+      SELECT user_id,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+                 // 7 AS wk,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), cohort AS (
+      SELECT user_id, min(wk) AS c_wk FROM purch GROUP BY user_id
+    ), cells AS (
+      SELECT c.c_wk, p.wk - c.c_wk AS age_wk,
+             CAST(sum(p.cents) AS BIGINT) AS rev,
+             count(DISTINCT p.user_id) AS n_active
+      FROM purch p JOIN cohort c ON c.user_id = p.user_id
+      GROUP BY 1, 2
+    ), sized AS (
+      SELECT c_wk, count(*) AS cohort_users FROM cohort GROUP BY c_wk
+    )
+    SELECT cells.c_wk AS cohort_week, cells.age_wk, cells.n_active,
+           cells.rev AS rev_cents,
+           CAST(sum(cells.rev) OVER (PARTITION BY cells.c_wk
+                ORDER BY cells.age_wk ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS cum_rev_cents,
+           CAST((2 * sum(cells.rev) OVER (PARTITION BY cells.c_wk
+                  ORDER BY cells.age_wk ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW)
+                + s.cohort_users) // (2 * s.cohort_users) AS BIGINT)
+               AS ltv_cents_per_user
+    FROM cells JOIN sized s ON s.c_wk = cells.c_wk
+    ORDER BY cohort_week, age_wk
+    """,
+)
+def q_ts_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: purchasers grouped by first-purchase
+    week, each cohort's revenue tracked per week-of-age with the
+    cumulative total and the half-up per-user LTV (denominator = the
+    FULL cohort, not just the still-active users — the honest LTV
+    convention). The revenue-weighted companion to q_ts_retention's
+    activity view.
+
+    Plan: purchase projection → per-user cohort week (one user_id
+    shuffle) → (cohort, age) cell aggregation (calendar-bounded) →
+    cumulative windows over the tiny cell grid + cohort-size lookup.
+    All integers end to end."""
+    purch = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(datediff(to_date(ts), '2024-01-01') AS BIGINT)"
+                " DIV 7"
+            ).alias("wk"),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+        .localCheckpoint()  # feeds cohort + cells
+    )
+    cohort = purch.groupBy("user_id").agg(F.min("wk").alias("c_wk"))
+    cells = (
+        purch.join(cohort, "user_id")
+        .groupBy("c_wk", (F.col("wk") - F.col("c_wk")).alias("age_wk"))
+        .agg(
+            F.sum("cents").alias("rev"),
+            F.countDistinct("user_id").alias("n_active"),
+        )
+    )
+    sized = cohort.groupBy("c_wk").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    w_cum = (
+        Window.partitionBy("c_wk")
+        .orderBy("age_wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.join(F.broadcast(sized), "c_wk")
+        .select(
+            F.col("c_wk").alias("cohort_week"),
+            "age_wk",
+            "n_active",
+            F.col("rev").alias("rev_cents"),
+            F.sum("rev").over(w_cum).alias("cum_rev_cents"),
+            F.expr(
+                "CAST((2 * sum(rev) OVER (PARTITION BY c_wk ORDER BY"
+                " age_wk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT"
+                " ROW) + cohort_users) DIV (2 * cohort_users)"
+                " AS BIGINT)"
+            ).alias("ltv_cents_per_user"),
+        )
+        .orderBy("cohort_week", "age_wk")
+    )
+
+
+@query(
+    "q_ts_rfm",
+    oracle="""
+    WITH purch AS (
+      SELECT user_id,
+             max(CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT))
+                 AS last_d,
+             count(*) AS freq,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+                 AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), scored AS (
+      SELECT user_id,
+             ntile(5) OVER (ORDER BY last_d DESC, user_id ASC) AS r,
+             ntile(5) OVER (ORDER BY freq DESC, user_id ASC) AS f,
+             ntile(5) OVER (ORDER BY monetary DESC, user_id ASC) AS m
+      FROM purch
+    )
+    SELECT r, f, count(*) AS n_users,
+           CAST(min(m) AS BIGINT) AS best_m,
+           CAST(max(m) AS BIGINT) AS worst_m
+    FROM scored GROUP BY r, f ORDER BY r, f
+    """,
+)
+def q_ts_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of purchasers: recency (days since epoch of
+    last purchase), frequency, monetary quintiles — 1 = best, via
+    ntile over (metric DESC, user ASC) total orders — rolled into the
+    25-cell R×F segment grid with user counts and each cell's best/
+    worst monetary quintile. The marketing-ops workhorse next to the
+    LTV curve.
+
+    ntile over a total order is integer-decided (the ccnet-tercile
+    law). Scale note: the quintile windows order the per-user rollup —
+    one row per purchaser; at 100 TB the banded-midrank trick
+    (q_agg_spearman) replaces the global ntile, same downstream grid.
+    Plan: one user rollup + three windows + a 25-cell agg."""
+    purch = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.expr(
+                    "CAST(datediff(to_date(ts), '2024-01-01')"
+                    " AS BIGINT)"
+                )
+            ).alias("last_d"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("monetary"),
+        )
+    )
+    scored = purch.select(
+        "user_id",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("last_d").desc(), F.col("user_id")))
+        .alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("freq").desc(), F.col("user_id")))
+        .alias("f"),
+        F.ntile(5)
+        .over(
+            Window.orderBy(F.col("monetary").desc(), F.col("user_id"))
+        )
+        .alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("m").cast("long").alias("best_m"),
+            F.max("m").cast("long").alias("worst_m"),
+        )
+        .orderBy("r", "f")
+    )

@@ -238,6 +238,10 @@ MAX_SHUFFLES = {
                                   # feeding anchor distinct-count +
                                   # DAU re-agg + semi join + bound
                                   # (audited: 6)
+    "q_ts_cohort_ltv": 9,         # checkpointed purchase rollup feeding
+                                  # cohort agg + (cohort,age) cells +
+                                  # size re-agg + cum windows
+                                  # (audited: 7)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
