@@ -104,6 +104,15 @@ HEADLINE = [
     "q_ts_hampel",
     "q_llm_rake",
     "q_graph_bfs",
+    # Round-5d second wave: single-scan 5-fold CV, sessionization,
+    # rolling distinct users, incremental delta-vs-base dedup,
+    # nearest-direction as-of, banded Spearman.
+    "q_ml_cross_val",
+    "q_ts_sessionize",
+    "q_ts_rolling_wau",
+    "q_llm_incremental_dedup",
+    "q_join_asof_nearest",
+    "q_agg_spearman",
 ]
 
 
