@@ -678,3 +678,60 @@ def q_llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * count(*)) AS BIGINT)"
         ).alias("masked_permille"),
     )
+
+
+@query(
+    "q_llm_dataset_card",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS total_words,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+               AS n_exact_dups,
+           CAST((2 * 1000 * sum(len(string_split(text, ' ')))
+                 + count(*)) // (2 * count(*)) AS BIGINT)
+               AS mean_words_milli,
+           CAST((2 * 1000 * sum(CASE WHEN lang = 'en' THEN 1 ELSE 0
+                                     END) + count(*))
+                // (2 * count(*)) AS BIGINT) AS english_permille,
+           CAST(max(n_chars) AS BIGINT) AS longest_doc_chars
+    FROM documents
+    """,
+)
+def q_llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card in one row — the summary block a corpus release
+    actually publishes: document/language/source counts, total chars
+    and words, exact-duplicate count (docs minus distinct text
+    hashes), mean words x1000, English share permille, longest
+    document. Every number is an exact integer from ONE aggregation
+    pass (the distinct counts are the only Expand), so the card is
+    cheap enough to regenerate on every snapshot and diff.
+
+    Composition note: the deep versions of each line exist as their
+    own keys (q_llm_length_histogram, q_llm_exact_dedup,
+    q_llm_dataset_mixture, q_llm_filter_funnel) — this is the
+    cover-page rollup."""
+    d = t(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(n_words).cast("long").alias("total_words"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias(
+            "n_exact_dups"
+        ),
+        F.expr(
+            "CAST((2 * 1000 * sum(size(split(text, ' '))) + count(1))"
+            " DIV (2 * count(1)) AS BIGINT)"
+        ).alias("mean_words_milli"),
+        F.expr(
+            "CAST((2 * 1000 * sum(CASE WHEN lang = 'en' THEN 1 ELSE 0"
+            " END) + count(1)) DIV (2 * count(1)) AS BIGINT)"
+        ).alias("english_permille"),
+        F.max("n_chars").alias("longest_doc_chars"),
+    )

@@ -442,3 +442,75 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("fwd")
         .alias("direction"),
     )
+
+
+_RANGE_WIN_S = 5  # |click - purchase| <= 5 seconds, no equi key
+
+
+@query(
+    "q_join_range_bucketed",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events WHERE event_type = 'purchase'
+    ), pairs AS (
+      SELECT c.event_id AS cid, p.event_id AS pid
+      FROM c JOIN p ON abs(c.es - p.es) <= {_RANGE_WIN_S}
+    )
+    SELECT count(*) AS n_pairs,
+           count(DISTINCT cid) AS n_clicks_matched,
+           count(DISTINCT pid) AS n_purchases_matched
+    FROM pairs
+    """,
+)
+def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join WITHOUT an equi key (clicks x purchases within 5
+    seconds, any user) — the query shape that naively plans as a
+    cartesian/BNLJ. The scale pattern: quantize time into win-sized
+    buckets, explode each probe row to its bucket and both neighbors
+    (a candidate pair's buckets can differ by at most 1 when
+    |dt| <= win), EQUI-join on the bucket, then apply the exact range
+    predicate to candidates only. Shuffle volume is 3x linear; no
+    cross product exists anywhere in the plan (gated by
+    tests/test_plans.py's cartesian sweep like every key). The oracle
+    runs the direct non-equi join, so the hash-match certifies the
+    bucketed rewrite is LOSSLESS.
+
+    Skew note: a hot second concentrates one bucket; at 100 TB the
+    standard fix is a finer bucket + more neighbors, or salting the
+    bucket key — same plan shape."""
+    ev = t(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.unix_timestamp("ts").alias("ces"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.unix_timestamp("ts").alias("pes"),
+    )
+    c_exp = c.select(
+        "cid",
+        "ces",
+        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("off"),
+    ).select(
+        "cid",
+        "ces",
+        (F.expr(f"ces DIV {_RANGE_WIN_S}") + F.col("off")).alias("bkt"),
+    )
+    p_bkt = p.select(
+        "pid", "pes", F.expr(f"pes DIV {_RANGE_WIN_S}").alias("bkt")
+    )
+    pairs = (
+        c_exp.join(p_bkt, "bkt")
+        .filter(F.abs(F.col("ces") - F.col("pes")) <= _RANGE_WIN_S)
+        .select("cid", "pid")
+        .distinct()
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("cid").alias("n_clicks_matched"),
+        F.countDistinct("pid").alias("n_purchases_matched"),
+    )

@@ -496,3 +496,76 @@ def q_source_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(path)
     )
     return _events_agg(back)
+
+
+@query(
+    "q_source_csv_malformed",
+    oracle=f"""
+    SELECT event_type, count(*) AS n, {sql_dec_sum('value', 2)}
+               AS sum_value,
+           CAST((SELECT count(*) FROM events WHERE event_id % 97 = 0)
+                AS BIGINT) AS n_corrupt
+    FROM events
+    WHERE event_id % 97 <> 0
+    GROUP BY event_type
+    """,
+)
+def q_source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-feed CSV ingest: every 97th event's line is replaced by
+    deterministic garbage at egress, and the PERMISSIVE reader with an
+    explicit schema + corrupt-record column must (a) recover every
+    clean row exactly and (b) count the bad lines — the
+    dead-letter-queue contract of a real feed, pinned. The oracle is
+    the original table minus the corrupted subset plus the expected
+    corrupt count, so silent row drops AND silent garbage acceptance
+    both fail the hash.
+
+    Corrupt lines parse as all-NULL typed columns with the raw text in
+    _corrupt_record (checked via the count); clean-row recovery uses
+    the usual explicit-schema + timestamp-format laws. One pass each
+    way at any scale."""
+    path = _scratch(sf_dir, "csv_malformed")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ev = t(spark, sf_dir, "events")
+    line = F.when(
+        F.col("event_id") % 97 == 0,
+        F.concat(F.lit("GARBAGE;;;not,a::record#"),
+                 F.col("event_id").cast("string")),
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("event_id").cast("string"),
+            F.date_format("ts", fmt),
+            F.col("user_id").cast("string"),
+            "event_type",
+            # plain decimal-to-string (format_number would inject
+            # thousands separators >= 1000 and silently corrupt the CSV)
+            F.col("value").cast("decimal(18,2)").cast("string"),
+            F.coalesce(F.col("props"), F.lit("")),
+        )
+    )
+    ev.select(line.alias("value")).write.mode("overwrite").text(path)
+    # Fresh StructType: StructType.add MUTATES the receiver in place,
+    # so extending the shared EVENTS_SCHEMA would poison every later
+    # caller with a duplicate _corrupt_record column.
+    schema = T.StructType(
+        list(EVENTS_SCHEMA.fields)
+        + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("timestampFormat", fmt)
+        .csv(path)
+        .localCheckpoint()  # feeds the clean agg + the corrupt count
+    )
+    n_corrupt = back.filter(
+        F.col("_corrupt_record").isNotNull()
+    ).count()
+    clean = back.filter(F.col("_corrupt_record").isNull())
+    return clean.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum(F.col("value"), 2).alias("sum_value"),
+        F.lit(n_corrupt).cast("long").alias("n_corrupt"),
+    )

@@ -255,6 +255,7 @@ _SKIP = {k for k in registry.QUERIES if k.startswith("q_stream_")} | {
     "q_sink_bucketed_join",
     "q_source_json_lines",
     "q_source_csv",
+    "q_source_csv_malformed",
     "q_source_jsonl_gzip",
 }
 
