@@ -817,3 +817,100 @@ def q_agg_quantile_bin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_permille")
     )
+
+
+_PARETO_BAND_CENTS = 100_000  # $1k customer-revenue bands
+
+
+@query(
+    "q_agg_pareto",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY o_custkey
+    ), bands AS (
+      SELECT rev // {_PARETO_BAND_CENTS} AS band,
+             count(*) AS n, CAST(sum(rev) AS BIGINT) AS band_rev
+      FROM per_cust GROUP BY 1
+    ), cum AS (
+      SELECT band, n, band_rev,
+             CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+             CAST(sum(band_rev) OVER w AS BIGINT) AS cum_rev,
+             CAST(sum(n) OVER () AS BIGINT) AS n_total,
+             CAST(sum(band_rev) OVER () AS BIGINT) AS rev_total
+      FROM bands
+      WINDOW w AS (ORDER BY band DESC ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(min(n_total) AS BIGINT) AS n_customers,
+           CAST(min(CASE WHEN cum_rev * 5 >= rev_total * 4
+                         THEN cum_n END) AS BIGINT)
+               AS n_top_for_80pct,
+           (2 * 1000 * min(CASE WHEN cum_rev * 5 >= rev_total * 4
+                                THEN cum_n END) + min(n_total))
+             // (2 * min(n_total)) AS top_share_permille,
+           (2 * 1000 * max(CASE WHEN cum_n * 10 <= n_total
+                                THEN cum_rev ELSE 0 END)
+              + min(rev_total)) // (2 * min(rev_total))
+               AS top_decile_rev_permille
+    FROM cum
+    """,
+)
+def q_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) revenue concentration over customers, computed
+    entirely on the $1k revenue-band grid: how many top customers
+    cover 80% of revenue (smallest descending-cumulative count whose
+    revenue reaches 4/5, compared as cum·5 >= total·4 — no floats),
+    what population share that is, and how much revenue the bands
+    holding the top <= 10% of customers capture. Band quantization
+    makes the answer grid-granular and SCALE-TRUE: no global per-
+    customer ranking ever happens (the q_ml_gains_table law applied
+    to concentration).
+
+    Plan: customer rollup (one key shuffle) → grid-bounded band agg →
+    cumulative windows over ~500 bands → 1-row fold."""
+    per_cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+            ).alias("rev")
+        )
+    )
+    bands = per_cust.groupBy(
+        F.expr(f"rev DIV {_PARETO_BAND_CENTS}").alias("band")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("rev").alias("band_rev"))
+    w_cum = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = bands.select(
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("band_rev").over(w_cum).alias("cum_rev"),
+        F.sum("n").over(w_all).alias("n_total"),
+        F.sum("band_rev").over(w_all).alias("rev_total"),
+    )
+    return cum.agg(
+        F.min("n_total").alias("n_customers"),
+        F.min(
+            F.when(
+                F.col("cum_rev") * 5 >= F.col("rev_total") * 4,
+                F.col("cum_n"),
+            )
+        ).alias("n_top_for_80pct"),
+        F.expr(
+            "(2 * 1000 * min(CASE WHEN cum_rev * 5 >= rev_total * 4"
+            " THEN cum_n END) + min(n_total)) DIV (2 * min(n_total))"
+        ).alias("top_share_permille"),
+        F.expr(
+            "(2 * 1000 * max(CASE WHEN cum_n * 10 <= n_total"
+            " THEN cum_rev ELSE 0 END) + min(rev_total))"
+            " DIV (2 * min(rev_total))"
+        ).alias("top_decile_rev_permille"),
+    )

@@ -735,3 +735,85 @@ def q_llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("english_permille"),
         F.max("n_chars").alias("longest_doc_chars"),
     )
+
+
+_CHUNK_WIN = 50   # words per chunk
+_CHUNK_STRIDE = 40  # new chunk every 40 words => 10-word overlap
+
+
+@query(
+    "q_llm_sliding_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_words
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, lang,
+             CASE WHEN n_words <= {_CHUNK_WIN} THEN 1
+                  ELSE (n_words - {_CHUNK_WIN} + {_CHUNK_STRIDE} - 1)
+                         // {_CHUNK_STRIDE} + 1 END AS n_chunks,
+             n_words
+      FROM toks
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN n_chunks > 1
+                    THEN (n_chunks - 1) * {_CHUNK_WIN - _CHUNK_STRIDE}
+                    ELSE 0 END) AS BIGINT) AS overlap_words,
+           CAST((2 * 1000 * sum(n_chunks) + count(*))
+                // (2 * count(*)) AS BIGINT) AS chunks_per_doc_milli,
+           CAST((2 * 1000 * sum(CASE WHEN n_chunks > 1
+                    THEN (n_chunks - 1) * {_CHUNK_WIN - _CHUNK_STRIDE}
+                    ELSE 0 END) + sum(n_words))
+                // (2 * sum(n_words)) AS BIGINT)
+               AS overlap_cost_permille
+    FROM chunks GROUP BY lang ORDER BY lang
+    """,
+)
+def q_llm_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking audit (50-word chunks, 40-word stride —
+    the RAG-prep standard): per language, how many chunks the corpus
+    fragments into, the duplicated-word overhead the 10-word overlap
+    costs (absolute + permille of corpus words), and chunks-per-doc
+    x1000. The chunk COUNT is closed-form from the word count
+    (ceil((n-win)/stride)+1, as integer ceiling-division), so the
+    audit is a pure map-side projection — the planner's answer to
+    "what does this chunking config cost in tokens" BEFORE running
+    the expensive chunk materialization (q_llm_cdc_chunking is the
+    content-defined alternative; q_llm_seq_pack consumes the output).
+
+    All-integer; one scan + a 5-row aggregate at any scale."""
+    win, stride = _CHUNK_WIN, _CHUNK_STRIDE
+    toks = t(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split("text", " ")).alias("n_words")
+    )
+    n_chunks = F.when(F.col("n_words") <= win, F.lit(1)).otherwise(
+        F.expr(
+            f"(n_words - {win} + {stride} - 1) DIV {stride} + 1"
+        )
+    )
+    chunks = toks.select(
+        "lang", "n_words", n_chunks.cast("long").alias("n_chunks")
+    )
+    overlap = F.when(
+        F.col("n_chunks") > 1,
+        (F.col("n_chunks") - 1) * (win - stride),
+    ).otherwise(0)
+    return (
+        chunks.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum(overlap).cast("long").alias("overlap_words"),
+            F.expr(
+                "CAST((2 * 1000 * sum(n_chunks) + count(1))"
+                " DIV (2 * count(1)) AS BIGINT)"
+            ).alias("chunks_per_doc_milli"),
+            F.expr(
+                f"CAST((2 * 1000 * sum(CASE WHEN n_chunks > 1"
+                f" THEN (n_chunks - 1) * {win - stride} ELSE 0 END)"
+                f" + sum(n_words)) DIV (2 * sum(n_words)) AS BIGINT)"
+            ).alias("overlap_cost_permille"),
+        )
+        .orderBy("lang")
+    )

@@ -593,3 +593,63 @@ def q_priv_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(10)
     )
+
+
+@query(
+    "q_priv_risk",
+    oracle="""
+    WITH groups AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             count(*) AS n
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_records,
+           count(*) AS n_classes,
+           CAST(min(n) AS BIGINT) AS smallest_class,
+           CAST((2 * 1000 * count(*) + sum(n)) // (2 * sum(n))
+                AS BIGINT) AS prosecutor_risk_permille,
+           CAST((2 * 1000 + min(n)) // (2 * min(n))
+                AS BIGINT) AS max_risk_permille,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique_records
+    FROM groups
+    """,
+)
+def q_priv_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk summary over the q_priv_kanon QI classes:
+    average prosecutor risk (mean over records of 1/class-size — which
+    collapses EXACTLY to classes/records, so the "expected" risk is an
+    integer rational, no float sum of reciprocals), the worst-case
+    risk 1/min-class as permille, and the count of population-unique
+    records (class size 1 — the rows an attacker re-identifies for
+    free). The single-page risk sheet that k-anonymity, l-diversity,
+    and t-closeness each detail one axis of.
+
+    Plan: one QI-tuple shuffle (map-side combined) + a 1-row fold —
+    domain-bounded at any scale."""
+    groups = (
+        t(spark, sf_dir, "customer")
+        .groupBy(
+            "c_mktsegment",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000.0)
+            .cast("long")
+            .alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return groups.agg(
+        F.sum("n").alias("n_records"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("n").alias("smallest_class"),
+        F.expr(
+            "(2 * 1000 * count(1) + sum(n)) DIV (2 * sum(n))"
+        ).alias("prosecutor_risk_permille"),
+        F.expr("(2 * 1000 + min(n)) DIV (2 * min(n))").alias(
+            "max_risk_permille"
+        ),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias(
+            "n_unique_records"
+        ),
+    )
