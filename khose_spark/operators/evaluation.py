@@ -1018,3 +1018,111 @@ def q_ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * CAST((tn + fn) AS DOUBLE)), 4)"
         ).alias("mcc"),
     )
+
+
+@query(
+    "q_ml_brier",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT {_CENTS_SQL} // {_AUC_BAND_CENTS} AS band,
+             CASE WHEN {_sql_hash_bucket('o_orderkey')} < 50
+                  THEN 1 ELSE 0 END AS is_train,
+             CASE WHEN {_POS_SQL} THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ), cells AS (
+      SELECT band, is_train, count(*) AS n,
+             CAST(sum(pos) AS BIGINT) AS n_pos
+      FROM labeled GROUP BY band, is_train
+    ), train AS (
+      SELECT band,
+             (2 * 1000 * n_pos + n) // (2 * n) AS p
+      FROM cells WHERE is_train = 1
+    ), global_train AS (
+      SELECT CAST((2 * 1000 * sum(n_pos) + sum(n)) // (2 * sum(n))
+                  AS BIGINT) AS gp,
+             CAST(sum(n) AS BIGINT) AS n_train
+      FROM cells WHERE is_train = 1
+    ), test_scored AS (
+      SELECT te.n, te.n_pos,
+             CAST(coalesce(tr.p, g.gp) AS BIGINT) AS p,
+             CASE WHEN tr.p IS NULL THEN te.n ELSE 0 END AS fb,
+             g.n_train
+      FROM cells te
+      LEFT JOIN train tr ON tr.band = te.band
+      CROSS JOIN global_train g
+      WHERE te.is_train = 0
+    )
+    SELECT CAST(min(n_train) AS BIGINT) AS n_train,
+           CAST(sum(n) AS BIGINT) AS n_test,
+           CAST(sum(fb) AS BIGINT) AS n_fallback_rows,
+           CAST((2 * sum((n - n_pos) * p * p
+                         + n_pos * (p - 1000) * (p - 1000))
+                 + sum(n)) // (2 * sum(n)) AS BIGINT) AS brier_e6
+    FROM test_scored
+    """,
+)
+def q_ml_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-INTEGER Brier score: the $1k-band positive rate learned on
+    the md5 train half (a half-up permille per band — the calibrated
+    probability) is scored on the held-out half as the mean squared
+    permille error, Σ(p − 1000·y)²/n expanded per band as
+    n_neg·p² + n_pos·(p−1000)² so not a single float exists anywhere
+    — probabilities, errors, and the final x1e6 Brier are all int64.
+    Unseen test bands fall back to the global train rate (counted).
+    The proper-scoring-rule companion to AUC (ranking), MCC
+    (operating point), and cross-val (generalization).
+
+    Plan: one (band, split) grid aggregation serves train and test
+    (the q_ml_cross_val single-scan trick), tiny joins over the band
+    grid, a 1-row fold."""
+    labeled = t(spark, sf_dir, "orders").select(
+        F.expr(f"{_CENTS_SQL} DIV {_AUC_BAND_CENTS}").alias("band"),
+        F.when(hash_bucket(F.col("o_orderkey")) < 50, 1)
+        .otherwise(0)
+        .alias("is_train"),
+        F.when(F.col("o_orderpriority").isin(*_POS_PRIORITIES), 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    cells = (
+        labeled.groupBy("band", "is_train")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
+        )
+        .localCheckpoint()  # feeds train probs + global + test side
+    )
+    train = cells.filter(F.col("is_train") == 1).select(
+        F.col("band").alias("tband"),
+        F.expr("(2 * 1000 * n_pos + n) DIV (2 * n)").alias("p"),
+    )
+    global_train = cells.filter(F.col("is_train") == 1).agg(
+        F.expr(
+            "CAST((2 * 1000 * sum(n_pos) + sum(n)) DIV (2 * sum(n))"
+            " AS BIGINT)"
+        ).alias("gp"),
+        F.sum("n").alias("n_train"),
+    )
+    test_scored = (
+        cells.filter(F.col("is_train") == 0)
+        .join(F.broadcast(train), F.col("band") == F.col("tband"), "left_outer")
+        .crossJoin(F.broadcast(global_train))
+        .select(
+            "n",
+            "n_pos",
+            F.coalesce(F.col("p"), F.col("gp")).alias("p"),
+            F.when(F.col("p").isNull(), F.col("n"))
+            .otherwise(0)
+            .alias("fb"),
+            "n_train",
+        )
+    )
+    return test_scored.agg(
+        F.min("n_train").alias("n_train"),
+        F.sum("n").alias("n_test"),
+        F.sum("fb").alias("n_fallback_rows"),
+        F.expr(
+            "CAST((2 * sum((n - n_pos) * p * p"
+            " + n_pos * (p - 1000) * (p - 1000)) + sum(n))"
+            " DIV (2 * sum(n)) AS BIGINT)"
+        ).alias("brier_e6"),
+    )

@@ -653,3 +653,60 @@ def q_llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+@query(
+    "q_llm_char_entropy",
+    oracle="""
+    WITH grams AS (
+      SELECT lang,
+             unnest(list_transform(range(1, length(text)),
+                    i -> substr(text, CAST(i AS INTEGER), 2))) AS bg
+      FROM documents
+    ), cf AS (
+      SELECT lang, bg, count(*) AS c FROM grams GROUP BY 1, 2
+    )
+    SELECT lang,
+           count(*) AS n_distinct_bigrams,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4)
+               AS char_bigram_entropy
+    FROM cf GROUP BY lang ORDER BY lang
+    """,
+)
+def q_llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram Shannon entropy per language (nats) — the
+    compressibility proxy one level below q_llm_doc_entropy's word
+    view: encoding glitches, transliteration junk, and repeated-
+    character spam all crater the char-bigram distribution long before
+    the word distribution notices. Same stable entropy form
+    (ln(n) − Σ c·ln(c)/n — one division per language) with round-4 at
+    the boundary.
+
+    Plan: map-side bigram explode (positions from a per-row range —
+    no cross-row work) → a (lang x bigram-alphabet)-bounded count
+    aggregation → a 5-row fold. The alphabet bounds the state, not the
+    corpus size."""
+    grams = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("bg"),
+    )
+    cf = grams.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cf.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+            F.sum("c").alias("n_bigrams"),
+            F.round(
+                F.log(F.sum("c"))
+                - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+                4,
+            ).alias("char_bigram_entropy"),
+        )
+        .orderBy("lang")
+    )

@@ -100,6 +100,9 @@ BNLJ_ALLOWED = {
                                 # joined into the ~500-band cum
                                 # histogram + 1-row exact reference
                                 # cross
+    "q_ml_brier",               # 1-row global-train-rate fallback
+                                # broadcast-crossed into the test band
+                                # grid
     "q_agg_benford",            # 1-row order-count total broadcast-
                                 # crossed into the 9-row digit histogram
 }
