@@ -569,3 +569,109 @@ def q_source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum(F.col("value"), 2).alias("sum_value"),
         F.lit(n_corrupt).cast("long").alias("n_corrupt"),
     )
+
+
+@query(
+    "q_lake_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT c_custkey,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS bal
+      FROM customer WHERE c_custkey % 10 <> 0
+    ), v2 AS (
+      SELECT c_custkey,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               + CASE WHEN c_custkey % 7 = 0 THEN 100 ELSE 0 END AS bal
+      FROM customer
+    ), diff AS (
+      SELECT coalesce(v1.c_custkey, v2.c_custkey) AS k,
+             v1.bal AS b1, v2.bal AS b2
+      FROM v1 FULL JOIN v2 ON v2.c_custkey = v1.c_custkey
+    )
+    SELECT CAST(sum(CASE WHEN b1 IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_v1,
+           CAST(sum(CASE WHEN b2 IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_v2,
+           CAST(sum(CASE WHEN b1 IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_added,
+           CAST(sum(CASE WHEN b2 IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN b1 IS NOT NULL AND b2 IS NOT NULL
+                          AND b1 <> b2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_changed,
+           CAST(sum(CASE WHEN b1 = b2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_same
+    FROM diff
+    """,
+)
+def q_lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot diff on the versioned table: v1 (yesterday
+    — 90% of customers) and v2 (today — all customers, every 7th
+    balance bumped a dollar) commit into one table root, both read
+    back AS OF, and the PK-keyed full-outer diff reports
+    added/removed/changed/same — the audit a lakehouse change-review
+    runs before promoting a snapshot, built on the same atomic-
+    manifest reader as q_lake_time_travel.
+
+    Plan: two version-pruned reads (path selection, no data filter) +
+    one key-shuffled full-outer + a 1-row fold. Balances compare as
+    exact cents."""
+    import shutil
+
+    from khose_spark.tables_versioned import commit_snapshot, read_snapshot
+
+    root = _scratch(sf_dir, "snapshot_diff")
+    shutil.rmtree(root, ignore_errors=True)
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(
+            "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("bal"),
+    )
+    commit_snapshot(
+        cust.filter(F.col("c_custkey") % 10 != 0), root, "v1"
+    )
+    commit_snapshot(
+        cust.select(
+            "c_custkey",
+            (
+                F.col("bal")
+                + F.when(F.col("c_custkey") % 7 == 0, 100).otherwise(0)
+            ).alias("bal"),
+        ),
+        root,
+        "v2",
+    )
+    v1 = read_snapshot(spark, root, 1).select(
+        F.col("c_custkey").alias("k1"), F.col("bal").alias("b1")
+    )
+    v2 = read_snapshot(spark, root, 2).select(
+        F.col("c_custkey").alias("k2"), F.col("bal").alias("b2")
+    )
+    diff = v1.join(v2, v1.k1 == v2.k2, "full_outer")
+    return diff.agg(
+        F.sum(F.when(F.col("b1").isNotNull(), 1).otherwise(0)).alias(
+            "n_v1"
+        ),
+        F.sum(F.when(F.col("b2").isNotNull(), 1).otherwise(0)).alias(
+            "n_v2"
+        ),
+        F.sum(F.when(F.col("b1").isNull(), 1).otherwise(0)).alias(
+            "n_added"
+        ),
+        F.sum(F.when(F.col("b2").isNull(), 1).otherwise(0)).alias(
+            "n_removed"
+        ),
+        F.sum(
+            F.when(
+                F.col("b1").isNotNull()
+                & F.col("b2").isNotNull()
+                & (F.col("b1") != F.col("b2")),
+                1,
+            ).otherwise(0)
+        ).alias("n_changed"),
+        F.sum(
+            F.when(F.col("b1") == F.col("b2"), 1).otherwise(0)
+        ).alias("n_same"),
+    )

@@ -1321,3 +1321,68 @@ def q_llm_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.join(F.broadcast(counts), "label").select(
         "label", "n_a", "n_b", "centroid_l2", "centroid_cos"
     )
+
+
+@query(
+    "q_llm_embedding_audit",
+    oracle="""
+    WITH vecs AS (
+      SELECT vec_id, label, len(embedding) AS dim,
+             round(sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4)
+                 AS norm
+      FROM embeddings
+    )
+    SELECT count(*) AS n_vecs,
+           CAST(min(dim) AS BIGINT) AS dim_min,
+           CAST(max(dim) AS BIGINT) AS dim_max,
+           CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dim_mismatch,
+           CAST(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_vecs,
+           round(min(norm), 4) AS norm_min,
+           round(max(norm), 4) AS norm_max,
+           count(DISTINCT label) AS n_labels
+    FROM vecs
+    """,
+)
+def q_llm_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table quality gate — run BEFORE any ANN index build:
+    vector count, dimension min/max and mismatch count (a ragged
+    column silently breaks every GEMM/PQ path), zero-vector count
+    (cosine is undefined on them), the L2-norm range (round-4, the
+    vec_quantize norm idiom), and the label cardinality. The
+    embeddings twin of q_profile_columns.
+
+    Plan: one map-side pass over the vector column (length + one
+    fused square-sum per row — the payload never shuffles) + a 1-row
+    fold. Linear at any scale."""
+    vecs = t(spark, sf_dir, "embeddings").select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda acc, x: acc
+                    + x.cast("double") * x.cast("double"),
+                )
+            ),
+            4,
+        ).alias("norm"),
+    )
+    return vecs.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("dim").cast("long").alias("dim_min"),
+        F.max("dim").cast("long").alias("dim_max"),
+        F.sum(F.when(F.col("dim") != 64, 1).otherwise(0)).alias(
+            "n_dim_mismatch"
+        ),
+        F.sum(F.when(F.col("norm") == 0.0, 1).otherwise(0)).alias(
+            "n_zero_vecs"
+        ),
+        F.round(F.min("norm"), 4).alias("norm_min"),
+        F.round(F.max("norm"), 4).alias("norm_max"),
+        F.countDistinct("label").alias("n_labels"),
+    )
