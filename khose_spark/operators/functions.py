@@ -678,3 +678,49 @@ def q_fn_intdiv_laws(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("floor_div_100"),
         F.expr("((bal_cents % 100) + 100) % 100").alias("mod_floor"),
     ).orderBy("bal_cents", "c_custkey")
+
+
+@query(
+    "q_fn_binary_codec",
+    oracle="""
+    WITH enc AS (
+      SELECT n_name,
+             hex(encode(n_name)) AS hexed,
+             to_base64(encode(n_name)) AS b64
+      FROM nation
+    )
+    SELECT n_name, hexed, b64,
+           decode(unhex(hexed)) AS hex_roundtrip,
+           decode(from_base64(b64)) AS b64_roundtrip,
+           length(hexed) AS hex_len,
+           CAST(octet_length(encode(n_name)) AS BIGINT) AS n_bytes
+    FROM enc ORDER BY n_name
+    """,
+)
+def q_fn_binary_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec surface: hex and base64 ENCODE + DECODE roundtrips
+    over nation names (string → bytes → text encoding → bytes →
+    string), plus the length laws (hex doubles the byte count). Spark
+    hex() upper-cases and DuckDB hex() upper-cases too, so the text
+    forms hash directly; both roundtrips must return the original
+    string exactly — the serialization surface every binary payload
+    pipeline (q_llm_multimodal_cols' opaque columns, checksums, wire
+    formats) silently leans on.
+
+    Pure map-side projection over a 25-row dim; one pass anywhere."""
+    enc = t(spark, sf_dir, "nation").select(
+        "n_name",
+        F.hex(F.encode("n_name", "UTF-8")).alias("hexed"),
+        F.base64(F.encode("n_name", "UTF-8")).alias("b64"),
+    )
+    return enc.select(
+        "n_name",
+        "hexed",
+        "b64",
+        F.decode(F.unhex("hexed"), "UTF-8").alias("hex_roundtrip"),
+        F.decode(F.unbase64("b64"), "UTF-8").alias("b64_roundtrip"),
+        F.length("hexed").cast("long").alias("hex_len"),
+        F.octet_length(F.encode("n_name", "UTF-8"))
+        .cast("long")
+        .alias("n_bytes"),
+    ).orderBy("n_name")

@@ -1313,3 +1313,112 @@ def q_ml_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / (CAST(ss AS DOUBLE) - {grand}), 4)"
         ).alias("eta_squared"),
     )
+
+
+@query(
+    "q_ml_welch_t",
+    oracle="""
+    WITH obs AS (
+      SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS grp,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), m AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM obs GROUP BY grp
+    ), wide AS (
+      SELECT
+        max(CASE WHEN grp = 1 THEN n END) AS n1,
+        max(CASE WHEN grp = 1 THEN s END) AS s1,
+        max(CASE WHEN grp = 1 THEN ss END) AS ss1,
+        max(CASE WHEN grp = 2 THEN n END) AS n2,
+        max(CASE WHEN grp = 2 THEN s END) AS s2,
+        max(CASE WHEN grp = 2 THEN ss END) AS ss2
+      FROM m
+    ), d AS (
+      SELECT n1, n2,
+             CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2
+                 AS mean_diff,
+             (CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
+                / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))) AS se1sq,
+             (CAST(n2 * ss2 - s2 * s2 AS DOUBLE)
+                / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))) AS se2sq
+      FROM wide
+    )
+    SELECT n1, n2,
+           round(mean_diff / 100, 2) AS mean_diff_dollars,
+           round(mean_diff / sqrt(se1sq + se2sq), 4) AS welch_t,
+           round((se1sq + se2sq) * (se1sq + se2sq)
+                 / (se1sq * se1sq / (n1 - 1)
+                    + se2sq * se2sq / (n2 - 1)), 1) AS welch_df
+    FROM d
+    """,
+)
+def q_ml_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between click and purchase
+    values: mean difference in dollars, the t statistic, and the
+    Welch-Satterthwaite degrees of freedom — the 2-group classic
+    between q_ml_ks_test (distribution-free) and q_ml_anova_f
+    (k groups). Welch over pooled Student: real streams rarely share
+    a variance.
+
+    The moments (n, Σ, Σ²) accumulate as exact int64 cents (~1e14,
+    four orders under overflow); the centered variance n·ss − s² is
+    exact int64 converted losslessly, and the identical double tree +
+    round-4/round-1 lands once at the boundary. Plan: map-side
+    projection + a 2-row group aggregate + a 1-row pivot fold."""
+    obs = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(2)
+            .alias("grp"),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("c"),
+        )
+    )
+    m = obs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    wide = m.agg(
+        *[
+            F.max(
+                F.when(F.col("grp") == g, F.col(col))
+            ).alias(f"{col}{g}")
+            for g in (1, 2)
+            for col in ("n", "s", "ss")
+        ]
+    )
+    d = wide.select(
+        "n1",
+        "n2",
+        F.expr(
+            "CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2"
+        ).alias("mean_diff"),
+        F.expr(
+            "CAST(n1 * ss1 - s1 * s1 AS DOUBLE)"
+            " / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))"
+        ).alias("se1sq"),
+        F.expr(
+            "CAST(n2 * ss2 - s2 * s2 AS DOUBLE)"
+            " / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))"
+        ).alias("se2sq"),
+    )
+    return d.select(
+        "n1",
+        "n2",
+        F.expr("round(mean_diff / 100, 2)").alias("mean_diff_dollars"),
+        F.expr("round(mean_diff / sqrt(se1sq + se2sq), 4)").alias(
+            "welch_t"
+        ),
+        F.expr(
+            "round((se1sq + se2sq) * (se1sq + se2sq)"
+            " / (se1sq * se1sq / (n1 - 1)"
+            "    + se2sq * se2sq / (n2 - 1)), 1)"
+        ).alias("welch_df"),
+    )
