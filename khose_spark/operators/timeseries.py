@@ -2112,3 +2112,68 @@ def q_ts_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_idx")
     )
+
+
+@query(
+    "q_ts_intraday_profile",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) % 86400 // 3600 AS hod,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+                 AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(hod AS BIGINT) AS hour_of_day, n, cents,
+           CAST((2 * 1000 * n + sum(n) OVER (PARTITION BY event_type))
+                // (2 * sum(n) OVER (PARTITION BY event_type))
+                AS BIGINT) AS share_permille,
+           CAST(max(n) OVER (PARTITION BY event_type) = n AS BOOLEAN)
+               AS is_peak_hour
+    FROM hourly ORDER BY event_type, hour_of_day
+    """,
+)
+def q_ts_intraday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraday load profile per stream: events and spend by UTC
+    hour-of-day (epoch % 86400 DIV 3600 — pure integer arithmetic, no
+    engine hour() timezone surface), each hour's permille share of its
+    stream, and the peak-hour flag — capacity planning's first
+    question, and the shape the ingest autoscaler consumes.
+
+    Plan: map-side hour keying + a (type x 24)-bounded aggregate + two
+    windows over that 120-cell grid. One pass at any scale."""
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "unix_timestamp(ts) % 86400 DIV 3600"
+            ).alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100)
+                .cast("long")
+            ).alias("cents"),
+        )
+    )
+    w_type = Window.partitionBy("event_type")
+    return (
+        hourly.select(
+            "event_type",
+            "hour_of_day",
+            "n",
+            "cents",
+            F.expr(
+                "CAST((2 * 1000 * n + sum(n) OVER (PARTITION BY"
+                " event_type)) DIV (2 * sum(n) OVER (PARTITION BY"
+                " event_type)) AS BIGINT)"
+            ).alias("share_permille"),
+            (F.max("n").over(w_type) == F.col("n")).alias(
+                "is_peak_hour"
+            ),
+        )
+        .orderBy("event_type", "hour_of_day")
+    )
