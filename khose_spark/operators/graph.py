@@ -1526,3 +1526,70 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("share_permille"),
         F.sum("n_nodes").over(w_ccdf).alias("n_nodes_at_least"),
     ).orderBy("degree")
+
+
+@query(
+    "q_graph_two_hop",
+    oracle=f"""
+    WITH {_BACKBONE_CTES}, hdeg AS (
+      SELECT node, count(*) AS d FROM adj GROUP BY node
+    ), seeds AS MATERIALIZED (
+      SELECT node, d FROM hdeg
+      ORDER BY d DESC, node ASC LIMIT 10
+    ), reach AS (
+      SELECT s.node AS seed, a.nbr AS r FROM seeds s
+      JOIN adj a ON a.node = s.node
+      UNION
+      SELECT s.node AS seed, b.nbr AS r FROM seeds s
+      JOIN adj a ON a.node = s.node
+      JOIN adj b ON b.node = a.nbr
+    )
+    SELECT r.seed AS node, CAST(s.d AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_two_hop
+    FROM reach r JOIN seeds s ON s.node = r.seed
+    WHERE r.r <> r.seed
+    GROUP BY r.seed, s.d
+    ORDER BY degree DESC, node ASC
+    """,
+)
+def q_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop ego-network size for the 10 highest-degree backbone
+    nodes (tie -> smaller id): distinct nodes within <= 2 hops,
+    excluding the seed — the friend-of-friend reach metric that
+    predicts how fast anything (influence, contagion, a bad record)
+    spreads from a hub; the per-node complement to q_graph_bfs's
+    cohort frontier view.
+
+    Plan: degree agg + top-10 seeds + two bounded joins against the
+    memoized checkpointed backbone (fan-out <= deg per hop, capped by
+    the 3-NN admission) + a distinct-union and a 10-row count. No
+    all-pairs, no unbounded expansion — the hop depth is a constant."""
+    adj = _knn_backbone(spark, sf_dir)
+    hdeg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    seeds = (
+        hdeg.orderBy(F.col("d").desc(), F.col("node").asc())
+        .limit(10)
+        .select(F.col("node").alias("seed"), F.col("d").alias("degree"))
+        .localCheckpoint()  # feeds hop1, hop2, and the final join
+    )
+    hop1 = seeds.join(
+        adj, seeds.seed == adj.node
+    ).select("seed", F.col("nbr").alias("r"))
+    hop2 = (
+        hop1.withColumnRenamed("r", "mid")
+        .join(adj, F.col("mid") == adj.node)
+        .select("seed", F.col("nbr").alias("r"))
+    )
+    reach = hop1.unionAll(hop2).distinct()
+    return (
+        reach.filter(F.col("r") != F.col("seed"))
+        .groupBy("seed")
+        .agg(F.count(F.lit(1)).alias("n_two_hop"))
+        .join(F.broadcast(seeds), "seed")
+        .select(
+            F.col("seed").alias("node"),
+            F.col("degree").cast("long").alias("degree"),
+            "n_two_hop",
+        )
+        .orderBy(F.col("degree").desc(), F.col("node").asc())
+    )

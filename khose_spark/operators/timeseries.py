@@ -2177,3 +2177,78 @@ def q_ts_intraday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_of_day")
     )
+
+
+@query(
+    "q_ts_seasonal_index",
+    oracle="""
+    WITH keyed AS (
+      SELECT ((CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01'
+               AS BIGINT) + 2) % 7) + 1 AS iso_dow,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents
+      FROM orders
+    ), per_dow AS (
+      SELECT iso_dow, count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM keyed GROUP BY iso_dow
+    )
+    SELECT CAST(iso_dow AS BIGINT) AS iso_dow, n,
+           CAST((2 * 1000 * CAST(s AS HUGEINT) * sum(n) OVER ()
+                 + CAST(n AS HUGEINT) * sum(s) OVER ())
+                // (2 * CAST(n AS HUGEINT) * sum(s) OVER ())
+                AS BIGINT) AS seasonal_index_permille
+    FROM per_dow ORDER BY iso_dow
+    """,
+)
+def q_ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-overall-average seasonal index per ISO weekday (1000 =
+    an average day): the classical multiplicative seasonality factor a
+    demand planner divides out before trending. The ratio of two
+    averages collapses to ONE integer rational —
+    (s_d/n_d)/(S/N) = s_d·N / (n_d·S) — so the half-up permille is
+    exact; weekday numbering rides the portable epoch-anchor law
+    (q_fn_dow_portable). Pairs with q_ts_seasonality (which measures
+    whether seasonality exists) by quantifying each day's factor.
+
+    The 2000·s_d·N numerator overflows int64 already at sf0.1 (the
+    defensive sweep caught Spark's ANSI overflow) — widened to
+    DECIMAL(38)/HUGEINT per the Gini/HHI law. Plan: map-side
+    keying + 7-row agg + windows over 7 rows."""
+    keyed = t(spark, sf_dir, "orders").select(
+        (
+            (
+                F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+                .cast("long")
+                + 2
+            )
+            % 7
+            + 1
+        ).alias("iso_dow"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    per_dow = keyed.groupBy("iso_dow").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    w_all = Window.orderBy("iso_dow").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_dow.select(
+            "iso_dow",
+            "n",
+            F.expr(
+                "CAST((2 * 1000 * CAST(s AS DECIMAL(38,0))"
+                " * sum(n) OVER (ROWS BETWEEN UNBOUNDED PRECEDING"
+                " AND UNBOUNDED FOLLOWING)"
+                " + CAST(n AS DECIMAL(38,0)) * sum(s) OVER (ROWS"
+                " BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED"
+                " FOLLOWING)) DIV (2 * CAST(n AS DECIMAL(38,0))"
+                " * sum(s) OVER (ROWS BETWEEN UNBOUNDED PRECEDING"
+                " AND UNBOUNDED FOLLOWING)) AS BIGINT)"
+            ).alias("seasonal_index_permille"),
+        )
+        .orderBy("iso_dow")
+    )

@@ -245,6 +245,10 @@ MAX_SHUFFLES = {
                                   # cohort agg + (cohort,age) cells +
                                   # size re-agg + cum windows
                                   # (audited: 7)
+    "q_graph_two_hop": 7,         # degree agg + top-10 + two bounded
+                                  # hop joins + reach distinct + 10-row
+                                  # count over the checkpointed
+                                  # backbone (audited: 5)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
