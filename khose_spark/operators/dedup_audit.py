@@ -1176,3 +1176,70 @@ def q_llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+@query(
+    "q_llm_lsh_threshold_sweep",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_SIG}, agreements AS (
+      SELECT ({_SQL_AGREE}) AS agree
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    ), hist AS (
+      SELECT agree, count(*) AS n FROM agreements GROUP BY agree
+    ), grid AS (
+      SELECT * FROM (VALUES (8), (10), (12), (14), (16)) g(threshold)
+    )
+    SELECT g.threshold,
+           CAST(coalesce(sum(h.n), 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(sum(h.n), 0) * 1000000
+                // (SELECT sum(n) FROM hist) AS BIGINT) AS ppm_of_pairs
+    FROM grid g LEFT JOIN hist h ON h.agree >= g.threshold
+    GROUP BY g.threshold ORDER BY g.threshold
+    """,
+)
+def q_llm_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash agreement-threshold tuning table: for thresholds 8, 10,
+    12, 14, 16 of 16 agreeing signature positions, how many document
+    pairs qualify (count + parts-per-million of all pairs) — the sweep
+    that decides the band geometry BEFORE a dedup run commits to one
+    (>=10/16 is what q_llm_minhash_det ships with; this shows the
+    knee). Signatures are the portable md5 MinHash, so the whole table
+    is hash-checked.
+
+    Scale shape: the agreement histogram is a 17-bucket aggregate over
+    candidate pairs — at corpus scale the pairs come from the banded
+    candidate generator (as in q_llm_minhash_det), so the sweep costs
+    one extra tiny re-agg on an existing relation; the all-pairs form
+    here doubles as the oracle's ground truth at fixture scale."""
+    sig = _det_signatures(spark, sf_dir).localCheckpoint()
+    a, b = sig.alias("a"), sig.alias("b")
+    agree = sum(
+        (F.col(f"a.s{i}") == F.col(f"b.s{i}")).cast("int")
+        for i in range(_N_HASHES)
+    )
+    hist = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(agree.alias("agree"))
+        .groupBy("agree")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()  # feeds all 5 threshold sums + the total
+    )
+    grid = spark.createDataFrame(
+        [(v,) for v in (8, 10, 12, 14, 16)], "threshold int"
+    )
+    total = hist.agg(F.sum("n").alias("n_total"))
+    return (
+        F.broadcast(grid)
+        .join(hist, hist.agree >= F.col("threshold"), "left_outer")
+        .groupBy("threshold")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_pairs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "threshold",
+            "n_pairs",
+            F.expr(
+                "CAST(n_pairs * 1000000 DIV n_total AS BIGINT)"
+            ).alias("ppm_of_pairs"),
+        )
+        .orderBy("threshold")
+    )

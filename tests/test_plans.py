@@ -103,6 +103,11 @@ BNLJ_ALLOWED = {
     "q_ml_brier",               # 1-row global-train-rate fallback
                                 # broadcast-crossed into the test band
                                 # grid
+    "q_llm_lsh_threshold_sweep",# all-pairs agreement histogram IS the
+                                # declared fixture-scale ground truth
+                                # (banded generator feeds it at scale,
+                                # docstring) + 5-row threshold grid >=
+                                # join + 1-row total cross
     "q_agg_benford",            # 1-row order-count total broadcast-
                                 # crossed into the 9-row digit histogram
 }
