@@ -1243,3 +1243,114 @@ def q_llm_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@query(
+    "q_llm_minhash_estimator_audit",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_SIG}, sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT i.id_a, i.id_b,
+             (2 * 1000 * i.n_common
+              + (sa.n + sb.n - i.n_common))
+               // (2 * (sa.n + sb.n - i.n_common)) AS jac_permille,
+             ({_SQL_AGREE}) * 1000 // {_N_HASHES} AS est_permille
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      JOIN sig a ON a.doc_id = i.id_a
+      JOIN sig b ON b.doc_id = i.id_b
+      WHERE 1000 * i.n_common >= 200 * (sa.n + sb.n - i.n_common)
+    )
+    SELECT count(*) AS n_pairs,
+           CAST((2 * sum(abs(est_permille - jac_permille)) + count(*))
+                // (2 * count(*)) AS BIGINT) AS mae_permille,
+           CAST(max(abs(est_permille - jac_permille)) AS BIGINT)
+               AS max_err_permille
+    FROM scored
+    """,
+)
+def q_llm_minhash_estimator_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How good are 16 hashes, really: over every pair with exact
+    Jaccard >= 0.2 (shingle-intersection ground truth), the MinHash
+    estimate agree/16 is compared against the exact similarity — mean
+    and max absolute error in permille. The estimator-quality
+    measurement behind every banding decision (q_llm_lsh_threshold_sweep
+    picks the threshold; this prices the estimator variance the
+    threshold rides on). All counts and both similarity forms are
+    integer-exact (truncating agree*1000/16 mirrored in both engines).
+
+    Fixture-scale shape: exact-Jaccard truth needs the shingle
+    self-join (the recall-audit layout); at corpus scale the audit
+    runs on a hash-sampled pair subset, same relation shapes."""
+    sh = shingles(t(spark, sf_dir, "documents")).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sig = _det_signatures(spark, sf_dir, sh=sh).localCheckpoint()
+    agree = sum(
+        (F.col(f"sa.s{i}") == F.col(f"sb.s{i}")).cast("int")
+        for i in range(_N_HASHES)
+    )
+    scored = (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("id_a"), F.col("n").alias("na")
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("id_b"), F.col("n").alias("nb")
+            ),
+            "id_b",
+        )
+        .filter(
+            1000 * F.col("n_common")
+            >= 200 * (F.col("na") + F.col("nb") - F.col("n_common"))
+        )
+        .join(sig.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .select(
+            F.expr(
+                "(2 * 1000 * n_common + (na + nb - n_common))"
+                " DIV (2 * (na + nb - n_common))"
+            ).alias("jac_permille"),
+            (agree * 1000)
+            .cast("long")
+            .alias("agree1000"),
+        )
+        .select(
+            "jac_permille",
+            F.expr(f"agree1000 DIV {_N_HASHES}").alias("est_permille"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr(
+            "CAST((2 * sum(abs(est_permille - jac_permille))"
+            " + count(1)) DIV (2 * count(1)) AS BIGINT)"
+        ).alias("mae_permille"),
+        F.max(
+            F.abs(F.col("est_permille") - F.col("jac_permille"))
+        ).alias("max_err_permille"),
+    )

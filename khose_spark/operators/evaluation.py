@@ -1126,3 +1126,78 @@ def q_ml_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * sum(n)) AS BIGINT)"
         ).alias("brier_e6"),
     )
+
+
+@query(
+    "q_ml_psi",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT {_CENTS_SQL} // 5000000 AS band,
+             CASE WHEN {_sql_hash_bucket('o_orderkey', 2)} = 0
+                  THEN 0 ELSE 1 END AS cohort
+      FROM orders
+    ), cells AS (
+      SELECT band,
+             sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) + 1 AS a,
+             sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) + 1 AS b
+      FROM labeled GROUP BY band
+    ), tot AS (
+      SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
+      FROM cells
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_bands,
+           CAST(min(ta) AS BIGINT) AS n_a, CAST(min(tb) AS BIGINT) AS n_b,
+           round(sum((CAST(a AS DOUBLE) / ta - CAST(b AS DOUBLE) / tb)
+                     * ln((CAST(a AS DOUBLE) / ta)
+                          / (CAST(b AS DOUBLE) / tb))), 4) AS psi,
+           round(sum((CAST(a AS DOUBLE) / ta - CAST(b AS DOUBLE) / tb)
+                     * ln((CAST(a AS DOUBLE) / ta)
+                          / (CAST(b AS DOUBLE) / tb))), 4) > 0.2
+               AS drift_alert
+    FROM cells CROSS JOIN tot
+    """,
+)
+def q_ml_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the two md5 cohorts over the
+    $50k score bands — the model-monitoring workhorse answering "did
+    the score distribution move enough to retrain" (alert at the
+    conventional PSI > 0.2). Laplace +1 on every cell keeps the log
+    finite on one-sided bands; the md5 split makes the two
+    "populations" content-stable, so the expected PSI is near zero
+    and the key doubles as the splitter's own drift null-test.
+
+    Counts are exact int64; each (share diff)·ln(share ratio) term is
+    one identical double tree per engine with round-4 at the boundary
+    (the PMI law). Plan: one grid aggregation + a 1-row total + a
+    grid-bounded fold."""
+    labeled = t(spark, sf_dir, "orders").select(
+        F.expr(f"{_CENTS_SQL} DIV 5000000").alias("band"),
+        hash_bucket(F.col("o_orderkey"), 2).alias("cohort"),
+    )
+    cells = labeled.groupBy("band").agg(
+        (
+            F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)) + 1
+        ).alias("a"),
+        (
+            F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)) + 1
+        ).alias("b"),
+    ).localCheckpoint()  # feeds totals + the fold
+    tot = cells.agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb")
+    )
+    term = (
+        "(CAST(a AS DOUBLE) / ta - CAST(b AS DOUBLE) / tb)"
+        " * ln((CAST(a AS DOUBLE) / ta) / (CAST(b AS DOUBLE) / tb))"
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_bands"),
+            F.min("ta").alias("n_a"),
+            F.min("tb").alias("n_b"),
+            F.expr(f"round(sum({term}), 4)").alias("psi"),
+            (F.expr(f"round(sum({term}), 4)") > 0.2).alias(
+                "drift_alert"
+            ),
+        )
+    )

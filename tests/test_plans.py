@@ -108,6 +108,8 @@ BNLJ_ALLOWED = {
                                 # (banded generator feeds it at scale,
                                 # docstring) + 5-row threshold grid >=
                                 # join + 1-row total cross
+    "q_ml_psi",                 # 1-row cohort-total aggregate
+                                # broadcast-crossed into the band grid
     "q_agg_benford",            # 1-row order-count total broadcast-
                                 # crossed into the 9-row digit histogram
 }
