@@ -526,3 +526,30 @@ def test_rolling_wau_explode_equals_window_definition(rows):
         d: len(anchors[d]) for d in days if d >= d0 + 6
     }
     assert exploded == direct
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=30),
+    st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=10),
+)
+@settings(deadline=None, max_examples=200)
+def test_bucketed_range_join_rewrite_is_lossless(xs, ys, win):
+    """q_join_range_bucketed's claim: |x − y| <= win implies the
+    win-sized buckets of x and y differ by at most 1, so exploding one
+    side to bucket±1 and equi-joining loses no pair (and the exact
+    predicate then removes any extras)."""
+    direct = {
+        (i, j)
+        for i, x in enumerate(xs)
+        for j, y in enumerate(ys)
+        if abs(x - y) <= win
+    }
+    bucketed = set()
+    for i, x in enumerate(xs):
+        for off in (-1, 0, 1):
+            bx = x // win + off
+            for j, y in enumerate(ys):
+                if y // win == bx and abs(x - y) <= win:
+                    bucketed.add((i, j))
+    assert bucketed == direct
