@@ -914,3 +914,117 @@ def q_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * min(rev_total))"
         ).alias("top_decile_rev_permille"),
     )
+
+
+@query(
+    "q_agg_theil",
+    oracle="""
+    WITH rev AS (
+      SELECT o.o_custkey,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS x,
+             min(c.c_nationkey) AS nation
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY o.o_custkey
+    ), grp AS (
+      SELECT nation, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(x) AS BIGINT) AS sx,
+             sum(CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE))) AS sxlnx
+      FROM rev GROUP BY nation
+    ), tot AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(sx) AS BIGINT) AS sx_tot,
+             sum(sxlnx) AS sxlnx_tot,
+             count(*) AS n_groups
+      FROM grp
+    ), parts AS (
+      SELECT t.n, t.n_groups,
+             t.sxlnx_tot / t.sx_tot
+               - ln(CAST(t.sx_tot AS DOUBLE) / t.n) AS theil_total,
+             sum((CAST(g.sx AS DOUBLE) / t.sx_tot)
+                 * ln((CAST(g.sx AS DOUBLE) / g.n_g)
+                      / (CAST(t.sx_tot AS DOUBLE) / t.n)))
+               AS theil_between
+      FROM grp g CROSS JOIN tot t
+      GROUP BY t.n, t.n_groups, t.sxlnx_tot, t.sx_tot
+    )
+    SELECT n AS n_customers, CAST(n_groups AS BIGINT) AS n_groups,
+           round(theil_total, 4) AS theil_total,
+           round(theil_between, 4) AS theil_between,
+           round(theil_total - theil_between, 4) AS theil_within
+    FROM parts
+    """,
+)
+def q_agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality of per-customer revenue, DECOMPOSED by nation
+    — the property Gini famously lacks and Theil's whole point:
+    total = between-nation + within-nation, so the one-pager answers
+    "is revenue concentration a geography story or an inside-market
+    story". Computed from group sufficient statistics only
+    (T_g = Σx·ln x / Sx_g − ln μ_g), never a per-row second pass.
+
+    Float discipline: Σ x·ln(x) accumulates doubles per ~600-row
+    nation group (the doc-entropy precedent — reorder noise is ~1e-12
+    against O(1) outputs, swallowed by round-4); everything else is
+    exact int64 until the single final expression. Plan: customer
+    rollup (one key shuffle) + 25-row group agg + 1-row fold."""
+    rev = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+            ).alias("x")
+        )
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_nationkey"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("x", F.col("c_nationkey").alias("nation"))
+    )
+    grp = rev.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("x").alias("sx"),
+        F.sum(
+            F.col("x").cast("double")
+            * F.log(F.col("x").cast("double"))
+        ).alias("sxlnx"),
+    )
+    tot = grp.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("sx").alias("sx_tot"),
+        F.sum("sxlnx").alias("sxlnx_tot"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+    parts = (
+        grp.crossJoin(F.broadcast(tot))
+        .groupBy("n", "n_groups", "sxlnx_tot", "sx_tot")
+        .agg(
+            F.sum(
+                (F.col("sx").cast("double") / F.col("sx_tot"))
+                * F.log(
+                    (F.col("sx").cast("double") / F.col("n_g"))
+                    / (F.col("sx_tot").cast("double") / F.col("n"))
+                )
+            ).alias("theil_between")
+        )
+        .withColumn(
+            "theil_total",
+            F.col("sxlnx_tot") / F.col("sx_tot")
+            - F.log(F.col("sx_tot").cast("double") / F.col("n")),
+        )
+    )
+    return parts.select(
+        F.col("n").alias("n_customers"),
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.round("theil_total", 4).alias("theil_total"),
+        F.round("theil_between", 4).alias("theil_between"),
+        F.round(
+            F.col("theil_total") - F.col("theil_between"), 4
+        ).alias("theil_within"),
+    )

@@ -1201,3 +1201,81 @@ def q_ml_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_ml_cohen_kappa",
+    oracle="""
+    WITH rated AS (
+      SELECT CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS ra,
+             CASE WHEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * 100 AS BIGINT) > 2500000 THEN 1 ELSE 0 END
+                 AS rb
+      FROM lineitem
+    ), counts AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ra * rb) AS BIGINT) AS both1,
+             CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS both0,
+             CAST(sum(ra) AS BIGINT) AS a1,
+             CAST(sum(rb) AS BIGINT) AS b1
+      FROM rated
+    )
+    SELECT n, both1, both0, a1, b1,
+           CAST((2 * 1000 * (n * (both1 + both0)
+                  - (a1 * b1 + (n - a1) * (n - b1)))
+                 + (n * n - (a1 * b1 + (n - a1) * (n - b1))))
+                // (2 * (n * n - (a1 * b1 + (n - a1) * (n - b1))))
+                AS BIGINT) AS kappa_milli
+    FROM counts
+    """,
+)
+def q_ml_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic "big line item" raters
+    (quantity > 25 vs price > $25k): chance-corrected agreement as ONE
+    integer rational — kappa = (N·agree − Σ rowᵢ·colᵢ)/(N² − Σ rowᵢ·colᵢ)
+    clears both denominators, so the half-up milli value is exact with
+    no intermediate probability floats. The inter-rater-agreement
+    primitive for comparing two labeling heuristics (or a heuristic vs
+    a model) before trusting either.
+
+    int64 bound: N² ≈ 3.6·10^11 at sf0.1 and 2000·N·agree ≈ 7·10^14 —
+    four orders of headroom (DECIMAL(38) is the documented upgrade at
+    sf ≥ 100). A worse-than-chance pair makes the numerator negative;
+    both engines truncate toward zero identically there (the
+    q_fn_intdiv_laws contract), so the hash still matches — only the
+    "half-up" reading weakens to "half-toward-zero" for kappa < 0.
+    Plan: one map-side projection + a 1-row fold."""
+    rated = t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_quantity") > 25, 1).otherwise(0).alias("ra"),
+        F.when(
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)"
+            )
+            > 2_500_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("rb"),
+    )
+    counts = rated.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("ra") * F.col("rb")).alias("both1"),
+        F.sum((1 - F.col("ra")) * (1 - F.col("rb"))).alias("both0"),
+        F.sum("ra").alias("a1"),
+        F.sum("rb").alias("b1"),
+    )
+    return counts.select(
+        "n",
+        "both1",
+        "both0",
+        "a1",
+        "b1",
+        F.expr(
+            "CAST((2 * 1000 * (n * (both1 + both0)"
+            " - (a1 * b1 + (n - a1) * (n - b1)))"
+            " + (n * n - (a1 * b1 + (n - a1) * (n - b1))))"
+            " DIV (2 * (n * n - (a1 * b1 + (n - a1) * (n - b1))))"
+            " AS BIGINT)"
+        ).alias("kappa_milli"),
+    )

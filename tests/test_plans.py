@@ -110,6 +110,10 @@ BNLJ_ALLOWED = {
                                 # join + 1-row total cross
     "q_ml_psi",                 # 1-row cohort-total aggregate
                                 # broadcast-crossed into the band grid
+    "q_agg_theil",              # 1-row grand-total aggregate
+                                # broadcast-crossed into the 25-row
+                                # nation relation (decomposition
+                                # shares)
     "q_agg_benford",            # 1-row order-count total broadcast-
                                 # crossed into the 9-row digit histogram
 }
@@ -256,6 +260,9 @@ MAX_SHUFFLES = {
                                   # hop joins + reach distinct + 10-row
                                   # count over the checkpointed
                                   # backbone (audited: 5)
+    "q_agg_theil": 8,             # customer rollup + broadcast dim join
+                                  # + 25-row nation agg + 1-row total +
+                                  # decomposition fold (audited: 6)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
