@@ -1028,3 +1028,56 @@ def q_agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("theil_total") - F.col("theil_between"), 4
         ).alias("theil_within"),
     )
+
+
+@query(
+    "q_agg_atkinson",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS x
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           round(1 - exp(sum(ln(CAST(x AS DOUBLE))) / count(*))
+                     / (CAST(sum(x) AS DOUBLE) / count(*)), 4)
+               AS atkinson_eps1
+    FROM rev
+    """,
+)
+def q_agg_atkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index at aversion eps = 1 over per-customer
+    revenue: 1 − geometric mean / arithmetic mean — the welfare-
+    interpretable member of the concentration kit ("what share of
+    total revenue could be given up for perfect equality at the same
+    welfare"), completing Gini (rank view), Theil (decomposable view),
+    and HHI (market view).
+
+    Float discipline: Σ ln x accumulates doubles over the customer
+    rollup (the Theil/doc-entropy law — reorder noise ~1e-12 against
+    an O(1) output, swallowed by round-4); Σ x stays exact int64; one
+    exp + divide + round-4 at the boundary. Plan: one customer-keyed
+    rollup + a 1-row fold."""
+    rev = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+            ).alias("x")
+        )
+    )
+    return rev.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            1
+            - F.exp(
+                F.sum(F.log(F.col("x").cast("double")))
+                / F.count(F.lit(1))
+            )
+            / (F.sum("x").cast("double") / F.count(F.lit(1))),
+            4,
+        ).alias("atkinson_eps1"),
+    )
