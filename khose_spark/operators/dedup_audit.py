@@ -1354,3 +1354,97 @@ def q_llm_minhash_estimator_audit(
             F.abs(F.col("est_permille") - F.col("jac_permille"))
         ).alias("max_err_permille"),
     )
+
+
+@query(
+    "q_llm_dedup_funnel",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_SIG}, s1 AS MATERIALIZED (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ), near_drop AS (
+      SELECT DISTINCT b.doc_id
+      FROM sig a
+      JOIN sig b ON a.doc_id < b.doc_id
+      JOIN s1 sa ON sa.doc_id = a.doc_id
+      JOIN s1 sb ON sb.doc_id = b.doc_id
+      WHERE ({_SQL_AGREE}) >= {_MIN_AGREE}
+    ), counts AS (
+      SELECT (SELECT count(*) FROM documents) AS n0,
+             (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s1) -
+               (SELECT count(*) FROM near_drop) AS n2
+    )
+    SELECT stage, rule, n_in, n_out, n_in - n_out AS n_dropped,
+           (2 * 1000 * n_out + n0) // (2 * n0) AS survive_permille
+    FROM (
+      SELECT 1 AS stage, 'exact_md5' AS rule, n0 AS n_in, n1 AS n_out,
+             n0 FROM counts
+      UNION ALL
+      SELECT 2, 'minhash_near_dup', n1, n2, n0 FROM counts
+    ) ORDER BY stage
+    """,
+)
+def q_llm_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline as a funnel: stage 1 keeps one doc per exact
+    text hash (min doc_id), stage 2 drops every stage-1 survivor that
+    has a near-duplicate partner with a smaller id among the survivors
+    (portable MinHash, >= 10/16 agreement — the greedy keep-lowest
+    rule, evaluated against the STATIC stage-1 survivor set so the
+    result is order-free and engine-checkable). Per stage: in/out/
+    dropped and cumulative survival permille — the
+    q_llm_filter_funnel shape applied to the dedup ladder, composing
+    q_llm_exact_dedup and q_llm_minhash_det into the report a corpus
+    release publishes.
+
+    Scale shape: stage 1 is one text-hash window; stage 2's pair
+    source is the banded candidate generator at corpus scale (the
+    certified-lossless equivalence makes the fixture-scale all-pairs
+    oracle exact). Every number is an integer."""
+    docs = t(spark, sf_dir, "documents")
+    w_txt = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    s1 = (
+        docs.withColumn("rn", F.row_number().over(w_txt))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+        .localCheckpoint()  # feeds both stage counts + the pair filter
+    )
+    sig = _det_signatures(spark, sf_dir).join(
+        s1, "doc_id", "left_semi"
+    ).localCheckpoint()
+    cand = _band_candidates(sig)
+    a, b = sig.alias("a"), sig.alias("b")
+    agree = sum(
+        (F.col(f"a.s{i}") == F.col(f"b.s{i}")).cast("int")
+        for i in range(_N_HASHES)
+    )
+    near_drop = (
+        cand.join(a, cand.id_a == F.col("a.doc_id"))
+        .join(b, cand.id_b == F.col("b.doc_id"))
+        .filter(agree >= _MIN_AGREE)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    n0 = docs.count()
+    n1 = s1.count()
+    n2 = n1 - near_drop.count()
+    rows = [
+        (1, "exact_md5", n0, n1),
+        (2, "minhash_near_dup", n1, n2),
+    ]
+    funnel = spark.createDataFrame(
+        rows, "stage int, rule string, n_in long, n_out long"
+    )
+    return funnel.select(
+        "stage",
+        "rule",
+        "n_in",
+        "n_out",
+        (F.col("n_in") - F.col("n_out")).alias("n_dropped"),
+        F.expr(
+            f"(2 * 1000 * n_out + {n0}) DIV (2 * {n0})"
+        ).alias("survive_permille"),
+    ).orderBy("stage")
