@@ -643,7 +643,7 @@ def q_llm_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(fp).alias("n_false_pos"),
         F.sum(non_member).alias("_n_non_members"),
     )
-    return (
+    out = (
         agg.crossJoin(F.broadcast(bloom_stats))
         .select(
             "n_eval_shingles",
@@ -657,7 +657,13 @@ def q_llm_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_words_used",
             "n_bits_set",
         )
+        # One audit row: materialize it, release both caches (the
+        # recall-audit lifecycle pattern above).
+        .localCheckpoint()
     )
+    train_sh.unpersist()
+    bloom.unpersist()
+    return out
 
 
 # Fellegi-Sunter parameters (contract constants): m-probability per

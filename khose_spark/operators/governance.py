@@ -189,7 +189,7 @@ def q_llm_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("r.rk") <= F.col("a.take1") + F.col("a.take2")),
         "right",
     )
-    return (
+    out = (
         taken.groupBy(
             F.col("a.lang").alias("lang"),
             F.col("a.target_n").alias("target_n"),
@@ -211,7 +211,11 @@ def q_llm_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("take1") + F.col("take2")).alias("n_taken"),
             "sum_chars",
         )
+        # 5-row allocation: materialize, release the ranked-corpus cache.
+        .localCheckpoint()
     )
+    ranked.unpersist()
+    return out
 
 
 # Generalization ladder: acctbal band widths, narrowest first. Level i
@@ -317,7 +321,7 @@ def q_priv_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(len(_GEN_WIDTHS)),
         ).alias("chosen_level")
     )
-    return (
+    out = (
         per_level.alias("p")
         .join(
             F.broadcast(chosen).alias("c"),
@@ -331,7 +335,11 @@ def q_priv_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_group_n",
             "n_suppressed",
         )
+        # Segment-count rows only: materialize, release the level audit.
+        .localCheckpoint()
     )
+    per_level.unpersist()
+    return out
 
 
 _LDIV_L = 3

@@ -360,9 +360,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     w = Window.orderBy(F.desc("pagerank"), F.asc("node"))
-    return top.withColumn("rk", F.row_number().over(w)).select(
-        "node", "n_out", "pagerank", "rk"
+    out = (
+        top.withColumn("rk", F.row_number().over(w))
+        .select("node", "n_out", "pagerank", "rk")
+        # Eagerly materialize the 20-row answer, then release the three
+        # graph-sized caches instead of pinning them for the session.
+        .localCheckpoint()
     )
+    for df in (edges, outdeg, nodes):
+        df.unpersist()
+    return out
 
 
 
@@ -647,6 +654,9 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
         .localCheckpoint()
     )
+    # edges is now materialized; the fact-scale flows cache has served
+    # both its consumers (total + pairs) and can be released.
+    flows.unpersist()
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")

@@ -145,12 +145,19 @@ def q_llm_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
+    out = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .filter(jac >= 0.8)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        # Eagerly materialize the (tiny) near-dup pair list, then
+        # release the corpus-scale shingle cache — the dedup cluster /
+        # apply / funnel queries iterate over this result, so the
+        # checkpoint also keeps the CC loop's lineage flat.
+        .localCheckpoint()
     )
+    sh.unpersist()
+    return out
 
 
 def minhash_candidates(sh: DataFrame, n_hashes: int = 16, band_rows: int = 4) -> DataFrame:
@@ -188,7 +195,7 @@ def minhash_candidates(sh: DataFrame, n_hashes: int = 16, band_rows: int = 4) ->
     ).select("doc_id", "b.band_id", "b.band_hash").persist()
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -200,7 +207,13 @@ def minhash_candidates(sh: DataFrame, n_hashes: int = 16, band_rows: int = 4) ->
             F.col("b.doc_id").alias("id_b"),
         )
         .distinct()
+        # Candidate pairs are a vanishing fraction of all pairs by
+        # design: eagerly materialize them and release the banded
+        # signature cache rather than pin it for the session.
+        .localCheckpoint()
     )
+    bands.unpersist()
+    return out
 
 
 @query("q_llm_minhash_lsh")  # rows-only: banding candidates are probabilistic
@@ -244,12 +257,15 @@ def q_llm_neardup_two_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
+    out = (
         inter.join(na, "id_a")
         .join(nb, "id_b")
         .filter(jac >= 0.8)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .localCheckpoint()
     )
+    sh.unpersist()
+    return out
 
 
 def cosine_candidates(spark: SparkSession, sf_dir: str, n_queries: int = 10) -> DataFrame:

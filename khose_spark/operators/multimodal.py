@@ -223,9 +223,11 @@ def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-    return cand.select(
+    out = cand.select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= 3)
+    ).filter(F.col("hamming") <= 3).localCheckpoint()
+    sig.unpersist()
+    return out
 
 
 _FRAME_SCHEMA = (

@@ -56,13 +56,16 @@ def with_global_rank(
     parts = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
-    # persist() pins the range boundaries: repartitionByRange SAMPLES the
-    # data per execution, so the counts job and the numbering job would
-    # otherwise see (slightly) different partitionings and the offsets
-    # would be wrong. Same reason RDD.zipWithIndex documents caching.
-    sorted_df = (
-        df.repartitionByRange(int(parts), *order).sortWithinPartitions(*order).persist()
-    )
+    # localCheckpoint() pins the range boundaries: repartitionByRange
+    # SAMPLES the data per execution, so the counts job and the
+    # numbering job would otherwise see (slightly) different
+    # partitionings and the offsets would be wrong (same reason
+    # RDD.zipWithIndex documents caching). A checkpoint rather than
+    # persist() because it needs exactly ONE materialization, leaves no
+    # session-pinned SQL-cache entry (the blocks are reclaimed when the
+    # result is garbage collected), and freezes the partitioning as hard
+    # RDD partitions instead of a re-executable plan.
+    sorted_df = _range_sorted(df, int(parts), *order).localCheckpoint()
     pid_df = sorted_df.withColumn("__pid", F.spark_partition_id())
     counts = {
         r["__pid"]: r["cnt"]
@@ -91,3 +94,11 @@ def with_global_rank(
             yield pdf
 
     return pid_df.mapInPandas(number_partition, out_schema).drop("__pid")
+
+
+def _range_sorted(df: DataFrame, parts: int, *order: Column) -> DataFrame:
+    """The pre-checkpoint distributed-sort shape: range repartition on
+    the order key + in-partition sort. Split out so tests/test_plans.py
+    can pin the rangepartitioning in its plan (the checkpoint in
+    with_global_rank truncates the lineage the plan test would read)."""
+    return df.repartitionByRange(parts, *order).sortWithinPartitions(*order)

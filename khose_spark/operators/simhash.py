@@ -150,7 +150,10 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    out = (
         cand.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= _MAX_HAMMING)
+        .localCheckpoint()  # near-dup pairs; release the signature cache
     )
+    sig.unpersist()
+    return out

@@ -885,7 +885,7 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.sqrt(l2sq("v", "cv"))), 4).alias("avg_dist"),
         )
     )
-    return stats.join(F.broadcast(cent), "cid").select(
+    out = stats.join(F.broadcast(cent), "cid").select(
         F.col("cid").alias("cluster_id"),
         "n_members",
         "avg_dist",
@@ -893,7 +893,10 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("cv", i), 6).alias(f"c{i}")
             for i in range(1, 5)
         ],
-    )
+    ).localCheckpoint()  # k-row audit; release both Lloyd caches
+    assign.unpersist()
+    cent.unpersist()
+    return out
 
 
 @query(

@@ -685,9 +685,11 @@ def q_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("true_lang", F.col("model_lang").alias("pred_lang"))
     )
-    return pred.groupBy("true_lang", "pred_lang").agg(
+    out = pred.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).alias("n_docs")
-    )
+    ).localCheckpoint()  # confusion matrix; release the token cache
+    toks.unpersist()
+    return out
 
 
 _ZIPF_TOP = 50
@@ -839,7 +841,7 @@ def q_llm_rouge_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = overlap.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") == 1
     )
-    return (
+    out = (
         best.join(
             F.broadcast(esize),
             best["eval_id"] == esize["doc_id"],
@@ -854,7 +856,10 @@ def q_llm_rouge_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " DIV (2 * n_eval_bigrams) AS BIGINT)"
             ).alias("recall_permille"),
         )
+        .localCheckpoint()  # eval-set-sized; release the bigram cache
     )
+    eval_g.unpersist()
+    return out
 
 
 # RAKE delimiter set: the corpus's function-word stand-ins. Phrases are

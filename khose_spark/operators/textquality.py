@@ -458,11 +458,13 @@ def q_llm_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_st").cast("double") * F.col("n_tot"))
         / (F.col("c_t").cast("double") * F.col("n_s"))
     )
-    return joined.groupBy("source").agg(
+    out = joined.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_terms"),
         F.first("n_s").cast("long").alias("n_tokens"),
         F.round(F.sum(contrib), 4).alias("kl_vs_corpus"),
-    )
+    ).localCheckpoint()  # per-source rows; release the term-count cache
+    st.unpersist()
+    return out
 
 
 @query(
@@ -554,9 +556,11 @@ def q_llm_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ln_v = F.log(F.col("cum_vocab").cast("double"))
     ln_n = F.log(F.col("cum_toks").cast("double"))
-    return curve.groupBy("lang").agg(
+    out = curve.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.regr_slope(ln_v, ln_n), 4).alias("heaps_beta"),
         F.round(F.regr_intercept(ln_v, ln_n), 4).alias("heaps_ln_k"),
         F.round(F.regr_r2(ln_v, ln_n), 4).alias("heaps_r2"),
-    )
+    ).localCheckpoint()  # per-lang rows; release the ranked cache
+    ranked.unpersist()
+    return out

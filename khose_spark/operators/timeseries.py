@@ -91,7 +91,9 @@ def q_ts_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return level(coarse, res, F.col("b"))
 
     levels = [level(hourly, "hour", F.col("h")), reagg("day"), reagg("month")]
-    return reduce(DataFrame.unionAll, levels)
+    out = reduce(DataFrame.unionAll, levels).localCheckpoint()
+    hourly.unpersist()
+    return out
 
 
 @query(
@@ -939,7 +941,9 @@ def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_pairs"),
             F.round(F.corr("a.spend", "b.spend"), 4).alias("acf"),
         )
+        .localCheckpoint()  # (type, lag) rows; release the daily rollup
     )
+    daily.unpersist()
     return out
 
 
@@ -1125,7 +1129,7 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_days = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days")
     )
-    return (
+    out = (
         ranked.groupBy("event_type")
         .agg(
             F.first("n_pairs").alias("n_pairs"),
@@ -1143,7 +1147,10 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type", "n_days", "n_pairs", "theil_sen_slope_cents"
         )
+        .localCheckpoint()  # per-type rows; release the daily rollup
     )
+    daily.unpersist()
+    return out
 
 
 _M4_BUCKETS = 16
@@ -1493,7 +1500,7 @@ def q_ts_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
     excess = F.abs(F.col("cents") - F.col("med_cents")) - 3 * F.col(
         "mad_cents"
     )
-    return (
+    out = (
         daily.join(med, daily.d == med.mcenter)
         .join(mad, daily.d == F.col("c2"))
         .select(
@@ -1506,7 +1513,10 @@ def q_ts_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("excess").desc(), F.col("day").asc())
         .limit(10)
+        .localCheckpoint()  # 10 rows; release the daily rollup
     )
+    daily.unpersist()
+    return out
 
 
 @query(

@@ -83,3 +83,61 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
         if not problems:
             problems.append("canonical forms differ")
     return problems
+
+
+# ---------------------------------------------------------------------------
+# Cache-lifecycle gate (VERDICT r05 next-round #1): every query function
+# must release what it persists before returning — persist registers in
+# the SQL CacheManager at call time and unpersist deregisters at call
+# time, so by the time a query function RETURNS, the cache must be back
+# where it started. The one sanctioned exception is the session-wide
+# memoized trade-edge relation (graph.py _trade_edges), which the FIRST
+# graph query to need it creates and the rest share; localCheckpoint is
+# exempt by design (RDD-level, reclaimed by the ContextCleaner when the
+# driver-side DataFrame is garbage collected — not a pinned SQL cache).
+
+# Keys allowed to grow the SQL cache by exactly one entry (the memoized
+# _trade_edges relation): its direct consumers plus every consumer of
+# _knn_backbone (which builds on it). Whichever runs first creates it.
+MEMO_CREATORS = {
+    "q_graph_cooccurrence",
+    "q_graph_supplier_similarity",
+    "q_graph_adamic_adar",
+    "q_graph_hits",
+    "q_graph_labelprop",
+    "q_graph_kcore",
+    "q_graph_clustering",
+    "q_graph_assortativity",
+    "q_graph_bfs",
+    "q_graph_ppr",
+    "q_graph_degree_dist",
+    "q_graph_two_hop",
+}
+
+# Total sanctioned session-wide SQL-cache entries (the memo above).
+MAX_SESSION_CACHE_ENTRIES = 1
+
+
+def sql_cache_entries(spark) -> int:
+    """Number of live entries in the session's SQL CacheManager."""
+    return spark._jsparkSession.sharedState().cacheManager().cachedData().size()
+
+
+def run_query_cache_checked(key, fn, spark, sf_dir):
+    """Call a registered query function and assert it leaves the SQL
+    cache exactly as found (memoized-creator allowance aside)."""
+    before = sql_cache_entries(spark)
+    df = fn(spark, sf_dir)
+    after = sql_cache_entries(spark)
+    growth = after - before
+    allowed = 1 if key in MEMO_CREATORS else 0
+    assert growth <= allowed, (
+        f"{key} leaked {growth} SQL-cache entr{'y' if growth == 1 else 'ies'}"
+        " (persist without unpersist before return; use the localCheckpoint-"
+        "then-unpersist lifecycle, tests/_parity.py gate)"
+    )
+    assert after <= MAX_SESSION_CACHE_ENTRIES, (
+        f"after {key}: {after} session-wide SQL-cache entries exceed the "
+        f"sanctioned {MAX_SESSION_CACHE_ENTRIES} (the _trade_edges memo)"
+    )
+    return df

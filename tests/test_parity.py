@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 
 from khose_spark import registry
-from tests._parity import compare
+from tests._parity import compare, run_query_cache_checked
 
 registry.load_all()
 
@@ -16,7 +16,11 @@ ROWS_ONLY_KEYS = sorted(set(registry.QUERIES) - set(registry.ORACLES))
 
 @pytest.mark.parametrize("key", ORACLE_KEYS)
 def test_oracle_parity(key, spark, ddb, sf_dir):
-    spark_pdf = registry.QUERIES[key](spark, sf_dir).toPandas()
+    # run_query_cache_checked doubles as the cache-lifecycle gate: a
+    # query that persists without releasing fails HERE, not in a
+    # separate (slow) second sweep of all registered queries.
+    df = run_query_cache_checked(key, registry.QUERIES[key], spark, sf_dir)
+    spark_pdf = df.toPandas()
     oracle_pdf = ddb.sql(registry.ORACLES[key]).df()
     problems = compare(spark_pdf, oracle_pdf)
     assert not problems, f"{key}: " + "; ".join(problems)
@@ -24,7 +28,7 @@ def test_oracle_parity(key, spark, ddb, sf_dir):
 
 @pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
 def test_rows_only_runs(key, spark, sf_dir):
-    df = registry.QUERIES[key](spark, sf_dir)
+    df = run_query_cache_checked(key, registry.QUERIES[key], spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
 

@@ -355,7 +355,21 @@ def test_distributed_rank_has_no_window(spark):
         "q_sort_multikey_dist fell back to a window — the distributed "
         "branch of with_global_rank was not taken"
     )
-    assert "REPARTITION_BY_RANGE" in plan or "rangepartitioning" in plan.lower(), (
+    assert "MapInPandas" in plan, (
+        "distributed rank lost its per-partition numbering stage"
+    )
+    # The checkpoint inside with_global_rank truncates the lineage the
+    # final plan would show, so pin the range repartitioning on the
+    # pre-checkpoint shape directly.
+    from pyspark.sql import functions as F
+
+    from khose_spark.operators.rank import _range_sorted
+    from khose_spark.tables import t
+
+    o = t(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    pre = _range_sorted(o, 8, F.asc("o_totalprice"), F.asc("o_orderkey"))
+    pre_plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in pre_plan.lower(), (
         "distributed rank lost its range repartitioning"
     )
 
