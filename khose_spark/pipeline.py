@@ -9,8 +9,8 @@ Config schema (all strings unless noted)::
 
     {
       "source": {
-        "kind": "kinesis_sim" | "file" | "kafka",
-        "path": "<chunk dir>"            # kinesis_sim / file
+        "kind": "kinesis_sim" | "file" | "kafka" | "kafka_sim",
+        "path": "<chunk dir>"            # kinesis_sim / file / kafka_sim
         "bootstrap": ..., "topic": ...   # kafka (production only)
       },
       "transform": {
@@ -56,14 +56,18 @@ def _source(spark: SparkSession, cfg: Mapping[str, Any]) -> DataFrame:
     if kind == "kinesis_sim":
         return parse_envelope(kinesis_stream(spark, cfg["path"]))
     if kind == "kafka":
-        from khose_spark.sources.kinesis_sim import kafka_stream
+        from khose_spark.sources.kinesis_sim import decode_kafka_value, kafka_stream
 
-        raw = kafka_stream(spark, cfg["bootstrap"], cfg["topic"])
-        from khose_spark.operators.scans import EVENTS_SCHEMA
+        return decode_kafka_value(kafka_stream(spark, cfg["bootstrap"], cfg["topic"]))
+    if kind == "kafka_sim":
+        # Broker-less twin of "kafka": the same envelope schema and the
+        # same decode stage, replayed from staged chunk files — so the
+        # kafka branch's downstream path is test-covered end to end.
+        from khose_spark.sources.kinesis_sim import decode_kafka_value, kafka_sim_stream
 
-        return raw.select(
-            F.from_json(F.decode("value", "utf-8"), EVENTS_SCHEMA).alias("e")
-        ).select("e.*")
+        return decode_kafka_value(
+            kafka_sim_stream(spark, cfg["path"], cfg.get("topic", "events"))
+        )
     raise ValueError(f"unknown source kind: {kind!r}")
 
 

@@ -128,9 +128,11 @@ def parse_envelope(envelope: DataFrame) -> DataFrame:
 
 
 def kafka_stream(spark: SparkSession, bootstrap: str, topic: str) -> DataFrame:
-    """Production Kafka source (not testable in this container — no
-    broker): value bytes carry the same JSON payload the simulator
-    produces, so ``parse_envelope``'s sibling is a one-line from_json."""
+    """Production Kafka source (no broker in this container — the
+    envelope-identical ``kafka_sim_stream`` covers the downstream path
+    in tests, and tests/test_optional_env.py jar-gates a real smoke):
+    value bytes carry the same JSON payload the simulator produces, so
+    both decode through the shared ``decode_kafka_value``."""
     return (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
@@ -138,3 +140,62 @@ def kafka_stream(spark: SparkSession, bootstrap: str, topic: str) -> DataFrame:
         .option("startingOffsets", "earliest")
         .load()
     )
+
+
+# The Kafka source's fixed output schema (Spark's kafka-0-10-sql
+# contract): every consumer written against the simulator sees exactly
+# the columns a real broker-backed stream would present.
+KAFKA_SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ]
+)
+
+
+def kafka_sim_stream(
+    spark: SparkSession,
+    chunk_dir: str,
+    topic: str = "events",
+    files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming DataFrame in the exact Kafka source envelope
+    (KAFKA_SOURCE_SCHEMA), replayed from staged chunk files — the
+    broker-less twin of ``kafka_stream``. Mapping mirrors a
+    user_id-keyed producer: key = user_id bytes (so a real topic would
+    co-partition each user's events), partition = hash-bucket of the
+    key, offset = event_id (monotone within the fixture), timestamp =
+    event time with timestampType=0 (CreateTime). Everything downstream
+    of the source — decode_kafka_value on — is byte-identical code for
+    the real source."""
+    raw = file_stream(spark, chunk_dir, files_per_trigger=files_per_trigger)
+    payload = F.to_json(
+        F.struct("event_id", "ts", "user_id", "event_type", "value", "props"),
+        {"timestampFormat": _TS_FMT},
+    )
+    return raw.select(
+        F.encode(F.col("user_id").cast("string"), "utf-8").alias("key"),
+        F.encode(payload, "utf-8").alias("value"),
+        F.lit(topic).alias("topic"),
+        (F.col("user_id") % _N_SHARDS).cast("int").alias("partition"),
+        F.col("event_id").cast("long").alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+
+
+def decode_kafka_value(raw: DataFrame) -> DataFrame:
+    """Decode a Kafka-envelope stream's JSON value bytes into typed
+    event rows — shared by the production source and the simulator, so
+    the tested path IS the production path minus the socket."""
+    parsed = F.from_json(
+        F.decode("value", "utf-8"),
+        EVENTS_SCHEMA,
+        {"timestampFormat": _TS_FMT},
+    )
+    return raw.select(parsed.alias("e")).select("e.*")

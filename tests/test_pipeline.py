@@ -124,3 +124,56 @@ def test_pq_index_build_is_memoized(spark, sf_dir):
         for f in fs
     )
     assert mtime1 == mtime2, "second build rewrote the index files"
+
+
+def test_kafka_sim_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """The kafka branch of the pipeline compiler, minus the socket: the
+    simulator presents the EXACT Kafka source schema and the config
+    routes through the same decode_kafka_value stage as kind="kafka",
+    so everything downstream of the broker is covered end to end."""
+    from khose_spark.sources import KAFKA_SOURCE_SCHEMA, kafka_sim_stream
+
+    chunks = stage_event_chunks(spark, sf_dir, tag="kafka_pipeline")
+    # envelope contract: same column names and types as Spark's kafka
+    # source schema (nullability differs — literal columns plan as
+    # non-nullable, which only widens what consumers must accept)
+    env = kafka_sim_stream(spark, chunks, topic="events")
+    assert [(f.name, f.dataType) for f in env.schema.fields] == [
+        (f.name, f.dataType) for f in KAFKA_SOURCE_SCHEMA.fields
+    ]
+
+    cfg = {
+        "source": {"kind": "kafka_sim", "path": chunks, "topic": "events"},
+        "transform": {
+            "filter": "event_type IN ('click', 'purchase') AND value > 0",
+            "columns": {
+                "event_id": "event_id",
+                "ts": "ts",
+                "user_id": "user_id",
+                "event_type": "event_type",
+                "value": "value",
+                "d": "date_format(ts, 'yyyy-MM-dd')",
+            },
+        },
+        "sink": {
+            "path": str(tmp_path / "kout"),
+            "format": "parquet",
+            "partition_by": ["event_type", "d"],
+            "checkpoint": str(tmp_path / "kckpt"),
+        },
+    }
+    run_pipeline(spark, cfg)
+    out = spark.read.parquet(cfg["sink"]["path"])
+    twin = t(spark, sf_dir, "events").filter(
+        F.expr("event_type IN ('click', 'purchase') AND value > 0")
+    )
+    assert out.count() == twin.count()
+    # value-level roundtrip through the binary envelope: ids, event
+    # times (µs precision) and doubles all survive encode/decode
+    a = out.agg(
+        F.sum("event_id"), F.sum(F.unix_micros("ts")), F.round(F.sum("value"), 6)
+    ).first()
+    b = twin.agg(
+        F.sum("event_id"), F.sum(F.unix_micros("ts")), F.round(F.sum("value"), 6)
+    ).first()
+    assert tuple(a) == tuple(b)
