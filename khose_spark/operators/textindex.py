@@ -13,6 +13,8 @@ streams shuffle once per consumer on doc_id and the model relations
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -276,59 +278,88 @@ def q_llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: every stage is a per-doc window (doc_id-partitioned — linear,
     co-partitioned across rounds) or a pair-count aggregation bounded by
-    vocabulary², with the winning pair broadcast back as a 1-row hash
-    join. The token stream persists per round to cut the 3-round
-    lineage; at 100 TB this is the standard checkpoint-per-iteration
-    posture (as in graph.py's Pregel loop)."""
+    vocabulary², with the winning pair flowing back into the next
+    round's merge as a broadcast 1-row join — the whole induction is ONE
+    declarative plan and ONE job, no per-round driver collect (the
+    round-6 fusion; the unchanged oracle CTE chain hash-certifies it).
+
+    Small-corpus execution mode: below ~100k documents the loop's cost
+    is pure fixed overhead (per-stage AQE replanning, 32-way shuffles of
+    a few MB), so the plan is materialized eagerly under compact confs
+    (AQE off, 8 shuffle partitions) which are restored before returning
+    — the adaptive-threshold pattern of rank.with_global_rank. At scale
+    the lazy plan is returned untouched and AQE plans every stage."""
     d = t(spark, sf_dir, "documents")
     stream = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
-    return bpe_merge_rounds(stream, _BPE_ROUNDS)
+    out = bpe_merge_rounds(stream, _BPE_ROUNDS)
+    if d.count() > _BPE_COMPACT_MAX_DOCS:
+        return out
+    compact = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k) for k in compact}
+    try:
+        for k, v in compact.items():
+            spark.conf.set(k, v)
+        return out.localCheckpoint()  # executes under the compact confs
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+_BPE_COMPACT_MAX_DOCS = 100_000
 
 
 def bpe_merge_rounds(stream: DataFrame, rounds: int) -> DataFrame:
-    """Run ``rounds`` BPE merge rounds over a (doc_id, pos, tok) stream;
-    returns (merge_round, left_tok, right_tok, pair_count). Extracted so
-    tests can drive it with handcrafted corpora (overlap runs, ties)
-    against a pure-Python greedy reference (tests/test_bpe_reference.py).
+    """Build ``rounds`` BPE merge rounds over a (doc_id, pos, tok)
+    stream as ONE lazy plan; returns (merge_round, left_tok, right_tok,
+    pair_count). Extracted so tests can drive it with handcrafted
+    corpora (overlap runs, ties) against a pure-Python greedy reference
+    (tests/test_bpe_reference.py).
 
-    Job fusion (round-5 bench finding): each round runs exactly ONE
-    Spark job — the pair-count aggregation whose 1-row top pair is
-    collected directly (the sanctioned scalar fetch, same category as
-    the scalar-subquery idiom; the winning pair IS the algorithm's
-    output). That same job materializes the round's persisted token
-    stream, so the merge application is literal filters + windows over
-    cache — no per-round broadcast-subquery job, and no re-evaluation
-    of the winners at output time (the result is built from the already
-    -known rows). The previous round's cache is unpersisted as soon as
-    the next round's stream is materialized, bounding executor memory
-    to one round (the ADVICE round-4 leak). NOTE: a prior experiment
-    that broadcast/localCheckpointed the TOKEN STREAM regressed
-    (SURVEY.md perf notes) — this fuses jobs instead of moving data.
+    Full fusion (round-6 bench finding; the round-5 one-job-per-round
+    form still paid 3 driver round-trips + 3 cache materializations):
+    each round's winning pair is a 1-row ``orderBy().limit(1)`` SUBTREE
+    that is simultaneously (a) unioned into the output and (b) broadcast
+    -joined back onto the token stream as the next round's merge
+    parameters — so winner selection, merge application, and output
+    assembly are a single declarative plan executed by ONE action, with
+    no collect() between rounds and no per-round persist. Identical
+    pair-count subtrees are deduplicated at their shuffle/broadcast
+    boundaries by Spark's exchange reuse; the narrow window chains
+    between exchanges re-execute per consumer, which is the right trade
+    at 3 rounds (they are per-doc linear scans). NOTE the plan nests the
+    prior round's stream once per consumer, so plan SIZE grows ~2^rounds
+    — fine for the contract's 3 rounds; a vocabulary-scale run (1000s of
+    merges) would re-introduce a checkpoint every ~8 rounds to reset
+    both lineage and plan size. A prior experiment that broadcast/
+    localCheckpointed the TOKEN STREAM regressed (SURVEY.md perf notes),
+    as did lazily persisting each round's stream inside the fused job
+    (the caches' materialization cost exceeded the re-execution they
+    saved).
     """
-    spark = stream.sparkSession
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
-    out_rows: list[tuple[int, str, str, int]] = []
-    prev: DataFrame | None = None
+    outs: list[DataFrame] = []
     for r in range(1, rounds + 1):
-        pr = stream.withColumn("nxt", F.lead("tok").over(w_doc)).persist()
-        win = (
+        pr = stream.withColumn("nxt", F.lead("tok").over(w_doc))
+        top1 = (
             pr.filter(F.col("nxt").isNotNull())
             .groupBy("tok", "nxt")
             .agg(F.count(F.lit(1)).alias("c"))
             .orderBy(F.desc("c"), "tok", "nxt")
             .limit(1)
-            .collect()
         )
-        if prev is not None:
-            prev.unpersist()
-        if not win:  # corpus exhausted before `rounds` merges
-            pr.unpersist()
-            break
-        left, right, cnt = win[0]["tok"], win[0]["nxt"], int(win[0]["c"])
-        out_rows.append((r, left, right, cnt))
-        prev = pr
+        outs.append(
+            top1.select(
+                F.lit(r).cast("int").alias("merge_round"),
+                F.col("tok").alias("left_tok"),
+                F.col("nxt").alias("right_tok"),
+                F.col("c").cast("long").alias("pair_count"),
+            )
+        )
         if r == rounds:  # last winner needs no merge application
             break
         # Merge application as pure window arithmetic over the ONE
@@ -344,13 +375,21 @@ def bpe_merge_rounds(stream: DataFrame, rounds: int) -> DataFrame:
         # and with it the physical sort — survives every round, and
         # rounds 2..n plan with zero Exchange and zero Sort under the
         # windows. ``seq`` (dense row number) carries the parity
-        # arithmetic the old renumbered pos used to.
+        # arithmetic the old renumbered pos used to. The winner arrives
+        # as columns (__L, __R) via a broadcast 1-row cross join — the
+        # declarative twin of the old collected literals; an exhausted
+        # corpus (empty top1) empties the stream, which terminates the
+        # remaining rounds' output exactly like the old early break.
+        win1 = F.broadcast(
+            top1.select(F.col("tok").alias("__L"), F.col("nxt").alias("__R"))
+        )
         w_run = w_doc.rowsBetween(Window.unboundedPreceding, 0)
-        is_match = (F.col("tok") == F.lit(left)) & (
-            F.col("nxt") == F.lit(right)
+        is_match = (F.col("tok") == F.col("__L")) & (
+            F.col("nxt") == F.col("__R")
         )
         stream = (
-            pr.withColumn("mt", is_match)
+            pr.crossJoin(win1)
+            .withColumn("mt", is_match)
             .withColumn("seq", F.row_number().over(w_doc))
             .withColumn(
                 "rstart",
@@ -381,13 +420,7 @@ def bpe_merge_rounds(stream: DataFrame, rounds: int) -> DataFrame:
                 .alias("tok"),
             )
         )
-    if prev is not None:
-        prev.unpersist()
-    return spark.createDataFrame(
-        out_rows,
-        schema="merge_round INT, left_tok STRING, right_tok STRING, "
-        "pair_count BIGINT",
-    )
+    return reduce(DataFrame.unionAll, outs)
 
 
 @query(

@@ -88,3 +88,19 @@ def test_bpe_matches_greedy_reference(spark, name):
     ]
     want = _ref_bpe([d.split(" ") for d in docs], 3)
     assert got == want, f"{name}: spark={got} reference={want}"
+
+
+def test_bpe_compact_mode_restores_session_confs(spark, sf_dir):
+    """The small-corpus execution mode flips AQE/shuffle-partition confs
+    around its eager materialization; the driver hands us ITS session,
+    so both must be restored no matter what."""
+    from khose_spark import registry
+
+    registry.load_all()
+    before = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    }
+    registry.QUERIES["q_llm_bpe_merges"](spark, sf_dir).count()
+    after = {k: spark.conf.get(k) for k in before}
+    assert after == before, f"compact mode leaked conf changes: {after}"
