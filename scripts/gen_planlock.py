@@ -1,0 +1,59 @@
+"""Regenerate plans.lock.json: the canonical physical-plan skeleton of
+every registered query at the test fixture (sf0.001), as extracted by
+khose_spark.plancheck.skeleton.
+
+tests/test_plans.py::test_plan_skeleton_lock fails when a query's
+current skeleton differs from the locked one — so a physical-strategy
+change (join flip, lost partial agg, extra shuffle) only lands as an
+explicit, reviewed regeneration of this file:
+
+    python scripts/gen_planlock.py          # rewrite plans.lock.json
+    git diff plans.lock.json                # review the drift
+
+Queries whose registered function materializes eagerly (checkpointing
+operators) lock their post-checkpoint shape (Scan ExistingRDD …) — the
+lock then pins that the operator IS checkpoint-shaped, while their
+interior plans stay covered by the dedicated shape tests in
+tests/test_plans.py and tests/test_bucketing.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from khose_spark import registry  # noqa: E402
+from khose_spark.plancheck import reset_plan_state, skeleton  # noqa: E402
+from khose_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+LOCK = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans.lock.json",
+)
+
+
+def main() -> None:
+    registry.load_all()
+    spark = get_spark("khose-planlock")
+    lock: dict[str, list[str]] = {}
+    for key in sorted(registry.QUERIES):
+        # Cached relations AND cross-query memos make skeletons
+        # order-dependent — reset both before every key (see
+        # plancheck.reset_plan_state).
+        reset_plan_state(spark)
+        df = registry.QUERIES[key](spark, SF_DIR)
+        lock[key] = skeleton(df)
+        print(f"{key}: {len(lock[key])} ops", file=sys.stderr)
+    with open(LOCK, "w") as f:
+        json.dump(lock, f, indent=0, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {LOCK} ({len(lock)} queries)", file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -114,8 +114,10 @@ MEMO_CREATORS = {
     "q_graph_two_hop",
 }
 
-# Total sanctioned session-wide SQL-cache entries (the memo above).
-MAX_SESSION_CACHE_ENTRIES = 1
+# Total sanctioned session-wide SQL-cache entries: the memo above is
+# keyed per (application, sf_dir), and a verify_sweep session legally
+# sweeps two fixture dirs (sf0.01 + the sf0.1 defensive pass).
+MAX_SESSION_CACHE_ENTRIES = 2
 
 
 def sql_cache_entries(spark) -> int:

@@ -445,3 +445,56 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_plan_skeleton_lock(spark):
+    """Registry-wide physical-plan drift gate (plans.lock.json).
+
+    The budget tests above catch plans growing (extra shuffles,
+    cartesian products); this catches plans changing SHAPE within the
+    budget — a SortMergeJoin flipping to BroadcastNestedLoopJoin under
+    a Spark upgrade, a lost partial-aggregation stage, a window gaining
+    a sort. Every registered query's canonical operator skeleton must
+    equal the committed lock; intentional plan changes are landed by
+    regenerating it (python scripts/gen_planlock.py) so the diff is
+    reviewed rather than silent. One looping test, not a parametrize:
+    plan construction is the expensive part and this keeps it to one
+    pass with a full drift report at the end.
+    """
+    import json
+    import os
+
+    from khose_spark.plancheck import reset_plan_state, skeleton
+
+    lock_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans.lock.json",
+    )
+    with open(lock_path) as f:
+        lock = json.load(f)
+    drift: list[str] = []
+    for key in AUDITED:
+        if key not in lock:
+            drift.append(f"{key}: not in plans.lock.json (regenerate)")
+            continue
+        reset_plan_state(spark)
+        df = registry.QUERIES[key](spark, SF_DIR)
+        got = skeleton(df)
+        if got != lock[key]:
+            want = lock[key]
+            # first differing index, for a readable failure
+            i = next(
+                (j for j in range(max(len(got), len(want)))
+                 if j >= len(got) or j >= len(want) or got[j] != want[j]),
+                0,
+            )
+            drift.append(
+                f"{key}: skeleton drift at op {i}: "
+                f"locked={want[i] if i < len(want) else '<end>'} "
+                f"got={got[i] if i < len(got) else '<end>'} "
+                f"({len(want)} -> {len(got)} ops)"
+            )
+    assert not drift, (
+        "physical-plan drift (review + regenerate plans.lock.json):\n"
+        + "\n".join(drift)
+    )
