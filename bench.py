@@ -273,16 +273,25 @@ def common_with_prev(timings: dict[str, float]) -> dict | None:
 
     here = os.path.dirname(os.path.abspath(__file__))
     benches = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not benches:
-        return None
-    prev_file = benches[-1]
-    try:
-        doc = json.load(open(prev_file))
-        # the driver wraps bench stdout under "parsed"
-        prev = doc.get("queries") or doc.get("parsed", {}).get("queries") or {}
-    except (OSError, ValueError, AttributeError):
-        return None
-    common = sorted(set(prev) & set(timings))
+    prev, prev_file = {}, None
+    # newest PARSEABLE round wins: a round whose stdout overflowed the
+    # driver's capture is recorded with parsed=null (r05) — skip it.
+    for prev_file in reversed(benches):
+        try:
+            doc = json.load(open(prev_file))
+            prev = (
+                doc.get("queries")
+                or (doc.get("parsed") or {}).get("queries")
+                or {}
+            )
+        except (OSError, ValueError, AttributeError):
+            prev = {}
+        if prev:
+            break
+    # "_"-prefixed entries are compact-line subtotals, not queries
+    common = sorted(
+        k for k in set(prev) & set(timings) if not k.startswith("_")
+    )
     if not common:
         return None
     return {
@@ -366,8 +375,54 @@ def main() -> None:
     common = common_with_prev(timings)
     if common is not None:
         payload["common_with_prev"] = common
-    print(json.dumps(payload))
+
+    # The driver records only the LAST ~2000 chars of stdout and parses
+    # the JSON line out of that tail — round 5's full payload overflowed
+    # it and was recorded unparsed. So: FULL payload goes to a committed
+    # sidecar (BENCH_DETAIL.json), stdout gets a compact line that is
+    # guaranteed to fit — per-query timings at 1 decimal for every query
+    # above an adaptive threshold, the noise-floor rest as one subtotal.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    print(json.dumps(_compact_line(payload), separators=(",", ":")))
     spark.stop()
+
+
+def _compact_line(payload: dict, budget: int = 1900) -> dict:
+    timings = payload["queries"]
+    out = {
+        "metric": payload["metric"],
+        "value": round(payload["value"], 1),
+        "unit": "sec",
+        "queries": {},
+        "n_queries": len(timings),
+        "sf": payload["sf"],
+        "ingest_rows_per_sec": payload["ingest"]["rows_per_sec"],
+        "detail": "BENCH_DETAIL.json",
+    }
+    if "scaling" in payload:
+        ratios = [
+            v["ratio"]
+            for v in payload["scaling"]["keys"].values()
+            if v.get("ratio")
+        ]
+        out["scaling"] = {
+            "factor": payload["scaling"]["factor"],
+            "n_keys": len(ratios),
+            "max_ratio": max(ratios) if ratios else None,
+        }
+    if "common_with_prev" in payload:
+        out["common_with_prev"] = payload["common_with_prev"]
+    for threshold in (0.5, 1.0, 2.0, 5.0, 1e9):
+        slow = {k: round(v, 1) for k, v in timings.items() if v >= threshold}
+        fast = sum(v for v in timings.values() if v < threshold)
+        out["queries"] = dict(
+            sorted(slow.items()), _rest_total=round(fast, 1)
+        )
+        if len(json.dumps(out, separators=(",", ":"))) <= budget:
+            break
+    return out
 
 
 if __name__ == "__main__":

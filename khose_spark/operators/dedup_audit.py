@@ -31,10 +31,13 @@ _BAND_ROWS = 2  # 8 bands x 2 rows: lossless for <= 7 disagreements
 _MIN_AGREE = 10  # >= 10/16 agreeing positions (est. Jaccard >= ~0.6)
 
 # Shared DuckDB shingle CTE (same idiom as q_llm_neardup_jaccard).
+# sh/sig are re-read by multiple downstream CTEs in every consumer
+# oracle; MATERIALIZED stops DuckDB re-running the shingle explode /
+# 16-hash aggregation per reference (k-core precedent).
 _SQL_SHINGLES = """
     words AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
-    ), sh AS (
+    ), sh AS MATERIALIZED (
       SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id,
                unnest(list_transform(
@@ -50,7 +53,7 @@ _SQL_SHINGLES = """
 # md5 evaluations per shingle, not 16 — the signature aggregation is
 # the dominant cost of the whole pipeline at corpus scale.
 _SQL_SIG = (
-    "sig AS (\n      SELECT doc_id,\n"
+    "sig AS MATERIALIZED (\n      SELECT doc_id,\n"
     + ",\n".join(
         f"             min(substr(md5(concat('{i // 4}|', shingle)),"
         f" {8 * (i % 4) + 1}, 8)) AS s{i}"
@@ -195,12 +198,12 @@ def q_llm_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    ), exact AS (
+    ), exact AS MATERIALIZED (
       SELECT id_a, id_b FROM inter
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
-    ), cand AS (
+    ), cand AS MATERIALIZED (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       WHERE {" OR ".join(

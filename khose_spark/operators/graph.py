@@ -31,10 +31,14 @@ from khose_spark.operators.llm import q_llm_neardup_jaccard
 from khose_spark.registry import query
 from khose_spark.tables import t
 
+# sh feeds sizes AND inter (and inter self-joins it): MATERIALIZED
+# stops DuckDB re-evaluating the shingle explode per reference, and the
+# pair list is re-read by both directions of sym (11.3s -> ~1s at
+# sf0.1; the k-core/triangles oracle precedent).
 _JACCARD_EDGES_CTES = """
     words AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
-    ), sh AS (
+    ), sh AS MATERIALIZED (
       SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id,
                unnest(list_transform(
@@ -48,7 +52,7 @@ _JACCARD_EDGES_CTES = """
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
       SELECT id_a, id_b
       FROM inter
       JOIN sizes sa ON sa.doc_id = id_a
@@ -213,23 +217,27 @@ def _pagerank_oracle() -> str:
     damping 0.85 + teleport, and ROUNDS the new rank to 10 decimals —
     the per-iteration rounding re-syncs both engines' floats exactly as
     in the k-means oracle (similarity.py), so drift cannot compound."""
+    # edges/outdeg/nodes and every r{it} are referenced by multiple
+    # downstream CTEs; MATERIALIZED stops DuckDB re-inlining the whole
+    # fact-join chain per reference (32.8s -> sub-second at sf0.1; the
+    # k-core/triangles oracle precedent).
     sql = """
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT DISTINCT 'C' || o_custkey AS c, 'S' || l_suppkey AS s
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    ), edges AS (
+    ), edges AS MATERIALIZED (
       SELECT c AS src, s AS dst FROM pairs
       UNION ALL
       SELECT s AS src, c AS dst FROM pairs
-    ), outdeg AS (
+    ), outdeg AS MATERIALIZED (
       SELECT src, count(*) AS od FROM edges GROUP BY src
-    ), nodes AS (
+    ), nodes AS MATERIALIZED (
       SELECT DISTINCT src AS node FROM edges
       UNION
       SELECT DISTINCT dst AS node FROM edges
     ), n AS (
       SELECT count(*) AS n_nodes FROM nodes
-    ), r0 AS (
+    ), r0 AS MATERIALIZED (
       SELECT node, round(1.0 / n_nodes, 10) AS r FROM nodes CROSS JOIN n
     )"""
     prev = "r0"
@@ -243,7 +251,7 @@ def _pagerank_oracle() -> str:
       JOIN {prev} p ON p.node = e.src
       JOIN outdeg o ON o.src = e.src
       GROUP BY e.dst
-    ), r{it} AS (
+    ), r{it} AS MATERIALIZED (
       SELECT nd.node,
              round(0.15 / n_nodes
                    + 0.85 * (coalesce(c.c, 0.0) + dang / n_nodes),
@@ -556,7 +564,7 @@ _TRI_PERMILLE = 2
 @query(
     "q_graph_triangles",
     oracle=f"""
-    WITH flows AS (
+    WITH flows AS MATERIALIZED (
       SELECT c.c_nationkey AS cn, s.s_nationkey AS sn, count(*) AS cnt
       FROM lineitem l
       JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -568,7 +576,11 @@ _TRI_PERMILLE = 2
     ), pairs AS (
       SELECT least(cn, sn) AS a, greatest(cn, sn) AS b, sum(cnt) AS cnt
       FROM flows WHERE cn <> sn GROUP BY 1, 2
-    ), edges AS (
+    ), edges AS MATERIALIZED (
+      -- both MATERIALIZED (the k-core oracle precedent): tris
+      -- references edges 3x and each inlined copy would re-evaluate
+      -- pairs+total+flows — the full fact join ran ~7x (393s at sf0.1
+      -- vs 1.4s materialized) for a <=300-row edge list
       SELECT a, b FROM pairs, total
       WHERE cnt * 1000 >= total_cnt * {_TRI_PERMILLE}
     ), tris AS (
