@@ -296,15 +296,13 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass and 1/N teleport ride along as 1-row broadcast crosses, and
     the final top-20 is a TakeOrderedAndProject (no global sort, no
     whole-keyspace window)."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.concat(F.lit("C"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("S"), F.col("l_suppkey")).alias("s"),
-        )
-        .distinct()
+    # The distinct (custkey, suppkey) pair list IS the shared
+    # _trade_edges memo — derive the prefixed directed variant from it
+    # instead of re-running the fact join (one fact shuffle per session
+    # for the whole graph family, not one per query).
+    pairs = _trade_edges(spark, sf_dir).select(
+        F.concat(F.lit("C"), F.col("custkey")).alias("c"),
+        F.concat(F.lit("S"), F.col("suppkey")).alias("s"),
     )
     edges = (
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))

@@ -100,6 +100,7 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
 # _trade_edges relation): its direct consumers plus every consumer of
 # _knn_backbone (which builds on it). Whichever runs first creates it.
 MEMO_CREATORS = {
+    "q_graph_pagerank",
     "q_graph_cooccurrence",
     "q_graph_supplier_similarity",
     "q_graph_adamic_adar",
