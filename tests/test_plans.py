@@ -116,6 +116,19 @@ BNLJ_ALLOWED = {
                                 # shares)
     "q_agg_benford",            # 1-row order-count total broadcast-
                                 # crossed into the 9-row digit histogram
+    # Surfaced when the interior audit landed (the release-checkpoint
+    # pattern had been truncating these plans to ExistingRDD scans):
+    "q_llm_bpe_merges",         # per-round 1-row winning-pair subtree
+                                # broadcast-crossed back as the next
+                                # round's merge parameters (the fused
+                                # single-job BPE)
+    "q_er_fellegi_sunter",      # 1-row u-probability scalar aggregates
+                                # broadcast-crossed into the pattern
+                                # scoring relation
+    "q_llm_pmi",                # 1-row unigram/bigram grand totals
+                                # broadcast-crossed into the pair stream
+    "q_llm_ndcg",               # 1-row corpus stats broadcast-crossed
+                                # into the per-query ranking relation
 }
 
 # Shuffle-exchange ceilings. Default covers scan→agg/join→window plans;
@@ -123,6 +136,22 @@ BNLJ_ALLOWED = {
 # jaccard=7, simhash=4, scan_count=10 — ceilings leave AQE headroom).
 DEFAULT_MAX_SHUFFLES = 4
 MAX_SHUFFLES = {
+    # Audited 2026-08-14 when the interior audit landed (these plans
+    # were previously truncated to checkpoint scans; counts are the
+    # live-cache snapshot of the plan each final checkpoint executes,
+    # +~20% headroom):
+    "q_er_fellegi_sunter": 13,    # audited 11: blocked pair gen + 3 field
+                                  # agreements + pattern aggs + u-scalars
+    "q_graph_ppr": 6,             # audited 5: frontier expansion rounds
+                                  # over the checkpointed backbone
+    "q_llm_ndcg": 14,             # audited 12: per-query gain/ideal-gain
+                                  # rankings + corpus stats
+    "q_llm_pmi": 8,               # audited 7: unigram + bigram counts +
+                                  # pair join + totals
+    "q_llm_semdedup": 8,          # audited 6: Lloyd assign + cluster-
+                                  # scoped pair search + sizes
+    "q_ts_mann_kendall": 10,      # audited 8: daily rollup + banded
+                                  # concordance + variance terms
     "q_llm_neardup_jaccard": 8,   # shingle distinct + pair agg + 2 size joins
     "q_llm_neardup_two_tier": 10, # tier-1 LSH (sig agg + band join) feeding
                                   # tier-2 exact verify (audited: 8)
@@ -287,9 +316,43 @@ def _plan(spark, key: str) -> str:
     # Cached relations from earlier tests get spliced into new plans by
     # the CacheManager, making plan strings order-dependent — clear
     # first so every query is audited in its standalone shape.
+    #
+    # Queries using the cache-release pattern (eager localCheckpoint of
+    # the final result) would otherwise audit as a bare ExistingRDD
+    # scan, silently exempting their interiors from the cartesian/BNLJ/
+    # shuffle gates. Checkpoints still execute for real (iterative
+    # loops keep their genuine chunked shape), but the LAST
+    # pre-checkpoint DataFrame is recorded and audited in place of a
+    # bare checkpoint-scan result: the true plan of the query's final
+    # job. Mirrors scripts/gen_plans.py's rendering.
     spark.catalog.clearCache()
-    df = registry.QUERIES[key](spark, SF_DIR)
-    return df._jdf.queryExecution().executedPlan().toString()
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+    except ImportError:  # pragma: no cover - older layout
+        from pyspark.sql import DataFrame as _CDF
+
+    orig = _CDF.localCheckpoint
+    last: dict = {}
+
+    def recording(self, eager=True):
+        # Snapshot the plan STRING now, while any caches the query
+        # holds are still live and spliced in — this is the plan the
+        # checkpoint actually executes. Rendering the DataFrame after
+        # the query returns would plan a counterfactual: the release
+        # pattern has unpersisted its intermediates by then, so the
+        # whole lineage would re-inline.
+        last["plan"] = self._jdf.queryExecution().executedPlan().toString()
+        return orig(self, eager)
+
+    _CDF.localCheckpoint = recording  # type: ignore
+    try:
+        df = registry.QUERIES[key](spark, SF_DIR)
+    finally:
+        _CDF.localCheckpoint = orig  # type: ignore
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "plan" in last and plan.count("\n") <= 3 and "ExistingRDD" in plan:
+        plan = last["plan"]
+    return plan
 
 
 @pytest.mark.parametrize("key", AUDITED)
