@@ -869,7 +869,12 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for i in range(1, _KM_DIM + 1)
                 ]
             ).alias("cv")
-        )
+        # k-row eager checkpoint per Lloyd round (the graph-loop
+        # posture): without it each iteration's broadcast materializes
+        # the whole PRIOR assignment chain again — the interpreted
+        # argmin fold ran ~O(iters²) times (measured 10s -> ~4s at
+        # sf0.1).
+        ).localCheckpoint()
     # The final assignment feeds both the stats aggregate and (via the
     # centroid relation) the output join — unpersisted, each consumer
     # re-executes the whole 3-iteration Lloyd chain (measured: 18
