@@ -336,3 +336,58 @@ def q_stream_topk_batchsem(spark: SparkSession, sf_dir: str) -> DataFrame:
     by watermarking in production; the rank runs over post-agg rows
     partitioned by window, never over raw events."""
     return rank_topk_spenders(windowed_user_spend(t(spark, sf_dir, "events")))
+
+
+def enrich_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment: attach the customer dimension to an
+    event stream on user_id = c_custkey (every fixture user_id is a
+    valid custkey). The dim side is broadcast — on an unbounded stream
+    the static side MUST be the build side (no state store involved;
+    each micro-batch plans a plain broadcast hash join), which is also
+    the 100 TB posture for any dimension that fits an executor.
+    Shared verbatim by the batch twin and the streaming convergence
+    test: the tested path IS the ingest path."""
+    dim = customer.select(
+        F.col("c_custkey"), F.col("c_mktsegment"), F.col("c_nationkey")
+    )
+    return events.join(
+        F.broadcast(dim), events["user_id"] == dim["c_custkey"]
+    )
+
+
+@query(
+    "q_stream_enrich_batchsem",
+    oracle=f"""
+    SELECT c.c_mktsegment AS mktsegment,
+           e.event_type AS event_type,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users,
+           {sql_dec_sum('e.value', 2)} AS sum_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_enrich_batchsem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of stream-static dimension enrichment during ingest —
+    khose's enrich step (decorate each incoming record with reference
+    data, then aggregate): per (market segment, event type) event count,
+    distinct users, and exact-cent value total. The streaming run joins
+    the SAME broadcast dim per micro-batch and converges to this
+    answer (tests/test_streaming.py).
+
+    Scale: the dim is broadcast (no shuffle on the stream side, no
+    state); the aggregation shuffles on the (segment, type) key —
+    cardinality 5×5 — with map-side partial aggregation doing almost
+    all the work."""
+    enriched = enrich_with_customer(
+        t(spark, sf_dir, "events"), t(spark, sf_dir, "customer")
+    )
+    return enriched.groupBy(
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("event_type").alias("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dec_sum(F.col("value"), 2).alias("sum_value"),
+    )
