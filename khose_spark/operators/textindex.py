@@ -294,7 +294,7 @@ def q_llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
     out = bpe_merge_rounds(stream, _BPE_ROUNDS)
-    if d.count() > _BPE_COMPACT_MAX_DOCS:
+    if _doc_count(d, sf_dir) > _BPE_COMPACT_MAX_DOCS:
         return out
     compact = {
         "spark.sql.adaptive.enabled": "false",
@@ -311,6 +311,19 @@ def q_llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_COMPACT_MAX_DOCS = 100_000
+
+# Mode-selection count memo, keyed by fixture dir. The count itself is a
+# metadata-only parquet job (rowcount from footers), but re-running it on
+# EVERY invocation was still an extra Spark job on the large path
+# (ADVICE r06 item 4); a given sf_dir's cardinality is immutable for the
+# life of the process, so one probe per dir suffices.
+_DOC_COUNT_MEMO: dict = {}
+
+
+def _doc_count(d: DataFrame, sf_dir: str) -> int:
+    if sf_dir not in _DOC_COUNT_MEMO:
+        _DOC_COUNT_MEMO[sf_dir] = d.count()
+    return _DOC_COUNT_MEMO[sf_dir]
 
 
 def bpe_merge_rounds(stream: DataFrame, rounds: int) -> DataFrame:

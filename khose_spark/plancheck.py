@@ -80,14 +80,86 @@ def reset_plan_state(spark) -> None:
     similarity._PQ_INDEX_CACHE.clear()
 
 
-def skeleton(df: DataFrame) -> list[str]:
-    """Ordered operator-token skeleton of ``df``'s executed plan
-    (initial AQE plan — rendered before execution, so deterministic at a
-    fixed fixture)."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
+def skeleton_tokens(plan: str) -> list[str]:
+    """Ordered operator-token skeleton of a physical-plan string."""
     toks = []
     for line in plan.splitlines():
         tok = _token(line)
         if tok is not None:
             toks.append(tok)
+    return toks
+
+
+def skeleton(df: DataFrame) -> list[str]:
+    """Ordered operator-token skeleton of ``df``'s executed plan
+    (initial AQE plan — rendered before execution, so deterministic at a
+    fixed fixture)."""
+    return skeleton_tokens(df._jdf.queryExecution().executedPlan().toString())
+
+
+# Separator between a query's returned skeleton and the recorded
+# interior (the plan its final localCheckpoint actually executed) in
+# plans.lock.json entries.
+INTERIOR_MARK = "@checkpoint-interior"
+
+
+class record_checkpoints:
+    """Context manager that patches ``DataFrame.localCheckpoint`` to
+    snapshot the executed-plan string of each checkpointed DataFrame —
+    rendered AT checkpoint time, while the query's caches are still
+    live and spliced in, i.e. the plan the checkpoint actually executes
+    (rendering after the query returns would re-inline the lineage the
+    release pattern has already unpersisted).
+
+    ``.last`` holds the final recorded plan string (None if the query
+    never checkpointed). Only the concrete ``classic`` DataFrame class
+    is patched — it OVERRIDES the base class in Spark 4, so patching
+    the base alone silently no-ops. The patch passes ``*args/**kwargs``
+    through so Spark 4's ``storageLevel`` parameter survives (ADVICE
+    r06 item 2), and is restored on exit even when the query raises.
+    """
+
+    def __enter__(self):
+        try:
+            from pyspark.sql.classic.dataframe import DataFrame as _CDF
+        except ImportError:  # pragma: no cover - older layout
+            from pyspark.sql import DataFrame as _CDF
+        self._cls = _CDF
+        self._orig = _CDF.localCheckpoint
+        self.last: str | None = None
+        rec, orig = self, self._orig
+
+        def recording(df_self, *args, **kwargs):
+            rec.last = (
+                df_self._jdf.queryExecution().executedPlan().toString()
+            )
+            return orig(df_self, *args, **kwargs)
+
+        _CDF.localCheckpoint = recording  # type: ignore[assignment]
+        return self
+
+    def __exit__(self, *exc):
+        self._cls.localCheckpoint = self._orig  # type: ignore[assignment]
+        return False
+
+
+def audited_plan(spark, fn, sf_dir: str) -> tuple[str, str | None]:
+    """Build ``fn``'s plan from a reset session and return
+    ``(returned_plan, interior_plan_or_None)`` — the pair every plan
+    gate audits. The interior is the final checkpoint's pre-execution
+    plan; without it, checkpoint-final queries would audit as a bare
+    ``Scan ExistingRDD`` and checkpoint-plus-trailing-op queries would
+    audit only the trailing stub (ADVICE r06 item 3)."""
+    reset_plan_state(spark)
+    with record_checkpoints() as rec:
+        df = fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString(), rec.last
+
+
+def full_skeleton(returned: str, interior: str | None) -> list[str]:
+    """Lockable skeleton covering BOTH the returned plan and the final
+    checkpoint interior (separated by INTERIOR_MARK)."""
+    toks = skeleton_tokens(returned)
+    if interior is not None:
+        toks = toks + [INTERIOR_MARK] + skeleton_tokens(interior)
     return toks

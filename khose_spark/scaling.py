@@ -66,11 +66,19 @@ def _tag_text(col, tag: str):
 
 
 def _rotate(vec, by: int):
-    """Cyclic rotation of an array column by ``by`` positions."""
+    """Cyclic rotation of an array column by ``by`` positions.
+
+    The shift is reduced modulo the vector length first: with copy
+    counts above the embedding dimension, an unreduced ``by`` that is a
+    multiple of the dim would rotate a full cycle and emit an EXACT
+    duplicate of the base vector — silently violating the decorrelation
+    invariant this module documents (ADVICE r06 item 1).
+    """
     n = F.size(vec)
+    b = F.pmod(F.lit(by), n)
     return F.concat(
-        F.slice(vec, by + 1, F.greatest(n - by, F.lit(0))),
-        F.slice(vec, 1, by),
+        F.slice(vec, b + F.lit(1), F.greatest(n - b, F.lit(0))),
+        F.slice(vec, F.lit(1), b),
     )
 
 

@@ -11,10 +11,12 @@ explicit, reviewed regeneration of this file:
     git diff plans.lock.json                # review the drift
 
 Queries whose registered function materializes eagerly (checkpointing
-operators) lock their post-checkpoint shape (Scan ExistingRDD …) — the
-lock then pins that the operator IS checkpoint-shaped, while their
-interior plans stay covered by the dedicated shape tests in
-tests/test_plans.py and tests/test_bucketing.py.
+operators) lock BOTH halves of their shape: the returned (post-
+checkpoint) plan, then an ``@checkpoint-interior`` marker, then the
+skeleton of the plan the final localCheckpoint actually executed —
+recorded at checkpoint time while the query's caches were live. So the
+drift gate covers the interior of every checkpointed operator, not just
+its `Scan ExistingRDD` stub (ADVICE r06 item 3).
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from khose_spark import registry  # noqa: E402
-from khose_spark.plancheck import reset_plan_state, skeleton  # noqa: E402
+from khose_spark.plancheck import audited_plan, full_skeleton  # noqa: E402
 from khose_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -41,12 +43,13 @@ def main() -> None:
     spark = get_spark("khose-planlock")
     lock: dict[str, list[str]] = {}
     for key in sorted(registry.QUERIES):
-        # Cached relations AND cross-query memos make skeletons
-        # order-dependent — reset both before every key (see
-        # plancheck.reset_plan_state).
-        reset_plan_state(spark)
-        df = registry.QUERIES[key](spark, SF_DIR)
-        lock[key] = skeleton(df)
+        # audited_plan resets SQL cache + cross-query memos before every
+        # key (skeletons are otherwise order-dependent) and records the
+        # final checkpoint's interior plan.
+        returned, interior = audited_plan(
+            spark, registry.QUERIES[key], SF_DIR
+        )
+        lock[key] = full_skeleton(returned, interior)
         print(f"{key}: {len(lock[key])} ops", file=sys.stderr)
     with open(LOCK, "w") as f:
         json.dump(lock, f, indent=0, sort_keys=True)

@@ -1,5 +1,19 @@
 """Full-board oracle sweep — the same-day correctness signal VERDICT r05
-asked for (next-round item #7).
+asked for (next-round item #7), extended per VERDICT r06 with the two
+missing evidence modes:
+
+- ``--scale10``: run the DuckDB oracle sweep against the deterministic
+  10× materialization of sf0.1 (khose_spark/scaling.py — the dir bench
+  already times) and write ``LOCAL_CORRECTNESS_10x.json``. Every prior
+  decade jump (sf0.01→sf0.1) caught real int64-overflow/rounding bugs;
+  this is the first CORRECTNESS (not just timing) evidence at the next
+  decade.
+- ``--changed``: incremental per-commit mode. Each full sweep records a
+  per-key fingerprint (defining-module source hash + oracle-SQL hash)
+  in the artifact; ``--changed`` re-runs only keys whose fingerprint
+  drifted since the committed ``LOCAL_CORRECTNESS.json`` and merges the
+  refreshed rows back in — same-day signal at ~seconds-per-changed-key
+  instead of the ~11-minute full board.
 
 The grading driver samples ~50 keys/round (oldest-first), so a key added
 in round N may not be driver-checked until round N+2. This script closes
@@ -13,6 +27,8 @@ and writes one `LOCAL_CORRECTNESS.json` artifact at the repo root.
 Usage:
     python scripts/verify_sweep.py              # sf0.01 sweep (graded scale)
     python scripts/verify_sweep.py --defensive  # + sf0.1 sweep of all keys
+    python scripts/verify_sweep.py --changed    # only fingerprint-drifted keys
+    python scripts/verify_sweep.py --scale10 [keys …]  # 10× sf0.1 oracle sweep
     python scripts/verify_sweep.py q_agg_gini …  # subset of keys
 
 Exit 0 iff every checked key is green.
@@ -20,6 +36,7 @@ Exit 0 iff every checked key is green.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -33,16 +50,66 @@ TABLES = (
     "documents embeddings"
 ).split()
 
+SCALE_BASE = "/root/testdata/sf0.1"
+SCALE_FACTOR = 10
+
+# Keys whose REGISTERED form is documented as fixture-scale ground truth
+# with quadratic cost by design (their scale path is the banded/blocked
+# twin, which IS swept): running them on the 10× dir would be an
+# intentional O(n²) blow-up, not evidence. Recorded in the artifact as
+# "skipped" with the reason, so the gap is visible, not silent.
+SCALE10_SKIP = {
+    "q_llm_lsh_threshold_sweep": (
+        "declared all-pairs agreement histogram (docstring: fixture-"
+        "scale ground truth; banded generator is the scale path) — "
+        "50k docs => 1.25B signature pairs both engines"
+    ),
+}
+
 
 def oracle_connection(sf_dir: str):
+    """DuckDB connection with the fixture tables registered as views.
+    Handles both layouts: the driver's single-file fixtures
+    (``table.parquet`` is a file) and Spark-written datasets
+    (``table.parquet`` is a directory of part files — the 10× dirs)."""
     import duckdb
 
     con = duckdb.connect()
     for tname in TABLES:
-        con.sql(
-            f"CREATE VIEW {tname} AS SELECT * FROM '{sf_dir}/{tname}.parquet'"
-        )
+        path = f"{sf_dir}/{tname}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {tname} AS SELECT * FROM '{path}'")
     return con
+
+
+def fingerprints(keys: list[str]) -> dict[str, dict[str, str]]:
+    """Per-key change-detection fingerprint: sha256 of the defining
+    module's source + sha256 of the oracle SQL text. A key re-runs under
+    ``--changed`` iff either hash moved. Deliberately module-granular:
+    an edit anywhere in operators/aggregates.py re-checks every
+    aggregates key (cheap, safe); edits to shared helpers (tables.py,
+    rank.py) are rarer and covered by the full per-round sweep."""
+    import __spark_entry__ as E
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    mod_hash: dict[str, str] = {}
+    out: dict[str, dict[str, str]] = {}
+    for k in keys:
+        m = getattr(qs[k], "__module__", "?")
+        if m not in mod_hash:
+            f = getattr(sys.modules.get(m), "__file__", None)
+            mod_hash[m] = (
+                hashlib.sha256(open(f, "rb").read()).hexdigest()[:16]
+                if f
+                else "?"
+            )
+        osql = oracles.get(k, "")
+        out[k] = {
+            "module": mod_hash[m],
+            "oracle": hashlib.sha256(osql.encode()).hexdigest()[:16],
+        }
+    return out
 
 
 def sweep(spark, sf_dir: str, keys: list[str]) -> dict[str, dict]:
@@ -86,15 +153,28 @@ def sweep(spark, sf_dir: str, keys: list[str]) -> dict[str, dict]:
     return results
 
 
-def main() -> int:
-    defensive = "--defensive" in sys.argv
-    wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
+def _tally(res: dict[str, dict]) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for v in res.values():
+        out[v["status"]] = out.get(v["status"], 0) + 1
+    return out
 
+
+def _bad_count(summary: dict) -> int:
+    return sum(
+        n
+        for t in summary.values()
+        for s, n in t.items()
+        if s not in ("pass", "rows-only")
+    )
+
+
+def _session():
     from pyspark.sql import SparkSession
 
     # Hostile session on purpose: non-UTC tz proves prep_session repairs
     # the driver's session rather than relying on a friendly default.
-    spark = (
+    return (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "America/New_York")
@@ -103,6 +183,60 @@ def main() -> int:
         .getOrCreate()
     )
 
+
+def run_scale10(wanted: list[str]) -> int:
+    """Oracle sweep at 10× sf0.1 (≈ sf1 volume) → LOCAL_CORRECTNESS_10x.json.
+
+    Defaults to the FULL oracled board; pass keys for a subset (subset
+    runs don't overwrite the committed artifact). The scaled dir is the
+    exact materialization bench.py times (same path), so correctness
+    evidence and timing evidence cover the same bytes."""
+    spark = _session()
+    import __spark_entry__ as E
+
+    from khose_spark.scaling import ensure_scale_dir
+
+    tag = os.path.basename(SCALE_BASE.rstrip("/"))
+    dest = (
+        os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/khose_scale")
+        + f"_{tag}_x{SCALE_FACTOR}"
+    )
+    big = ensure_scale_dir(spark, SCALE_BASE, dest, factor=SCALE_FACTOR)
+    keys = wanted or [k for k in sorted(E.queries()) if k not in SCALE10_SKIP]
+    report: dict = {
+        "base": SCALE_BASE,
+        "factor": SCALE_FACTOR,
+        "dir": big,
+        "n_keys": len(keys),
+        "skipped": SCALE10_SKIP if not wanted else {},
+    }
+    t0 = time.perf_counter()
+    report["scale10"] = sweep(spark, big, keys)
+    report["total_sec"] = round(time.perf_counter() - t0, 1)
+    report["summary"] = {"scale10": _tally(report["scale10"])}
+    bad = _bad_count(report["summary"])
+    report["green"] = bad == 0
+    if not wanted:
+        path = os.path.join(REPO, "LOCAL_CORRECTNESS_10x.json")
+        with open(path, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"wrote {path}", file=sys.stderr)
+    print(json.dumps({"green": report["green"], **report["summary"]}))
+    spark.stop()
+    return 1 if bad else 0
+
+
+def main() -> int:
+    defensive = "--defensive" in sys.argv
+    if "--scale10" in sys.argv:
+        return run_scale10(
+            [a for a in sys.argv[1:] if not a.startswith("--")]
+        )
+    changed_only = "--changed" in sys.argv
+    wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
+
+    spark = _session()
+
     import __spark_entry__ as E
 
     entry_rows = len(E.entry(spark).collect())
@@ -110,7 +244,27 @@ def main() -> int:
     tz = spark.conf.get("spark.sql.session.timeZone")
     assert tz == "UTC", f"prep_session did not repair tz: {tz}"
 
-    keys = wanted or sorted(E.queries())
+    all_keys = sorted(E.queries())
+    artifact = os.path.join(REPO, "LOCAL_CORRECTNESS.json")
+    if changed_only:
+        try:
+            prev = json.load(open(artifact))
+        except (OSError, ValueError):
+            prev = {}
+        prev_fp = prev.get("fingerprints", {})
+        now_fp = fingerprints(all_keys)
+        keys = [k for k in all_keys if prev_fp.get(k) != now_fp[k]]
+        print(
+            f"--changed: {len(keys)}/{len(all_keys)} keys drifted",
+            file=sys.stderr,
+        )
+        if not keys:
+            print(json.dumps({"green": True, "changed": 0}))
+            spark.stop()
+            return 0
+    else:
+        keys = wanted or all_keys
+
     report: dict = {
         "entry_rows": entry_rows,
         "tz_repaired": tz,
@@ -119,34 +273,41 @@ def main() -> int:
 
     t0 = time.perf_counter()
     report["sf0.01"] = sweep(spark, "/root/testdata/sf0.01", keys)
-    if defensive:
+    if defensive or changed_only:
+        # --changed always re-checks the defensive scale too: a changed
+        # module is exactly where a new overflow/rounding trap would be.
         report["sf0.1"] = sweep(spark, "/root/testdata/sf0.1", keys)
     report["total_sec"] = round(time.perf_counter() - t0, 1)
 
-    def tally(res: dict[str, dict]) -> dict[str, int]:
-        out: dict[str, int] = {}
-        for v in res.values():
-            out[v["status"]] = out.get(v["status"], 0) + 1
-        return out
-
     report["summary"] = {
-        sf: tally(report[sf]) for sf in ("sf0.01", "sf0.1") if sf in report
+        sf: _tally(report[sf]) for sf in ("sf0.01", "sf0.1") if sf in report
     }
-    bad = sum(
-        n
-        for t in report["summary"].values()
-        for s, n in t.items()
-        if s not in ("pass", "rows-only")
-    )
+    bad = _bad_count(report["summary"])
     report["green"] = bad == 0
 
-    # Only the full-board sweep is the committed artifact; subset runs
-    # are a dev loop and must not overwrite the round's record.
-    if not wanted:
-        path = os.path.join(REPO, "LOCAL_CORRECTNESS.json")
-        with open(path, "w") as f:
+    # Full-board sweeps rewrite the committed artifact; --changed merges
+    # its refreshed rows into it; ad-hoc subset runs are a dev loop and
+    # must not overwrite the round's record.
+    if changed_only and not bad:
+        merged = prev if prev else {"summary": {}}
+        for sf in ("sf0.01", "sf0.1"):
+            merged.setdefault(sf, {}).update(report.get(sf, {}))
+            if sf in merged:
+                merged["summary"][sf] = _tally(merged[sf])
+        merged["fingerprints"] = now_fp
+        merged["green"] = _bad_count(merged["summary"]) == 0
+        merged["last_changed_sweep"] = {
+            "n_keys": len(keys),
+            "total_sec": report["total_sec"],
+        }
+        with open(artifact, "w") as f:
+            json.dump(merged, f, indent=1, sort_keys=True)
+        print(f"merged {len(keys)} keys into {artifact}", file=sys.stderr)
+    elif not wanted and not changed_only:
+        report["fingerprints"] = fingerprints(all_keys)
+        with open(artifact, "w") as f:
             json.dump(report, f, indent=1, sort_keys=True)
-        print(f"wrote {path}", file=sys.stderr)
+        print(f"wrote {artifact}", file=sys.stderr)
 
     print(json.dumps({"green": report["green"], **report["summary"]}))
     spark.stop()

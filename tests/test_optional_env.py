@@ -94,8 +94,12 @@ def _kafka_source_available(spark) -> bool:
             .load()
         )
         return True
-    except Exception as e:
-        return "FAILED_TO_LOAD_DATA_SOURCE" not in str(e) and "kafka" not in str(e).lower()
+    except Exception:
+        # Any load() failure means the gate must SKIP, not run: an
+        # unrelated environment error used to slip past the old
+        # marker-string check and fail the smoke instead of skipping
+        # (ADVICE r06 item 5). Availability == load() succeeded.
+        return False
 
 
 def test_kafka_source_schema_when_jar_present(spark):

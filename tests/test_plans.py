@@ -178,10 +178,12 @@ MAX_SHUFFLES = {
                                   # round, so the final plan is scan+agg; the
                                   # headroom covers AQE variation in the
                                   # eager pair-generation stage
-    "q_graph_pagerank": 12,       # power iterations localCheckpoint each
-                                  # round (the final plan sees only the last
-                                  # round: contrib agg + node joins + top-20;
-                                  # audited string count: 10)
+    "q_graph_pagerank": 21,       # power iterations localCheckpoint each
+                                  # round; the combined audit (returned +
+                                  # final-round interior, r07) sees the last
+                                  # round's contrib agg + node joins with the
+                                  # persisted rank chain embedded 3x in the
+                                  # string (audited combined count: 18)
     "q_llm_bm25": 6,              # tf doc_id agg + 3-row df agg + scored
                                   # doc agg + TakeOrdered (audited: 5)
     "q_llm_bigram_lm": 8,         # c12/c1/vocab model aggs + per-doc NLL
@@ -250,10 +252,12 @@ MAX_SHUFFLES = {
                                   # custkey self-join + TakeOrdered; the
                                   # memoized edge list embedded 3x in
                                   # the string (audited: 7)
-    "q_graph_clustering": 10,     # two node-keyed triangle self-joins +
+    "q_graph_clustering": 13,     # two node-keyed triangle self-joins +
                                   # degree agg + edge-count agg + 1-row
                                   # combines over the checkpointed
-                                  # backbone (audited: 8)
+                                  # backbone; +backbone-build interior
+                                  # under the combined audit (r07:
+                                  # audited combined count 11)
     "q_dq_referential": 18,       # 5 FK edges x (child distinct-key agg
                                   # + parent membership join + 1-row
                                   # fold) unioned — inherently one
@@ -292,6 +296,25 @@ MAX_SHUFFLES = {
     "q_agg_theil": 8,             # customer rollup + broadcast dim join
                                   # + 25-row nation agg + 1-row total +
                                   # decomposition fold (audited: 6)
+    # Surfaced when the COMBINED interior audit landed (r07: returned
+    # plan + final-checkpoint interior are now counted together, so
+    # checkpoint-plus-trailing-op queries stopped auditing only their
+    # trailing stub — ADVICE r06 item 3). Counts are audited combined
+    # string counts at sf0.001 + ~30% headroom:
+    "q_graph_assortativity": 8,   # degree-pair moments over the
+                                  # checkpointed backbone + backbone-
+                                  # build interior (audited: 6)
+    "q_graph_degree_dist": 8,     # degree agg + histogram fold +
+                                  # backbone-build interior (audited: 6)
+    "q_graph_labelprop": 7,       # final-round (node,label) count agg +
+                                  # argmax window interior over the
+                                  # checkpointed round (audited: 5)
+    "q_llm_dedup_apply": 7,       # canonical-join apply + final CC
+                                  # round's min-label interior
+                                  # (audited: 5)
+    "q_llm_minhash_estimator_audit": 7,  # band-pair estimates + exact-
+                                  # Jaccard audit join + signature-build
+                                  # interior (audited: 5)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -312,47 +335,34 @@ _SKIP = {k for k in registry.QUERIES if k.startswith("q_stream_")} | {
 AUDITED = sorted(set(registry.QUERIES) - _SKIP)
 
 
+# One (returned_plan, interior_plan) build per key per session: the
+# parametrized gates below plus the skeleton lock all audit the same
+# pair, and plan construction is the expensive part. The memo also
+# guarantees every gate sees the SAME memo-state-independent render
+# (plancheck.audited_plan resets SQL cache + cross-query memos first).
+_PLAN_MEMO: dict[str, tuple[str, str | None]] = {}
+
+
+def _audited(spark, key: str) -> tuple[str, str | None]:
+    if key not in _PLAN_MEMO:
+        from khose_spark.plancheck import audited_plan
+
+        _PLAN_MEMO[key] = audited_plan(spark, registry.QUERIES[key], SF_DIR)
+    return _PLAN_MEMO[key]
+
+
 def _plan(spark, key: str) -> str:
-    # Cached relations from earlier tests get spliced into new plans by
-    # the CacheManager, making plan strings order-dependent — clear
-    # first so every query is audited in its standalone shape.
-    #
     # Queries using the cache-release pattern (eager localCheckpoint of
     # the final result) would otherwise audit as a bare ExistingRDD
-    # scan, silently exempting their interiors from the cartesian/BNLJ/
-    # shuffle gates. Checkpoints still execute for real (iterative
-    # loops keep their genuine chunked shape), but the LAST
-    # pre-checkpoint DataFrame is recorded and audited in place of a
-    # bare checkpoint-scan result: the true plan of the query's final
-    # job. Mirrors scripts/gen_plans.py's rendering.
-    spark.catalog.clearCache()
-    try:
-        from pyspark.sql.classic.dataframe import DataFrame as _CDF
-    except ImportError:  # pragma: no cover - older layout
-        from pyspark.sql import DataFrame as _CDF
-
-    orig = _CDF.localCheckpoint
-    last: dict = {}
-
-    def recording(self, eager=True):
-        # Snapshot the plan STRING now, while any caches the query
-        # holds are still live and spliced in — this is the plan the
-        # checkpoint actually executes. Rendering the DataFrame after
-        # the query returns would plan a counterfactual: the release
-        # pattern has unpersisted its intermediates by then, so the
-        # whole lineage would re-inline.
-        last["plan"] = self._jdf.queryExecution().executedPlan().toString()
-        return orig(self, eager)
-
-    _CDF.localCheckpoint = recording  # type: ignore
-    try:
-        df = registry.QUERIES[key](spark, SF_DIR)
-    finally:
-        _CDF.localCheckpoint = orig  # type: ignore
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    if "plan" in last and plan.count("\n") <= 3 and "ExistingRDD" in plan:
-        plan = last["plan"]
-    return plan
+    # scan — and checkpoint-plus-trailing-op queries would audit only
+    # the trailing stub — silently exempting their interiors from the
+    # cartesian/BNLJ/shuffle gates. Checkpoints still execute for real
+    # (iterative loops keep their genuine chunked shape), but the LAST
+    # pre-checkpoint plan is recorded at checkpoint time and audited
+    # ALONGSIDE the returned plan (ADVICE r06 item 3: both halves, not
+    # a bare-scan recovery heuristic).
+    returned, interior = _audited(spark, key)
+    return returned if interior is None else returned + "\n" + interior
 
 
 @pytest.mark.parametrize("key", AUDITED)
@@ -527,7 +537,7 @@ def test_plan_skeleton_lock(spark):
     import json
     import os
 
-    from khose_spark.plancheck import reset_plan_state, skeleton
+    from khose_spark.plancheck import full_skeleton
 
     lock_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -540,9 +550,8 @@ def test_plan_skeleton_lock(spark):
         if key not in lock:
             drift.append(f"{key}: not in plans.lock.json (regenerate)")
             continue
-        reset_plan_state(spark)
-        df = registry.QUERIES[key](spark, SF_DIR)
-        got = skeleton(df)
+        returned, interior = _audited(spark, key)
+        got = full_skeleton(returned, interior)
         if got != lock[key]:
             want = lock[key]
             # first differing index, for a readable failure
