@@ -731,26 +731,21 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     margy = _midranks(
         joint.groupBy("by").agg(F.sum("cnt").alias("cnt")), "by", "ry2"
     )
+    # Widen INSIDE the sum: cnt·rx2·ry2 reaches ~4n³ and the running
+    # int64 accumulator overflowed at 10×-sf0.1 (caught by the r07
+    # scale10 oracle sweep — casting only the sum RESULT was too late).
+    # The decimal multiply is grid-bounded (~10³ cells), not data-sized.
+    wide = F.col("cnt").cast("decimal(38,0)")
     moments = (
         joint.join(F.broadcast(margx), "bx")
         .join(F.broadcast(margy), "by")
         .agg(
-            F.sum("cnt").cast("decimal(38,0)").alias("n"),
-            F.sum(F.col("cnt") * F.col("rx2"))
-            .cast("decimal(38,0)")
-            .alias("sx"),
-            F.sum(F.col("cnt") * F.col("ry2"))
-            .cast("decimal(38,0)")
-            .alias("sy"),
-            F.sum(F.col("cnt") * F.col("rx2") * F.col("rx2"))
-            .cast("decimal(38,0)")
-            .alias("sxx"),
-            F.sum(F.col("cnt") * F.col("ry2") * F.col("ry2"))
-            .cast("decimal(38,0)")
-            .alias("syy"),
-            F.sum(F.col("cnt") * F.col("rx2") * F.col("ry2"))
-            .cast("decimal(38,0)")
-            .alias("sxy"),
+            F.sum(wide).alias("n"),
+            F.sum(wide * F.col("rx2")).alias("sx"),
+            F.sum(wide * F.col("ry2")).alias("sy"),
+            F.sum(wide * F.col("rx2") * F.col("rx2")).alias("sxx"),
+            F.sum(wide * F.col("ry2") * F.col("ry2")).alias("syy"),
+            F.sum(wide * F.col("rx2") * F.col("ry2")).alias("sxy"),
         )
     )
     return moments.select(

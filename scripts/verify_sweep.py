@@ -112,15 +112,36 @@ def fingerprints(keys: list[str]) -> dict[str, dict[str, str]]:
     return out
 
 
-def sweep(spark, sf_dir: str, keys: list[str]) -> dict[str, dict]:
+def sweep(
+    spark, sf_dir: str, keys: list[str], rewrite_oracles: bool = False
+) -> dict[str, dict]:
     """Run every key in ``keys`` Spark-vs-DuckDB at ``sf_dir``; rows-only
-    keys (no oracle) get the driver's weaker runs+rows check."""
+    keys (no oracle) get the driver's weaker runs+rows check.
+
+    ``rewrite_oracles`` applies the semantics-neutral ``AS MATERIALIZED``
+    hint to multiply-referenced fact-scale CTEs (khose_spark.oracle_opt)
+    — required at 10× volume where DuckDB's CTE re-inlining turns the
+    unrolled-iteration oracles exponential; the sf0.01/sf0.1 sweeps run
+    the committed strings verbatim, exactly like the driver."""
     import __spark_entry__ as E
 
     from tests._parity import compare, run_query_cache_checked
 
     qs = E.queries()
     oracles = E.oracle_sql()
+    if rewrite_oracles:
+        from khose_spark.oracle_opt import materialize_multiref_ctes
+
+        # The PQ oracles sit exactly on a round-4 boundary: materializing
+        # their codebook CTE regroups DuckDB's float accumulation and
+        # flips one distance from 1.3490 to 1.3489 (measured sf0.001,
+        # r07). They run verbatim — their fact CTE is embeddings-sized,
+        # so re-inlining is cheap at any fixture scale.
+        skip = {"q_llm_ann_pq", "q_llm_ann_pq_indexed"}
+        oracles = {
+            k: v if k in skip else materialize_multiref_ctes(v)
+            for k, v in oracles.items()
+        }
     con = oracle_connection(sf_dir)
     results: dict[str, dict] = {}
     for k in keys:
@@ -210,8 +231,12 @@ def run_scale10(wanted: list[str]) -> int:
         "n_keys": len(keys),
         "skipped": SCALE10_SKIP if not wanted else {},
     }
+    report["oracle_rewrite"] = (
+        "multi-referenced fact-scale CTEs executed AS MATERIALIZED "
+        "(khose_spark.oracle_opt — evaluation hint, semantics-neutral)"
+    )
     t0 = time.perf_counter()
-    report["scale10"] = sweep(spark, big, keys)
+    report["scale10"] = sweep(spark, big, keys, rewrite_oracles=True)
     report["total_sec"] = round(time.perf_counter() - t0, 1)
     report["summary"] = {"scale10": _tally(report["scale10"])}
     bad = _bad_count(report["summary"])

@@ -681,3 +681,213 @@ def test_stream_static_enrich_converges(spark, sf_dir, chunks):
         "sum_value",
     )
     assert_frames_equal(got, twin, "stream-static enrichment")
+
+
+def test_stream_soak_100_batches(spark):
+    """Long-run soak (VERDICT r06 item 5): khose's core claim is a
+    LONG-LIVED ingest, but every other streaming test is a single
+    drain. Replay the sf0.1 events fixture as 100 ordered chunk files
+    revealed in 4 waves of 25, each wave drained by a RESTARTED query
+    pair over the same checkpoints (availableNow + maxFilesPerTrigger=1
+    → one micro-batch per chunk, 100 data batches total; 4 restarts
+    exercise WAL/state recovery repeatedly). Asserts the properties
+    that only show up over many batches:
+
+    - ≥100 micro-batches actually ran (batchIds continue across
+      restarts);
+    - the event-time watermark is globally MONOTONE across all batches
+      and restarts;
+    - state-store size stays BOUNDED: the windowed aggregation's state
+      never exceeds the live-horizon window count — watermark eviction
+      works — instead of growing with total windows seen;
+    - zero file-count drift: after each wave's compaction pass the
+      compacted file count equals the partition-dir count (constant
+      across waves) even as landed data quadruples;
+    - exactly-once: the ingest sink holds every staged row exactly
+      once, and the append-mode aggregate emitted every closed window
+      exactly once, matching the batch twin.
+    """
+    import json as _json
+    import time
+
+    soak_sf = "/root/testdata/sf0.1"
+    events = t(spark, soak_sf, "events")
+    n_events = events.count()
+
+    base = tempfile.mkdtemp(prefix="khose_soak_")
+    staging = f"{base}/staging"
+    live = f"{base}/live"
+    os.makedirs(live)
+    try:
+        (
+            events.repartitionByRange(100, "event_id")
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        parts = sorted(
+            f for f in os.listdir(staging)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        assert len(parts) == 100
+        base_mtime = int(time.time()) - 10_000
+        for i, fname in enumerate(parts):
+            os.utime(
+                os.path.join(staging, fname),
+                (base_mtime + i, base_mtime + i),
+            )
+
+        agg_out, agg_ckpt = f"{base}/agg_out", f"{base}/agg_ckpt"
+        ing_out, ing_ckpt = f"{base}/ing_out", f"{base}/ing_ckpt"
+
+        def nfiles(d):
+            return sum(
+                1 for _, _, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+            )
+
+        def ndirs(d):
+            return sum(
+                1
+                for p, _, fs in os.walk(d)
+                if any(f.endswith(".parquet") for f in fs)
+            )
+
+        progresses: list[dict] = []
+        compacted_files: list[int] = []
+        compacted_dirs: list[int] = []
+        from khose_spark.streaming.runtime import compact_parquet
+
+        for wave in range(4):
+            for fname in parts[wave * 25 : (wave + 1) * 25]:
+                shutil.move(os.path.join(staging, fname), live)
+
+            # windowed aggregate with watermark: the state/watermark probe
+            agg = (
+                file_stream(spark, live, files_per_trigger=1)
+                .withWatermark("ts", "2 hours")
+                .groupBy(
+                    F.window("ts", "1 hour").alias("w"), "event_type"
+                )
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(
+                    F.col("w.start").alias("w_start"),
+                    F.col("w.end").alias("w_end"),
+                    "event_type",
+                    "n",
+                )
+            )
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", agg_out)
+                .option("checkpointLocation", agg_ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            progresses.extend(_json.loads(p.json) for p in q.recentProgress)
+
+            # exactly-once partitioned ingest sink rides along (coarser
+            # batching — throughput config), compacted after every wave
+            ingest_to_parquet(
+                file_stream(spark, live, files_per_trigger=4),
+                ing_out,
+                ing_ckpt,
+                partition_granularity="month",
+                coalesce_to=1,
+            )
+            compacted = f"{base}/compacted_{wave}"
+            compact_parquet(spark, ing_out, compacted)
+            compacted_files.append(nfiles(compacted))
+            compacted_dirs.append(ndirs(compacted))
+
+        # --- ≥100 data micro-batches across the 4 restarts
+        data_batches = [p for p in progresses if p.get("numInputRows", 0) > 0]
+        assert len(data_batches) >= 100, (
+            f"only {len(data_batches)} data micro-batches ran"
+        )
+        assert max(p["batchId"] for p in progresses) >= 99
+
+        # --- watermark monotone across every batch and restart
+        wms = [
+            p["eventTime"]["watermark"]
+            for p in progresses
+            if "watermark" in p.get("eventTime", {})
+        ]
+        wms = [w for w in wms if not w.startswith("1970")]  # pre-init
+        assert wms == sorted(wms), "watermark went backwards"
+        assert len(wms) >= 90
+
+        # --- state bounded by the live horizon, not total windows seen
+        state_rows = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in progresses
+            if p.get("stateOperators")
+        ]
+        total_pairs = (
+            events.select(
+                F.date_trunc("hour", "ts").alias("h"), "event_type"
+            )
+            .distinct()
+            .count()
+        )
+        assert max(state_rows) < total_pairs, (
+            f"state ({max(state_rows)}) reached total window count "
+            f"({total_pairs}) — watermark eviction is not working"
+        )
+
+        # --- zero file-count drift under periodic compaction
+        assert compacted_files == compacted_dirs, (
+            f"compaction left multi-file partition dirs: {compacted_files} "
+            f"files vs {compacted_dirs} dirs"
+        )
+        assert compacted_files[-1] == compacted_files[0], (
+            f"compacted file count drifted across waves: {compacted_files}"
+        )
+        assert compacted_files[-1] <= 32  # the ingest file-count policy
+
+        # --- exactly-once, both sinks
+        assert spark.read.parquet(f"{base}/compacted_3").count() == n_events
+
+        emitted = spark.read.parquet(agg_out)
+        assert (
+            emitted.groupBy("w_start", "event_type")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+            == 0
+        ), "append sink emitted a window twice"
+        final_wm = F.to_timestamp(F.lit(wms[-1].replace("T", " ").rstrip("Z")))
+        twin = (
+            events.groupBy(
+                F.window("ts", "1 hour").alias("w"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("w.start").alias("w_start"),
+                F.col("w.end").alias("w_end"),
+                "event_type",
+                "n",
+            )
+            .filter(F.col("w_end") <= final_wm)
+        )
+        assert_frames_equal(
+            emitted.filter(F.col("w_end") <= final_wm),
+            twin,
+            "soak append aggregate",
+        )
+        # the unemitted tail is only the watermark horizon (~2h+1h)
+        n_twin_all = (
+            events.select(F.date_trunc("hour", "ts"), "event_type")
+            .distinct()
+            .count()
+        )
+        assert twin.count() >= n_twin_all - 5 * len(
+            events.select("event_type").distinct().collect()
+        )
+        print(
+            f"# soak: {len(data_batches)} data batches, "
+            f"max state {max(state_rows)}/{total_pairs} pairs, "
+            f"compacted files per wave {compacted_files}"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
