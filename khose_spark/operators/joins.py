@@ -457,8 +457,12 @@ _RANGE_WIN_S = 5  # |click - purchase| <= 5 seconds, no equi key
       SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
       FROM events WHERE event_type = 'purchase'
     ), pairs AS (
+      -- BETWEEN, not abs(): the two-inequality form engages DuckDB's
+      -- IEJoin; abs() planned as a nested loop and took 165 s on the
+      -- 10x sweep (r07) for the identical result.
       SELECT c.event_id AS cid, p.event_id AS pid
-      FROM c JOIN p ON abs(c.es - p.es) <= {_RANGE_WIN_S}
+      FROM c JOIN p ON p.es BETWEEN c.es - {_RANGE_WIN_S}
+                               AND c.es + {_RANGE_WIN_S}
     )
     SELECT count(*) AS n_pairs,
            count(DISTINCT cid) AS n_clicks_matched,

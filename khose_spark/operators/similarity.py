@@ -371,7 +371,17 @@ def q_llm_lsh_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right fold in both engines), so even the LSH bucketing is
     hash-checked — rare for an "approximate" method. At 100 TB: codes
     are one map-side pass, the band join shuffles (band, code) buckets,
-    rerank touches only candidate pairs."""
+    rerank touches only candidate pairs.
+
+    Band-width scale law (measured on the r07 10× sweep): 4-bit bands
+    give only 16 buckets/band, so candidate pairs grow ~n²/16 per band
+    once n ≫ 2⁴ — at 20k vectors (10× fixture) the rerank saw ~680k
+    candidates and took 422 s where 2k vectors took ~3 s. The CONTRACT
+    here fixes 16-bit codes / 4-bit bands so the bucketing itself stays
+    hash-checkable; a production deployment scales code width with
+    corpus size (b-bit bands ⇒ expected bucket n/2^b — keep n/2^b
+    bounded, e.g. 16-bit bands at 10⁶ vectors), which changes only the
+    two constants in this function, not the plan shape."""
     e = t(spark, sf_dir, "embeddings")
     dbl = F.transform("embedding", lambda x: x.cast("double"))
     base = e.select("vec_id", dbl.alias("v"))
