@@ -253,8 +253,21 @@ def run_scaling(spark, sf_dir: str) -> dict:
     if truncated:
         out["truncated"] = True  # budget hit; remaining keys dropped
     try:
+        # Both scales, for an honest delta. Geometry note (measured r07):
+        # the fixture embeddings are random-ish, so pairwise distances
+        # concentrate — ANY lossy quantizer (PQ ADC, IVF probe-1) has
+        # near-zero/partial top-3 agreement with exact search even at 1×
+        # (PQ 0‰ @1× / 133‰ @10×, IVF 267‰ → 200‰), while the tiers
+        # whose FINAL ranking is exact hold (two-tier 1000‰ at both
+        # scales). The hash-checked oracles certify the index MECHANISM;
+        # recall on real (clustered) embeddings is a property of the
+        # data, not the plan.
+        out["recall_1x"] = run_ann_recall(spark, one)
         out["recall_10x"] = run_ann_recall(spark, big)
-        print(f"# recall@10x: {out['recall_10x']}", file=sys.stderr)
+        print(
+            f"# recall 1x: {out['recall_1x']} 10x: {out['recall_10x']}",
+            file=sys.stderr,
+        )
     except Exception as exc:  # noqa: BLE001 — recall is evidence, not a gate
         out["recall_10x"] = {"error": f"{type(exc).__name__}: {exc}"}
     if os.environ.get("SPARK_GRAFT_SCALE_KEEP", "1") != "1":

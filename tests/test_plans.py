@@ -315,6 +315,9 @@ MAX_SHUFFLES = {
     "q_llm_minhash_estimator_audit": 7,  # band-pair estimates + exact-
                                   # Jaccard audit join + signature-build
                                   # interior (audited: 5)
+    "q_llm_sentence_dedup": 6,    # span-hash dup agg + co-partitioned
+                                  # mark join + doc rollup + lang rollup
+                                  # + ordered output (audited: 5, r07)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
