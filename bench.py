@@ -185,6 +185,7 @@ def run_ingest(spark, sf_dir: str) -> dict:
 # proof behind the plan-shape arguments. Ordered cheapest-first so the
 # wall-clock guard truncates the most expensive keys, not the cheapest.
 SCALING_KEYS = [
+    "q_llm_sentence_dedup",
     "q_llm_bpe_merges",
     "q_er_sorted_neighborhood",
     "q_llm_neardup_jaccard",

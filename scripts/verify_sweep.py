@@ -241,11 +241,23 @@ def run_scale10(wanted: list[str]) -> int:
     report["summary"] = {"scale10": _tally(report["scale10"])}
     bad = _bad_count(report["summary"])
     report["green"] = bad == 0
+    path = os.path.join(REPO, "LOCAL_CORRECTNESS_10x.json")
     if not wanted:
-        path = os.path.join(REPO, "LOCAL_CORRECTNESS_10x.json")
         with open(path, "w") as f:
             json.dump(report, f, indent=1, sort_keys=True)
         print(f"wrote {path}", file=sys.stderr)
+    elif not bad and os.path.exists(path):
+        # Green subset runs (e.g. a just-added key) merge into the
+        # round's artifact instead of leaving a coverage hole until the
+        # next full 43-minute board.
+        merged = json.load(open(path))
+        merged.setdefault("scale10", {}).update(report["scale10"])
+        merged["summary"] = {"scale10": _tally(merged["scale10"])}
+        merged["n_keys"] = len(merged["scale10"])
+        merged["green"] = _bad_count(merged["summary"]) == 0
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=1, sort_keys=True)
+        print(f"merged {len(keys)} keys into {path}", file=sys.stderr)
     print(json.dumps({"green": report["green"], **report["summary"]}))
     spark.stop()
     return 1 if bad else 0
