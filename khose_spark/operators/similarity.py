@@ -750,12 +750,14 @@ _KM_ITERS = 3
 _KM_DIM = 64
 
 
-def _km_oracle() -> str:
-    """Unrolled 3-iteration k-means twin: each iteration assigns every
-    vector to its nearest centroid (argmin on round(L2², 6), centroid-id
-    tiebreak) and recomputes centroids as per-dimension means ROUNDED to
-    6 decimals — the rounding is the determinism contract (see
-    q_llm_kmeans docstring)."""
+def _km_cte_chain() -> str:
+    """Shared unrolled Lloyd CTE chain (base … assign3/cent3): each
+    iteration assigns every vector to its nearest centroid (argmin on
+    round(L2², 6), centroid-id tiebreak) and recomputes centroids as
+    per-dimension means ROUNDED to 6 decimals — the rounding is the
+    determinism contract (see q_llm_kmeans docstring). Used by both the
+    k-means oracle and the silhouette oracle so the clustering they
+    audit is definitionally the same one."""
     dims = ", ".join(
         f"round(avg(v[{i}]), 6) AS c{i}" for i in range(1, _KM_DIM + 1)
     )
@@ -785,7 +787,12 @@ def _km_oracle() -> str:
       FROM (SELECT cid, {dims} FROM assign{it} GROUP BY cid)
     )"""
         prev = f"cent{it}"
-    sql += f"""
+    return sql
+
+
+def _km_oracle() -> str:
+    """q_llm_kmeans twin: the shared Lloyd chain + per-cluster stats."""
+    sql = _km_cte_chain() + f"""
     SELECT m.cid AS cluster_id, n_members, avg_dist,
            round(cv[1], 6) AS c1, round(cv[2], 6) AS c2,
            round(cv[3], 6) AS c3, round(cv[4], 6) AS c4
@@ -800,30 +807,22 @@ def _km_oracle() -> str:
     return sql
 
 
-@query("q_llm_kmeans", oracle=_km_oracle())
-def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic k-means over the embedding corpus (k = corpus/50
-    seed centroids, 3 fixed Lloyd iterations): per-cluster member count,
-    mean distance to centroid, and the first 4 centroid coordinates —
-    proof that even ITERATIVE algorithms can be hash-checked against an
-    oracle (the DuckDB twin unrolls the loop as a CTE chain) instead of
-    falling back to rows-only grading.
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
-    Determinism contract: (a) assignment argmins round(L2², 6) with
-    centroid-id tiebreak; (b) each iteration's recomputed centroids are
-    ROUNDED to 6 decimals before the next assignment — per-dimension
-    means are continuous quantities, so round(6) is hash-stable
-    (sqlutil law), and rounding re-synchronizes both engines' floats
-    every iteration so drift cannot compound.
 
-    Scale shape: each iteration's centroids collapse to a ONE-ROW
-    broadcast holding the (cid, centroid) array, and assignment is a
-    map-side argmin FOLD over that array — vectors never shuffle for
-    assignment (a per-vector row_number window would re-shuffle the
-    whole corpus every iteration).  The only shuffles are the 3 k-keyed
-    centroid re-averages + the final stats aggregate — Lloyd's
-    algorithm as 3 broadcast-crosses + 3 tiny aggregations, the
-    standard distributed k-means layout."""
+def _lloyd(spark: SparkSession, sf_dir: str):
+    """The deterministic Lloyd loop shared by q_llm_kmeans and
+    q_ml_silhouette: 3 iterations of broadcast-fold assignment (argmin
+    on round(L2²,6), cid tiebreak — see q_llm_kmeans's determinism
+    contract) + k-keyed centroid re-average rounded to 6, with a k-row
+    eager checkpoint per round. Returns (assign, cent) for the FINAL
+    iteration; neither is persisted — each caller decides its own
+    cache lifecycle."""
     e = t(spark, sf_dir, "embeddings")
     dbl = F.transform("embedding", lambda x: x.cast("double"))
     base = e.select("vec_id", dbl.alias("v"))
@@ -831,13 +830,6 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") / 50).cast("long").alias("cid"),
         F.col("v").alias("cv"),
     )
-
-    def l2sq(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
 
     def argmin_cid(cents_col):
         """Fold the broadcast (cid, cv) array to the nearest centroid's
@@ -849,7 +841,7 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = F.transform(
             cents_col,
             lambda c: F.struct(
-                F.round(l2sq(F.col("v"), c["cv"]), 6).alias("d2"),
+                F.round(_l2sq(F.col("v"), c["cv"]), 6).alias("d2"),
                 c["cid"].alias("cid"),
             ),
         )
@@ -885,6 +877,35 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         # argmin fold ran ~O(iters²) times (measured 10s -> ~4s at
         # sf0.1).
         ).localCheckpoint()
+    return assign, cent
+
+
+@query("q_llm_kmeans", oracle=_km_oracle())
+def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means over the embedding corpus (k = corpus/50
+    seed centroids, 3 fixed Lloyd iterations): per-cluster member count,
+    mean distance to centroid, and the first 4 centroid coordinates —
+    proof that even ITERATIVE algorithms can be hash-checked against an
+    oracle (the DuckDB twin unrolls the loop as a CTE chain) instead of
+    falling back to rows-only grading.
+
+    Determinism contract: (a) assignment argmins round(L2², 6) with
+    centroid-id tiebreak; (b) each iteration's recomputed centroids are
+    ROUNDED to 6 decimals before the next assignment — per-dimension
+    means are continuous quantities, so round(6) is hash-stable
+    (sqlutil law), and rounding re-synchronizes both engines' floats
+    every iteration so drift cannot compound.
+
+    Scale shape: each iteration's centroids collapse to a ONE-ROW
+    broadcast holding the (cid, centroid) array, and assignment is a
+    map-side argmin FOLD over that array — vectors never shuffle for
+    assignment (a per-vector row_number window would re-shuffle the
+    whole corpus every iteration).  The only shuffles are the 3 k-keyed
+    centroid re-averages + the final stats aggregate — Lloyd's
+    algorithm as 3 broadcast-crosses + 3 tiny aggregations, the
+    standard distributed k-means layout."""
+    assign, cent = _lloyd(spark, sf_dir)
+    l2sq = _l2sq
     # The final assignment feeds both the stats aggregate and (via the
     # centroid relation) the output join — unpersisted, each consumer
     # re-executes the whole 3-iteration Lloyd chain (measured: 18
@@ -912,6 +933,98 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign.unpersist()
     cent.unpersist()
     return out
+
+
+def _silhouette_oracle() -> str:
+    """Simplified-silhouette twin over the SAME unrolled Lloyd chain as
+    the k-means oracle (shared _km_cte_chain, so the clustering under
+    audit is definitionally identical)."""
+    n = _KM_ITERS
+    return _km_cte_chain() + f""", dists AS (
+      SELECT a.vec_id, a.cid AS own, c.cid,
+             round(sqrt(list_sum(list_transform(range(1, {_KM_DIM + 1}),
+                   i -> (a.v[i] - c.cv[i]) ^ 2))), 6) AS d
+      FROM assign{n} a CROSS JOIN cent{n} c
+    ), sil AS (
+      SELECT vec_id, own,
+             round((min(CASE WHEN cid <> own THEN d END)
+                    - min(CASE WHEN cid = own THEN d END))
+                   / greatest(min(CASE WHEN cid <> own THEN d END),
+                              min(CASE WHEN cid = own THEN d END)),
+                   6) AS s
+      FROM dists GROUP BY vec_id, own
+    )
+    SELECT own AS cluster_id,
+           count(*) AS n_members,
+           round(avg(s), 4) AS silhouette_avg,
+           CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative
+    FROM sil GROUP BY own ORDER BY own
+    """
+
+
+@query("q_ml_silhouette", oracle=_silhouette_oracle())
+def q_ml_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified-silhouette clustering-quality audit of the
+    q_llm_kmeans clustering (round 7): for each vector, a = distance to
+    its OWN final centroid, b = distance to the nearest OTHER centroid,
+    s = (b − a) / max(a, b); per cluster — member count, mean
+    silhouette (round 4), and the count of NEGATIVE silhouettes
+    (vectors sitting closer to a foreign centroid: the would-be
+    reassignments a further Lloyd round would move). The centroid-based
+    simplified form IS the scale-correct silhouette: the classic
+    all-pairs form is O(n²) by definition, while this is one
+    broadcast-fold pass — the same reason SemDeDup and IVF rerank
+    within cells only.
+
+    Determinism: the clustering comes from the SHARED `_lloyd` helper
+    (identical plan subtree to q_llm_kmeans, per-round round(6)
+    re-sync); per-point distances and s round to 6 BEFORE the mean so
+    both engines average identical values; one round(4) at the
+    boundary. Plan: the Lloyd chain's checkpointed k-row centroids
+    broadcast into ONE map-side pass over the final assignment (a and
+    b fold over the same scored array — no per-centroid join, no
+    shuffle of vectors), then one k-keyed rollup."""
+    assign, cent = _lloyd(spark, sf_dir)
+    cents_row = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents")
+    )
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            c["cid"].alias("cid"),
+            F.round(F.sqrt(_l2sq(F.col("v"), c["cv"])), 6).alias("d"),
+        ),
+    )
+    own = F.col("cid")
+    a = F.get(F.filter(scored, lambda x: x["cid"] == own), 0)["d"]
+    b = F.array_min(
+        F.transform(
+            F.filter(scored, lambda x: x["cid"] != own), lambda x: x["d"]
+        )
+    )
+    sil = (
+        assign.crossJoin(F.broadcast(cents_row))
+        .select(
+            "cid",
+            F.round((b - a) / F.greatest(a, b), 6).alias("s"),
+        )
+    )
+    return (
+        sil.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("s"), 4).alias("silhouette_avg"),
+            F.sum((F.col("s") < 0).cast("long")).alias("n_negative"),
+        )
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            "silhouette_avg",
+            "n_negative",
+        )
+        .orderBy("cluster_id")
+    )
 
 
 @query(

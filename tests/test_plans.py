@@ -40,6 +40,9 @@ BNLJ_ALLOWED = {
     "q_llm_kmeans",            # 1-row broadcast centroid-array collapse
                                # crossed into the corpus each iteration
                                # (map-side argmin fold, no vector shuffle)
+    "q_ml_silhouette",         # same shared _lloyd broadcast-cross
+                               # subtree + one more centroid-array
+                               # cross for the a/b silhouette fold
     "q_llm_bm25",              # 1-row corpus-stats (N, avgdl) aggregate
                                # broadcast-crossed into the tf relation
     "q_llm_bigram_lm",         # 1-row vocabulary-size aggregate
@@ -318,6 +321,10 @@ MAX_SHUFFLES = {
     "q_llm_sentence_dedup": 6,    # span-hash dup agg + co-partitioned
                                   # mark join + doc rollup + lang rollup
                                   # + ordered output (audited: 5, r07)
+    "q_ml_silhouette": 8,         # shared Lloyd chain (per-round k-row
+                                  # re-average) + silhouette k-rollup +
+                                  # ordered k-row output (audited: 6,
+                                  # r07)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
