@@ -1422,3 +1422,135 @@ def q_ml_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
             "    + se2sq * se2sq / (n2 - 1)), 1)"
         ).alias("welch_df"),
     )
+
+
+@query(
+    "q_ml_mann_whitney",
+    oracle="""
+    WITH obs AS (
+      SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS grp,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS b
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), joint AS MATERIALIZED (
+      SELECT b, grp, count(*) AS cnt FROM obs GROUP BY b, grp
+    ), marg AS MATERIALIZED (
+      SELECT b,
+             CAST(sum(cnt) AS BIGINT) AS tb,
+             2 * coalesce(sum(sum(cnt)) OVER (ORDER BY b ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + sum(cnt) + 1 AS rx2
+      FROM joint GROUP BY b
+    ), folds AS (
+      SELECT
+        CAST(sum(CASE WHEN j.grp = 1 THEN j.cnt ELSE 0 END) AS BIGINT) AS na,
+        CAST(sum(CASE WHEN j.grp = 2 THEN j.cnt ELSE 0 END) AS BIGINT) AS nb,
+        CAST(sum(CASE WHEN j.grp = 1 THEN j.cnt * m.rx2 ELSE 0 END)
+             AS BIGINT) AS r2a
+      FROM joint j JOIN (SELECT b, CAST(rx2 AS BIGINT) AS rx2 FROM marg) m
+        ON m.b = j.b
+    ), ties AS (
+      SELECT CAST(sum(CAST(tb AS HUGEINT) * tb * tb - tb) AS HUGEINT) AS t3
+      FROM marg
+    )
+    SELECT na AS n_click, nb AS n_purchase,
+           CAST(r2a - na * (na + 1) AS BIGINT) AS u2_click,
+           CAST((2 * 1000 * (r2a - na * (na + 1)) + 2 * na * nb)
+                // (2 * 2 * na * nb) AS BIGINT) AS auc_permille,
+           round(CAST(r2a - na * (na + 1) - na * nb AS DOUBLE)
+                 / (2 * sqrt(CAST(na AS DOUBLE) * nb / 12.0
+                     * ((na + nb + 1)
+                        - CAST(t3 AS DOUBLE)
+                          / (CAST(na + nb AS DOUBLE) * (na + nb - 1))))),
+                 4) AS z_round4
+    FROM folds CROSS JOIN ties
+    """,
+)
+def q_ml_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between click and purchase
+    values — the NONPARAMETRIC partner of q_ml_welch_t on the same two
+    samples (Welch compares means under normality; U compares the whole
+    distributions via ranks and is what an A/B harness reaches for on
+    skewed revenue-style metrics). Values are banded to whole dollars
+    (cents DIV 100) and ranked WITHOUT ranking a row: midranks come
+    from cumulative counts over the ~370-band marginal (the doubled
+    2·below+cnt+1 idiom from q_agg_spearman, so tie-averaged halves
+    never leave int64). Output: group sizes, the DOUBLED U statistic
+    for click (the integer exactness carrier), the rank-biserial
+    AUC = U/(n₁n₂) as half-up permille, and the tie-corrected normal
+    z (no continuity correction — documented contract), rounded once.
+
+    Exactness: 2R_click = Σ cnt·midrank2 stays int64 (~2n² ≈ 1e12 at
+    10×); the tie term Σ(t³−t) reaches band-count·(hot band)³ so it is
+    widened INSIDE the sum (DECIMAL(38) — the r07 spearman law);
+    doubles appear only in the final z expression, built from the same
+    exact integers in both engines. Plan: one fact scan → (band, grp)
+    aggregation; everything after lives on the ≤368-row band grid
+    (partition-free window over a bounded relation) — identical cost
+    at any corpus scale past the first aggregation."""
+    obs = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(2)
+            .alias("grp"),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 100"
+            ).alias("b"),
+        )
+    )
+    joint = obs.groupBy("b", "grp").agg(F.count(F.lit(1)).alias("cnt"))
+    w_below = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    marg = (
+        joint.groupBy("b")
+        .agg(F.sum("cnt").alias("tb"))
+        .select(
+            "b",
+            "tb",
+            (
+                2 * F.coalesce(F.sum("tb").over(w_below), F.lit(0))
+                + F.col("tb")
+                + 1
+            ).alias("rx2"),
+        )
+        # the ≤368-row band grid feeds the rank join AND the tie fold
+        .localCheckpoint()
+    )
+    folds = (
+        joint.join(F.broadcast(marg.select("b", "rx2")), "b")
+        .agg(
+            F.sum(F.when(F.col("grp") == 1, F.col("cnt")).otherwise(0))
+            .alias("na"),
+            F.sum(F.when(F.col("grp") == 2, F.col("cnt")).otherwise(0))
+            .alias("nb"),
+            F.sum(
+                F.when(F.col("grp") == 1, F.col("cnt") * F.col("rx2"))
+                .otherwise(0)
+            ).alias("r2a"),
+        )
+    )
+    wide = F.col("tb").cast("decimal(38,0)")
+    ties = marg.agg(
+        F.sum(wide * F.col("tb") * F.col("tb") - wide).alias("t3")
+    )
+    return folds.crossJoin(F.broadcast(ties)).select(
+        F.col("na").alias("n_click"),
+        F.col("nb").alias("n_purchase"),
+        (F.col("r2a") - F.col("na") * (F.col("na") + 1))
+        .cast("long")
+        .alias("u2_click"),
+        F.expr(
+            "CAST((2 * 1000 * (r2a - na * (na + 1)) + 2 * na * nb)"
+            " DIV (2 * 2 * na * nb) AS BIGINT)"
+        ).alias("auc_permille"),
+        F.round(
+            F.expr(
+                "CAST(r2a - na * (na + 1) - na * nb AS DOUBLE)"
+                " / (2 * sqrt(CAST(na AS DOUBLE) * nb / 12.0"
+                "     * ((na + nb + 1)"
+                "        - CAST(t3 AS DOUBLE)"
+                "          / (CAST(na + nb AS DOUBLE) * (na + nb - 1)))))"
+            ),
+            4,
+        ).alias("z_round4"),
+    )

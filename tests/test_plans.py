@@ -43,6 +43,9 @@ BNLJ_ALLOWED = {
     "q_ml_silhouette",         # same shared _lloyd broadcast-cross
                                # subtree + one more centroid-array
                                # cross for the a/b silhouette fold
+    "q_ml_mann_whitney",       # 1-row tie-correction aggregate
+                               # broadcast-crossed into the 1-row U
+                               # fold (the scalar-subquery idiom)
     "q_llm_bm25",              # 1-row corpus-stats (N, avgdl) aggregate
                                # broadcast-crossed into the tf relation
     "q_llm_bigram_lm",         # 1-row vocabulary-size aggregate
@@ -324,6 +327,10 @@ MAX_SHUFFLES = {
     "q_ml_silhouette": 8,         # shared Lloyd chain (per-round k-row
                                   # re-average) + silhouette k-rollup +
                                   # ordered k-row output (audited: 6,
+                                  # r07)
+    "q_ml_mann_whitney": 8,       # (band,grp) agg + band-grid marginal
+                                  # + rank-join fold + tie fold over
+                                  # the checkpointed grid (audited: 6,
                                   # r07)
 }
 
