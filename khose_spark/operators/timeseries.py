@@ -2262,3 +2262,106 @@ def q_ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("iso_dow")
     )
+
+
+@query(
+    "q_ts_burstiness",
+    oracle="""
+    WITH types AS (
+      SELECT DISTINCT event_type FROM events
+    ), spine AS (
+      SELECT t.event_type, s.gs AS h
+      FROM types t CROSS JOIN (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                      TIMESTAMP '2024-01-30 23:00:00',
+                                      INTERVAL 1 HOUR)) AS gs) s
+    ), hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-31 00:00:00'
+      GROUP BY 1, 2
+    ), cells AS (
+      SELECT s.event_type, coalesce(hourly.c, 0) AS c
+      FROM spine s LEFT JOIN hourly
+        ON hourly.event_type = s.event_type AND hourly.h = s.h
+    ), m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS ss,
+             CAST(max(c) AS BIGINT) AS peak
+      FROM cells GROUP BY event_type
+    )
+    SELECT event_type, n AS n_hours, s AS n_events, peak AS peak_hour,
+           CAST((2 * 1000 * (n * ss - s * s) + n * s)
+                // (2 * n * s) AS BIGINT) AS fano_milli,
+           CAST((2 * 1000 * n * peak + s) // (2 * s) AS BIGINT)
+               AS peak_ratio_milli
+    FROM m ORDER BY event_type
+    """,
+)
+def q_ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type traffic burstiness over the ZERO-FILLED hour
+    spine (round 7): Fano factor (population variance / mean of hourly
+    counts — 1000‰ for a Poisson-flat stream, higher = bursty) and
+    peak-to-mean ratio, both as half-up milli units. The ops metric a
+    streaming-ingest operator actually alarms on: it distinguishes "10×
+    more events" (mean moves, Fano stable) from "same volume arriving
+    in spikes" (Fano explodes) — and the burst stress test's hot-hour
+    pattern is exactly what this measures.
+
+    Exactness: counts are integers, the spine is the FIXED fixture
+    month (720 hours — constant at any corpus scale, zero-count hours
+    included), and both ratios fold from (n, Σc, Σc², max) int64
+    moments with one half-up integer division each — no float surface
+    at all. Σc² peaks at hot-hour² · hours ≈ 7e12 at 10×, four orders
+    under int64. Plan: one fact scan → (type, hour) count; everything
+    after lives on the 3.6k-cell spine (5 types × 720 hours, built as
+    a generator explode crossed with the broadcast 5-row type dim)."""
+    ev = t(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-31 00:00:00").cast("timestamp"))
+    )
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        ).agg(F.count(F.lit(1)).alias("c"))
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(
+        F.broadcast(
+            ev.sparkSession.range(1).select(
+                F.explode(
+                    F.sequence(
+                        F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                        F.lit("2024-01-30 23:00:00").cast("timestamp"),
+                        F.expr("INTERVAL 1 HOUR"),
+                    )
+                ).alias("h")
+            )
+        )
+    )
+    cells = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    m = cells.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.max("c").alias("peak"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.col("s").alias("n_events"),
+        F.col("peak").alias("peak_hour"),
+        F.expr(
+            "CAST((2 * 1000 * (n * ss - s * s) + n * s)"
+            " DIV (2 * n * s) AS BIGINT)"
+        ).alias("fano_milli"),
+        F.expr(
+            "CAST((2 * 1000 * n * peak + s) DIV (2 * s) AS BIGINT)"
+        ).alias("peak_ratio_milli"),
+    ).orderBy("event_type")

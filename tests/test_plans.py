@@ -46,6 +46,9 @@ BNLJ_ALLOWED = {
     "q_ml_mann_whitney",       # 1-row tie-correction aggregate
                                # broadcast-crossed into the 1-row U
                                # fold (the scalar-subquery idiom)
+    "q_ts_burstiness",         # 5-row type dim crossed with the
+                               # broadcast 720-row generator hour
+                               # spine (constant at any scale)
     "q_llm_bm25",              # 1-row corpus-stats (N, avgdl) aggregate
                                # broadcast-crossed into the tf relation
     "q_llm_bigram_lm",         # 1-row vocabulary-size aggregate
