@@ -661,12 +661,18 @@ def q_ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT by, CAST(sum(cnt) AS BIGINT) AS cnt
             FROM joint GROUP BY by)
     ), moments AS (
+      -- HUGEINT on the FIRST factor (r07 100× catch): the per-row
+      -- triple product cnt·rx2·ry2 alone passes int64 at 100×-sf0.1,
+      -- so widening only the sum result was one decade short
       SELECT CAST(sum(j.cnt) AS HUGEINT) AS n,
-             CAST(sum(j.cnt * mx.rx2) AS HUGEINT) AS sx,
-             CAST(sum(j.cnt * my.ry2) AS HUGEINT) AS sy,
-             CAST(sum(j.cnt * mx.rx2 * mx.rx2) AS HUGEINT) AS sxx,
-             CAST(sum(j.cnt * my.ry2 * my.ry2) AS HUGEINT) AS syy,
-             CAST(sum(j.cnt * mx.rx2 * my.ry2) AS HUGEINT) AS sxy
+             CAST(sum(CAST(j.cnt AS HUGEINT) * mx.rx2) AS HUGEINT) AS sx,
+             CAST(sum(CAST(j.cnt AS HUGEINT) * my.ry2) AS HUGEINT) AS sy,
+             CAST(sum(CAST(j.cnt AS HUGEINT) * mx.rx2 * mx.rx2)
+                  AS HUGEINT) AS sxx,
+             CAST(sum(CAST(j.cnt AS HUGEINT) * my.ry2 * my.ry2)
+                  AS HUGEINT) AS syy,
+             CAST(sum(CAST(j.cnt AS HUGEINT) * mx.rx2 * my.ry2)
+                  AS HUGEINT) AS sxy
       FROM joint j
       JOIN (SELECT bx, CAST(rx2 AS BIGINT) AS rx2 FROM margx) mx
         ON mx.bx = j.bx

@@ -910,11 +910,16 @@ def q_llm_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderpriority,
              count(*) AS n,
              CAST(sum(x) AS BIGINT) AS sx,
-             CAST(sum(i * x) AS BIGINT) AS six
+             -- HUGEINT inside the sum: Σi·x reaches ~9e18 at 100×-sf0.1
+             -- (caught by the r07 100× sweep) — the BIGINT cast sat on
+             -- the accumulator's edge
+             CAST(sum(CAST(i AS HUGEINT) * x) AS HUGEINT) AS six
       FROM ranked GROUP BY 1
     )
     SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
-           CAST((2 * 1000 * (2 * CAST(six AS HUGEINT) - (n + 1) * sx)
+           -- (n+1)·sx alone exceeds int64 at 100× — widen BEFORE the
+           -- product, not around the difference
+           CAST((2 * 1000 * (2 * six - (n + 1) * CAST(sx AS HUGEINT))
                  + CAST(n AS HUGEINT) * sx)
                 // (2 * CAST(n AS HUGEINT) * sx) AS BIGINT)
              AS gini_permille
@@ -950,7 +955,10 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = ranked.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").cast("long").alias("sx"),
-        F.sum(F.col("i") * F.col("x")).cast("long").alias("six"),
+        # DECIMAL(38) inside the sum (r07 100× catch): the int64
+        # accumulator of Σi·x overflowed one decade past the sf0.1
+        # margin the docstring argued
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("x")).alias("six"),
     )
     return sums.select(
         "o_orderpriority",
@@ -960,7 +968,8 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         # engines — both exact integer arithmetic.
         F.expr(
             "CAST((2 * 1000 * (2 * CAST(six AS DECIMAL(38,0))"
-            " - (n + 1) * sx) + CAST(n AS DECIMAL(38,0)) * sx)"
+            " - (n + 1) * CAST(sx AS DECIMAL(38,0)))"
+            " + CAST(n AS DECIMAL(38,0)) * sx)"
             " DIV (2 * CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)"
         ).alias("gini_permille"),
     ).orderBy("o_orderpriority")
@@ -1340,9 +1349,13 @@ def q_ml_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT n1, n2,
              CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2
                  AS mean_diff,
-             (CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
+             -- n·ss and s² pass 1e21 at 100× — HUGEINT the products
+             -- (r07 100× catch), double only the exact difference
+             (CAST(CAST(n1 AS HUGEINT) * ss1
+                   - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
                 / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))) AS se1sq,
-             (CAST(n2 * ss2 - s2 * s2 AS DOUBLE)
+             (CAST(CAST(n2 AS HUGEINT) * ss2
+                   - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
                 / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))) AS se2sq
       FROM wide
     )
@@ -1400,12 +1413,17 @@ def q_ml_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2"
         ).alias("mean_diff"),
+        # DECIMAL(38) products (r07 100× catch): n·ss and s² pass 1e21
+        # one decade past the sf0.1 margin the docstring argued; the
+        # difference is still exact integer, doubled once.
         F.expr(
-            "CAST(n1 * ss1 - s1 * s1 AS DOUBLE)"
+            "CAST(CAST(n1 AS DECIMAL(38,0)) * ss1"
+            "     - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)"
             " / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))"
         ).alias("se1sq"),
         F.expr(
-            "CAST(n2 * ss2 - s2 * s2 AS DOUBLE)"
+            "CAST(CAST(n2 AS DECIMAL(38,0)) * ss2"
+            "     - CAST(s2 AS DECIMAL(38,0)) * s2 AS DOUBLE)"
             " / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))"
         ).alias("se2sq"),
     )

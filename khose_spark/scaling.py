@@ -66,20 +66,29 @@ def _tag_text(col, tag: str):
 
 
 def _rotate(vec, by: int):
-    """Cyclic rotation of an array column by ``by`` positions.
+    """Norm-preserving decorrelating transform for copy index ``by``:
+    cyclic rotation by ``by mod dim`` positions, NEGATED on every odd
+    full cycle (``(by // dim) % 2 == 1``).
 
-    The shift is reduced modulo the vector length first: with copy
-    counts above the embedding dimension, an unreduced ``by`` that is a
-    multiple of the dim would rotate a full cycle and emit an EXACT
-    duplicate of the base vector — silently violating the decorrelation
-    invariant this module documents (ADVICE r06 item 1).
+    The modulo keeps the slice well-defined past the embedding
+    dimension (ADVICE r06 item 1); the sign flip keeps the
+    decorrelation invariant alive there too — without it, copy == dim
+    (64) would rotate a full cycle and emit an EXACT duplicate of the
+    base vector. With the flip, copies dim..2·dim−1 are negated
+    rotations (cosine ≈ −cosine of the rotation — still far from any
+    near-dup threshold), so the generator is decorrelated for factors
+    up to 2×dim = 128; ``ensure_scale_dir`` asserts that bound.
     """
     n = F.size(vec)
     b = F.pmod(F.lit(by), n)
-    return F.concat(
+    rotated = F.concat(
         F.slice(vec, b + F.lit(1), F.greatest(n - b, F.lit(0))),
         F.slice(vec, F.lit(1), b),
     )
+    odd_cycle = F.pmod(F.floor(F.lit(by) / n), F.lit(2)) == 1
+    return F.when(
+        odd_cycle, F.transform(rotated, lambda x: -x)
+    ).otherwise(rotated)
 
 
 def _scaled_copy(df: DataFrame, table: str, copy: int) -> DataFrame:
@@ -110,6 +119,10 @@ def ensure_scale_dir(
 ) -> str:
     """Materialize (once) a ``factor``× copy of ``base_dir`` under
     ``dest`` and return ``dest``. A marker file makes re-runs free."""
+    # 128 = 2 × the fixture embedding dim: past it the rotate+flip
+    # transform cycles and copies would be exact duplicates (see
+    # _rotate). Raise the transform's period before raising this.
+    assert factor <= 128, f"decorrelation breaks past factor 128: {factor}"
     marker = os.path.join(dest, f"_SCALED_x{factor}_OK")
     if os.path.exists(marker):
         return dest

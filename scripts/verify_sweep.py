@@ -205,13 +205,16 @@ def _session():
     )
 
 
-def run_scale10(wanted: list[str]) -> int:
-    """Oracle sweep at 10× sf0.1 (≈ sf1 volume) → LOCAL_CORRECTNESS_10x.json.
+def run_scale10(wanted: list[str], factor: int = SCALE_FACTOR) -> int:
+    """Oracle sweep at ``factor``× sf0.1 → LOCAL_CORRECTNESS_{factor}x.json.
 
     Defaults to the FULL oracled board; pass keys for a subset (subset
-    runs don't overwrite the committed artifact). The scaled dir is the
-    exact materialization bench.py times (same path), so correctness
-    evidence and timing evidence cover the same bytes."""
+    runs merge into an existing artifact, or create one marked
+    ``partial``). At factor 10 the scaled dir is the exact
+    materialization bench.py times (same path), so correctness evidence
+    and timing evidence cover the same bytes. Factors beyond 10 exist
+    to chase the int64-overflow family one more decade (every decade
+    jump so far caught a real widening bug)."""
     spark = _session()
     import __spark_entry__ as E
 
@@ -220,13 +223,13 @@ def run_scale10(wanted: list[str]) -> int:
     tag = os.path.basename(SCALE_BASE.rstrip("/"))
     dest = (
         os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/khose_scale")
-        + f"_{tag}_x{SCALE_FACTOR}"
+        + f"_{tag}_x{factor}"
     )
-    big = ensure_scale_dir(spark, SCALE_BASE, dest, factor=SCALE_FACTOR)
+    big = ensure_scale_dir(spark, SCALE_BASE, dest, factor=factor)
     keys = wanted or [k for k in sorted(E.queries()) if k not in SCALE10_SKIP]
     report: dict = {
         "base": SCALE_BASE,
-        "factor": SCALE_FACTOR,
+        "factor": factor,
         "dir": big,
         "n_keys": len(keys),
         "skipped": SCALE10_SKIP if not wanted else {},
@@ -241,15 +244,16 @@ def run_scale10(wanted: list[str]) -> int:
     report["summary"] = {"scale10": _tally(report["scale10"])}
     bad = _bad_count(report["summary"])
     report["green"] = bad == 0
-    path = os.path.join(REPO, "LOCAL_CORRECTNESS_10x.json")
+    path = os.path.join(REPO, f"LOCAL_CORRECTNESS_{factor}x.json")
     if not wanted:
         with open(path, "w") as f:
             json.dump(report, f, indent=1, sort_keys=True)
         print(f"wrote {path}", file=sys.stderr)
-    elif not bad and os.path.exists(path):
+    elif os.path.exists(path):
         # Green subset runs (e.g. a just-added key) merge into the
         # round's artifact instead of leaving a coverage hole until the
-        # next full 43-minute board.
+        # next full board. Red rows merge too — the artifact records
+        # reality either way.
         merged = json.load(open(path))
         merged.setdefault("scale10", {}).update(report["scale10"])
         merged["summary"] = {"scale10": _tally(merged["scale10"])}
@@ -258,6 +262,12 @@ def run_scale10(wanted: list[str]) -> int:
         with open(path, "w") as f:
             json.dump(merged, f, indent=1, sort_keys=True)
         print(f"merged {len(keys)} keys into {path}", file=sys.stderr)
+    else:
+        # First subset run at a new factor: record it, marked partial.
+        report["partial"] = True
+        with open(path, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"wrote {path} (partial)", file=sys.stderr)
     print(json.dumps({"green": report["green"], **report["summary"]}))
     spark.stop()
     return 1 if bad else 0
@@ -265,9 +275,18 @@ def run_scale10(wanted: list[str]) -> int:
 
 def main() -> int:
     defensive = "--defensive" in sys.argv
+    factor = next(
+        (
+            int(a.split("=", 1)[1])
+            for a in sys.argv[1:]
+            if a.startswith("--factor=")
+        ),
+        SCALE_FACTOR,
+    )
     if "--scale10" in sys.argv:
         return run_scale10(
-            [a for a in sys.argv[1:] if not a.startswith("--")]
+            [a for a in sys.argv[1:] if not a.startswith("--")],
+            factor=factor,
         )
     changed_only = "--changed" in sys.argv
     wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
