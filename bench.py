@@ -263,14 +263,22 @@ def run_scaling(spark, sf_dir: str) -> dict:
         # scales). The hash-checked oracles certify the index MECHANISM;
         # recall on real (clustered) embeddings is a property of the
         # data, not the plan.
-        out["recall_1x"] = run_ann_recall(spark, one)
-        out["recall_10x"] = run_ann_recall(spark, big)
+        for label, rdir in (("recall_1x", one), ("recall_10x", big)):
+            # Per-scale wrap (ADVICE r07): a failure on the 1× dir must
+            # be recorded under recall_1x, not mislabeled as the 10×'s.
+            try:
+                out[label] = run_ann_recall(spark, rdir)
+            except Exception as exc:  # noqa: BLE001 — evidence, not a gate
+                out[label] = {
+                    "error": f"{type(exc).__name__}: {exc}",
+                    "dir": rdir,
+                }
         print(
             f"# recall 1x: {out['recall_1x']} 10x: {out['recall_10x']}",
             file=sys.stderr,
         )
     except Exception as exc:  # noqa: BLE001 — recall is evidence, not a gate
-        out["recall_10x"] = {"error": f"{type(exc).__name__}: {exc}"}
+        out["recall_error"] = f"{type(exc).__name__}: {exc}"
     if os.environ.get("SPARK_GRAFT_SCALE_KEEP", "1") != "1":
         shutil.rmtree(base + "_x1", ignore_errors=True)
         shutil.rmtree(base + f"_x{SCALING_FACTOR}", ignore_errors=True)

@@ -2269,6 +2269,8 @@ def q_ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH types AS (
       SELECT DISTINCT event_type FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-31 00:00:00'
     ), spine AS (
       SELECT t.event_type, s.gs AS h
       FROM types t CROSS JOIN (
@@ -2316,8 +2318,16 @@ def q_ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     month (720 hours — constant at any corpus scale, zero-count hours
     included), and both ratios fold from (n, Σc, Σc², max) int64
     moments with one half-up integer division each — no float surface
-    at all. Σc² peaks at hot-hour² · hours ≈ 7e12 at 10×, four orders
-    under int64. Plan: one fact scan → (type, hour) count; everything
+    at all. Row universe: both engines derive the type dimension from
+    the SAME January-window scan (ADVICE r07 — an off-window type must
+    be absent from both, not a zero-row in one and missing in the
+    other, where the oracle's 2·n·s denominator would hit 0). Margin
+    law (measured, r08 — the full NUMERATOR is the bound, not Σc²
+    alone): Σc² ≈ 5.7e7 at 10× data, so the fano numerator
+    2000·n·Σc² ≈ 8e13 (n = 720 fixed); counts scale linearly so Σc²
+    grows ×10⁴ per decade → numerator ≈ 8e17 at 100×, one order under
+    int64 — the key's last safe decade without a DECIMAL widening.
+    Plan: one fact scan → (type, hour) count; everything
     after lives on the 3.6k-cell spine (5 types × 720 hours, built as
     a generator explode crossed with the broadcast 5-row type dim)."""
     ev = t(spark, sf_dir, "events").filter(

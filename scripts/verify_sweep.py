@@ -253,7 +253,9 @@ def run_scale10(wanted: list[str], factor: int = SCALE_FACTOR) -> int:
         # Green subset runs (e.g. a just-added key) merge into the
         # round's artifact instead of leaving a coverage hole until the
         # next full board. Red rows merge too — the artifact records
-        # reality either way.
+        # reality either way. The printed/returned verdict is the
+        # MERGED artifact's (ADVICE r07): a green subset must not mask
+        # red keys still recorded from earlier runs.
         merged = json.load(open(path))
         merged.setdefault("scale10", {}).update(report["scale10"])
         merged["summary"] = {"scale10": _tally(merged["scale10"])}
@@ -262,6 +264,8 @@ def run_scale10(wanted: list[str], factor: int = SCALE_FACTOR) -> int:
         with open(path, "w") as f:
             json.dump(merged, f, indent=1, sort_keys=True)
         print(f"merged {len(keys)} keys into {path}", file=sys.stderr)
+        report = merged
+        bad = _bad_count(merged["summary"])
     else:
         # First subset run at a new factor: record it, marked partial.
         report["partial"] = True

@@ -73,3 +73,44 @@ def test_rewritten_sql_runs_and_matches():
         b.sort_values(cols).reset_index(drop=True)
     )
     con.close()
+
+
+_LITERAL_TRAPS = """
+WITH pat AS (
+  SELECT l_orderkey, ':-) unbalanced ( paren -- not a comment' AS smiley,
+         regexp_extract(l_comment, '([a-z]+) \\(deposits?\\)') AS hit
+  FROM lineitem
+), -- events in this comment must not mark the next CTE fact-scale
+dims AS (
+  SELECT 'pat pat pat' AS pat_talk, r_regionkey AS k FROM region
+)
+SELECT p.l_orderkey, a.k, b.k
+FROM pat p JOIN dims a ON a.k = p.l_orderkey % 5
+           JOIN pat q ON q.l_orderkey = p.l_orderkey
+           JOIN dims b ON b.k < a.k
+"""
+
+
+def test_literals_and_comments_do_not_skew_parse():
+    # ADVICE r07: the ')' and '(' inside pat's string literal would
+    # mis-span the CTE body under naive balancing (swallowing dims), and
+    # the three 'pat' tokens inside dims' literal would inflate pat's
+    # reference count; the '-- not a comment' text inside the literal
+    # must survive while the real -- comment (containing the fact word
+    # 'events') must not make dims fact-scale.
+    flags = flag_multiref_ctes(_LITERAL_TRAPS)
+    assert flags == ["pat"]  # 2 real refs; dims is dim-only despite 2 refs
+    rw = materialize_multiref_ctes(_LITERAL_TRAPS)
+    assert "pat AS MATERIALIZED (" in rw
+    assert "dims AS (" in rw
+    # the rewrite must not touch literal text
+    assert "':-) unbalanced ( paren -- not a comment'" in rw
+    assert "'pat pat pat'" in rw
+
+
+def test_escaped_quote_literals_mask_cleanly():
+    sql = "WITH a AS (SELECT 'it''s a ( trap' AS s FROM lineitem) " \
+          "SELECT x.s, y.s FROM a x JOIN a y ON x.s = y.s"
+    assert flag_multiref_ctes(sql) == ["a"]
+    rw = materialize_multiref_ctes(sql)
+    assert "'it''s a ( trap'" in rw and "a AS MATERIALIZED (" in rw
