@@ -1187,9 +1187,13 @@ def q_llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_llm_lsh_threshold_sweep",
-    oracle=f"""
+# Fixture-scale truth twin for q_llm_lsh_threshold_sweep: the naive
+# all-pairs agreement histogram (what the registered key computed until
+# round 8). Kept as a module constant so tests/test_threshold_sweep.py
+# can certify the banded registration against it in DuckDB at fixture
+# scale — the q_llm_minhash_det losslessness precedent, applied to the
+# ORACLE this time. Never registered: 50k docs is already 1.25B pairs.
+SWEEP_ALL_PAIRS_SQL = f"""
     WITH {_SQL_SHINGLES}, {_SQL_SIG}, agreements AS (
       SELECT ({_SQL_AGREE}) AS agree
       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -1204,6 +1208,39 @@ def q_llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 // (SELECT sum(n) FROM hist) AS BIGINT) AS ppm_of_pairs
     FROM grid g LEFT JOIN hist h ON h.agree >= g.threshold
     GROUP BY g.threshold ORDER BY g.threshold
+"""
+
+_SQL_SLOTS = (
+    "slots AS MATERIALIZED (\n      "
+    + "\n      UNION ALL ".join(
+        f"SELECT doc_id, {i} AS slot, s{i} AS val FROM sig"
+        for i in range(_N_HASHES)
+    )
+    + "\n    )"
+)
+
+
+@query(
+    "q_llm_lsh_threshold_sweep",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_SLOTS}, cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS agree
+      FROM slots a JOIN slots b
+        ON a.slot = b.slot AND a.val = b.val AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), hist AS (
+      SELECT agree, count(*) AS n FROM cand GROUP BY agree
+    ), tot AS (
+      SELECT count(*) * (count(*) - 1) // 2 AS all_pairs FROM sig
+    ), grid AS (
+      SELECT * FROM (VALUES (8), (10), (12), (14), (16)) g(threshold)
+    )
+    SELECT g.threshold,
+           CAST(coalesce(sum(h.n), 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(sum(h.n), 0) * 1000000
+                // (SELECT all_pairs FROM tot) AS BIGINT) AS ppm_of_pairs
+    FROM grid g LEFT JOIN hist h ON h.agree >= g.threshold
+    GROUP BY g.threshold ORDER BY g.threshold
     """,
 )
 def q_llm_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1215,28 +1252,59 @@ def q_llm_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     knee). Signatures are the portable md5 MinHash, so the whole table
     is hash-checked.
 
-    Scale shape: the agreement histogram is a 17-bucket aggregate over
-    candidate pairs — at corpus scale the pairs come from the banded
-    candidate generator (as in q_llm_minhash_det), so the sweep costs
-    one extra tiny re-agg on an existing relation; the all-pairs form
-    here doubles as the oracle's ground truth at fixture scale."""
+    Registered plan (round 8 — replaces the all-pairs self-join, the
+    last quadratic registration on the board): unpivot each signature
+    to 16 (doc_id, slot, value) rows and equi-join on (slot, value)
+    with id_a < id_b; a pair agreeing in k slots collides in exactly k
+    single-slot bands, so count(*) per pair IS its agreement and, by
+    pigeonhole, every pair with agreement >= 1 is generated (16x1
+    banding is lossless for the whole 8..16 threshold grid). The
+    agreement-0 mass never reaches the >=8 sums; the ppm denominator
+    is the closed form n(n-1)/2 from the signature count. Both engines
+    run this shape — cost is band-collision-bounded (Sum |group|^2
+    over (slot,value) groups), never n^2. The retired all-pairs form
+    survives as SWEEP_ALL_PAIRS_SQL, certified equal to this oracle at
+    fixture scale by tests/test_threshold_sweep.py."""
     sig = _det_signatures(spark, sf_dir).localCheckpoint()
-    a, b = sig.alias("a"), sig.alias("b")
-    agree = sum(
-        (F.col(f"a.s{i}") == F.col(f"b.s{i}")).cast("int")
-        for i in range(_N_HASHES)
-    )
+    slots = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("slot"),
+                        F.col(f"s{i}").alias("val"),
+                    )
+                    for i in range(_N_HASHES)
+                ]
+            )
+        ).alias("sv"),
+    ).select("doc_id", "sv.slot", "sv.val")
+    a, b = slots.alias("a"), slots.alias("b")
     hist = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(agree.alias("agree"))
+        a.join(
+            b,
+            (F.col("a.slot") == F.col("b.slot"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("agree"))
         .groupBy("agree")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()  # feeds all 5 threshold sums + the total
+        .localCheckpoint()  # feeds all 5 threshold sums
     )
     grid = spark.createDataFrame(
         [(v,) for v in (8, 10, 12, 14, 16)], "threshold int"
     )
-    total = hist.agg(F.sum("n").alias("n_total"))
+    total = sig.agg(
+        F.expr("CAST(count(1) * (count(1) - 1) DIV 2 AS BIGINT)").alias(
+            "n_total"
+        )
+    )
     return (
         F.broadcast(grid)
         .join(hist, hist.agree >= F.col("threshold"), "left_outer")

@@ -41,8 +41,17 @@ LOCK = os.path.join(
 def main() -> None:
     registry.load_all()
     spark = get_spark("khose-planlock")
+    # Subset mode (round 8): `gen_planlock.py key …` re-audits only the
+    # named keys and merges their skeletons into the existing lock —
+    # a single-operator plan change no longer churns 300+ entries.
+    wanted = [a for a in sys.argv[1:] if not a.startswith("-")]
     lock: dict[str, list[str]] = {}
-    for key in sorted(registry.QUERIES):
+    if wanted:
+        with open(LOCK) as f:
+            lock = json.load(f)
+        unknown = [k for k in wanted if k not in registry.QUERIES]
+        assert not unknown, f"unknown keys: {unknown}"
+    for key in wanted or sorted(registry.QUERIES):
         # audited_plan resets SQL cache + cross-query memos before every
         # key (skeletons are otherwise order-dependent) and records the
         # final checkpoint's interior plan.

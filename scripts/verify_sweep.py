@@ -58,13 +58,10 @@ SCALE_FACTOR = 10
 # twin, which IS swept): running them on the 10× dir would be an
 # intentional O(n²) blow-up, not evidence. Recorded in the artifact as
 # "skipped" with the reason, so the gap is visible, not silent.
-SCALE10_SKIP = {
-    "q_llm_lsh_threshold_sweep": (
-        "declared all-pairs agreement histogram (docstring: fixture-"
-        "scale ground truth; banded generator is the scale path) — "
-        "50k docs => 1.25B signature pairs both engines"
-    ),
-}
+# Empty since round 8: q_llm_lsh_threshold_sweep — the last quadratic
+# registration — now ships the lossless 16×1 slot-band form in both
+# engines (tests/test_threshold_sweep.py holds the all-pairs twin).
+SCALE10_SKIP: dict[str, str] = {}
 
 
 def oracle_connection(sf_dir: str):
@@ -258,6 +255,13 @@ def run_scale10(wanted: list[str], factor: int = SCALE_FACTOR) -> int:
         # red keys still recorded from earlier runs.
         merged = json.load(open(path))
         merged.setdefault("scale10", {}).update(report["scale10"])
+        # A key that now has a real row is no longer skipped (r08: the
+        # de-quadratified threshold sweep retired its skip entry).
+        merged["skipped"] = {
+            k: v
+            for k, v in merged.get("skipped", {}).items()
+            if k not in merged["scale10"]
+        }
         merged["summary"] = {"scale10": _tally(merged["scale10"])}
         merged["n_keys"] = len(merged["scale10"])
         merged["green"] = _bad_count(merged["summary"]) == 0

@@ -112,11 +112,12 @@ BNLJ_ALLOWED = {
     "q_ml_brier",               # 1-row global-train-rate fallback
                                 # broadcast-crossed into the test band
                                 # grid
-    "q_llm_lsh_threshold_sweep",# all-pairs agreement histogram IS the
-                                # declared fixture-scale ground truth
-                                # (banded generator feeds it at scale,
-                                # docstring) + 5-row threshold grid >=
-                                # join + 1-row total cross
+    "q_llm_lsh_threshold_sweep",# 5-row broadcast threshold grid >=
+                                # joined into the 17-bucket agreement
+                                # histogram + 1-row closed-form total
+                                # cross (candidates themselves come
+                                # from the lossless 16x1 slot-band
+                                # equi-join since r08 — no all-pairs)
     "q_ml_psi",                 # 1-row cohort-total aggregate
                                 # broadcast-crossed into the band grid
     "q_agg_theil",              # 1-row grand-total aggregate
@@ -195,6 +196,10 @@ MAX_SHUFFLES = {
                                   # string (audited combined count: 18)
     "q_llm_bm25": 6,              # tf doc_id agg + 3-row df agg + scored
                                   # doc agg + TakeOrdered (audited: 5)
+    "q_llm_lsh_threshold_sweep": 6,  # banded form (r08): sig agg + slot
+                                  # self-join (2 exchange sides) + pair
+                                  # agg + 17-bucket hist agg
+                                  # (audited: 5)
     "q_llm_bigram_lm": 8,         # c12/c1/vocab model aggs + per-doc NLL
                                   # agg + 5-row lang agg (audited: 6)
     "q_llm_bpe_merges": 80,       # true shuffles ~6/round (doc windows +
