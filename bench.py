@@ -277,11 +277,32 @@ def run_scaling(spark, sf_dir: str) -> dict:
             f"# recall 1x: {out['recall_1x']} 10x: {out['recall_10x']}",
             file=sys.stderr,
         )
+        # The dispositive geometry experiment (VERDICT r07 item 4): the
+        # same IVF/PQ mechanisms measured on the CLUSTERED embedding
+        # twin, where "top-3 neighbors" is a quantizer-resolvable
+        # notion. High recall here + low recall on the random fixture
+        # = the fixture's distance concentration, not the plan.
+        try:
+            from khose_spark.scaling import ensure_clustered_dir
+
+            cdir = ensure_clustered_dir(
+                spark, sf_dir, base + "_clustered"
+            )
+            out["recall_clustered_1x"] = run_ann_recall(spark, cdir)
+            print(
+                f"# recall clustered: {out['recall_clustered_1x']}",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            out["recall_clustered_1x"] = {
+                "error": f"{type(exc).__name__}: {exc}"
+            }
     except Exception as exc:  # noqa: BLE001 — recall is evidence, not a gate
         out["recall_error"] = f"{type(exc).__name__}: {exc}"
     if os.environ.get("SPARK_GRAFT_SCALE_KEEP", "1") != "1":
         shutil.rmtree(base + "_x1", ignore_errors=True)
         shutil.rmtree(base + f"_x{SCALING_FACTOR}", ignore_errors=True)
+        shutil.rmtree(base + "_clustered", ignore_errors=True)
     return out
 
 

@@ -111,6 +111,133 @@ def _scaled_copy(df: DataFrame, table: str, copy: int) -> DataFrame:
     return out
 
 
+def _unit_hash(col):
+    """Deterministic double in [-1, 1) from the md5 of a string column
+    — the generator's only randomness source (no RNG, byte-stable)."""
+    h = F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("double")
+    return h / F.lit(float(2**31)) - 1.0
+
+
+def _hash_vec(prefix, dim: int):
+    """Array<double> of ``dim`` independent md5-derived components."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: _unit_hash(
+            F.concat_ws("|", prefix, j.cast("string"))
+        ),
+    )
+
+
+def _l2_normalize(vec):
+    norm = F.sqrt(
+        F.aggregate(
+            vec, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    return F.transform(vec, lambda x: x / norm)
+
+
+def ensure_clustered_dir(
+    spark: SparkSession,
+    base_dir: str,
+    dest: str,
+    n_clusters: int = 32,
+) -> str:
+    """Materialize (once) a twin of ``base_dir`` whose embeddings have
+    REAL cluster structure — the fixture VERDICT r07 asked for to make
+    the IVF/PQ recall geometry argument dispositive instead of
+    corroborated. The fixture's random-ish vectors concentrate pairwise
+    distances, so ANY lossy quantizer has near-zero top-3 agreement
+    with exact search; this twin replaces them with vectors a real
+    embedding model would produce (tight clusters, spread neighbors)
+    while keeping vec_id/label/doc linkage and every other table
+    (symlinked) identical.
+
+    Geometry (all md5-derived — deterministic, honesty-tested in
+    tests/test_scaling.py): vector i of cluster c = vec_id mod k is
+      normalize(centroid_c + (0.08 + 0.5·u_i)·dir_c + 0.03·noise_i)
+    — a 1-D manifold per cluster, not an isotropic blob: within-cluster
+    distances are SPREAD along dir_c (|u_i − u_j|), so "the top-3
+    neighbors" is a stable, quantizer-resolvable notion, exactly the
+    local-manifold shape real embeddings have. centroid_c and dir_c are
+    md5 unit vectors (random directions are near-orthogonal in d=64, so
+    clusters are well-separated at perturbation radius ≲ 0.6)."""
+    marker = os.path.join(dest, f"_CLUSTERED_k{n_clusters}_OK")
+    if os.path.exists(marker):
+        return dest
+    os.makedirs(dest, exist_ok=True)
+    emb = spark.read.parquet(os.path.join(base_dir, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()["embedding"])
+    elem_type = emb.schema["embedding"].dataType.simpleString()
+    # The centroid/direction dimension is k rows — build it as its own
+    # relation and BROADCAST-join it on cluster id rather than inlining
+    # the md5 arrays per fact row: inlined, the nested
+    # normalize(zip_with(normalize(64-md5-transform), …)) tree
+    # re-expands at every self-reference and wedges codegen (measured:
+    # the single-expression form never finished a 2k-row write).
+    cdim = spark.range(n_clusters).select(
+        F.col("id").cast("int").alias("cluster_id"),
+        _l2_normalize(
+            _hash_vec(F.concat(F.lit("cent|"), F.col("id")), dim)
+        ).alias("cent"),
+        _l2_normalize(
+            _hash_vec(F.concat(F.lit("dir|"), F.col("id")), dim)
+        ).alias("dir"),
+    ).localCheckpoint()
+    staged = (
+        emb.withColumn(
+            "cluster_id",
+            F.pmod(F.col("vec_id"), F.lit(n_clusters)).cast("int"),
+        )
+        .join(F.broadcast(cdim), "cluster_id")
+        .withColumn(
+            "u",
+            (
+                _unit_hash(
+                    F.concat(F.lit("u|"), F.col("vec_id").cast("string"))
+                )
+                + 1.0
+            )
+            / 2.0,
+        )
+        .withColumn(
+            "noise",
+            _hash_vec(
+                F.concat(F.lit("noise|"), F.col("vec_id").cast("string")),
+                dim,
+            ),
+        )
+        .localCheckpoint()  # md5 arrays now plain columns, trees stay flat
+    )
+    scale = F.lit(0.08) + F.lit(0.5) * F.col("u")
+    mixed = F.zip_with(
+        F.zip_with(F.col("cent"), F.col("dir"), lambda c, d: c + scale * d),
+        F.col("noise"),
+        lambda cd, nz: cd + F.lit(0.03) * nz,
+    )
+    out = (
+        staged.withColumn("mixed", mixed)
+        .localCheckpoint()
+        .select(
+            *emb.drop("embedding").columns,
+            _l2_normalize(F.col("mixed")).cast(elem_type).alias("embedding"),
+        )
+        .select(*emb.columns)
+    )
+    out.write.mode("overwrite").parquet(
+        os.path.join(dest, "embeddings.parquet")
+    )
+    for table in [*DIM_TABLES, *FACT_KEYS]:
+        if table == "embeddings":
+            continue
+        link = os.path.join(dest, f"{table}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(base_dir, f"{table}.parquet"), link)
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return dest
+
+
 def ensure_scale_dir(
     spark: SparkSession,
     base_dir: str,

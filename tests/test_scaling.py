@@ -92,3 +92,67 @@ def test_scale_dir_properties(spark, sf_dir):
         assert big_norms.agg(F.max("spread")).first()[0] <= 1e-4
     finally:
         shutil.rmtree(dest, ignore_errors=True)
+
+
+def test_clustered_dir_properties(spark, sf_dir):
+    """Honesty gate for the clustered-embedding twin (round 8): the
+    geometry claims bench's recall_clustered block rides on —
+    determinism, unit norms, genuine cluster separation, and SPREAD
+    within-cluster distances (the 1-D manifold that makes top-3 a
+    quantizer-resolvable notion)."""
+    import numpy as np
+
+    from khose_spark.scaling import ensure_clustered_dir
+
+    dest = tempfile.mkdtemp(prefix="khose_clustertest_")
+    dest2 = tempfile.mkdtemp(prefix="khose_clustertest2_")
+    try:
+        out = ensure_clustered_dir(spark, sf_dir, dest, n_clusters=8)
+        emb = spark.read.parquet(f"{out}/embeddings.parquet")
+        base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # row/column conservation; every other table readable via link
+        assert emb.count() == base.count()
+        assert emb.columns == base.columns
+        assert (
+            spark.read.parquet(f"{out}/documents.parquet").count()
+            == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        )
+
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        # unit norms
+        norms = np.linalg.norm(mat, axis=1)
+        assert np.abs(norms - 1.0).max() < 1e-5
+
+        # determinism: a rebuild in a fresh dir is value-identical
+        out2 = ensure_clustered_dir(spark, sf_dir, dest2, n_clusters=8)
+        rows2 = spark.read.parquet(f"{out2}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        ).collect()
+        m2 = {r["vec_id"]: r["embedding"] for r in rows2}
+        for r in rows[:50]:
+            assert list(m2[r["vec_id"]]) == list(r["embedding"])
+
+        # cluster structure: mean within-cluster cosine far above
+        # cross-cluster (sample to keep the test O(sample^2))
+        sel = ids < 400
+        sids, smat = ids[sel], mat[sel]
+        cos = smat @ smat.T
+        same = (sids[:, None] % 8) == (sids[None, :] % 8)
+        off = ~np.eye(len(sids), dtype=bool)
+        within = cos[same & off].mean()
+        across = cos[~same].mean()
+        assert within > 0.8, f"within-cluster cosine too low: {within}"
+        assert across < 0.4, f"clusters not separated: {across}"
+
+        # spread: within-cluster pairwise distances must NOT
+        # concentrate — the manifold term gives a wide spread
+        d = np.sqrt(np.maximum(0, 2 - 2 * cos[same & off]))
+        assert d.max() > 3 * max(d.min(), 1e-6), (
+            f"within-cluster distances concentrate: min={d.min()} "
+            f"max={d.max()}"
+        )
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+        shutil.rmtree(dest2, ignore_errors=True)
