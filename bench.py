@@ -580,6 +580,22 @@ def main() -> None:
     ing = run_ingest(spark, sf_dir)
     print(f"# ingest: {ing}", file=sys.stderr)
 
+    # 10× ingest (VERDICT r07 item 5): the same pipeline over the 10×
+    # events materialization when it's on disk — throughput evidence at
+    # ~1M rows, recorded in BENCH_DETAIL next to the soak's assertions.
+    ing10 = None
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    ten_x = (
+        os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/khose_scale")
+        + f"_{tag}_x10"
+    )
+    if os.path.exists(os.path.join(ten_x, "_SCALED_x10_OK")):
+        try:
+            ing10 = run_ingest(spark, ten_x)
+            print(f"# ingest 10x: {ing10}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — evidence, not a gate
+            ing10 = {"error": f"{type(exc).__name__}: {exc}"}
+
     # 10× scaling proof for the heavy tail (skippable for quick local
     # iterations: SPARK_GRAFT_SCALING=0).
     scaling = None
@@ -600,6 +616,8 @@ def main() -> None:
         "ingest": ing,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if ing10 is not None:
+        payload["ingest_10x"] = ing10
     if scaling is not None:
         payload["scaling"] = scaling
     payload["regression_gate"] = gate

@@ -1081,3 +1081,143 @@ def q_agg_atkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("atkinson_eps1"),
     )
+
+
+# HyperLogLog audit geometry: m=64 registers from the top 6 bits of a
+# 48-bit md5-derived hash; the remaining 42 bits feed the
+# leading-zero rank. alpha_64 = 0.709 (Flajolet et al. 2007 constant
+# for m=64), encoded as the exact rational 709/1000 so the estimate
+# folds in integers end to end.
+_HLL_M = 64
+_HLL_WBITS = 42
+_HLL_POW2W = 1 << _HLL_WBITS
+
+# 48-bit value from the first 12 md5 hex chars, DuckDB-side (per-char
+# hex lookup — the _sql_hash_bucket idiom widened to 12 chars; max sum
+# 15 * 16^11 ~ 2.6e14, well inside int64).
+_SQL_HLL_H = (
+    "("
+    + " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(term), {j}, 1)) - 1)"
+        f" * {16 ** (12 - j)}"
+        for j in range(1, 13)
+    )
+    + ")"
+)
+
+
+@query(
+    "q_agg_hll_audit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), hashed AS (
+      SELECT term, {_SQL_HLL_H} AS h FROM toks
+    ), regs AS (
+      SELECT h % {_HLL_M} AS bucket,
+             max({_HLL_WBITS + 1} - length(bin(h // {_HLL_M}))) AS rho
+      FROM hashed GROUP BY 1
+    ), grid AS (
+      SELECT unnest(range({_HLL_M})) AS bucket
+    ), filled AS (
+      SELECT g.bucket, coalesce(r.rho, 0) AS rho
+      FROM grid g LEFT JOIN regs r ON r.bucket = g.bucket
+    ), s AS (
+      SELECT CAST(sum(CAST(2 AS BIGINT) ** ({_HLL_WBITS} - rho)) AS BIGINT)
+               AS denom,
+             CAST(sum(rho) AS BIGINT) AS reg_checksum,
+             CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_regs
+      FROM filled
+    ), e AS (
+      SELECT (SELECT count(*) FROM toks) AS n_exact, s.* FROM s
+    )
+    SELECT CAST({_HLL_M} AS BIGINT) AS m, CAST(n_exact AS BIGINT) AS n_exact,
+           CAST((2 * CAST(709 AS HUGEINT) * {_HLL_M * _HLL_M}
+                 * {_HLL_POW2W} + 1000 * denom)
+                // (2000 * denom) AS BIGINT) AS hll_est,
+           CAST((2000 * abs((2 * CAST(709 AS HUGEINT) * {_HLL_M * _HLL_M}
+                             * {_HLL_POW2W} + 1000 * denom)
+                            // (2000 * denom) - n_exact) + n_exact)
+                // (2 * n_exact) AS BIGINT) AS err_permille,
+           reg_checksum, n_zero_regs
+    FROM e
+    """,
+)
+def q_agg_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog with a DETERMINISTIC audit — the distinct-count
+    sibling of q_agg_countmin_audit, completing the sketch-audit
+    family: a 64-register HLL over the corpus VOCABULARY is built from
+    engine-portable md5 hashes (bucket = h mod 64, rank = leading-zero
+    count of the remaining 42 bits via the shared length(bin(w)) fold),
+    the raw Flajolet estimate alpha_64 * m^2 / sum(2^-M_j) folds
+    entirely in integers (alpha as the exact rational 709/1000, the
+    2^-M sum pre-scaled by 2^42 so every term is an int, the first
+    factor of the numerator widened to DECIMAL/HUGEINT per the r07
+    overflow law — 709*4096*2^42 ~ 1.3e19 passes int64), and the
+    result row pins the estimate, its signed-free permille error vs
+    exact, AND the register checksum — so the hash check certifies the
+    SKETCH, not just the one estimate. The q_agg_approx_distinct /
+    q_agg_count_distinct twin pattern, now with the estimator itself
+    auditable.
+
+    Vocabulary sizes here (~thousands) sit far above the 2.5m = 160
+    small-range-correction threshold, so the raw-estimate branch is
+    the only one a corpus-scale run ever takes — the audit certifies
+    the branch production uses.
+
+    Plan: one token explode -> distinct -> 64-bucket aggregate; state
+    is 64 cells regardless of corpus size, map-side combined. At
+    100 TB the register relation is the only thing that moves."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+    )
+    h = F.conv(F.substring(F.md5("term"), 1, 12), 16, 10).cast("long")
+    regs = (
+        toks.select(
+            (h % _HLL_M).alias("bucket"),
+            (
+                F.lit(_HLL_WBITS + 1)
+                - F.length(F.bin((h / _HLL_M).cast("long")))
+            ).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    grid = spark.range(_HLL_M).select(F.col("id").cast("long").alias("bucket"))
+    filled = (
+        F.broadcast(grid)
+        .join(regs, "bucket", "left")
+        .select(F.coalesce(F.col("rho"), F.lit(0)).alias("rho"))
+    )
+    s = filled.agg(
+        F.sum(
+            F.pow(F.lit(2), F.lit(_HLL_WBITS) - F.col("rho")).cast("long")
+        ).alias("denom"),
+        F.sum("rho").alias("reg_checksum"),
+        F.sum((F.col("rho") == 0).cast("int")).alias("n_zero_regs"),
+    )
+    n_exact = toks.agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.expr(
+        f"CAST((2 * CAST(709 AS DECIMAL(38,0)) * {_HLL_M * _HLL_M}"
+        f" * {_HLL_POW2W} + 1000 * denom) DIV (2000 * denom) AS BIGINT)"
+    )
+    return (
+        s.crossJoin(F.broadcast(n_exact))
+        .select(
+            F.lit(_HLL_M).cast("long").alias("m"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            est.alias("hll_est"),
+            F.expr(
+                f"CAST((2000 * abs((2 * CAST(709 AS DECIMAL(38,0))"
+                f" * {_HLL_M * _HLL_M} * {_HLL_POW2W} + 1000 * denom)"
+                f" DIV (2000 * denom) - n_exact) + n_exact)"
+                f" DIV (2 * n_exact) AS BIGINT)"
+            ).alias("err_permille"),
+            F.col("reg_checksum").cast("long").alias("reg_checksum"),
+            F.col("n_zero_regs").cast("long").alias("n_zero_regs"),
+        )
+    )

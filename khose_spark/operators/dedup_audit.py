@@ -1525,3 +1525,87 @@ def q_llm_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(2 * 1000 * n_out + {n0}) DIV (2 * {n0})"
         ).alias("survive_permille"),
     ).orderBy("stage")
+
+
+# 8x2 band keys, DuckDB-side: band b concatenates signature slots
+# (2b, 2b+1) — the exact key _band_candidates joins on.
+_SQL_BAND_KEYS = (
+    "bandkeys AS (\n      "
+    + "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id,"
+        f" concat(s{2 * b}, '|', s{2 * b + 1}) AS band_key FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+    )
+    + "\n    )"
+)
+
+
+@query(
+    "q_llm_band_occupancy",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BAND_KEYS}, buckets AS (
+      SELECT band_id, band_key, count(*) AS s
+      FROM bandkeys GROUP BY 1, 2
+    )
+    SELECT band_id,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(s) AS BIGINT) AS n_docs,
+           CAST(max(s) AS BIGINT) AS max_bucket,
+           CAST(sum(s * (s - 1) // 2) AS BIGINT) AS cand_pairs
+    FROM buckets GROUP BY band_id ORDER BY band_id
+    """,
+)
+def q_llm_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-bucket occupancy audit — the observability metric every
+    scale argument in this family rides on, measured instead of cited:
+    per band of the 8x2 minhash scheme (the exact band keys
+    q_llm_minhash_det joins on), the bucket count, the largest bucket,
+    and the CANDIDATE-PAIR MASS sum s(s-1)/2 — which IS the dedup
+    join's cost model (the SCALE100_SKIP reasons, plans.lock budget
+    headrooms, and the band-width scale law all quote this quantity;
+    now a hash-checked relation an operator can alert on before
+    launching a dedup run). A skewed hot bucket shows up here as
+    max_bucket >> n_docs/n_buckets long before it shows up as a
+    straggler task.
+
+    Plan: signature aggregate (shared _det_signatures shape) -> one
+    band-key explode -> (band, key) count -> 8-row rollup. Linear,
+    occupancy-bounded, zero pair enumeration — the audit of the
+    quadratic mass costs nothing quadratic itself."""
+    sig = _det_signatures(spark, sf_dir).localCheckpoint()
+    n_bands = _N_HASHES // _BAND_ROWS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"s{b * _BAND_ROWS + r}")
+                                for r in range(_BAND_ROWS)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.band_key")
+    buckets = bands.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    return (
+        buckets.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("s").alias("n_docs"),
+            F.max("s").alias("max_bucket"),
+            F.sum(
+                F.expr("CAST(s * (s - 1) DIV 2 AS BIGINT)")
+            ).alias("cand_pairs"),
+        )
+        .orderBy("band_id")
+    )

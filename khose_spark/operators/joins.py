@@ -518,3 +518,138 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("cid").alias("n_clicks_matched"),
         F.countDistinct("pid").alias("n_purchases_matched"),
     )
+
+
+# Grid-bucketed spatial join geometry: synthetic integer-derived
+# coordinates (the q_fn_geo_haversine recipe, applied to customers and
+# suppliers), |lat| <= 59.75 so cos(lat) >= 0.5. Radius 500 km needs
+# <= 4.51 deg of latitude and <= 9.01 deg of longitude at the band's
+# worst latitude, so a 10-degree grid with +/-1-cell probing is
+# LOSSLESS for the radius: every qualifying pair shares a cell or an
+# adjacent one (the fixture's lon range [-169.75, 169.75] keeps every
+# 500 km pair on the short side of the antimeridian, so no wraparound
+# cell is needed).
+_GEO_CELL_DEG = 10
+_GEO_RADIUS_KM = 500
+
+_SQL_GEO_COORDS = """
+    cust AS (
+      SELECT c_custkey,
+             CAST((c_custkey * 7) % 120 - 60 AS DOUBLE) + 0.5 AS lat,
+             CAST((c_custkey * 37) % 340 - 170 AS DOUBLE) + 0.25 AS lon
+      FROM customer
+    ), supp AS (
+      SELECT s_suppkey,
+             CAST((s_suppkey * 7) % 120 - 60 AS DOUBLE) + 0.5 AS lat,
+             CAST((s_suppkey * 37) % 340 - 170 AS DOUBLE) + 0.25 AS lon
+      FROM supplier
+    )
+"""
+
+_SQL_GEO_KM = """
+    2 * 6371.0 * asin(sqrt(
+        pow(sin(radians(s.lat - c.lat) / 2), 2)
+        + cos(radians(c.lat)) * cos(radians(s.lat))
+          * pow(sin(radians(s.lon - c.lon) / 2), 2)))
+"""
+
+
+@query(
+    "q_join_geo_grid",
+    oracle=f"""
+    WITH {_SQL_GEO_COORDS}, pairs AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             round({_SQL_GEO_KM}, 3) AS km
+      FROM cust c CROSS JOIN supp s
+    )
+    SELECT c_custkey, s_suppkey, km
+    FROM pairs WHERE km <= {_GEO_RADIUS_KM}
+    ORDER BY km, c_custkey, s_suppkey LIMIT 15
+    """,
+)
+def q_join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial radius join — the geo sibling of the
+    banded dedup joins: customers and suppliers get deterministic
+    integer-derived coordinates (the q_fn_geo_haversine recipe), the
+    supplier side explodes to its 3x3 neighborhood of 10-degree grid
+    cells (9 rows per supplier — the SMALL side carries the fan-out)
+    and broadcasts, customers join on their single cell key, and the
+    exact haversine <= 500 km predicate prunes the candidates. The
+    10-degree cell is chosen so +/-1-cell probing provably covers the
+    radius at every fixture latitude (see module constants) — the
+    oracle certifies that losslessness by computing the same result
+    from the full cross join at fixture scale (customers/suppliers are
+    DIMENSION tables: constant cardinality at every scale factor, so
+    the quadratic oracle stays fixture-sized even at 100x).
+
+    At 100 TB the same plan is a point table map-side hashed to cells
+    against broadcast (or cell-bucketed) reference geometry — one
+    equi-join shuffle at most, candidates bounded by cell occupancy,
+    never |A| x |B|."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (((F.col("c_custkey") * 7) % 120 - 60).cast("double") + 0.5).alias(
+            "lat"
+        ),
+        (((F.col("c_custkey") * 37) % 340 - 170).cast("double") + 0.25).alias(
+            "lon"
+        ),
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (((F.col("s_suppkey") * 7) % 120 - 60).cast("double") + 0.5).alias(
+            "lat"
+        ),
+        (((F.col("s_suppkey") * 37) % 340 - 170).cast("double") + 0.25).alias(
+            "lon"
+        ),
+    )
+    cell = _GEO_CELL_DEG
+    c_cells = c.select(
+        "c_custkey",
+        F.col("lat").alias("c_lat"),
+        F.col("lon").alias("c_lon"),
+        F.floor(F.col("lat") / cell).alias("cell_lat"),
+        F.floor(F.col("lon") / cell).alias("cell_lon"),
+    )
+    d = spark.range(-1, 2).select(F.col("id").alias("d"))
+    s_cells = (
+        s.crossJoin(F.broadcast(d.select(F.col("d").alias("dlat"))))
+        .crossJoin(F.broadcast(d.select(F.col("d").alias("dlon"))))
+        .select(
+            "s_suppkey",
+            F.col("lat").alias("s_lat"),
+            F.col("lon").alias("s_lon"),
+            (F.floor(F.col("lat") / cell) + F.col("dlat")).alias("cell_lat"),
+            (F.floor(F.col("lon") / cell) + F.col("dlon")).alias("cell_lon"),
+        )
+    )
+    km = (
+        2
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(
+                    F.sin(F.radians(F.col("s_lat") - F.col("c_lat")) / 2), 2
+                )
+                + F.cos(F.radians("c_lat"))
+                * F.cos(F.radians("s_lat"))
+                * F.pow(
+                    F.sin(F.radians(F.col("s_lon") - F.col("c_lon")) / 2), 2
+                )
+            )
+        )
+    )
+    return (
+        c_cells.join(
+            F.broadcast(s_cells), ["cell_lat", "cell_lon"]
+        )
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.round(km, 3).alias("km"),
+        )
+        .filter(F.col("km") <= _GEO_RADIUS_KM)
+        .orderBy("km", "c_custkey", "s_suppkey")
+        .limit(15)
+    )

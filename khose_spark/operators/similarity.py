@@ -358,6 +358,62 @@ def _srp_oracle() -> str:
     """
 
 
+def srp_candidates(
+    spark: SparkSession, sf_dir: str, band_bits: int = 4
+) -> tuple[DataFrame, DataFrame]:
+    """(candidate pairs, base vectors) for SRP-LSH at ``band_bits``-bit
+    bands over the fixed 16-bit sign codes. ``band_bits=4`` is the
+    hash-checked CONTRACT q_llm_lsh_srp registers (identical plan to
+    the pre-r08 inline form); other widths exist so the band-width
+    scale law — expected bucket occupancy n/2^b, candidate pairs ~
+    n_bands · n²/2^(b+1) — is an ASSERTED measurement
+    (tests/test_scaling.py::test_srp_band_width_law), not a docstring
+    claim. Production picks b to keep n/2^b bounded; only these two
+    constants change, never the plan shape."""
+    assert 16 % band_bits == 0, band_bits
+    e = t(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("vec_id", dbl.alias("v"))
+    planes = spark.createDataFrame(
+        [(p, hp) for p, hp in enumerate(_srp_planes())], "p int, hp array<double>"
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "hp", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    bits = (
+        base.crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "p",
+            F.when(F.round(dot, 6) > 0, 1).otherwise(0).alias("bit"),
+        )
+    )
+    bands = (
+        bits.groupBy(
+            "vec_id", (F.col("p") / band_bits).cast("int").alias("band")
+        )
+        .agg(
+            F.sum(
+                F.col("bit") * F.pow(2, F.col("p") % band_bits).cast("int")
+            )
+            .cast("int")
+            .alias("code")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    return cand, base
+
+
 @query("q_llm_lsh_srp", oracle=_srp_oracle())
 def q_llm_lsh_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane (SRP) LSH near-dup: 16-bit sign codes against
@@ -382,44 +438,7 @@ def q_llm_lsh_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size (b-bit bands ⇒ expected bucket n/2^b — keep n/2^b
     bounded, e.g. 16-bit bands at 10⁶ vectors), which changes only the
     two constants in this function, not the plan shape."""
-    e = t(spark, sf_dir, "embeddings")
-    dbl = F.transform("embedding", lambda x: x.cast("double"))
-    base = e.select("vec_id", dbl.alias("v"))
-    planes = spark.createDataFrame(
-        [(p, hp) for p, hp in enumerate(_srp_planes())], "p int, hp array<double>"
-    )
-    dot = F.aggregate(
-        F.zip_with("v", "hp", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
-    bits = (
-        base.crossJoin(F.broadcast(planes))
-        .select(
-            "vec_id",
-            "p",
-            F.when(F.round(dot, 6) > 0, 1).otherwise(0).alias("bit"),
-        )
-    )
-    bands = (
-        bits.groupBy(
-            "vec_id", (F.col("p") / 4).cast("int").alias("band")
-        )
-        .agg(
-            F.sum(F.col("bit") * F.pow(2, F.col("p") % 4).cast("int"))
-            .cast("int")
-            .alias("code")
-        )
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.code") == F.col("b.code"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        .distinct()
-    )
+    cand, base = srp_candidates(spark, sf_dir, band_bits=4)
     va = base.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     vb = base.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     cdot = F.aggregate(

@@ -21,6 +21,12 @@ registry.load_all()
 # correct physical plan for these semantics.
 BNLJ_ALLOWED = {
     "q_join_cross",            # declared cartesian (region × nation)
+    "q_agg_hll_audit",         # 1-row exact-count aggregate broadcast-
+                               # crossed into the 1-row register fold
+    "q_join_geo_grid",         # 100-row supplier dim × broadcast 3-row
+                               # neighbor-offset grids (the 3x3 cell
+                               # probe fan-out, constant 9x on the
+                               # SMALL side)
     "q_llm_cosine_topk",       # 10 broadcast query vectors × corpus
     "q_llm_knn_label_vote",    # same candidate generator
     "q_llm_ann_ivf",           # corpus × broadcast centroid set

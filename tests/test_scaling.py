@@ -156,3 +156,32 @@ def test_clustered_dir_properties(spark, sf_dir):
     finally:
         shutil.rmtree(dest, ignore_errors=True)
         shutil.rmtree(dest2, ignore_errors=True)
+
+
+def test_srp_band_width_law(spark):
+    """The SRP band-width scale law as a measurement (VERDICT r07 item
+    6): candidate pairs ~ n_bands * n^2 / 2^(b+1), so going from 4-bit
+    bands (4 bands, 16 buckets each) to 8-bit bands (2 bands, 256
+    buckets) must shrink the candidate set by ~(4/2)*(256/16) = 32x.
+    Runs on the 10x dir bench materializes (n = 20k vectors, where the
+    law dominates fixed effects); skips if it isn't on disk."""
+    import os
+
+    import pytest
+
+    ten_x = "/tmp/khose_scale_sf0.1_x10"
+    if not os.path.exists(os.path.join(ten_x, "_SCALED_x10_OK")):
+        pytest.skip("10x materialization not on disk (bench builds it)")
+    from khose_spark.operators.similarity import srp_candidates
+
+    c4 = srp_candidates(spark, ten_x, band_bits=4)[0].count()
+    c8 = srp_candidates(spark, ten_x, band_bits=8)[0].count()
+    assert c8 > 0, "8-bit bands found no candidates at 20k vectors"
+    ratio = c4 / c8
+    # 32x predicted; generous tolerance covers non-uniform code mass
+    # and cross-band dedup, while still rejecting 'no effect' (ratio~1)
+    # and 'quadratic collapse' (ratio >> 128)
+    assert 8 <= ratio <= 128, (
+        f"band-width law violated: cand(b=4)={c4} cand(b=8)={c8} "
+        f"ratio={ratio:.1f}, expected ~32"
+    )

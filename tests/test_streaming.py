@@ -683,10 +683,38 @@ def test_stream_static_enrich_converges(spark, sf_dir, chunks):
     assert_frames_equal(got, twin, "stream-static enrichment")
 
 
+TEN_X_DIR = "/tmp/khose_scale_sf0.1_x10"
+
+
 def test_stream_soak_100_batches(spark):
+    _soak_body(spark, "/root/testdata/sf0.1")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(TEN_X_DIR, "_SCALED_x10_OK")),
+    reason="10x materialization not on disk (bench/verify_sweep builds it)",
+)
+def test_stream_soak_100_batches_10x(spark):
+    """The same soak at bench scale (VERDICT r07 items 5+7): ~1M events
+    replayed through the identical 100-chunk / 4-restart protocol, with
+    a throughput floor on the ingest sink, plus the session-window and
+    stream-stream-join batch twins verified against a full replay of
+    the 10x live dir — watermark/state semantics pinned at the scale
+    bench times, not just fixture scale."""
+    _soak_body(
+        spark, TEN_X_DIR, throughput_floor=3000.0, convergence_10x=True
+    )
+
+
+def _soak_body(
+    spark,
+    soak_sf: str,
+    throughput_floor: float | None = None,
+    convergence_10x: bool = False,
+):
     """Long-run soak (VERDICT r06 item 5): khose's core claim is a
     LONG-LIVED ingest, but every other streaming test is a single
-    drain. Replay the sf0.1 events fixture as 100 ordered chunk files
+    drain. Replay the events fixture as 100 ordered chunk files
     revealed in 4 waves of 25, each wave drained by a RESTARTED query
     pair over the same checkpoints (availableNow + maxFilesPerTrigger=1
     → one micro-batch per chunk, 100 data batches total; 4 restarts
@@ -710,7 +738,6 @@ def test_stream_soak_100_batches(spark):
     import json as _json
     import time
 
-    soak_sf = "/root/testdata/sf0.1"
     events = t(spark, soak_sf, "events")
     n_events = events.count()
 
@@ -719,8 +746,15 @@ def test_stream_soak_100_batches(spark):
     live = f"{base}/live"
     os.makedirs(live)
     try:
+        # Chunk by EVENT TIME, not id: a long-lived ingest reveals files
+        # in arrival order, and arrival tracks event time. (At 10x the
+        # copy-shifted id space breaks the id~ts correlation the sf0.1
+        # fixture happens to have — id-ranged chunks would replay the
+        # whole month once per copy, every later copy fully behind the
+        # watermark, which is a restart-from-backfill scenario, not a
+        # soak.)
         (
-            events.repartitionByRange(100, "event_id")
+            events.repartitionByRange(100, "ts", "event_id")
             .write.mode("overwrite")
             .parquet(staging)
         )
@@ -754,6 +788,7 @@ def test_stream_soak_100_batches(spark):
         progresses: list[dict] = []
         compacted_files: list[int] = []
         compacted_dirs: list[int] = []
+        ingest_sec = 0.0
         from khose_spark.streaming.runtime import compact_parquet
 
         for wave in range(4):
@@ -788,6 +823,7 @@ def test_stream_soak_100_batches(spark):
 
             # exactly-once partitioned ingest sink rides along (coarser
             # batching — throughput config), compacted after every wave
+            t_ing = time.perf_counter()
             ingest_to_parquet(
                 file_stream(spark, live, files_per_trigger=4),
                 ing_out,
@@ -795,6 +831,7 @@ def test_stream_soak_100_batches(spark):
                 partition_granularity="month",
                 coalesce_to=1,
             )
+            ingest_sec += time.perf_counter() - t_ing
             compacted = f"{base}/compacted_{wave}"
             compact_parquet(spark, ing_out, compacted)
             compacted_files.append(nfiles(compacted))
@@ -884,10 +921,76 @@ def test_stream_soak_100_batches(spark):
         assert twin.count() >= n_twin_all - 5 * len(
             events.select("event_type").distinct().collect()
         )
+        if throughput_floor is not None:
+            rate = n_events / max(ingest_sec, 1e-9)
+            assert rate >= throughput_floor, (
+                f"soak ingest throughput {rate:.0f} rows/s under the "
+                f"{throughput_floor:.0f} floor ({n_events} rows in "
+                f"{ingest_sec:.1f}s)"
+            )
+
+        if convergence_10x:
+            # VERDICT r07 item 7: the session-window and stream-stream
+            # join batchsem twins, replayed over the SAME 10x live dir
+            # the soak just drained — convergence pinned at bench scale.
+            from khose_spark.operators.streaming import (
+                click_purchase_pairs,
+                sessionize_batch,
+            )
+
+            sess_stream = (
+                file_stream(spark, live, files_per_trigger=20)
+                .groupBy(
+                    F.session_window("ts", "30 minutes").alias("w"),
+                    "user_id",
+                )
+                .agg(F.count(F.lit(1)).alias("n_events"))
+                .select(
+                    "user_id",
+                    F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                        "session_start"
+                    ),
+                    "n_events",
+                )
+            )
+            run_stream_to_memory(sess_stream, "t_soak10_session", "complete")
+            assert_frames_equal(
+                spark.table("t_soak10_session"),
+                sessionize_batch(events).select(
+                    "user_id", "session_start", "n_events"
+                ),
+                "10x session window",
+            )
+
+            def sides(df):
+                return (
+                    df.filter(F.col("event_type") == "click"),
+                    df.filter(F.col("event_type") == "purchase"),
+                )
+
+            s_clicks, s_purchases = sides(
+                file_stream(spark, live, files_per_trigger=20)
+            )
+            run_stream_to_memory(
+                click_purchase_pairs(
+                    s_clicks.withWatermark("ts", "2 hours"),
+                    s_purchases.withWatermark("ts", "2 hours"),
+                ),
+                "t_soak10_ssjoin",
+                "append",
+            )
+            b_clicks, b_purchases = sides(events)
+            assert_frames_equal(
+                spark.table("t_soak10_ssjoin"),
+                click_purchase_pairs(b_clicks, b_purchases),
+                "10x stream-stream join",
+            )
+
         print(
-            f"# soak: {len(data_batches)} data batches, "
+            f"# soak[{soak_sf}]: {len(data_batches)} data batches, "
             f"max state {max(state_rows)}/{total_pairs} pairs, "
-            f"compacted files per wave {compacted_files}"
+            f"compacted files per wave {compacted_files}, "
+            f"ingest {n_events / max(ingest_sec, 1e-9):.0f} rows/s"
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
