@@ -103,6 +103,10 @@ SCALE100_SKIP = {
     " stage (all-pairs oracle stage)",
     "q_mm_phash_dedup": _Q + "oracle verifies banded pairs against"
     " pairwise hamming truth",
+    "q_join_range_bucketed": _Q + "within-window event-pair mass grows"
+    " x100 per decade (fixed month at 100x density): the IEJoin oracle"
+    " measured ~160 s at 10x => ~4 h at 100x; the Spark side is the"
+    " 1-row bucketed-join aggregate and stays cheap",
 }
 
 
