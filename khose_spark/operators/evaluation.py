@@ -1280,3 +1280,152 @@ def q_ml_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("kappa_milli"),
     )
+
+
+@query(
+    "q_ml_calibration",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT {_CENTS_SQL} // {_AUC_BAND_CENTS} AS band,
+             CASE WHEN {_sql_hash_bucket('o_orderkey')} < 50
+                  THEN 1 ELSE 0 END AS is_train,
+             CASE WHEN {_POS_SQL} THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ), cells AS (
+      SELECT band, is_train, count(*) AS n,
+             CAST(sum(pos) AS BIGINT) AS n_pos
+      FROM labeled GROUP BY band, is_train
+    ), train AS (
+      SELECT band, (2 * 1000 * n_pos + n) // (2 * n) AS p
+      FROM cells WHERE is_train = 1
+    ), global_train AS (
+      SELECT CAST((2 * 1000 * sum(n_pos) + sum(n)) // (2 * sum(n))
+                  AS BIGINT) AS gp
+      FROM cells WHERE is_train = 1
+    ), test_scored AS (
+      SELECT te.n, te.n_pos, CAST(coalesce(tr.p, g.gp) AS BIGINT) AS p
+      FROM cells te
+      LEFT JOIN train tr ON tr.band = te.band
+      CROSS JOIN global_train g
+      WHERE te.is_train = 0
+    ), dec AS (
+      SELECT least(p // 100, 9) AS decile,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST((2 * sum(n * p) + sum(n)) // (2 * sum(n)) AS BIGINT)
+               AS pred_permille,
+             CAST((2 * 1000 * sum(n_pos) + sum(n)) // (2 * sum(n))
+                  AS BIGINT) AS obs_permille
+      FROM test_scored GROUP BY 1
+    ), bins AS (
+      SELECT CAST(decile AS BIGINT) AS decile, n, pred_permille,
+             obs_permille,
+             abs(pred_permille - obs_permille) AS gap_permille
+      FROM dec
+    )
+    SELECT * FROM bins
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(sum(n) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST((2 * sum(n * gap_permille) + sum(n)) // (2 * sum(n))
+                AS BIGINT)
+    FROM bins
+    ORDER BY decile
+    """,
+)
+def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table + Expected Calibration Error for the $1k-band
+    probability model: band positive-rates learned on the md5 train
+    half score the held-out half, test mass groups into predicted-
+    probability DECILES (permille DIV 100, top-coded at 9), and each
+    decile reports predicted vs observed permille and their gap; the
+    decile=-1 summary row is the mass-weighted ECE. Completes the
+    eval family's calibration axis: Brier measures the same gap as one
+    squared-error scalar, this key shows WHERE the model is over- or
+    under-confident — the reliability-diagram relation, minus the
+    plot.
+
+    ALL-INTEGER (the q_ml_brier discipline): probabilities are half-up
+    permilles, decile means fold as (2*sum(n*p)+n) DIV 2n over int64
+    cell counts, the observed rate and gap never leave int64, and the
+    ECE is a half-up integer weighting of integer gaps. Unseen test
+    bands inherit the global train rate (the documented fallback).
+
+    Plan: ONE (band, split) grid aggregation serves train, global and
+    test (the shared cells localCheckpoint), tiny broadcast joins, a
+    <=10-row decile rollup + 1-row summary union. At any scale the
+    single fact scan is the only shuffle."""
+    labeled = t(spark, sf_dir, "orders").select(
+        F.expr(f"{_CENTS_SQL} DIV {_AUC_BAND_CENTS}").alias("band"),
+        F.when(hash_bucket(F.col("o_orderkey")) < 50, 1)
+        .otherwise(0)
+        .alias("is_train"),
+        F.when(F.col("o_orderpriority").isin(*_POS_PRIORITIES), 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    cells = (
+        labeled.groupBy("band", "is_train")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos"))
+        .localCheckpoint()
+    )
+    train = cells.filter(F.col("is_train") == 1).select(
+        F.col("band").alias("tband"),
+        F.expr("(2 * 1000 * n_pos + n) DIV (2 * n)").alias("p"),
+    )
+    global_train = cells.filter(F.col("is_train") == 1).agg(
+        F.expr(
+            "CAST((2 * 1000 * sum(n_pos) + sum(n)) DIV (2 * sum(n))"
+            " AS BIGINT)"
+        ).alias("gp")
+    )
+    test_scored = (
+        cells.filter(F.col("is_train") == 0)
+        .join(
+            F.broadcast(train), F.col("band") == F.col("tband"), "left_outer"
+        )
+        .crossJoin(F.broadcast(global_train))
+        .select(
+            "n",
+            "n_pos",
+            F.coalesce(F.col("p"), F.col("gp")).cast("long").alias("p"),
+        )
+    )
+    bins = (
+        test_scored.groupBy(
+            F.least(F.expr("p DIV 100"), F.lit(9))
+            .cast("long")
+            .alias("decile")
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.expr(
+                "CAST((2 * sum(n * p) + sum(n)) DIV (2 * sum(n))"
+                " AS BIGINT)"
+            ).alias("pred_permille"),
+            F.expr(
+                "CAST((2 * 1000 * sum(n_pos) + sum(n)) DIV (2 * sum(n))"
+                " AS BIGINT)"
+            ).alias("obs_permille"),
+        )
+        .select(
+            "decile",
+            "n",
+            "pred_permille",
+            "obs_permille",
+            F.abs(
+                F.col("pred_permille") - F.col("obs_permille")
+            ).alias("gap_permille"),
+        )
+        .localCheckpoint()
+    )
+    ece = bins.agg(
+        F.lit(-1).cast("long").alias("decile"),
+        F.sum("n").cast("long").alias("n"),
+        F.lit(None).cast("long").alias("pred_permille"),
+        F.lit(None).cast("long").alias("obs_permille"),
+        F.expr(
+            "CAST((2 * sum(n * gap_permille) + sum(n))"
+            " DIV (2 * sum(n)) AS BIGINT)"
+        ).alias("gap_permille"),
+    )
+    return bins.unionByName(ece).orderBy("decile")

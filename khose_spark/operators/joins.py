@@ -653,3 +653,153 @@ def q_join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("km", "c_custkey", "s_suppkey")
         .limit(15)
     )
+
+
+# KNN point coordinates: the cust side uses DECORRELATED multipliers
+# (11/43 vs the shared recipe's 7/37) so point and reference grids
+# don't alias — with the shared recipe, customer k and supplier k land
+# on identical coordinates and every low-key customer trivially snaps
+# to its key-twin at 0 km. Bounds hold: lat in [-59.75, 59.25],
+# lon in [-169.5, 169.5] — inside the grid law's |lat| <= 59.75 band,
+# no antimeridian wrap.
+_SQL_GEO_KNN_CUST = """
+    cust AS (
+      SELECT c_custkey,
+             CAST((c_custkey * 11) % 120 - 60 AS DOUBLE) + 0.25 AS lat,
+             CAST((c_custkey * 43) % 340 - 170 AS DOUBLE) + 0.5 AS lon
+      FROM customer
+    )"""
+
+_SQL_GEO_SUPP = """
+    supp AS (
+      SELECT s_suppkey,
+             CAST((s_suppkey * 7) % 120 - 60 AS DOUBLE) + 0.5 AS lat,
+             CAST((s_suppkey * 37) % 340 - 170 AS DOUBLE) + 0.25 AS lon
+      FROM supplier
+    )"""
+
+
+@query(
+    "q_join_geo_knn",
+    oracle=f"""
+    WITH {_SQL_GEO_KNN_CUST}, {_SQL_GEO_SUPP}, scored AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             round({_SQL_GEO_KM}, 3) AS km
+      FROM cust c CROSS JOIN supp s
+    ), nearest AS (
+      SELECT c_custkey, s_suppkey, km FROM (
+        SELECT c_custkey, s_suppkey, km,
+               row_number() OVER (PARTITION BY c_custkey
+                                  ORDER BY km, s_suppkey) AS rn
+        FROM scored WHERE km <= {_GEO_RADIUS_KM}
+      ) WHERE rn = 1
+    )
+    SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_customers,
+           min(km) AS min_km, max(km) AS max_km
+    FROM nearest GROUP BY 1
+    ORDER BY n_customers DESC, s_suppkey LIMIT 15
+    """,
+)
+def q_join_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor spatial join on the q_join_geo_grid cells: each
+    customer's single nearest supplier within 500 km (rank by rounded
+    haversine, supplier-key tiebreak), rolled up to the top-15
+    suppliers by captured-customer count — the "assign every point to
+    its closest facility" join, the argmin sibling of the radius join.
+
+    Losslessness rides on the same grid law: any supplier within
+    500 km of a customer shares its cell or an adjacent one (module
+    constants), so ranking the 3x3-cell candidates IS ranking the full
+    within-radius set — the top-1 cannot hide outside the probe
+    window. Customers with no supplier in radius drop out (no
+    candidate row survives the km filter), exactly as in the oracle's
+    cross-join form. km is rounded to 3 decimals BEFORE ranking in
+    both engines so the rank key is identical (the aa_score ordering
+    precedent); dims are fixture-sized at every factor of the decade
+    sweeps, so the quadratic oracle stays cheap.
+
+    Plan: point side map-side hashed to its single cell, reference
+    side exploded x9 and broadcast, per-customer rank over cell-local
+    candidates (bounded by cell occupancy), then a supplier-keyed
+    rollup of the 1-row-per-customer relation. At 100 TB: one
+    equi-join against broadcast/bucketed geometry + one rollup
+    shuffle of the assignment relation — never |A| x |B|."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (((F.col("c_custkey") * 11) % 120 - 60).cast("double") + 0.25).alias(
+            "lat"
+        ),
+        (((F.col("c_custkey") * 43) % 340 - 170).cast("double") + 0.5).alias(
+            "lon"
+        ),
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (((F.col("s_suppkey") * 7) % 120 - 60).cast("double") + 0.5).alias(
+            "lat"
+        ),
+        (((F.col("s_suppkey") * 37) % 340 - 170).cast("double") + 0.25).alias(
+            "lon"
+        ),
+    )
+    cell = _GEO_CELL_DEG
+    c_cells = c.select(
+        "c_custkey",
+        F.col("lat").alias("c_lat"),
+        F.col("lon").alias("c_lon"),
+        F.floor(F.col("lat") / cell).alias("cell_lat"),
+        F.floor(F.col("lon") / cell).alias("cell_lon"),
+    )
+    d = spark.range(-1, 2).select(F.col("id").alias("d"))
+    s_cells = (
+        s.crossJoin(F.broadcast(d.select(F.col("d").alias("dlat"))))
+        .crossJoin(F.broadcast(d.select(F.col("d").alias("dlon"))))
+        .select(
+            "s_suppkey",
+            F.col("lat").alias("s_lat"),
+            F.col("lon").alias("s_lon"),
+            (F.floor(F.col("lat") / cell) + F.col("dlat")).alias("cell_lat"),
+            (F.floor(F.col("lon") / cell) + F.col("dlon")).alias("cell_lon"),
+        )
+    )
+    km = (
+        2
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(
+                    F.sin(F.radians(F.col("s_lat") - F.col("c_lat")) / 2), 2
+                )
+                + F.cos(F.radians("c_lat"))
+                * F.cos(F.radians("s_lat"))
+                * F.pow(
+                    F.sin(F.radians(F.col("s_lon") - F.col("c_lon")) / 2), 2
+                )
+            )
+        )
+    )
+    scored = (
+        c_cells.join(F.broadcast(s_cells), ["cell_lat", "cell_lon"])
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.round(km, 3).alias("km"),
+        )
+        .filter(F.col("km") <= _GEO_RADIUS_KM)
+    )
+    w = Window.partitionBy("c_custkey").orderBy("km", "s_suppkey")
+    nearest = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "s_suppkey", "km")
+    )
+    return (
+        nearest.groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.min("km").alias("min_km"),
+            F.max("km").alias("max_km"),
+        )
+        .orderBy(F.desc("n_customers"), "s_suppkey")
+        .limit(15)
+    )

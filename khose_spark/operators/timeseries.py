@@ -2375,3 +2375,303 @@ def q_ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((2 * 1000 * n * peak + s) DIV (2 * s) AS BIGINT)"
         ).alias("peak_ratio_milli"),
     ).orderBy("event_type")
+
+
+# Shared zero-filled daily spine for the CUSUM / DTW pair: per-type
+# daily revenue cents on the (type x observed-day) grid, with
+# row_number day rank r (1-based) so both operators agree on the series
+# index without trusting calendar contiguity. Day id d is the epoch-day
+# offset from the fixture's 2024-01-01 origin; absent (type, day) cells
+# zero-fill (the q_ts_burstiness spine discipline). All-integer.
+_SPINE_DAILY_SQL = """
+    days AS (
+      SELECT DISTINCT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+               AS d
+      FROM events
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), daily_raw AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), spine AS (
+      SELECT t.event_type, dd.d,
+             CAST(row_number() OVER (PARTITION BY t.event_type
+                                     ORDER BY dd.d) AS BIGINT) AS r,
+             coalesce(dr.cents, 0) AS cents
+      FROM types t CROSS JOIN days dd
+      LEFT JOIN daily_raw dr
+        ON dr.event_type = t.event_type AND dr.d = dd.d
+    )"""
+
+_CUSUM_BASE_DAYS = 10  # baseline window: first 10 observed days
+
+
+def _daily_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _SPINE_DAILY_SQL: (event_type, d, r, cents)."""
+    e = t(spark, sf_dir, "events")
+    daily_raw = (
+        e.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+            .cast("long")
+            .alias("d"),
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    days = daily_raw.select("d").distinct()
+    types = daily_raw.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(days))
+        .join(daily_raw, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            F.row_number()
+            .over(Window.partitionBy("event_type").orderBy("d"))
+            .cast("long")
+            .alias("r"),
+            F.coalesce(F.col("cents"), F.lit(0)).cast("long").alias("cents"),
+        )
+    )
+    return spine
+
+
+@query(
+    "q_ts_cusum",
+    oracle=f"""
+    WITH {_SPINE_DAILY_SQL}, base AS (
+      SELECT event_type,
+             (2 * sum(cents) + count(*)) // (2 * count(*)) AS mu
+      FROM spine WHERE r <= {_CUSUM_BASE_DAYS} GROUP BY 1
+    ), mon AS (
+      SELECT s.event_type, s.d, b.mu,
+             s.cents - b.mu - (b.mu // 20) AS y
+      FROM spine s JOIN base b USING (event_type)
+      WHERE s.r > {_CUSUM_BASE_DAYS}
+    ), pre AS (
+      SELECT event_type, d, mu, CAST(sum(y) OVER w AS BIGINT) AS p
+      FROM mon
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), cusum AS (
+      SELECT event_type, d, mu,
+             p - least(0, min(p) OVER w) AS s
+      FROM pre
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           CAST(min(mu) AS BIGINT) AS mu_cents,
+           CAST(min(mu) // 20 AS BIGINT) AS slack_cents,
+           CAST(max(s) AS BIGINT) AS max_cusum_cents,
+           CAST(min(CASE WHEN s > mu // 4 THEN d END) AS BIGINT)
+             AS first_breach_d,
+           CAST(sum(CASE WHEN s > mu // 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_breach_days
+    FROM cusum GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift monitor per event type: the baseline mean
+    mu (half-up cents over the first 10 observed days) plus a 5% slack
+    k = mu/20 defines the in-control band; the monitor window's
+    classic recurrence S_t = max(0, S_{t-1} + x_t - mu - k) flags
+    sustained upward drift, with breach threshold h = mu/4.
+
+    The recurrence looks inherently sequential, but the closed form
+    S_t = P_t - min(0, min_{{j<=t}} P_j) (P = prefix sums of the
+    deviations) turns it into TWO stacked window scans — fully
+    declarative in both engines, no recursion, no UDF. Everything is
+    int64: mu is a half-up integer mean over a constant-width window,
+    slack and threshold are integer divisions of mu, deviations /
+    prefix sums / running minima never leave cents.
+
+    Plan: one fact aggregation to the (type, day) grid, a broadcast
+    zero-fill spine, then windows over <=30 rows per type. At 100 TB
+    the daily rollup is the only shuffle; the CUSUM scan runs on a
+    kilobyte relation. first_breach_d is NULL for types that never
+    breach (both engines agree on the empty-min convention)."""
+    spine = _daily_spine(spark, sf_dir).localCheckpoint()
+    base = (
+        spine.filter(F.col("r") <= _CUSUM_BASE_DAYS)
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "(2 * sum(cents) + count(*)) DIV (2 * count(*))"
+            ).alias("mu")
+        )
+    )
+    mon = (
+        spine.filter(F.col("r") > _CUSUM_BASE_DAYS)
+        .join(F.broadcast(base), "event_type")
+        .select(
+            "event_type",
+            "d",
+            "mu",
+            (
+                F.col("cents") - F.col("mu") - F.expr("mu DIV 20")
+            ).alias("y"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = mon.select(
+        "event_type", "d", "mu", F.sum("y").over(w).alias("p")
+    )
+    cusum = pre.select(
+        "event_type",
+        "d",
+        "mu",
+        (
+            F.col("p") - F.least(F.lit(0), F.min("p").over(w))
+        ).alias("s"),
+    )
+    return (
+        cusum.groupBy("event_type")
+        .agg(
+            F.min("mu").cast("long").alias("mu_cents"),
+            F.expr("CAST(min(mu) DIV 20 AS BIGINT)").alias("slack_cents"),
+            F.max("s").cast("long").alias("max_cusum_cents"),
+            F.expr(
+                "CAST(min(CASE WHEN s > mu DIV 4 THEN d END) AS BIGINT)"
+            ).alias("first_breach_d"),
+            F.expr(
+                "CAST(sum(CASE WHEN s > mu DIV 4 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_breach_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_ts_dtw",
+    oracle=f"""
+    WITH RECURSIVE {_SPINE_DAILY_SQL}, cost AS (
+      SELECT s1.event_type AS type_a, s2.event_type AS type_b,
+             s1.r AS i, s2.r AS j,
+             abs(s1.cents - s2.cents) AS c
+      FROM spine s1 JOIN spine s2 ON s1.event_type < s2.event_type
+    ), nmax AS (
+      SELECT max(r) AS n FROM spine
+    ), dp AS (
+      SELECT type_a, type_b, i, j, c AS dsum, 0 AS age
+      FROM cost WHERE i = 1 AND j = 1
+      UNION ALL
+      SELECT * FROM (
+        SELECT b.type_a, b.type_b, b.i, b.j,
+               b.c + min(s.dsum) AS dsum, 0 AS age
+        FROM cost b JOIN dp s
+          ON s.type_a = b.type_a AND s.type_b = b.type_b AND (
+               (s.age = 0 AND ((s.i = b.i - 1 AND s.j = b.j)
+                               OR (s.i = b.i AND s.j = b.j - 1)))
+            OR (s.age = 1 AND s.i = b.i - 1 AND s.j = b.j - 1))
+        GROUP BY b.type_a, b.type_b, b.i, b.j, b.c
+        UNION ALL
+        SELECT type_a, type_b, i, j, dsum, 1 AS age FROM dp
+        WHERE age = 0
+      )
+    ), l1 AS (
+      SELECT s1.event_type AS type_a, s2.event_type AS type_b,
+             CAST(sum(abs(s1.cents - s2.cents)) AS BIGINT) AS l1_cents
+      FROM spine s1 JOIN spine s2
+        ON s1.event_type < s2.event_type AND s1.r = s2.r
+      GROUP BY 1, 2
+    )
+    SELECT d.type_a, d.type_b, CAST(nmax.n AS BIGINT) AS n_days,
+           CAST(d.dsum AS BIGINT) AS dtw_cents, l1.l1_cents
+    FROM dp d
+    CROSS JOIN nmax
+    JOIN l1 ON l1.type_a = d.type_a AND l1.type_b = d.type_b
+    WHERE d.i = nmax.n AND d.j = nmax.n AND d.age = 0
+    ORDER BY d.type_a, d.type_b
+    """,
+)
+def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Time Warping distance between every pair of event types'
+    daily revenue series — the alignment-tolerant series distance Spark
+    has no built-in for, and the documented applyInPandas case: the
+    O(n^2) DP has a hard sequential dependency per pair, so each
+    (type_a, type_b) group ships both zero-filled series as ONE Arrow
+    batch and runs the DP in numpy int64. The aligned L1 distance rides
+    along as the no-warp upper bound (DTW <= L1 by construction —
+    the diagonal is one admissible path).
+
+    Determinism: series are exact integer cents on the shared
+    _SPINE_DAILY_SQL day grid, costs are integer |a_i - b_j|, and the
+    DP folds in int64 (worst case ~59 cells x 6e8 cents at the 100x
+    materialization — two orders inside int64), so the result is
+    bit-identical to the oracle's anti-diagonal recursive-CTE DP (the
+    working set carries diagonals k-1 and k as age-1/age-0 rows; each
+    round joins the 3 predecessors and re-emits the frontier — the
+    LTTB unrolled-DP precedent, made recursive).
+
+    Scale: the fact collapses to the (type, day) rollup first — ONE
+    shuffle; the pair table is dimension^2 x series-length rows
+    (10 pairs x 30 days here), each group one task. For long series
+    the production parameterization adds a Sakoe-Chiba band (cost rows
+    with |i-j| <= w), which drops the per-pair DP to O(nw) without
+    changing this plan shape; series length is bounded by the rollup
+    resolution, never by fact cardinality."""
+    spine = _daily_spine(spark, sf_dir).localCheckpoint()
+    s1 = spine.select(
+        F.col("event_type").alias("type_a"),
+        F.col("r").alias("r"),
+        F.col("cents").alias("ca"),
+    )
+    s2 = spine.select(
+        F.col("event_type").alias("type_b"),
+        F.col("r").alias("rb"),
+        F.col("cents").alias("cb"),
+    )
+    aligned = s1.join(
+        s2,
+        (F.col("type_a") < F.col("type_b")) & (F.col("r") == F.col("rb")),
+    ).select("type_a", "type_b", "r", "ca", "cb")
+
+    def dtw(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("r")
+        a = pdf["ca"].to_numpy(dtype="int64")
+        b = pdf["cb"].to_numpy(dtype="int64")
+        n = len(a)
+        big = np.iinfo(np.int64).max // 4
+        d = np.full((n + 1, n + 1), big, dtype="int64")
+        d[0, 0] = 0
+        for i in range(1, n + 1):
+            ci = np.abs(a[i - 1] - b)  # row of costs vs all j
+            for j in range(1, n + 1):
+                d[i, j] = ci[j - 1] + min(
+                    d[i - 1, j], d[i, j - 1], d[i - 1, j - 1]
+                )
+        return pd.DataFrame(
+            {
+                "type_a": [pdf["type_a"].iloc[0]],
+                "type_b": [pdf["type_b"].iloc[0]],
+                "n_days": [n],
+                "dtw_cents": [int(d[n, n])],
+                "l1_cents": [int(np.abs(a - b).sum())],
+            }
+        )
+
+    return (
+        aligned.groupBy("type_a", "type_b")
+        .applyInPandas(
+            dtw,
+            "type_a string, type_b string, n_days long,"
+            " dtw_cents long, l1_cents long",
+        )
+        .orderBy("type_a", "type_b")
+    )

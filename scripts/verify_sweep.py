@@ -118,6 +118,15 @@ def oracle_connection(sf_dir: str):
     import duckdb
 
     con = duckdb.connect()
+    # Cap the in-process oracle engine: an unbounded DuckDB query at
+    # 100x volume can balloon past system RAM and get the WHOLE sweep
+    # OOM-killed (measured r08: 117 GB RSS, kernel kill, every
+    # completed-but-unmerged key in the chunk lost). With a limit +
+    # temp_directory DuckDB spills to disk or raises OutOfMemoryException
+    # — either way the sweep records an ERROR row and keeps going.
+    mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "48GB")
+    con.sql(f"SET memory_limit='{mem}'")
+    con.sql("SET temp_directory='/tmp/khose_duckdb_spill'")
     for tname in TABLES:
         path = f"{sf_dir}/{tname}.parquet"
         if os.path.isdir(path):
@@ -203,6 +212,11 @@ def sweep(
     con = oracle_connection(sf_dir)
     results: dict[str, dict] = {}
     for k in keys:
+        # Announce BEFORE running (flushed through any pipe): when a key
+        # hangs or the process is killed mid-key, the log names the
+        # culprit instead of ending at the previous success (r08 OOM
+        # forensics).
+        print(f"run  {k}", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         try:
             # The cache-lifecycle gate rides along: a key that leaks a
@@ -245,7 +259,7 @@ def sweep(
         if detail:
             results[k]["detail"] = detail
         tag = "ok  " if status in ("pass", "rows-only") else status
-        print(f"{tag} {k} ({n} rows, {dt:.2f}s)", file=sys.stderr)
+        print(f"{tag} {k} ({n} rows, {dt:.2f}s)", file=sys.stderr, flush=True)
     con.close()
     return results
 

@@ -23,6 +23,15 @@ BNLJ_ALLOWED = {
     "q_join_cross",            # declared cartesian (region × nation)
     "q_agg_hll_audit",         # 1-row exact-count aggregate broadcast-
                                # crossed into the 1-row register fold
+    "q_join_geo_knn",          # same 3x3 probe fan-out as geo_grid:
+                               # supplier dim × broadcast offset grids
+    "q_ts_cusum",              # 5-row type dim crossed with the
+                               # broadcast ~30-row observed-day spine
+                               # (zero-fill grid, constant size)
+    "q_ts_dtw",                # same shared daily-spine cross
+    "q_ml_calibration",        # 1-row global-train-rate fallback
+                               # broadcast-crossed into the test band
+                               # grid (the q_ml_brier idiom)
     "q_join_geo_grid",         # 100-row supplier dim × broadcast 3-row
                                # neighbor-offset grids (the 3x3 cell
                                # probe fan-out, constant 9x on the
@@ -152,6 +161,14 @@ BNLJ_ALLOWED = {
 # jaccard=7, simhash=4, scan_count=10 — ceilings leave AQE headroom).
 DEFAULT_MAX_SHUFFLES = 4
 MAX_SHUFFLES = {
+    "q_ts_cusum": 6,              # audited 6, all tiny: daily rollup +
+                                  # types/days distincts + spine
+                                  # row_number + CUSUM window + final
+                                  # agg — only the rollup touches facts
+    "q_ts_dtw": 6,                # audited 5 (same spine chain) +
+                                  # aligned pair join + grouped DP;
+                                  # post-rollup relations are
+                                  # dimension-sized
     # Audited 2026-08-14 when the interior audit landed (these plans
     # were previously truncated to checkpoint scans; counts are the
     # live-cache snapshot of the plan each final checkpoint executes,
