@@ -364,6 +364,12 @@ def run_ann_recall(spark, big_dir: str) -> dict:
         "ann_pq_r3_permille": recall_permille(
             "q_llm_ann_pq_indexed", exact_l2
         ),
+        # IVFPQ+R (round 8): same codes, top-10 ADC pool re-ranked by
+        # exact L2^2 — measures what the refinement stage buys back
+        # from the quantizer's cell distortion.
+        "ann_pq_rerank_r3_permille": recall_permille(
+            "q_llm_ann_pq_rerank", exact_l2
+        ),
     }
     audit = registry.QUERIES["q_llm_lsh_recall_audit"](spark, big_dir).collect()
     if audit:

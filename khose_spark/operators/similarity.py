@@ -634,12 +634,13 @@ def _pq_lut(sub: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
-def _pq_search(codes: DataFrame, lut: DataFrame) -> DataFrame:
-    """ADC search over PQ codes: 8 LUT additions per vector, top-3 per
-    query. The LUT broadcasts; the codes side is never re-keyed before
-    the (qid, vec_id) aggregation, so a codes relation already hash-
-    distributed on vec_id (the bucketed index) aggregates with ZERO
-    exchange."""
+def _pq_search(codes: DataFrame, lut: DataFrame, k: int = 3) -> DataFrame:
+    """ADC search over PQ codes: 8 LUT additions per vector, top-k per
+    query (k=3 for the ADC-final keys; the rerank key widens to its
+    candidate pool). The LUT broadcasts; the codes side is never
+    re-keyed before the (qid, vec_id) aggregation, so a codes relation
+    already hash-distributed on vec_id (the bucketed index) aggregates
+    with ZERO exchange."""
     adc = (
         codes.join(F.broadcast(lut), ["sub_id", "code"])
         .filter(F.col("vec_id") != F.col("qid"))
@@ -656,7 +657,7 @@ def _pq_search(codes: DataFrame, lut: DataFrame) -> DataFrame:
             "approx_dist",
             F.row_number().over(w).alias("rank"),
         )
-        .filter(F.col("rank") <= 3)
+        .filter(F.col("rank") <= k)
     )
 
 
@@ -763,6 +764,104 @@ def q_llm_ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
     )
     return _pq_search(codes, _pq_lut(qsub, cb))
+
+
+_PQ_RERANK_R = 50  # ADC candidate pool refined exactly: the
+# measured pool-recall curve on the clustered twin is 567 permille
+# at R=10, 833 at R=20, 1000 at R=50 (r08) — R=50 makes the exact
+# stage's answer limited only by candidate recall that is already
+# total on resolvable geometry, at 50 x |queries| refinement rows
+
+# The rerank oracle shares the full ADC CTE chain with _PQ_ORACLE
+# (byte-identical prefix — the codebook/assign/LUT stages are
+# definitionally the same index), then widens to the top-R candidate
+# pool and re-ranks it by EXACT full-precision L2^2 (round-4, id
+# tiebreak — the same contract as the recall harness's ground truth).
+_PQ_RERANK_ORACLE = _PQ_ORACLE[
+    : _PQ_ORACLE.index("    SELECT qid, vec_id AS neighbor_id")
+] + f"""
+    , cand AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY approx_dist ASC, vec_id ASC)
+                 AS rn
+        FROM adc
+      ) WHERE rn <= {_PQ_RERANK_R}
+    )
+    SELECT qid, neighbor_id, exact_dist, rank FROM (
+      SELECT c.qid, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, 65),
+                   i -> (q.v[i] - n.v[i]) ^ 2)), 4) AS exact_dist,
+             row_number() OVER (PARTITION BY c.qid ORDER BY
+               round(list_sum(list_transform(range(1, 65),
+                     i -> (q.v[i] - n.v[i]) ^ 2)), 4) ASC,
+               c.vec_id ASC) AS rank
+      FROM cand c
+      JOIN base q ON q.vec_id = c.qid
+      JOIN base n ON n.vec_id = c.vec_id
+    ) WHERE rank <= 3
+    ORDER BY qid, rank
+    """
+
+
+@query("q_llm_ann_pq_rerank", oracle=_PQ_RERANK_ORACLE)
+def q_llm_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ+R — the REFINEMENT stage that makes PQ production-grade:
+    ADC ranks the whole corpus from the 8-byte codes exactly as
+    q_llm_ann_pq_indexed does, but keeps a top-10 candidate pool per
+    query instead of answering from approximate distances; the pool
+    (R x queries rows — ~100 here) then fetches its RAW vectors and
+    re-ranks by exact full-precision L2^2 (round-4, id tiebreak — the
+    recall harness's own ground-truth metric). This is FAISS's
+    IVFPQR / two-stage search: compressed codes prune 99.x% of the
+    corpus, exact math decides the final order, so the quantizer's
+    cell-size distortion (the measured 0-133 permille ADC-final top-3
+    agreement on concentrated fixture geometry) stops being the
+    answer's accuracy bound and becomes only a candidate-recall bound.
+
+    Plan: identical zero-shuffle ADC aggregation over the bucketed
+    codes (tests/test_bucketing.py), then the ~100-row candidate pool
+    broadcasts against the embeddings scan — the corpus is read, never
+    shuffled, and only R rows per query ever leave it. At 100 TB the
+    refinement step touches R x |queries| vectors total; everything
+    else moves 8-byte codes."""
+    codes_tbl, cb_tbl = build_pq_index(spark, sf_dir)
+    codes = spark.table(codes_tbl)
+    cb = spark.table(cb_tbl)
+    e = t(spark, sf_dir, "embeddings")
+    qsub = _pq_subvectors(e.filter(F.col("vec_id") < 10))
+    cand = _pq_search(codes, _pq_lut(qsub, cb), k=_PQ_RERANK_R).select(
+        "qid", F.col("neighbor_id").alias("cand_id")
+    )
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("vec_id", dbl.alias("v"))
+    qv = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_vec"), F.col("v").alias("qv")
+    )
+    pool = cand.join(F.broadcast(qv), F.col("qid") == F.col("q_vec"))
+    exact_dist = F.round(
+        F.aggregate(
+            F.zip_with("qv", "v", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.asc("exact_dist"), F.asc("neighbor_id")
+    )
+    return (
+        base.join(F.broadcast(pool), F.col("vec_id") == F.col("cand_id"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            exact_dist.alias("exact_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .orderBy("qid", "rank")
+    )
 
 
 _KM_ITERS = 3

@@ -204,7 +204,12 @@ def sweep(
         # flips one distance from 1.3490 to 1.3489 (measured sf0.001,
         # r07). They run verbatim — their fact CTE is embeddings-sized,
         # so re-inlining is cheap at any fixture scale.
-        skip = {"q_llm_ann_pq", "q_llm_ann_pq_indexed"}
+        skip = {
+            "q_llm_ann_pq",
+            "q_llm_ann_pq_indexed",
+            "q_llm_ann_pq_rerank",  # shares the boundary-sensitive
+                                    # ADC CTE prefix (r08)
+        }
         oracles = {
             k: v if k in skip else materialize_multiref_ctes(v)
             for k, v in oracles.items()
@@ -321,13 +326,23 @@ def run_scale10(
     skip = dict(SCALE10_SKIP)
     if factor >= 100:
         skip.update(SCALE100_SKIP)
-    keys = wanted or [k for k in sorted(E.queries()) if k not in skip]
+    # The declared skip set applies to EXPLICIT key lists too (r08: a
+    # chunked runner fed the whole board through `wanted`, which
+    # silently re-admitted the quadratic-by-contract oracles at 100x —
+    # one IEJoin oracle then ate the chunk). Skipped wanted keys are
+    # recorded with their reasons, same as full-board runs.
+    if wanted:
+        keys = [k for k in wanted if k not in skip]
+        skipped_here = {k: skip[k] for k in wanted if k in skip}
+    else:
+        keys = [k for k in sorted(E.queries()) if k not in skip]
+        skipped_here = skip
     report: dict = {
         "base": SCALE_BASE,
         "factor": factor,
         "dir": big,
         "n_keys": len(keys),
-        "skipped": skip if not wanted else {},
+        "skipped": skipped_here,
     }
     report["oracle_rewrite"] = (
         "multi-referenced fact-scale CTEs executed AS MATERIALIZED "
