@@ -321,3 +321,125 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
     return map_sample_frames(d)
+
+
+def vad_segments(payload: bytes) -> "object":
+    """Real voice-activity detection — needs an audio stack (librosa /
+    webrtcvad / torchaudio), none installed in this container."""
+    raise NotImplementedError(
+        "real VAD needs an audio decode + energy stack (librosa or "
+        "webrtcvad), not installed in this container; use the "
+        "deterministic fake energy series for tests"
+    )
+
+
+_VAD_WINDOWS = 16
+_VAD_THRESHOLD = 8  # hex-nibble energy >= 8 counts as voiced
+
+
+@query(
+    "q_mm_audio_vad",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             sha256(text) AS sha
+      FROM documents WHERE doc_id < 300
+    ), w AS (
+      SELECT doc_id, n_bytes, i.wpos,
+             (instr('{_HEX}', substr(sha, CAST(i.wpos + 1 AS INT), 1)) - 1)
+               AS energy
+      FROM p, (SELECT unnest(range({_VAD_WINDOWS})) AS wpos) i
+    ), act AS (
+      SELECT doc_id, n_bytes, wpos,
+             CASE WHEN energy >= {_VAD_THRESHOLD} THEN 1 ELSE 0 END AS a
+      FROM w
+    ), isl AS (
+      SELECT doc_id, wpos, a,
+             wpos - row_number() OVER (PARTITION BY doc_id, a
+                                       ORDER BY wpos) AS grp
+      FROM act
+    ), seg AS (
+      SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS seg_len,
+             CAST(min(wpos) AS BIGINT) AS seg_start
+      FROM isl WHERE a = 1 GROUP BY doc_id, grp
+    ), docs AS (
+      SELECT DISTINCT doc_id, n_bytes FROM p
+    )
+    SELECT d.doc_id, d.n_bytes,
+           CAST(coalesce(sum(s.seg_len), 0) AS INT) AS n_active,
+           CAST(count(s.grp) AS INT) AS n_segments,
+           CAST(coalesce(max(s.seg_len), 0) AS INT) AS max_segment_len,
+           CAST(min(s.seg_start) AS INT) AS first_active_w
+    FROM docs d LEFT JOIN seg s ON s.doc_id = d.doc_id
+    GROUP BY d.doc_id, d.n_bytes
+    """,
+)
+def q_mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity detection over binary audio
+    payloads — the SEGMENTATION member of the multimodal family
+    (decode → per-window energy → maximal voiced runs), the shape a
+    speech-data pipeline runs before transcription to cut silence and
+    price ASR compute. Each payload fake-decodes (sha256 chain, the
+    house stand-in contract) to a 16-window energy series; windows at
+    or above the threshold are voiced, and the Python stage computes
+    the run-length structure per doc: voiced-window count, segment
+    count, longest segment, first voiced window (NULL when the whole
+    clip is silence — both engines agree on the empty-min convention).
+    The real decoder (:func:`vad_segments`) is the documented env-gated
+    stub; the oracle recomputes the segmentation declaratively as a
+    gaps-and-islands window chain over the unnested energy positions,
+    certifying the imperative run-length loop against the relational
+    form bit-for-bit.
+
+    Plan: partition-local ``mapInPandas`` (payloads never shuffle; one
+    Arrow batch in, six scalar columns out), no shuffle at all before
+    the output relation. At 100 TB this is the canonical
+    embarrassingly-parallel decode scan."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+
+    def vad_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                h = hashlib.sha256(payload).hexdigest()
+                energies = [_HEX.index(c) for c in h[:_VAD_WINDOWS]]
+                runs: list[tuple[int, int]] = []  # (start, length)
+                start = None
+                for i, e in enumerate(energies):
+                    if e >= _VAD_THRESHOLD and start is None:
+                        start = i
+                    elif e < _VAD_THRESHOLD and start is not None:
+                        runs.append((start, i - start))
+                        start = None
+                if start is not None:
+                    runs.append((start, _VAD_WINDOWS - start))
+                rows.append(
+                    (
+                        doc_id,
+                        len(payload),
+                        sum(ln for _, ln in runs),
+                        len(runs),
+                        max((ln for _, ln in runs), default=0),
+                        runs[0][0] if runs else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "n_active", "n_segments",
+                    "max_segment_len", "first_active_w",
+                ],
+            )
+
+    return d.mapInPandas(
+        vad_batches,
+        "doc_id long, n_bytes long, n_active int, n_segments int,"
+        " max_segment_len int, first_active_w int",
+    )
