@@ -107,6 +107,31 @@ SCALE100_SKIP = {
     " x100 per decade (fixed month at 100x density): the IEJoin oracle"
     " measured ~160 s at 10x => ~4 h at 100x; the Spark side is the"
     " 1-row bucketed-join aggregate and stays cheap",
+    "q_llm_incremental_dedup": _Q + "the exact-verify tier over the"
+    " delta's shingle-collision candidates grows superlinearly on the"
+    " decorrelated corpus (19.6 s at 10x, >17 min unfinished at 100x,"
+    " measured r08) — the delta-vs-base JOIN shape itself is linear and"
+    " 10x-verified; the oracle's verification mass is the bound",
+    # The sampled-codebook family: the fixture contract derives the
+    # centroid/code set from every 50th vector, so k grows WITH the
+    # corpus and the assign stage is n*k = n^2/50 distance evals in
+    # BOTH engines — superlinear by construction, not by plan defect
+    # (production fixes k; the 10x board runs all six green, and the
+    # r08 OOM forensics traced the 117 GB DuckDB blow-up to exactly
+    # this shape in q_llm_kmeans' unrolled Lloyd chain).
+    **{
+        k: _Q + "sampled codebook k = n/50 makes assign cost n^2/50"
+        " in both engines (fixture contract; production fixes k) —"
+        " 10x-verified"
+        for k in (
+            "q_llm_ann_ivf",
+            "q_llm_ann_pq",
+            "q_llm_ann_pq_indexed",
+            "q_llm_ann_pq_rerank",
+            "q_llm_kmeans",
+            "q_ml_silhouette",
+        )
+    },
 }
 
 
