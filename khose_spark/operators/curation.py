@@ -817,3 +817,119 @@ def q_llm_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_llm_url_dedup",
+    oracle="""
+    WITH raws AS (
+      SELECT d.doc_id, v.variant,
+             CASE WHEN v.variant = 0 THEN
+               concat('https://', d.source, '.example.com/', d.lang,
+                      '/doc/', CAST(d.doc_id AS VARCHAR), '?id=',
+                      CAST(d.doc_id % 100 AS VARCHAR))
+             ELSE
+               concat('HTTPS://WWW.', upper(d.source), '.EXAMPLE.COM:443/',
+                      d.lang, '/doc/', CAST(d.doc_id AS VARCHAR),
+                      '/?utm_source=feed&id=',
+                      CAST(d.doc_id % 100 AS VARCHAR),
+                      '&utm_campaign=x#frag')
+             END AS url
+      FROM documents d,
+           (SELECT unnest([0, 1]) AS variant) v
+    ), canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(lower(url), '#.*$', '', 'g'),
+                         '^https://www\\.', '', 'g'),
+                       '^https://', '', 'g'),
+                     ':443', '', 'g'),
+                   '&utm_[^&#]*', '', 'g'),
+                 '\\?utm_[^&#]*&', '?', 'g'),
+               '/\\?', '?', 'g') AS curl
+      FROM raws
+    )
+    SELECT regexp_extract(curl, '^([^/]+)', 1) AS host,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(count(DISTINCT curl) AS BIGINT) AS n_canonical,
+           CAST(count(*) - count(DISTINCT curl) AS BIGINT) AS n_dups,
+           min(curl) AS sample_canonical
+    FROM canon GROUP BY host
+    """,
+)
+def q_llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the curation step a web-crawl
+    pipeline runs BEFORE content dedup: the same page arrives under
+    scheme/case variants, ``www.`` prefixes, explicit default ports,
+    tracking parameters, fragments, and trailing slashes, and exact
+    string dedup misses all of them.  Each document synthesizes two
+    raw variants of its URL (a clean form and a maximally-messy form:
+    upper-cased host, ``:443``, ``utm_*`` params wrapping the real
+    param, fragment), and the canonicalizer — an ordered
+    regexp_replace chain: drop fragment, strip scheme + ``www.``,
+    strip default port, remove utm params (mid-list then head
+    position, repairing the ``?``/``&`` separator), collapse ``/?`` —
+    must fold both variants to ONE canonical key.  The per-host audit
+    (raw count, canonical count, dup count) certifies exactly that:
+    n_dups = n_raw/2 iff the canonicalizer is correct on every row.
+    DuckDB replays the identical chain with the ``g`` flag (Spark's
+    regexp_replace is always-global), so the hash check certifies the
+    regex grammar cross-engine.
+
+    Plan: pure map-side string work (codegen, no UDF) after a 2-way
+    explode, then one low-cardinality per-host aggregate with a
+    distinct on the canonical key.  At 100 TB the only shuffle is the
+    per-host distinct-count — keyed on canonical URL, the same
+    hash-partitioned shape as exact dedup."""
+    d = t(spark, sf_dir, "documents")
+    raws = d.select(
+        "doc_id", "source", "lang",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("variant"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("variant") == 0,
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/"), F.col("lang"), F.lit("/doc/"),
+                F.col("doc_id").cast("string"), F.lit("?id="),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("HTTPS://WWW."), F.upper("source"),
+                F.lit(".EXAMPLE.COM:443/"), F.col("lang"),
+                F.lit("/doc/"), F.col("doc_id").cast("string"),
+                F.lit("/?utm_source=feed&id="),
+                (F.col("doc_id") % 100).cast("string"),
+                F.lit("&utm_campaign=x#frag"),
+            )
+        )
+        .alias("url"),
+    )
+    curl = F.lower(F.col("url"))
+    for pat, repl in (
+        ("#.*$", ""),
+        ("^https://www\\.", ""),
+        ("^https://", ""),
+        (":443", ""),
+        ("&utm_[^&#]*", ""),
+        ("\\?utm_[^&#]*&", "?"),
+        ("/\\?", "?"),
+    ):
+        curl = F.regexp_replace(curl, pat, repl)
+    canon = raws.select("doc_id", curl.alias("curl"))
+    return canon.groupBy(
+        F.regexp_extract("curl", "^([^/]+)", 1).alias("host")
+    ).agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.countDistinct("curl").alias("n_canonical"),
+        (F.count(F.lit(1)) - F.countDistinct("curl")).alias("n_dups"),
+        F.min("curl").alias("sample_canonical"),
+    )

@@ -1429,3 +1429,294 @@ def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gap_permille"),
     )
     return bins.unionByName(ece).orderBy("decile")
+
+
+@query(
+    "q_ml_confusion_multiclass",
+    oracle="""
+    WITH seq AS (
+      SELECT o_orderpriority AS actual,
+             lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS pred
+      FROM orders
+    ), labeled AS (
+      SELECT actual, pred FROM seq WHERE pred IS NOT NULL
+    ), cells AS (
+      SELECT actual, pred, CAST(count(*) AS BIGINT) AS n
+      FROM labeled GROUP BY actual, pred
+    ), classes AS (
+      SELECT DISTINCT actual AS label FROM labeled
+      UNION SELECT DISTINCT pred FROM labeled
+    ), per_class AS (
+      SELECT c.label,
+             CAST(coalesce(sum(CASE WHEN x.actual = c.label
+                                     AND x.pred = c.label
+                                    THEN x.n END), 0) AS BIGINT) AS tp,
+             CAST(coalesce(sum(CASE WHEN x.pred = c.label
+                                     AND x.actual <> c.label
+                                    THEN x.n END), 0) AS BIGINT) AS fp,
+             CAST(coalesce(sum(CASE WHEN x.actual = c.label
+                                     AND x.pred <> c.label
+                                    THEN x.n END), 0) AS BIGINT) AS fn
+      FROM classes c LEFT JOIN cells x
+        ON x.actual = c.label OR x.pred = c.label
+      GROUP BY c.label
+    ), scored AS (
+      SELECT label, tp, fp, fn, tp + fn AS support,
+             CASE WHEN tp + fp > 0
+                  THEN (2000 * tp + (tp + fp)) // (2 * (tp + fp)) END
+               AS p_permille,
+             CASE WHEN tp + fn > 0
+                  THEN (2000 * tp + (tp + fn)) // (2 * (tp + fn)) END
+               AS r_permille,
+             CASE WHEN 2 * tp + fp + fn > 0
+                  THEN (4000 * tp + (2 * tp + fp + fn))
+                       // (2 * (2 * tp + fp + fn)) END AS f1_permille
+      FROM per_class
+    )
+    SELECT label, tp, fp, fn, CAST(support AS BIGINT) AS support,
+           CAST(p_permille AS BIGINT) AS p_permille,
+           CAST(r_permille AS BIGINT) AS r_permille,
+           CAST(f1_permille AS BIGINT) AS f1_permille
+    FROM scored
+    UNION ALL
+    SELECT '__macro__', CAST(sum(tp) AS BIGINT), CAST(sum(fp) AS BIGINT),
+           CAST(sum(fn) AS BIGINT), CAST(sum(support) AS BIGINT),
+           CAST((2 * sum(p_permille) + count(*))
+                // (2 * count(*)) AS BIGINT),
+           CAST((2 * sum(r_permille) + count(*))
+                // (2 * count(*)) AS BIGINT),
+           CAST((2 * sum(f1_permille) + count(*))
+                // (2 * count(*)) AS BIGINT)
+    FROM scored
+    """,
+)
+def q_ml_confusion_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class confusion matrix with per-class precision/recall/F1
+    and the macro summary row — the k-class generalization of the
+    binary MCC/Brier block (every other evaluation key here is
+    two-class).  The "model" is the deterministic persistence
+    classifier: predict this order's priority as the customer's
+    PREVIOUS order's priority (lag over the customer history — the
+    standard do-nothing baseline a real priority model must beat), so
+    both engines score the identical prediction stream with no learned
+    state.
+
+    Exactness discipline: the 25-cell confusion relation is the only
+    shuffled aggregate; tp/fp/fn per class come from conditional sums
+    over those cells joined to the class universe (derived from
+    actual ∪ pred — the row-universe-by-construction rule from the
+    burstiness advice), and every permille is the half-up integer form
+    ``(2000·tp + d) // (2d)``.  The macro row averages the per-class
+    permilles with the same half-up integer division — no doubles
+    anywhere in the key.
+
+    Plan: one window over customer order history (partition-bounded,
+    ~10 rows per customer at every SF), one 25-cell aggregate, then
+    constant-size joins/unions.  At 100 TB the window partitions stay
+    customer-bounded and the rest of the plan is O(k²) cells."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    labeled = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("actual"),
+            F.lag("o_orderpriority").over(w).alias("pred"),
+        )
+        .filter(F.col("pred").isNotNull())
+    )
+    # The ≤k² cell relation is the ONLY fact-derived aggregate and is
+    # consumed three times (matrix join + both sides of the class
+    # universe) — checkpoint it so the customer window executes once,
+    # not per consumer.  Class universe comes from the cells, NOT from
+    # `labeled`: deriving it from the fact stream would re-run a
+    # fact-sized shuffle twice more for a ≤k-row answer.
+    cells = (
+        labeled.groupBy("actual", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    classes = (
+        cells.select(F.col("actual").alias("label"))
+        .union(cells.select("pred"))
+        .distinct()
+    )
+    joined = F.broadcast(classes).join(
+        cells,
+        (cells.actual == F.col("label")) | (cells.pred == F.col("label")),
+        "left",
+    )
+    per_class = joined.groupBy("label").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("actual") == F.col("label"))
+                    & (F.col("pred") == F.col("label")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        ).alias("tp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("pred") == F.col("label"))
+                    & (F.col("actual") != F.col("label")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        ).alias("fp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("actual") == F.col("label"))
+                    & (F.col("pred") != F.col("label")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        ).alias("fn"),
+    )
+    scored = per_class.select(
+        "label",
+        "tp",
+        "fp",
+        "fn",
+        (F.col("tp") + F.col("fn")).alias("support"),
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.expr("(2000 * tp + (tp + fp)) div (2 * (tp + fp))"),
+        ).alias("p_permille"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.expr("(2000 * tp + (tp + fn)) div (2 * (tp + fn))"),
+        ).alias("r_permille"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            F.expr(
+                "(4000 * tp + (2 * tp + fp + fn))"
+                " div (2 * (2 * tp + fp + fn))"
+            ),
+        ).alias("f1_permille"),
+    )
+    macro = scored.agg(
+        F.lit("__macro__").alias("label"),
+        F.sum("tp").alias("tp"),
+        F.sum("fp").alias("fp"),
+        F.sum("fn").alias("fn"),
+        F.sum("support").alias("support"),
+        F.expr(
+            "(2 * sum(p_permille) + count(1)) div (2 * count(1))"
+        ).alias("p_permille"),
+        F.expr(
+            "(2 * sum(r_permille) + count(1)) div (2 * count(1))"
+        ).alias("r_permille"),
+        F.expr(
+            "(2 * sum(f1_permille) + count(1)) div (2 * count(1))"
+        ).alias("f1_permille"),
+    )
+    return scored.unionByName(macro)
+
+
+@query(
+    "q_ml_jackknife",
+    oracle="""
+    WITH li AS (
+      SELECT l_suppkey % 20 AS fold,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * (100 - CAST(round(CAST(l_discount AS DECIMAL(8,2)) * 100,
+                                   0) AS BIGINT)) AS rev_cc,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ), per_fold AS (
+      SELECT fold, CAST(sum(rev_cc) AS BIGINT) AS s_rev,
+             CAST(sum(qty) AS BIGINT) AS s_qty
+      FROM li GROUP BY fold
+    ), tot AS (
+      SELECT CAST(sum(s_rev) AS BIGINT) AS t_rev,
+             CAST(sum(s_qty) AS BIGINT) AS t_qty,
+             CAST(count(*) AS BIGINT) AS g
+      FROM per_fold
+    ), loo AS (
+      SELECT CAST(t.t_rev - f.s_rev AS DOUBLE)
+               / (100.0 * (t.t_qty - f.s_qty)) AS r_i,
+             t.t_rev, t.t_qty, t.g
+      FROM per_fold f CROSS JOIN tot t
+    )
+    SELECT CAST(max(g) AS BIGINT) AS n_folds,
+           round(CAST(max(t_rev) AS DOUBLE) / (100.0 * max(t_qty)), 6)
+             AS r_full,
+           round(avg(r_i), 6) AS jk_mean,
+           round(sqrt((max(g) - 1.0) * var_pop(r_i)), 8) AS jk_se,
+           round((max(g) - 1.0)
+                 * (avg(r_i) - CAST(max(t_rev) AS DOUBLE)
+                               / (100.0 * max(t_qty))), 6) AS jk_bias
+    FROM loo
+    """,
+)
+def q_ml_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-a-group jackknife for a RATIO estimator (revenue dollars
+    per unit shipped) — the resampling-based uncertainty audit the
+    evaluation family lacked: every other key reports a point metric;
+    this one reports the metric PLUS its standard error and first-order
+    bias, the numbers a pipeline needs before it alerts on a shift.
+    The 20 folds are ``l_suppkey % 20`` (deterministic, balanced), the
+    leave-one-out estimates come from TOTALS MINUS PER-FOLD SUMS (one
+    aggregate — never 20 passes), and jk_se uses the standard
+    (g−1)/g · Σ(R_i − R̄)² form via ``var_pop`` over the 20-row
+    relation.
+
+    Exactness: revenue is carried as exact int64 centicents
+    (cents × (100 − discount_pct) — the house integer-money law) and
+    quantity as int64, so every leave-one-out numerator/denominator is
+    integer-exact; doubles appear only in the final 20-row ratio,
+    mean, and variance, rounded once (6/8 dp) at the boundary.
+
+    Plan: one map-side-combined 20-group aggregate over the fact scan,
+    a 1-row total, a 20×1 broadcast cross join, and a 1-row fold.  At
+    100 TB the shuffle is 20 groups wide; the resampling costs nothing
+    extra because delete-a-group reuses the single scan."""
+    disc_pct = F.round(
+        F.col("l_discount").cast("decimal(8,2)") * 100, 0
+    ).cast("long")
+    li = t(spark, sf_dir, "lineitem").select(
+        (F.col("l_suppkey") % 20).alias("fold"),
+        (
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            * (100 - disc_pct)
+        ).alias("rev_cc"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    per_fold = li.groupBy("fold").agg(
+        F.sum("rev_cc").alias("s_rev"), F.sum("qty").alias("s_qty")
+    )
+    tot = per_fold.agg(
+        F.sum("s_rev").alias("t_rev"),
+        F.sum("s_qty").alias("t_qty"),
+        F.count(F.lit(1)).alias("g"),
+    )
+    loo = per_fold.crossJoin(F.broadcast(tot)).select(
+        (
+            (F.col("t_rev") - F.col("s_rev")).cast("double")
+            / (100.0 * (F.col("t_qty") - F.col("s_qty")))
+        ).alias("r_i"),
+        "t_rev",
+        "t_qty",
+        "g",
+    )
+    r_full = F.max("t_rev").cast("double") / (
+        100.0 * F.max("t_qty")
+    )
+    return loo.agg(
+        F.max("g").alias("n_folds"),
+        F.round(r_full, 6).alias("r_full"),
+        F.round(F.avg("r_i"), 6).alias("jk_mean"),
+        F.round(
+            F.sqrt((F.max("g") - F.lit(1.0)) * F.var_pop("r_i")), 8
+        ).alias("jk_se"),
+        F.round(
+            (F.max("g") - F.lit(1.0)) * (F.avg("r_i") - r_full), 6
+        ).alias("jk_bias"),
+    )

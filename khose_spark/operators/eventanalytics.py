@@ -721,3 +721,133 @@ def q_ts_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r", "f")
     )
+
+
+@query(
+    "q_ts_kaplan_meier",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             min(epoch_us(ts)) AS first_us,
+             max(epoch_us(ts)) AS last_us,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) END) AS conv_us
+      FROM events GROUP BY 1
+    ), dur AS (
+      SELECT CASE WHEN conv_us IS NOT NULL
+                  THEN (conv_us - first_us) // 3600000000
+                  ELSE (last_us - first_us) // 3600000000 END AS t_h,
+             CASE WHEN conv_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM pu
+    ), g AS (
+      SELECT t_h, CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(ev) AS BIGINT) AS n_d
+      FROM dur GROUP BY 1
+    ), cum AS (
+      SELECT t_h, n_all, n_d,
+             CAST(sum(n_all) OVER ()
+                  - (sum(n_all) OVER (ORDER BY t_h) - n_all)
+               AS BIGINT) AS n_risk
+      FROM g
+    ), deaths AS (
+      SELECT t_h, n_risk, n_d,
+             sum(ln(nullif(CAST(n_risk - n_d AS DOUBLE) / n_risk, 0.0)))
+               OVER (ORDER BY t_h) AS lnsurv,
+             max(CASE WHEN n_risk = n_d THEN 1 ELSE 0 END)
+               OVER (ORDER BY t_h) AS zero_seen
+      FROM cum WHERE n_d > 0
+    )
+    SELECT CAST(t_h AS BIGINT) AS t_hours, n_risk,
+           CAST(n_d AS BIGINT) AS n_events,
+           CASE WHEN zero_seen = 1 THEN 0.0
+                ELSE round(exp(lnsurv), 6) END AS survival
+    FROM deaths
+    """,
+)
+def q_ts_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for hours-to-first-purchase with
+    right censoring — the survival-analysis member of the event family
+    (funnel/retention report WHETHER users convert; this reports the
+    time-to-event DISTRIBUTION with censored users handled correctly,
+    the estimator behind "median time to convert" dashboards).  Each
+    user contributes duration = hours from first event to first
+    purchase (event) or to last observed event (censored); the curve is
+    the product-limit estimator S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) over
+    death times only, with the risk set n_i = users whose duration
+    ≥ t_i (censoring-after-event tie convention, identical in both
+    engines by construction).
+
+    Exactness: durations are exact int64 hours (epoch-microsecond
+    difference, integer floor-div), so d_i and n_i are integer-exact;
+    the product limit runs as exp(Σ ln((n_i−d_i)/n_i)) over the
+    ordered ≤720-row death relation (both engines accumulate in ORDER
+    BY order), with the n_i = d_i extinction row handled by an
+    explicit zero flag rather than ln(0), rounded once at 6 dp.
+
+    Plan: one per-user aggregate (the only fact-sized shuffle, user_id
+    keyed, map-side combined), then a duration-histogram aggregate
+    bounded by the 720-hour observation window, and windows over that
+    tiny relation.  At 100 TB: per-user state is one row; the curve
+    relation stays ≤720 rows at any scale."""
+    us = F.unix_micros(F.col("ts"))
+    pu = t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.min(us).alias("first_us"),
+        F.max(us).alias("last_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", us)
+        ).alias("conv_us"),
+    )
+    dur = pu.select(
+        F.when(
+            F.col("conv_us").isNotNull(),
+            F.expr("(conv_us - first_us) div 3600000000"),
+        )
+        .otherwise(F.expr("(last_us - first_us) div 3600000000"))
+        .alias("t_h"),
+        F.when(F.col("conv_us").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    g = dur.groupBy("t_h").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("ev").alias("n_d"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.partitionBy().orderBy("t_h")
+    cum = g.select(
+        "t_h",
+        "n_d",
+        (
+            F.sum("n_all").over(w_all)
+            - (F.sum("n_all").over(w_cum) - F.col("n_all"))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    deaths = cum.filter(F.col("n_d") > 0).select(
+        "t_h",
+        "n_risk",
+        "n_d",
+        F.sum(
+            F.log(
+                F.nullif(
+                    (F.col("n_risk") - F.col("n_d")).cast("double")
+                    / F.col("n_risk"),
+                    F.lit(0.0),
+                )
+            )
+        )
+        .over(w_cum)
+        .alias("lnsurv"),
+        F.max(
+            F.when(F.col("n_risk") == F.col("n_d"), 1).otherwise(0)
+        )
+        .over(w_cum)
+        .alias("zero_seen"),
+    )
+    return deaths.select(
+        F.col("t_h").cast("long").alias("t_hours"),
+        "n_risk",
+        F.col("n_d").cast("long").alias("n_events"),
+        F.when(F.col("zero_seen") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("lnsurv"), 6))
+        .alias("survival"),
+    )

@@ -724,3 +724,159 @@ def q_fn_binary_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_bytes"),
     ).orderBy("n_name")
+
+
+# IPv4/CIDR contract constants: the 6-row block dim (name, aligned
+# prefix int, mask length) and the md5-nibble IP synthesizer selector.
+_CIDR_BLOCKS = (
+    ("private-10", 167772160, 8),       # 10.0.0.0/8
+    ("private-172-12", 2886729728, 12), # 172.16.0.0/12
+    ("private-192-16", 3232235520, 16), # 192.168.0.0/16
+    ("loopback-127", 2130706432, 8),    # 127.0.0.0/8
+    ("public-8", 134217728, 8),         # 8.0.0.0/8
+    ("testnet-203-24", 3405803776, 24), # 203.0.113.0/24
+)
+_O1_BY_SEL = (10, 172, 192, 127, 8, 203)
+_MM_HEX = "0123456789abcdef"
+
+
+@query(
+    "q_fn_ipv4_cidr",
+    oracle="""
+    WITH h AS (
+      SELECT event_id, user_id, md5(CAST(event_id AS VARCHAR)) AS hx
+      FROM events
+    ), oct AS (
+      SELECT event_id, user_id,
+             (instr('0123456789abcdef', substr(hx, 1, 1)) - 1) % 6 AS sel,
+             16 * (instr('0123456789abcdef', substr(hx, 3, 1)) - 1)
+               + (instr('0123456789abcdef', substr(hx, 4, 1)) - 1) AS b2,
+             16 * (instr('0123456789abcdef', substr(hx, 5, 1)) - 1)
+               + (instr('0123456789abcdef', substr(hx, 6, 1)) - 1) AS o3,
+             16 * (instr('0123456789abcdef', substr(hx, 7, 1)) - 1)
+               + (instr('0123456789abcdef', substr(hx, 8, 1)) - 1) AS o4
+      FROM h
+    ), ip AS (
+      SELECT event_id, user_id,
+             CASE sel WHEN 0 THEN 10 WHEN 1 THEN 172 WHEN 2 THEN 192
+                      WHEN 3 THEN 127 WHEN 4 THEN 8 ELSE 203 END AS o1,
+             CASE WHEN sel = 1 THEN b2 % 64
+                  WHEN sel = 2 AND b2 % 4 = 0 THEN 168
+                  ELSE b2 END AS o2,
+             o3, o4
+      FROM oct
+    ), addr AS (
+      SELECT event_id, user_id, o1, o2, o3, o4,
+             CAST(o1 AS BIGINT) * 16777216 + o2 * 65536 + o3 * 256 + o4
+               AS ip_int
+      FROM ip
+    ), cidr AS (
+      SELECT * FROM (VALUES
+        ('private-10',      CAST(167772160 AS BIGINT), 16777216),
+        ('private-172-12',  CAST(2886729728 AS BIGINT), 1048576),
+        ('private-192-16',  CAST(3232235520 AS BIGINT), 65536),
+        ('loopback-127',    CAST(2130706432 AS BIGINT), 16777216),
+        ('public-8',        CAST(134217728 AS BIGINT), 16777216),
+        ('testnet-203-24',  CAST(3405803776 AS BIGINT), 256)
+      ) AS v(block, prefix_int, net_size)
+    ), tagged AS (
+      SELECT a.*, coalesce(c.block, 'unclassified') AS block
+      FROM addr a LEFT JOIN cidr c
+        ON a.ip_int // c.net_size = c.prefix_int // c.net_size
+    )
+    SELECT block,
+           CAST(count(*) AS BIGINT) AS n_addrs,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(min(ip_int) AS BIGINT) AS min_ip_int,
+           CAST(max(ip_int) AS BIGINT) AS max_ip_int,
+           concat(CAST(min(ip_int) // 16777216 AS VARCHAR), '.',
+                  CAST((min(ip_int) // 65536) % 256 AS VARCHAR), '.',
+                  CAST((min(ip_int) // 256) % 256 AS VARCHAR), '.',
+                  CAST(min(ip_int) % 256 AS VARCHAR)) AS min_ip_dotted
+    FROM tagged GROUP BY block
+    """,
+)
+def q_fn_ipv4_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 parse/format + CIDR-containment classification — the
+    network-functions surface an ingest engine needs for web-log and
+    firewall analytics (the fixture ships no IP column, so addresses
+    are synthesized deterministically from md5 nibbles of ``event_id``,
+    with a selector that exercises every interesting boundary: the /12
+    block only matches when the second octet lands in 16..31, the /16
+    only when it is exactly 168, the /24 essentially never — so the
+    "containment at mask boundary" logic is what the hash certifies,
+    not just happy-path /8s).
+
+    The classifier is a containment JOIN, not a CASE ladder: a 6-row
+    CIDR dim carries (aligned prefix, net_size = 2^(32-masklen)) and
+    the join condition is integer-division alignment
+    ``ip div net_size = prefix div net_size`` — the standard
+    longest-prefix-free form for disjoint blocks.  Unmatched rows fall
+    through the left join to ``unclassified``.  Min-IP is re-formatted
+    to dotted-quad by pure integer arithmetic in both engines.
+
+    Plan: map-side nibble math (codegen, no UDF), broadcast of the
+    6-row dim, one low-cardinality (7-group) hash aggregate with
+    map-side partials.  At 100 TB: the only shuffle is 7 groups wide;
+    the dim broadcast is constant; nothing else moves."""
+    hexd = F.md5(F.col("event_id").cast("string"))
+
+    def nib(pos: int) -> "F.Column":
+        return (
+            F.instr(F.lit(_MM_HEX), F.substring(hexd, pos, 1)) - 1
+        ).cast("long")
+
+    sel = nib(1) % 6
+    b2 = 16 * nib(3) + nib(4)
+    o3 = 16 * nib(5) + nib(6)
+    o4 = 16 * nib(7) + nib(8)
+    # CASE sel WHEN i THEN _O1_BY_SEL[i].
+    o1_expr = (
+        F.when(sel == 0, 10).when(sel == 1, 172).when(sel == 2, 192)
+        .when(sel == 3, 127).when(sel == 4, 8).otherwise(203)
+        .cast("long")
+    )
+    o2_expr = (
+        F.when(sel == 1, b2 % 64)
+        .when((sel == 2) & (b2 % 4 == 0), F.lit(168).cast("long"))
+        .otherwise(b2)
+    )
+    addr = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            (
+                o1_expr * 16777216 + o2_expr * 65536 + o3 * 256 + o4
+            ).alias("ip_int"),
+        )
+    )
+    cidr = spark.createDataFrame(
+        [
+            (name, prefix, 2 ** (32 - masklen))
+            for name, prefix, masklen in _CIDR_BLOCKS
+        ],
+        "block string, prefix_int long, net_size long",
+    )
+    tagged = addr.join(
+        F.broadcast(cidr),
+        F.expr("ip_int div net_size = prefix_int div net_size"),
+        "left",
+    ).select(
+        "user_id",
+        "ip_int",
+        F.coalesce("block", F.lit("unclassified")).alias("block"),
+    )
+    min_ip = F.min("ip_int")
+    return tagged.groupBy("block").agg(
+        F.count(F.lit(1)).alias("n_addrs"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ip_int").alias("min_ip_int"),
+        F.max("ip_int").alias("max_ip_int"),
+        F.concat(
+            (min_ip / 16777216).cast("long").cast("string"), F.lit("."),
+            ((min_ip / 65536).cast("long") % 256).cast("string"), F.lit("."),
+            ((min_ip / 256).cast("long") % 256).cast("string"), F.lit("."),
+            (min_ip % 256).cast("string"),
+        ).alias("min_ip_dotted"),
+    )

@@ -661,3 +661,115 @@ def q_priv_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_unique_records"
         ),
     )
+
+
+# Pseudonymization contract: static salt + sha256, 16-hex-char token.
+_TOKEN_SALT = "kh8-salt-v1"
+
+
+@query(
+    "q_priv_tokenize",
+    oracle=f"""
+    WITH cust AS (
+      SELECT c_custkey,
+             concat('tk_', substr(sha256(concat('{_TOKEN_SALT}', ':',
+                    CAST(c_custkey AS VARCHAR))), 1, 16)) AS token
+      FROM customer
+    ), ords AS (
+      SELECT o_orderkey, o_custkey,
+             concat('tk_', substr(sha256(concat('{_TOKEN_SALT}', ':',
+                    CAST(o_custkey AS VARCHAR))), 1, 16)) AS token
+      FROM orders
+    ), joined AS (
+      SELECT o.o_orderkey,
+             CASE WHEN o.token = c.token THEN 1 ELSE 0 END AS consistent
+      FROM ords o JOIN cust c ON c.c_custkey = o.o_custkey
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM cust) AS n_keys,
+      (SELECT CAST(count(DISTINCT token) AS BIGINT) FROM cust)
+        AS n_tokens,
+      (SELECT CAST(count(*) AS BIGINT) FROM ords) AS n_orders,
+      (SELECT CAST(sum(consistent) AS BIGINT) FROM joined)
+        AS n_orders_consistent,
+      (SELECT CAST(count(*) AS BIGINT) FROM cust
+        WHERE regexp_matches(token, '^tk_[0-9a-f]{{16}}$'))
+        AS n_format_ok,
+      (SELECT min(token) FROM cust) AS sample_token
+    """,
+)
+def q_priv_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted pseudonymization with a referential-
+    integrity audit — the governance step between raw PII and the
+    analytics tier: replace every customer key with a salted-hash
+    token, in EVERY table that carries the key, such that joins still
+    work but the raw identifier is gone.  Tokens are
+    ``tk_`` + first 16 hex chars of sha256(salt:key) (static salt —
+    the rotating-salt variant is an operational parameter, not a
+    different plan).  The audit row certifies the three properties a
+    privacy review asks for: no collisions (distinct tokens =
+    distinct keys), referential integrity preserved (every order's
+    independently-computed token equals its customer dim token —
+    cross-table determinism), and format compliance (regex gate on
+    every token).
+
+    Exactness: sha256 hex is identical in both engines (Spark
+    ``sha2(_, 256)`` / DuckDB ``sha256``); every output is an int64
+    count or a min-token string.
+
+    Plan: map-side token derivation in both scans (codegen), one
+    broadcast-joined consistency check keyed on the original key, and
+    constant-size audit folds.  At 100 TB tokenization is
+    embarrassingly parallel; the audit join shuffles on the dim key
+    only (or broadcasts when the dim fits)."""
+    tok = lambda col: F.concat(  # noqa: E731
+        F.lit("tk_"),
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.lit(_TOKEN_SALT), F.lit(":"), col.cast("string")
+                ),
+                256,
+            ),
+            1,
+            16,
+        ),
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", tok(F.col("c_custkey")).alias("token")
+    )
+    ords = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        tok(F.col("o_custkey")).alias("token"),
+    )
+    joined = ords.alias("o").join(
+        cust.alias("c"),
+        F.col("o.o_custkey") == F.col("c.c_custkey"),
+    ).select(
+        F.when(F.col("o.token") == F.col("c.token"), 1)
+        .otherwise(0)
+        .alias("consistent")
+    )
+    cust_audit = cust.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.countDistinct("token").alias("n_tokens"),
+        F.sum(
+            F.when(
+                F.col("token").rlike("^tk_[0-9a-f]{16}$"), 1
+            ).otherwise(0)
+        ).alias("n_format_ok"),
+        F.min("token").alias("sample_token"),
+    )
+    ord_audit = ords.agg(F.count(F.lit(1)).alias("n_orders"))
+    join_audit = joined.agg(
+        F.sum("consistent").alias("n_orders_consistent")
+    )
+    return (
+        cust_audit.crossJoin(ord_audit)
+        .crossJoin(join_audit)
+        .select(
+            "n_keys", "n_tokens", "n_orders", "n_orders_consistent",
+            "n_format_ok", "sample_token",
+        )
+    )

@@ -1572,3 +1572,208 @@ def q_ml_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_round4"),
     )
+
+
+@query(
+    "q_ts_granger_lag1",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ), rollup AS (
+      SELECT event_type, d, CAST(sum(cents) // 100 AS BIGINT) AS v
+      FROM ev GROUP BY 1, 2
+    ), days AS (SELECT DISTINCT d FROM ev
+    ), types AS (SELECT DISTINCT event_type FROM ev
+    ), spine AS (
+      SELECT t.event_type, dd.d, coalesce(r.v, 0) AS v
+      FROM types t CROSS JOIN days dd
+      LEFT JOIN rollup r ON r.event_type = t.event_type AND r.d = dd.d
+    ), lagd AS (
+      SELECT event_type, d, v,
+             lag(v) OVER (PARTITION BY event_type ORDER BY d) AS vl
+      FROM spine
+    ), pairs AS (
+      SELECT x.event_type AS x_type, y.event_type AS y_type,
+             y.vl AS x1, x.vl AS x2, y.v AS y
+      FROM lagd y JOIN lagd x
+        ON x.d = y.d AND x.event_type <> y.event_type
+      WHERE y.vl IS NOT NULL AND x.vl IS NOT NULL
+    ), sums AS (
+      SELECT x_type, y_type, count(*) AS n,
+             CAST(sum(x1) AS BIGINT) AS s1,
+             CAST(sum(x2) AS BIGINT) AS s2,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x1 * x1) AS BIGINT) AS s11,
+             CAST(sum(x2 * x2) AS BIGINT) AS s22,
+             CAST(sum(x1 * x2) AS BIGINT) AS s12,
+             CAST(sum(x1 * y) AS BIGINT) AS s1y,
+             CAST(sum(x2 * y) AS BIGINT) AS s2y,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY x_type, y_type
+    ), alg AS (
+      SELECT x_type, y_type, n,
+             CAST(s11 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+               * (CAST(s1 AS DOUBLE) / n) AS c11,
+             CAST(s22 AS DOUBLE) / n - (CAST(s2 AS DOUBLE) / n)
+               * (CAST(s2 AS DOUBLE) / n) AS c22,
+             CAST(s12 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+               * (CAST(s2 AS DOUBLE) / n) AS c12,
+             CAST(s1y AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+               * (CAST(sy AS DOUBLE) / n) AS c1y,
+             CAST(s2y AS DOUBLE) / n - (CAST(s2 AS DOUBLE) / n)
+               * (CAST(sy AS DOUBLE) / n) AS c2y,
+             CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n)
+               * (CAST(sy AS DOUBLE) / n) AS cyy
+      FROM sums
+    ), coef AS (
+      SELECT x_type, y_type, n, c11, c1y, c2y, cyy,
+             (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+             (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+      FROM alg
+    ), rss AS (
+      SELECT x_type, y_type, n, b2,
+             n * (cyy - b1 * c1y - b2 * c2y) AS rss_f,
+             n * (cyy - c1y * c1y / c11) AS rss_r
+      FROM coef
+    )
+    SELECT x_type, y_type, CAST(n AS BIGINT) AS n,
+           round(b2, 6) AS b_cross,
+           round((rss_r - rss_f) * (n - 3) / rss_f, 4) AS f_stat
+    FROM rss
+    """,
+)
+def q_ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise lag-1 Granger-causality F-tests over the event-type
+    daily revenue series — "does knowing yesterday's X improve today's
+    Y beyond Y's own history?" for every ordered type pair, the
+    lead/lag screening a metrics platform runs before wiring alert
+    dependencies.  Restricted model y_t ~ y_{t-1}; full model
+    y_t ~ y_{t-1} + x_{t-1}; both solved by the closed-form
+    2-feature normal equations (the q_ml_linreg_2f machinery — same
+    Cramer expression tree), F = (RSS_r − RSS_f)(n−3)/RSS_f with one
+    added regressor.
+
+    Exactness: the series carrier is whole DOLLARS per (type, day) —
+    exact int64 (DECIMAL-cents sum // 100), zero-filled on the
+    day × type spine derived from the SAME scan in both engines (the
+    row-universe-by-construction rule).  All nine sufficient
+    statistics per pair are exact integer sums (Σv² ≈ 3e12 at the 100×
+    materialization, ≈3e16 at a further 100× — four orders inside
+    int64); the covariance algebra and the single F-ratio run in
+    doubles with identical expression trees, rounded once (6/4 dp).
+
+    Plan: ONE (type, day) rollup shuffle over the fact scan (map-side
+    combined, cardinality = types × days regardless of row count), a
+    broadcast zero-fill spine, one lag window over ≤31-row partitions,
+    a self-join producing the 20-pair design relation (bounded by the
+    rollup, never the fact), and a 20-group aggregate.  At 100 TB the
+    fact is touched exactly once."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    rollup = ev.groupBy("event_type", "d").agg(
+        F.expr("CAST(sum(cents) DIV 100 AS BIGINT)").alias("v")
+    )
+    days = ev.select("d").distinct()
+    types = ev.select("event_type").distinct()
+    spine = (
+        F.broadcast(types)
+        .crossJoin(F.broadcast(days))
+        .join(rollup, ["event_type", "d"], "left")
+        .select(
+            "event_type", "d", F.coalesce("v", F.lit(0)).alias("v")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagd = spine.select(
+        "event_type", "d", "v", F.lag("v").over(w).alias("vl")
+    )
+    y_side = lagd.select(
+        F.col("event_type").alias("y_type"),
+        "d",
+        F.col("v").alias("y"),
+        F.col("vl").alias("x1"),
+    )
+    x_side = lagd.select(
+        F.col("event_type").alias("x_type"),
+        F.col("d").alias("xd"),
+        F.col("vl").alias("x2"),
+    )
+    pairs = (
+        y_side.join(
+            x_side,
+            (F.col("xd") == F.col("d"))
+            & (F.col("x_type") != F.col("y_type")),
+        )
+        .filter(F.col("x1").isNotNull() & F.col("x2").isNotNull())
+        .select("x_type", "y_type", "x1", "x2", "y")
+    )
+    sums = pairs.groupBy("x_type", "y_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+
+    def cm(sab: str, sa: str, sb: str) -> "F.Column":
+        n = F.col("n")
+        return (
+            F.col(sab).cast("double") / n
+            - (F.col(sa).cast("double") / n)
+            * (F.col(sb).cast("double") / n)
+        )
+
+    alg = sums.select(
+        "x_type", "y_type", "n",
+        cm("s11", "s1", "s1").alias("c11"),
+        cm("s22", "s2", "s2").alias("c22"),
+        cm("s12", "s1", "s2").alias("c12"),
+        cm("s1y", "s1", "sy").alias("c1y"),
+        cm("s2y", "s2", "sy").alias("c2y"),
+        cm("syy", "sy", "sy").alias("cyy"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    b1 = (F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y")) / det
+    b2 = (F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y")) / det
+    coef = alg.select(
+        "x_type", "y_type", "n", "c11", "c1y", "c2y", "cyy",
+        b1.alias("b1"), b2.alias("b2"),
+    )
+    rss = coef.select(
+        "x_type", "y_type", "n", "b2",
+        (
+            F.col("n")
+            * (
+                F.col("cyy")
+                - F.col("b1") * F.col("c1y")
+                - F.col("b2") * F.col("c2y")
+            )
+        ).alias("rss_f"),
+        (
+            F.col("n")
+            * (F.col("cyy") - F.col("c1y") * F.col("c1y") / F.col("c11"))
+        ).alias("rss_r"),
+    )
+    return rss.select(
+        "x_type", "y_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("b2", 6).alias("b_cross"),
+        F.round(
+            (F.col("rss_r") - F.col("rss_f"))
+            * (F.col("n") - 3)
+            / F.col("rss_f"),
+            4,
+        ).alias("f_stat"),
+    )

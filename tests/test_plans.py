@@ -154,6 +154,21 @@ BNLJ_ALLOWED = {
                                 # broadcast-crossed into the pair stream
     "q_llm_ndcg",               # 1-row corpus stats broadcast-crossed
                                 # into the per-query ranking relation
+    "q_fn_ipv4_cidr",           # 6-row CIDR dim broadcast containment
+                                # join (div-alignment predicate is
+                                # non-equi by construction)
+    "q_ml_confusion_multiclass",# ≤5-row class universe broadcast OR-
+                                # joined into the ≤25-cell confusion
+                                # relation (constant size both sides)
+    "q_ml_jackknife",           # 1-row totals aggregate broadcast-
+                                # crossed into the 20-row fold relation
+                                # (the scalar-subquery idiom)
+    "q_priv_tokenize",          # two 1-row audit aggregates broadcast-
+                                # crossed into the 1-row audit fold
+    "q_ts_granger_lag1",        # broadcast zero-fill day spine crossed
+                                # into the 5-row type dim + ordered-pair
+                                # self-join on a != condition (≤20 pairs,
+                                # both sides rollup-bounded)
 }
 
 # Shuffle-exchange ceilings. Default covers scan→agg/join→window plans;
@@ -363,6 +378,16 @@ MAX_SHUFFLES = {
                                   # + rank-join fold + tie fold over
                                   # the checkpointed grid (audited: 6,
                                   # r07)
+    "q_ml_confusion_multiclass": 8,  # customer-history window + 25-cell
+                                  # agg (interior, runs once behind the
+                                  # cells checkpoint) + class-universe
+                                  # distinct + per-class agg + macro
+                                  # fold over ≤k² rows (audited: 7, r08)
+    "q_ts_granger_lag1": 7,       # (type,day) rollup + spine zero-fill
+                                  # row_number + lag window + pair join
+                                  # sides + 20-group agg — all post-
+                                  # rollup relations ≤ types×days rows
+                                  # (audited: 6, r08)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
