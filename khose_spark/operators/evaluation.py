@@ -1720,3 +1720,142 @@ def q_ml_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("g") - F.lit(1.0)) * (F.avg("r_i") - r_full), 6
         ).alias("jk_bias"),
     )
+
+
+def _sql_hex2(expr: str) -> str:
+    """DuckDB int value of the first TWO hex chars of md5(expr) —
+    the per-char instr lookup twin of Spark's ``conv(substring(md5(x),
+    1, 2), 16, 10)`` (the ``_sql_hash_bucket`` idiom, 2-char form)."""
+    return (
+        f"((instr('0123456789abcdef', substr(md5({expr}), 1, 1)) - 1) * 16"
+        f" + (instr('0123456789abcdef', substr(md5({expr}), 2, 1)) - 1))"
+    )
+
+
+_BOOT_KEY = (
+    "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)"
+    " || '-' || CAST(b AS VARCHAR)"
+)
+
+@query(
+    "q_ml_poisson_bootstrap",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * (100 - CAST(round(CAST(l_discount AS DECIMAL(8,2)) * 100,
+                                   0) AS BIGINT)) AS rev_cc
+      FROM lineitem
+    ), reps AS (
+      SELECT li.rev_cc, t.b,
+             CASE WHEN {_sql_hex2(_BOOT_KEY)} < 94 THEN 0
+                  WHEN {_sql_hex2(_BOOT_KEY)} < 188 THEN 1
+                  WHEN {_sql_hex2(_BOOT_KEY)} < 235 THEN 2
+                  WHEN {_sql_hex2(_BOOT_KEY)} < 251 THEN 3
+                  ELSE 4 END AS m
+      FROM li CROSS JOIN (SELECT unnest(range(20)) AS b) t
+    ), per_rep AS (
+      SELECT b, CAST(sum(m * rev_cc) AS BIGINT) AS s_rev,
+             CAST(sum(m) AS BIGINT) AS n_eff
+      FROM reps GROUP BY b
+    ), full_s AS (
+      SELECT CAST(sum(rev_cc) AS BIGINT) AS t_rev,
+             CAST(count(*) AS BIGINT) AS t_n
+      FROM li
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_reps,
+           round(CAST(max(f.t_rev) AS DOUBLE) / (100.0 * max(f.t_n)), 6)
+             AS theta_full,
+           round(avg(CAST(s_rev AS DOUBLE) / (100.0 * n_eff)), 6)
+             AS boot_mean,
+           round(stddev_samp(CAST(s_rev AS DOUBLE) / (100.0 * n_eff)), 8)
+             AS boot_se
+    FROM per_rep CROSS JOIN full_s f
+    """,
+)
+def q_ml_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap SE for mean per-lineitem revenue — THE
+    resampling scheme that actually runs at 100 TB: classic bootstrap
+    needs n draws WITH replacement per replicate (a global shuffle per
+    replicate); the Poisson approximation gives every row an
+    INDEPENDENT multiplicity m ~ Poisson(1) per replicate, so all B
+    replicates fold in ONE map-side pass (the Chamandy et al. /
+    streaming-bootstrap construction).  Multiplicities are
+    deterministic, not RNG: the first two hex chars of
+    md5(orderkey-linenumber-b) give u ∈ [0,256), mapped through the
+    truncated-Poisson(1) integer thresholds 94/188/235/251 (cumulative
+    e⁻¹ mass scaled by 256, truncated at m=4) — content-stable across
+    engines, runs, and cluster sizes, exactly like the md5 split
+    buckets.  Output: replicate count, full-sample mean, bootstrap
+    mean, bootstrap SE (the jackknife key's cross-check: both estimate
+    the same sampling distribution).
+
+    Exactness: revenue in int64 centicents (the jackknife carrier law);
+    Σ m·rev_cc stays int64 through 100× (≈6e16 at 60M rows, m ≤ 4);
+    doubles only in the 20-row replicate tail, rounded once.
+
+    Plan: one scan with a 20-way map-side sequence explode folding
+    straight into a 20-group map-side-combined aggregate — the shuffle
+    carries 20 rows per task, never the fan-out.  At 100 TB: read
+    amplification 0 (one scan), shuffle bytes O(B × tasks)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            * (
+                100
+                - F.round(F.col("l_discount").cast("decimal(8,2)") * 100, 0)
+                .cast("long")
+            )
+        ).alias("rev_cc"),
+    )
+    reps = li.select(
+        "rev_cc",
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("b"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            2,
+        ),
+        16,
+        10,
+    ).cast("long")
+    reps = reps.select(
+        "rev_cc",
+        "b",
+        F.when(u < 94, 0)
+        .when(u < 188, 1)
+        .when(u < 235, 2)
+        .when(u < 251, 3)
+        .otherwise(4)
+        .alias("m"),
+    )
+    per_rep = reps.groupBy("b").agg(
+        F.sum(F.col("m") * F.col("rev_cc")).alias("s_rev"),
+        F.sum("m").alias("n_eff"),
+    )
+    full_s = li.agg(
+        F.sum("rev_cc").alias("t_rev"), F.count(F.lit(1)).alias("t_n")
+    )
+    theta = F.col("s_rev").cast("double") / (100.0 * F.col("n_eff"))
+    return per_rep.crossJoin(F.broadcast(full_s)).agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        F.round(
+            F.max("t_rev").cast("double") / (100.0 * F.max("t_n")), 6
+        ).alias("theta_full"),
+        F.round(F.avg(theta), 6).alias("boot_mean"),
+        F.round(F.stddev_samp(theta), 8).alias("boot_se"),
+    )

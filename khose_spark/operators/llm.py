@@ -463,3 +463,64 @@ def q_llm_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(payload).cast("long").alias("n_bytes"),
         F.sha2(payload, 256).alias("payload_sha"),
     )
+
+
+@query(
+    "q_llm_prefix_dedup",
+    oracle="""
+    WITH keyed AS (
+      SELECT source,
+             md5(text) AS full_h,
+             md5(array_to_string(
+               list_slice(string_split(text, ' '), 1, 12), ' ')) AS pre_h
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT pre_h) AS BIGINT) AS n_prefix_groups,
+           CAST(count(*) - count(DISTINCT pre_h) AS BIGINT)
+             AS n_prefix_dups,
+           CAST(count(*) - count(DISTINCT full_h) AS BIGINT)
+             AS n_exact_dups
+    FROM keyed GROUP BY source
+    """,
+)
+def q_llm_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix dedup audit — the crawl-pipeline tier BETWEEN exact and
+    near-dup: documents that share their first 12 tokens but diverge
+    later are template/boilerplate families (mirrored pages with
+    injected ads, dated re-crawls, CMS boilerplate heads), which
+    full-text md5 (`q_llm_exact_dedup`) misses entirely and
+    shingle-Jaccard only finds at quadratic candidate cost.  Keys on
+    md5 of the SPACE-JOINED first-12-token slice — identical
+    tokenization (single-space split, the corpus contract) and md5 in
+    both engines make the group assignment itself hash-certified.
+    Per-source audit: docs, prefix families, prefix-dup mass vs
+    exact-dup mass — the gap between those two columns is exactly the
+    boilerplate-family mass a prefix pass would newly remove.
+
+    Plan: map-side tokenize/slice/hash (codegen string ops, no UDF),
+    then ONE per-source aggregate carrying two 128-bit hashes per row
+    — the text itself never shuffles (the exact_dedup law).  At
+    100 TB: one hash-keyed distinct-count shuffle, prefix-hash
+    cardinality ~n_docs keeps AQE partitions balanced."""
+    d = t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "source",
+        F.md5("text").alias("full_h"),
+        F.md5(
+            F.array_join(
+                F.slice(F.split(F.col("text"), " "), 1, 12), " "
+            )
+        ).alias("pre_h"),
+    )
+    return keyed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("pre_h").alias("n_prefix_groups"),
+        (F.count(F.lit(1)) - F.countDistinct("pre_h")).alias(
+            "n_prefix_dups"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("full_h")).alias(
+            "n_exact_dups"
+        ),
+    )

@@ -1777,3 +1777,207 @@ def q_ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("f_stat"),
     )
+
+
+@query(
+    "q_ml_ttest_paired",
+    oracle="""
+    WITH li AS (
+      SELECT l_suppkey,
+             CASE WHEN l_shipdate < TIMESTAMP '1996-01-01' THEN 0
+                  ELSE 1 END AS yr,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * (100 - CAST(round(CAST(l_discount AS DECIMAL(8,2)) * 100,
+                                   0) AS BIGINT)) AS rev_cc
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+    ), per_supp AS (
+      SELECT l_suppkey,
+             CAST(sum(CASE WHEN yr = 0 THEN rev_cc END) AS BIGINT) AS s95,
+             CAST(sum(CASE WHEN yr = 1 THEN rev_cc END) AS BIGINT) AS s96
+      FROM li GROUP BY l_suppkey
+      HAVING count(CASE WHEN yr = 0 THEN 1 END) > 0
+         AND count(CASE WHEN yr = 1 THEN 1 END) > 0
+    ), diffs AS (
+      SELECT CAST(s96 - s95 AS DOUBLE) / 100.0 AS d FROM per_supp
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(d), 4) AS mean_diff_cents,
+           round(stddev_samp(d), 4) AS sd_diff_cents,
+           round(avg(d) / (stddev_samp(d) / sqrt(count(*))), 6) AS t_stat
+    FROM diffs
+    """,
+)
+def q_ml_ttest_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t-test on per-supplier annual revenue, 1995 vs 1996 —
+    the within-subject companion to ``q_ml_welch_t`` (which compares
+    two INDEPENDENT groups): pairing on the supplier removes the
+    between-supplier variance component, the test every
+    year-over-year / before-after dashboard actually needs.  Pairs
+    are suppliers with revenue in BOTH years (HAVING both-sides
+    guard); d_i = year-over-year revenue delta per supplier.
+
+    Exactness: revenue folds in int64 centicents (the jackknife
+    carrier; per-supplier-year sums ≈2.4e14 at 100×, four orders
+    under int64); deltas convert to double CENTS only at the
+    supplier-bounded tail (≤|supplier| = 100 rows at every SF — the
+    dim does not scale), where avg/stddev_samp/√n fold the t-stat,
+    rounded once.  d² would overflow int64 at 1× (≈1e22), which is
+    WHY the tail is double, not a wider integer.
+
+    Plan: one supplier-keyed conditional aggregate over the
+    two-year scan window (predicate pushed to the parquet scan,
+    map-side combined), then a 1-row fold over the dim-bounded
+    relation.  At 100 TB: one shuffle keyed on the supplier dim."""
+    us = F.col("l_shipdate")
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (us >= F.lit("1995-01-01").cast("timestamp"))
+            & (us < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select(
+            "l_suppkey",
+            F.when(
+                us < F.lit("1996-01-01").cast("timestamp"), 0
+            )
+            .otherwise(1)
+            .alias("yr"),
+            (
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+                * (
+                    100
+                    - F.round(
+                        F.col("l_discount").cast("decimal(8,2)") * 100, 0
+                    ).cast("long")
+                )
+            ).alias("rev_cc"),
+        )
+    )
+    per_supp = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(F.col("yr") == 0, F.col("rev_cc"))).alias("s95"),
+            F.sum(F.when(F.col("yr") == 1, F.col("rev_cc"))).alias("s96"),
+            F.count(F.when(F.col("yr") == 0, 1)).alias("n95"),
+            F.count(F.when(F.col("yr") == 1, 1)).alias("n96"),
+        )
+        .filter((F.col("n95") > 0) & (F.col("n96") > 0))
+    )
+    diffs = per_supp.select(
+        ((F.col("s96") - F.col("s95")).cast("double") / 100.0).alias("d")
+    )
+    return diffs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("d"), 4).alias("mean_diff_cents"),
+        F.round(F.stddev_samp("d"), 4).alias("sd_diff_cents"),
+        F.round(
+            F.avg("d")
+            / (F.stddev_samp("d") / F.sqrt(F.count(F.lit(1)))),
+            6,
+        ).alias("t_stat"),
+    )
+
+
+@query(
+    "q_ml_raking",
+    oracle="""
+    WITH seed AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS st,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1, 2
+    ), tgt_r AS (
+      SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS r
+      FROM orders GROUP BY 1
+    ), tgt_c AS (
+      SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ), rowstep AS (
+      SELECT s.pri, s.st, s.n,
+             CAST(s.n * t.r AS DOUBLE)
+               / sum(s.n) OVER (PARTITION BY s.pri) AS w1
+      FROM seed s JOIN tgt_r t ON s.pri = t.pri
+    ), colstep AS (
+      SELECT pri, rowstep.st AS st, n,
+             w1 * t.c / sum(w1) OVER (PARTITION BY rowstep.st) AS w2
+      FROM rowstep JOIN tgt_c t ON rowstep.st = t.st
+    )
+    SELECT pri, st, n AS n_seed,
+           CAST(round(1000.0 * w2 / n, 0) AS BIGINT) AS w_permille,
+           CAST(round(1000.0 * sum(w2) OVER (PARTITION BY pri)
+                      / max(r) OVER (PARTITION BY pri), 0) AS BIGINT)
+             AS row_fill_permille
+    FROM colstep JOIN tgt_r USING (pri)
+    """,
+)
+def q_ml_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One cycle of iterative proportional fitting (raking / rim
+    weighting) of the (priority × status) cell grid: seed = cell
+    counts from the even-orderkey half, targets = the FULL table's
+    row and column margins — the survey-calibration step that
+    re-weights a sampled cohort to known population margins (the
+    IPF row-scale then column-scale half-steps; iteration count is
+    an operational parameter, the plan shape is one identical cycle).
+
+    Determinism: seed counts and margins are exact int64; the row
+    half-step is a single IEEE division of exact integers (n·R is an
+    exact int64 product, the row sum is an exact int64), so w1 is
+    bit-identical cross-engine; the column half-step sums ≤5 such
+    doubles and every OUTPUT is an integer permille (weight uplift
+    vs seed, and the row-margin fill showing the single cycle's
+    residual) — ulp-level summation-order drift is 9 orders below
+    the rounding grain.  After the column step the column margins
+    are exact by construction; the row fill ≠ 1000‰ is WHY surveys
+    iterate.
+
+    Plan: two margin aggregates + one cell aggregate (the only
+    fact-sized shuffles, all map-side combined), then broadcast
+    joins and windows over the ≤15-cell grid.  At 100 TB the grid
+    stays |priorities|×|statuses|."""
+    o = t(spark, sf_dir, "orders")
+    seed = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderstatus").alias("st"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tgt_r = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count(F.lit(1)).alias("r")
+    )
+    tgt_c = o.groupBy(F.col("o_orderstatus").alias("st")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_pri = Window.partitionBy("pri")
+    w_st = Window.partitionBy("st")
+    rowstep = seed.join(F.broadcast(tgt_r), "pri").select(
+        "pri",
+        "st",
+        "n",
+        (
+            (F.col("n") * F.col("r")).cast("double")
+            / F.sum("n").over(w_pri)
+        ).alias("w1"),
+    )
+    colstep = rowstep.join(F.broadcast(tgt_c), "st").select(
+        "pri",
+        "st",
+        "n",
+        (F.col("w1") * F.col("c") / F.sum("w1").over(w_st)).alias("w2"),
+    )
+    return colstep.join(F.broadcast(tgt_r), "pri").select(
+        "pri",
+        "st",
+        F.col("n").alias("n_seed"),
+        F.round(1000.0 * F.col("w2") / F.col("n"), 0)
+        .cast("long")
+        .alias("w_permille"),
+        F.round(
+            1000.0 * F.sum("w2").over(w_pri) / F.max("r").over(w_pri), 0
+        )
+        .cast("long")
+        .alias("row_fill_permille"),
+    )

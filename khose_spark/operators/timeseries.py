@@ -2675,3 +2675,103 @@ def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "q_ts_bollinger",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ), framed AS (
+      SELECT event_type, d, cents,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(cents) OVER w AS BIGINT) AS s,
+             sum(CAST(cents AS DECIMAL(19,0))
+                 * CAST(cents AS DECIMAL(19,0))) OVER w AS q
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ), tested AS (
+      SELECT event_type,
+             CAST(7 AS DECIMAL(19,0)) * cents
+               - CAST(s AS DECIMAL(19,0)) AS dev7,
+             4 * (7 * q - CAST(s AS DECIMAL(19,0))
+                          * CAST(s AS DECIMAL(19,0))) AS rhs
+      FROM framed WHERE n = 7
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN dev7 > 0 AND dev7 * dev7 > rhs
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_hi,
+           CAST(sum(CASE WHEN dev7 < 0 AND dev7 * dev7 > rhs
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_lo
+    FROM tested GROUP BY event_type
+    """,
+)
+def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breach audit over per-type daily revenue — the
+    volatility-band member of the ts family (moving_avg reports the
+    centerline; this reports WHEN the series escapes ±2σ of its own
+    trailing week, the alert condition every ops dashboard draws).
+    Trailing 7-OBSERVED-day frame (trading-day convention — gaps
+    compress, matching the moving_avg frame semantics), evaluated only
+    on full frames (n = 7).
+
+    Exactness law: the band test never takes a square root — with n
+    pinned at 7, x > μ + 2σ ⇔ (7x − S)² > 4·(7Q − S²) over the frame
+    sums S = Σx, Q = Σx² in integer cents; the quadratic forms run as
+    DECIMAL(19,0)×DECIMAL(19,0) → 38-digit products (at 100× daily
+    cents ≈ 2e9, dev7 ≈ 1e10, dev7² ≈ 1e20 — int64 would overflow at
+    exactly this decade, hence the decimal carrier; ceiling 1e38 is 18
+    orders away).  Every output is an int64 count.
+
+    Plan: one (type,day) rollup (the only fact-sized shuffle,
+    map-side combined), a type-partitioned 7-row window and a
+    type-grouped fold over the ≤ types×days bounded relation.  At
+    100 TB the post-rollup relation is ≤ 5×720 rows at any scale."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("d")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, 0)
+    )
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    framed = daily.select(
+        "event_type",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cents").over(w).alias("s"),
+        F.sum(dec(F.col("cents")) * dec(F.col("cents")))
+        .over(w)
+        .alias("q"),
+    ).filter(F.col("n") == 7)
+    tested = framed.select(
+        "event_type",
+        (dec(F.lit(7)) * F.col("cents") - dec(F.col("s"))).alias("dev7"),
+        (
+            4 * (7 * F.col("q") - dec(F.col("s")) * dec(F.col("s")))
+        ).alias("rhs"),
+    )
+    breach = F.col("dev7") * F.col("dev7") > F.col("rhs")
+    return tested.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(
+            F.when((F.col("dev7") > 0) & breach, 1).otherwise(0)
+        ).alias("n_breach_hi"),
+        F.sum(
+            F.when((F.col("dev7") < 0) & breach, 1).otherwise(0)
+        ).alias("n_breach_lo"),
+    )

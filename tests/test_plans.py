@@ -169,6 +169,9 @@ BNLJ_ALLOWED = {
                                 # into the 5-row type dim + ordered-pair
                                 # self-join on a != condition (≤20 pairs,
                                 # both sides rollup-bounded)
+    "q_ml_poisson_bootstrap",   # 1-row full-sample totals broadcast-
+                                # crossed into the 20-row replicate
+                                # relation (the jackknife idiom)
 }
 
 # Shuffle-exchange ceilings. Default covers scan→agg/join→window plans;
@@ -388,6 +391,10 @@ MAX_SHUFFLES = {
                                   # sides + 20-group agg — all post-
                                   # rollup relations ≤ types×days rows
                                   # (audited: 6, r08)
+    "q_ml_raking": 8,             # seed cell agg + 2 margin aggs (the
+                                  # three fact-sized passes) + pri/st
+                                  # windows over the ≤15-cell grid
+                                  # (audited: 7, r08)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
