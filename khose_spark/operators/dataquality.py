@@ -454,3 +454,89 @@ def q_dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in dfs[1:]:
         out = out.unionAll(df)
     return out.orderBy("pk")
+
+
+@query(
+    "q_dq_sequence_gaps",
+    oracle="""
+    WITH keys AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_orderstatus = 'O'
+    ), bounds AS (
+      SELECT CAST(min(k) AS BIGINT) AS kmin,
+             CAST(max(k) AS BIGINT) AS kmax,
+             CAST(count(*) AS BIGINT) AS n
+      FROM keys
+    ), gap_starts AS (
+      SELECT a.k
+      FROM keys a CROSS JOIN bounds b
+      WHERE a.k < b.kmax
+        AND NOT EXISTS (SELECT 1 FROM keys x WHERE x.k = a.k + 1)
+    )
+    SELECT b.n AS n_keys,
+           b.kmax - b.kmin + 1 AS key_span,
+           b.kmax - b.kmin + 1 - b.n AS n_missing,
+           CAST(count(g.k) AS BIGINT) AS n_gaps,
+           CAST(min(g.k) + 1 AS BIGINT) AS first_gap_at,
+           CAST(max(g.k) + 1 AS BIGINT) AS last_gap_at
+    FROM gap_starts g CROSS JOIN bounds b
+    GROUP BY b.n, b.kmax, b.kmin
+    """,
+)
+def q_dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands audit over the orderkey ID space WITHOUT the
+    textbook global window — the data-quality check behind "did the
+    upstream extractor drop a range?".  The classic
+    row_number-minus-key trick needs a GLOBAL ordered window
+    (single-partition, 100 TB-fatal); this registers the distributed
+    form: a gap STARTS at key k iff k+1 is absent and k < max, which
+    is one hash-partitioned self-anti-join on k+1 — the same shuffle
+    shape as any equi-join, no ordering anywhere.  Gap COUNT and
+    missing MASS then fold in closed form (span − present), so the
+    answer needs no per-gap enumeration; first/last gap positions
+    come free from the anti-join output.
+
+    The audited key space is the open-order ('O') subset — the slice
+    an extractor re-pulls incrementally, and (unlike the dense full
+    orderkey space, which has zero gaps in the fixture) one whose gap
+    path actually executes: the fixture yields thousands of gaps, so
+    the hash check certifies the gap arithmetic, not a vacuous empty
+    relation.
+
+    Exactness: pure int64 key arithmetic end to end.
+
+    Plan: one distinct on the key (fact-sized, map-side combined),
+    one self-anti-join on k+1 (hash equi-join, broadcast 1-row
+    bounds), one 1-row fold.  At 100 TB: two key-keyed shuffles,
+    zero windows, zero sorts."""
+    keys = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    bounds = keys.agg(
+        F.min("k").cast("long").alias("kmin"),
+        F.max("k").cast("long").alias("kmax"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    shifted = keys.select((F.col("k") - 1).alias("k"))
+    gap_starts = (
+        keys.join(shifted, "k", "left_anti")
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("k") < F.col("kmax"))
+    )
+    return gap_starts.groupBy("n", "kmax", "kmin").agg(
+        F.count("k").alias("n_gaps"),
+        (F.min("k") + 1).cast("long").alias("first_gap_at"),
+        (F.max("k") + 1).cast("long").alias("last_gap_at"),
+    ).select(
+        F.col("n").alias("n_keys"),
+        (F.col("kmax") - F.col("kmin") + 1).alias("key_span"),
+        (F.col("kmax") - F.col("kmin") + 1 - F.col("n")).alias(
+            "n_missing"
+        ),
+        "n_gaps",
+        "first_gap_at",
+        "last_gap_at",
+    )

@@ -163,8 +163,12 @@ _PMI_TOP_K = 20
       SELECT CAST(sum(c_xy) AS BIGINT) AS nb FROM big_counts
     ), scored AS (
       SELECT b.bigram, b.c_xy,
-             round(ln(CAST(b.c_xy * n_uni.nu * n_uni.nu AS DOUBLE)
-                      / CAST(n_big.nb * cx.c * cy.c AS DOUBLE)), 4) AS pmi
+             round(ln(((((CAST(b.c_xy AS DOUBLE)
+                          * CAST(n_uni.nu AS DOUBLE))
+                         / CAST(n_big.nb AS DOUBLE))
+                        * CAST(n_uni.nu AS DOUBLE))
+                       / CAST(cx.c AS DOUBLE))
+                      / CAST(cy.c AS DOUBLE)), 4) AS pmi
       FROM big_counts b
       JOIN uni_counts cx ON cx.word = string_split(b.bigram, ' ')[1]
       JOIN uni_counts cy ON cy.word = string_split(b.bigram, ' ')[2]
@@ -185,13 +189,15 @@ def q_llm_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor — the classic multiword-expression detector feeding tokenizer
     vocab decisions and boilerplate discovery.
 
-    All counts multiply in int64 (``c_xy·N_u²`` and ``N_b·c_x·c_y`` both
-    stay far under 2^53 at fixture scale) so the single double division
-    is exact on both engines; one ln + round(4) is the only float
-    surface. At 100 TB the products exceed 2^53, so the scale path
-    switches to the log-sum form ``ln c_xy + 2·ln N_u − ln N_b − ln c_x
-    − ln c_y`` — same plan shape, noted here because the fixture oracle
-    deliberately certifies the exact-ratio form.
+    The ratio folds as an explicitly-ORDERED double chain
+    ``((((c_xy·N_u)/N_b)·N_u)/c_x)/c_y`` — every step a correctly-
+    rounded IEEE op on identical inputs, so both engines produce the
+    same bits before the single ln + round(4). The earlier exact-int64
+    product form (``c_xy·N_u²``) overflowed at exactly the 100× decade
+    (measured r08: N_u ≈ 3.6e7 ⇒ c_xy·N_u² ≈ 1.2e21 vs int64 9.2e18);
+    the ordered-double chain has no overflow horizon and keeps the
+    one-ln float surface (the log-sum alternative would spend five
+    libm calls where this spends one).
 
     Plan: bigram counts (duplicates preserved — the same shifted-copies
     idiom as shingle_array, k=2), unigram counts, two broadcast scalar
@@ -237,12 +243,12 @@ def q_llm_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_xy",
             F.round(
                 F.log(
-                    (
-                        F.col("c_xy") * F.col("nu") * F.col("nu")
-                    ).cast("double")
-                    / (
-                        F.col("nb") * F.col("c_x") * F.col("c_y")
-                    ).cast("double")
+                    F.col("c_xy").cast("double")
+                    * F.col("nu").cast("double")
+                    / F.col("nb").cast("double")
+                    * F.col("nu").cast("double")
+                    / F.col("c_x").cast("double")
+                    / F.col("c_y").cast("double")
                 ),
                 4,
             ).alias("pmi"),
@@ -1981,3 +1987,198 @@ def q_ml_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("row_fill_permille"),
     )
+
+
+@query(
+    "q_ml_shapley_2f",
+    oracle="""
+    WITH feats AS (
+      SELECT l.l_orderkey AS k,
+             count(*) AS x1,
+             CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 // 100
+                  ) AS BIGINT) AS x2
+      FROM lineitem l GROUP BY 1
+    ), xy AS (
+      SELECT f.x1, f.x2,
+             CAST(round(CAST(o.o_totalprice AS DECIMAL(18,2)), 0)
+                  AS BIGINT) AS y
+      FROM feats f JOIN orders o ON o.o_orderkey = f.k
+    ), sums AS (
+      SELECT count(*) AS n,
+             CAST(sum(x1) AS BIGINT) AS s1,
+             CAST(sum(x2) AS BIGINT) AS s2,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x1 * x1) AS BIGINT) AS s11,
+             CAST(sum(x2 * x2) AS BIGINT) AS s22,
+             CAST(sum(x1 * x2) AS BIGINT) AS s12,
+             CAST(sum(x1 * y) AS BIGINT) AS s1y,
+             CAST(sum(x2 * y) AS BIGINT) AS s2y
+      FROM xy
+    ), alg AS (
+      SELECT n,
+             CAST(s11 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+               * (CAST(s1 AS DOUBLE) / n) AS c11,
+             CAST(s22 AS DOUBLE) / n - (CAST(s2 AS DOUBLE) / n)
+               * (CAST(s2 AS DOUBLE) / n) AS c22,
+             CAST(s12 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+               * (CAST(s2 AS DOUBLE) / n) AS c12,
+             CAST(s1y AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+               * (CAST(sy AS DOUBLE) / n) AS c1y,
+             CAST(s2y AS DOUBLE) / n - (CAST(s2 AS DOUBLE) / n)
+               * (CAST(sy AS DOUBLE) / n) AS c2y
+      FROM sums
+    ), coef AS (
+      SELECT n,
+             (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+             (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+      FROM alg
+    ), absdev AS (
+      SELECT CAST(sum(abs(s.n * xy.x1 - s.s1)) AS BIGINT) AS a1,
+             CAST(sum(abs(s.n * xy.x2 - s.s2)) AS BIGINT) AS a2
+      FROM xy CROSS JOIN sums s
+    ), phi AS (
+      SELECT c.b1, c.b2,
+             abs(c.b1) * a.a1
+               / (CAST(c.n AS DOUBLE) * c.n) AS p1,
+             abs(c.b2) * a.a2
+               / (CAST(c.n AS DOUBLE) * c.n) AS p2
+      FROM coef c CROSS JOIN absdev a
+    )
+    SELECT 'line_count' AS feature, round(b1, 6) AS beta,
+           round(p1, 4) AS mean_abs_attr,
+           CAST(round(1000.0 * p1 / (p1 + p2), 0) AS BIGINT)
+             AS share_permille
+    FROM phi
+    UNION ALL
+    SELECT 'total_qty', round(b2, 6), round(p2, 4),
+           CAST(round(1000.0 * p2 / (p1 + p2), 0) AS BIGINT)
+    FROM phi
+    """,
+)
+def q_ml_shapley_2f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley attribution for the closed-form 2-feature OLS of
+    q_ml_linreg_2f — the model-explanation member of the ML family.
+    For a LINEAR model Shapley values are exact and cheap:
+    φ_j(order) = β_j·(x_j − x̄_j), so the global explanation
+    mean|φ_j| = |β_j|·mean|x_j − x̄_j| needs no sampling and no
+    per-coalition retraining.  Output: per-feature β, mean absolute
+    attribution (dollars), and the attribution share — WHICH of the
+    two features the model's predictions actually ride on.
+
+    Exactness: the deviation mass folds INTEGER-exactly —
+    mean|x−x̄| = Σ|n·x_j − s_j|/n², where n·x_j and s_j are exact
+    int64 (≈3e18 at 100×, inside int64); β comes from the identical
+    Cramer tree as q_ml_linreg_2f; doubles only in the 2-row tail,
+    shares as integer permille.
+
+    Plan: the per-order feature agg + orders join runs twice (the
+    9-stat pass, then the deviation pass with the 1-row stats
+    broadcast-crossed) — two passes, zero iteration, both map-side
+    combined.  At 100 TB: two orderkey-keyed shuffles, nothing
+    wider."""
+    li = t(spark, sf_dir, "lineitem")
+    feats = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("x1"),
+        F.expr(
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * 100 DIV 100)"
+            " AS BIGINT)"
+        ).alias("x2"),
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 0) AS BIGINT)"
+        ).alias("y"),
+    )
+    xy = feats.join(orders, "k")
+    sums = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+    )
+    dm = lambda sjj, sj: (  # noqa: E731 — S/n - mean*mean (oracle tree)
+        F.col(sjj).cast("double") / F.col("n")
+        - (F.col(sj).cast("double") / F.col("n"))
+        * (F.col(sj).cast("double") / F.col("n"))
+    )
+    cm = lambda sab, sa, sb: (  # noqa: E731
+        F.col(sab).cast("double") / F.col("n")
+        - (F.col(sa).cast("double") / F.col("n"))
+        * (F.col(sb).cast("double") / F.col("n"))
+    )
+    alg = sums.select(
+        "n",
+        "s1",
+        "s2",
+        dm("s11", "s1").alias("c11"),
+        dm("s22", "s2").alias("c22"),
+        cm("s12", "s1", "s2").alias("c12"),
+        cm("s1y", "s1", "sy").alias("c1y"),
+        cm("s2y", "s2", "sy").alias("c2y"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    coef = alg.select(
+        "n",
+        "s1",
+        "s2",
+        (
+            (F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y"))
+            / det
+        ).alias("b1"),
+        (
+            (F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y"))
+            / det
+        ).alias("b2"),
+    )
+    absdev = xy.crossJoin(F.broadcast(coef)).agg(
+        F.sum(
+            F.abs(F.col("n") * F.col("x1") - F.col("s1"))
+        )
+        .cast("long")
+        .alias("a1"),
+        F.sum(
+            F.abs(F.col("n") * F.col("x2") - F.col("s2"))
+        )
+        .cast("long")
+        .alias("a2"),
+        F.max("b1").alias("b1"),
+        F.max("b2").alias("b2"),
+        F.max("n").alias("n"),
+    )
+    phi = absdev.select(
+        "b1",
+        "b2",
+        (
+            F.abs(F.col("b1"))
+            * F.col("a1")
+            / (F.col("n").cast("double") * F.col("n"))
+        ).alias("p1"),
+        (
+            F.abs(F.col("b2"))
+            * F.col("a2")
+            / (F.col("n").cast("double") * F.col("n"))
+        ).alias("p2"),
+    )
+    row1 = phi.select(
+        F.lit("line_count").alias("feature"),
+        F.round("b1", 6).alias("beta"),
+        F.round("p1", 4).alias("mean_abs_attr"),
+        F.round(1000.0 * F.col("p1") / (F.col("p1") + F.col("p2")), 0)
+        .cast("long")
+        .alias("share_permille"),
+    )
+    row2 = phi.select(
+        F.lit("total_qty").alias("feature"),
+        F.round("b2", 6).alias("beta"),
+        F.round("p2", 4).alias("mean_abs_attr"),
+        F.round(1000.0 * F.col("p2") / (F.col("p1") + F.col("p2")), 0)
+        .cast("long")
+        .alias("share_permille"),
+    )
+    return row1.unionByName(row2)

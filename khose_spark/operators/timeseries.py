@@ -1622,16 +1622,21 @@ def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), moments AS (
       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(x * y) AS BIGINT) AS sxy
+             sum(CAST(x AS DECIMAL(19,0)) * x) AS sxx,
+             sum(CAST(x AS DECIMAL(19,0)) * y) AS sxy
       FROM pairs GROUP BY event_type
     )
     SELECT event_type, n,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS phi,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+             AS phi,
            CAST(round((CAST(sy AS DOUBLE)
-                 - CAST(n * sxy - sx * sy AS DOUBLE)
-                   / CAST(n * sxx - sx * sx AS DOUBLE)
+                 - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 0)
                 AS BIGINT) AS intercept_cents
     FROM moments ORDER BY event_type
@@ -1647,12 +1652,18 @@ def q_ts_ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlation at fixed lags) and q_ts_holt_forecast (which assumes
     trend persistence).
 
-    Exactness: the four sufficient sums accumulate in int64 (daily
-    cents ~1e7 at sf0.1, squares ~1e14, times ~30 days ~1e16 — an
-    order of magnitude of int64 headroom, documented bound); the
-    closed-form slope moves to doubles once, round-4 (the linreg-2f
-    law). Plan: fact collapses to the per-type daily rollup, one lag
-    window per type, a 5-row moment fold."""
+    Exactness: sx/sy accumulate in int64 (daily cents ≈1e9 at 100×,
+    ×29 pairs ≈ 1e10 — nine digits of headroom); the QUADRATIC sums
+    sxx/sxy widen their first factor to DECIMAL(19,0) before the
+    multiply (measured r08 at 100×: x² ≈ 1e18 folds to sxx ≈ 3.2e18 —
+    int64 would survive this decade with only 2.9× margin and die at
+    the next, so the accumulator is decimal by law); the Cramer
+    products n·sxx and sx·sx (≈9.3e19 at 100× — PAST int64, the r08
+    sweep caught exactly this) fold as per-factor-cast doubles, each
+    step a correctly-rounded IEEE op on identical inputs in both
+    engines; one round-4 tail (the linreg-2f law). Plan: fact
+    collapses to the per-type daily rollup, one lag window per type,
+    a 5-row moment fold."""
     daily = (
         t(spark, sf_dir, "events")
         .groupBy(
@@ -1682,12 +1693,14 @@ def q_ts_ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).alias("sxy"),
     )
     slope = (
-        "CAST(n * sxy - sx * sy AS DOUBLE)"
-        " / CAST(n * sxx - sx * sx AS DOUBLE)"
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
     )
     return moments.select(
         "event_type",
@@ -2774,4 +2787,124 @@ def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when((F.col("dev7") < 0) & breach, 1).otherwise(0)
         ).alias("n_breach_lo"),
+    )
+
+
+@query(
+    "q_ts_ljung_box",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ), idxd AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY d)
+               AS i
+      FROM daily
+    ), stats2 AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n, avg(x) AS m
+      FROM idxd GROUP BY event_type
+    ), centered AS (
+      SELECT i.event_type, i.i, i.x - s.m AS c, s.n, s.m
+      FROM idxd i JOIN stats2 s ON i.event_type = s.event_type
+    ), denom AS (
+      SELECT event_type, sum(c * c) AS ss FROM centered GROUP BY 1
+    ), rho AS (
+      SELECT a.event_type, g.lag,
+             sum(a.c * b.c) / max(d.ss) AS r,
+             max(a.n) AS n
+      FROM centered a
+      JOIN (SELECT unnest([1, 2, 3]) AS lag) g ON true
+      JOIN centered b ON b.event_type = a.event_type
+                     AND b.i = a.i + g.lag
+      JOIN denom d ON d.event_type = a.event_type
+      GROUP BY a.event_type, g.lag
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+           round(max(n) * (max(n) + 2.0)
+                 * sum(r * r / (n - lag)), 4) AS q_lb
+    FROM rho GROUP BY event_type
+    """,
+)
+def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test Q(3) on each event type's daily
+    spend series — the is-it-white-noise gate a forecasting pipeline
+    runs AFTER fitting (on residuals) and the companion to q_ts_acf:
+    acf reports the individual ρ_k, this folds them into the joint
+    test statistic Q = n(n+2)·Σ_{k≤3} ρ²_k/(n−k) with the standard
+    full-series-denominator ACF estimator (ρ_k = Σc_i·c_{i+k} / Σc²,
+    index adjacency over OBSERVED days — the trading-day convention
+    shared with q_ts_bollinger).
+
+    Determinism: the series collapses to exact DECIMAL(28,2) daily
+    sums first, so both engines center and fold IDENTICAL doubles
+    over the identical ≤720-row-per-type relation; lag pairing is
+    integer index equality; one round(4) at the end (the q_ts_acf
+    continuity posture).
+
+    Plan: one (type,day) rollup — the only fact-sized shuffle — then
+    index window, centered self-join on (type, i+lag) and a ≤3-row
+    per-type fold, all on the days×types-bounded rollup.  At 100 TB
+    the rollup is kilobytes; everything after it broadcasts."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    idxd = daily.select(
+        "event_type",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .alias("i"),
+    ).localCheckpoint()
+    stats = idxd.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("x").alias("m")
+    )
+    centered = idxd.join(F.broadcast(stats), "event_type").select(
+        "event_type", "i", (F.col("x") - F.col("m")).alias("c"), "n"
+    )
+    denom = centered.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("c")).alias("ss")
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("lag")
+    )
+    a = centered.alias("a").crossJoin(F.broadcast(lags))
+    b = centered.alias("b")
+    rho = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.i") == F.col("a.i") + F.col("lag")),
+        )
+        .join(F.broadcast(denom.alias("d")), "event_type")
+        .groupBy(F.col("a.event_type").alias("event_type"), "lag")
+        .agg(
+            (
+                F.sum(F.col("a.c") * F.col("b.c")) / F.max("d.ss")
+            ).alias("r"),
+            F.max("a.n").alias("n"),
+        )
+    )
+    # Per-lag term BEFORE the fold: Spark (correctly) rejects
+    # max(n) inside sum(); n is constant per type so the row-level
+    # n is the same value.
+    terms = rho.select(
+        "event_type",
+        "n",
+        (F.col("r") * F.col("r") / (F.col("n") - F.col("lag"))).alias(
+            "term"
+        ),
+    )
+    return terms.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.round(
+            F.max("n") * (F.max("n") + F.lit(2.0)) * F.sum("term"), 4
+        ).alias("q_lb"),
     )

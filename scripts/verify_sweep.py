@@ -107,6 +107,12 @@ SCALE100_SKIP = {
     " x100 per decade (fixed month at 100x density): the IEJoin oracle"
     " measured ~160 s at 10x => ~4 h at 100x; the Spark side is the"
     " 1-row bucketed-join aggregate and stays cheap",
+    "q_llm_negative_sampling": _Q + "fixture pool contract = n/10 of"
+    " the corpus, so the query x pool ranking is n^2/10 md5 evals in"
+    " BOTH engines (production fixes the pool at a constant"
+    " broadcastable size, per the docstring) — 10x-verified (6.3 s);"
+    " at 100x the 2e9-pair mass heap-OOMs the local[32] executor"
+    " (measured r08)",
     "q_llm_incremental_dedup": _Q + "the exact-verify tier over the"
     " delta's shingle-collision candidates grows superlinearly on the"
     " decorrelated corpus (19.6 s at 10x, >17 min unfinished at 100x,"

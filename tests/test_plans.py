@@ -21,6 +21,9 @@ registry.load_all()
 # correct physical plan for these semantics.
 BNLJ_ALLOWED = {
     "q_join_cross",            # declared cartesian (region × nation)
+    "q_dq_sequence_gaps",      # 1-row key-space bounds aggregate
+                               # broadcast-crossed into the gap-start
+                               # relation (the k < kmax trim)
     "q_agg_hll_audit",         # 1-row exact-count aggregate broadcast-
                                # crossed into the 1-row register fold
     "q_join_geo_knn",          # same 3x3 probe fan-out as geo_grid:
@@ -58,6 +61,11 @@ BNLJ_ALLOWED = {
     "q_ml_silhouette",         # same shared _lloyd broadcast-cross
                                # subtree + one more centroid-array
                                # cross for the a/b silhouette fold
+    "q_ml_shapley_2f",         # 1-row OLS-coefficient relation
+                               # broadcast-crossed into the deviation
+                               # pass (the q_ml_brier idiom)
+    "q_ts_ljung_box",          # 3-row lag grid broadcast-crossed into
+                               # the centered per-type daily relation
     "q_ml_mann_whitney",       # 1-row tie-correction aggregate
                                # broadcast-crossed into the 1-row U
                                # fold (the scalar-subquery idiom)
@@ -179,6 +187,19 @@ BNLJ_ALLOWED = {
 # jaccard=7, simhash=4, scan_count=10 — ceilings leave AQE headroom).
 DEFAULT_MAX_SHUFFLES = 4
 MAX_SHUFFLES = {
+    "q_dq_sequence_gaps": 6,      # audited 5: key distinct + shifted
+                                  # re-exchange + anti-join + 1-row
+                                  # bounds agg + final fold
+    "q_ml_shapley_2f": 9,         # audited 8: per-order feature agg +
+                                  # orders join + 9-stat fold, then the
+                                  # SAME subtree re-shuffled for the
+                                  # deviation pass (two passes by
+                                  # design) + 1-row tails
+    "q_ts_ljung_box": 9,          # audited 8: daily rollup + type
+                                  # window + stats/denom aggs + lag
+                                  # self-join + per-type folds — all
+                                  # post-rollup relations are
+                                  # days×types-bounded
     "q_ts_cusum": 6,              # audited 6, all tiny: daily rollup +
                                   # types/days distincts + spine
                                   # row_number + CUSUM window + final
