@@ -933,3 +933,81 @@ def q_llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.countDistinct("curl")).alias("n_dups"),
         F.min("curl").alias("sample_canonical"),
     )
+
+
+@query(
+    "q_llm_length_trim",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ), bounds AS (
+      SELECT lang,
+             quantile_cont(n_tok, 0.05) AS lo,
+             quantile_cont(n_tok, 0.95) AS hi
+      FROM toks GROUP BY lang
+    )
+    SELECT t.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(max(b.lo), 2) AS lo_tokens,
+           round(max(b.hi), 2) AS hi_tokens,
+           CAST(sum(CASE WHEN CAST(t.n_tok AS DOUBLE) >= b.lo
+                          AND CAST(t.n_tok AS DOUBLE) <= b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+           CAST(sum(CASE WHEN CAST(t.n_tok AS DOUBLE) >= b.lo
+                          AND CAST(t.n_tok AS DOUBLE) <= b.hi
+                         THEN t.n_tok ELSE 0 END) AS BIGINT)
+             AS retained_tokens
+    FROM toks t JOIN bounds b ON b.lang = t.lang
+    GROUP BY t.lang
+    ORDER BY t.lang
+    """,
+)
+def q_llm_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile length trimming per language -- the curation step
+    that drops truncated fragments (below p5 by token count) and
+    runaway concatenations (above p95) BEFORE dedup/quality scoring,
+    with per-language bounds because a p5 computed on the pooled
+    corpus just deletes whichever language runs short. Reports the
+    bounds and the retained doc/token mass per language.
+
+    Determinism: token counts are exact int64; the p5/p95 bounds use
+    linear-interpolation percentile over int64 counts -- the same
+    cross-engine-certified estimator as q_agg_percentile -- and the
+    trim predicate compares exact-int doubles against those bounds
+    identically in both engines.
+
+    Plan: two passes over the token-count projection (bounds agg,
+    then trim counts with the |langs|-row bounds broadcast). Exact
+    percentile needs the whole group per lang; at 100 TB the bounds
+    pass switches to approx_percentile(eps) with the same join shape
+    (the q_agg_percentile scale note)."""
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    bounds = toks.groupBy("lang").agg(
+        F.percentile("n_tok", F.lit(0.05)).alias("lo"),
+        F.percentile("n_tok", F.lit(0.95)).alias("hi"),
+    )
+    keep = (F.col("n_tok").cast("double") >= F.col("lo")) & (
+        F.col("n_tok").cast("double") <= F.col("hi")
+    )
+    return (
+        toks.join(F.broadcast(bounds), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.max("lo"), 2).alias("lo_tokens"),
+            F.round(F.max("hi"), 2).alias("hi_tokens"),
+            F.sum(F.when(keep, 1).otherwise(0))
+            .cast("long")
+            .alias("n_retained"),
+            F.sum(F.when(keep, F.col("n_tok")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("retained_tokens"),
+        )
+        .orderBy("lang")
+    )

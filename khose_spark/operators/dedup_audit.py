@@ -1609,3 +1609,94 @@ def q_llm_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band_id")
     )
+
+
+@query(
+    "q_er_token_blocking",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT p_partkey, unnest(string_split(p_name, ' ')) AS w
+      FROM part
+    ), n_parts AS (
+      SELECT CAST(count(DISTINCT p_partkey) AS BIGINT) AS np FROM part
+    ), blocks AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS sz FROM tok GROUP BY w
+    ), judged AS (
+      SELECT b.w, b.sz,
+             CASE WHEN b.sz * 100 > n.np THEN 1 ELSE 0 END AS skipped
+      FROM blocks b CROSS JOIN n_parts n
+    )
+    SELECT max(n.np) AS n_parts,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(1 - j.skipped) AS BIGINT) AS n_kept,
+           CAST(sum(j.skipped) AS BIGINT) AS n_stop_tokens,
+           CAST(sum(CASE WHEN j.skipped = 0
+                         THEN j.sz * (j.sz - 1) // 2 ELSE 0 END)
+                AS BIGINT) AS candidate_pairs,
+           CAST(max(CASE WHEN j.skipped = 0 THEN j.sz ELSE 0 END)
+                AS BIGINT) AS max_kept_block,
+           CAST(sum(CASE WHEN j.skipped = 1 THEN j.sz ELSE 0 END)
+                AS BIGINT) AS stop_token_mass
+    FROM judged j CROSS JOIN n_parts n
+    """,
+)
+def q_er_token_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-blocking audit for entity resolution over part names --
+    the standard blocking scheme when keys have no sort order (the
+    sorted-neighborhood alternative is q_er_sorted_neighborhood):
+    records sharing ANY name token become comparison candidates, and
+    tokens whose block exceeds 1% of the universe are dropped as stop
+    tokens (the frequency cap every production blocker applies,
+    otherwise one common word recreates the all-pairs blow-up).
+
+    The audit never ENUMERATES pairs: per-block candidate mass has the
+    closed form sz*(sz-1)/2, so the output -- total candidates, kept/
+    dropped token counts, the heaviest surviving block, the mass
+    hidden behind stop tokens -- folds from block SIZES alone. With the
+    1% cap, enumerated-pair mass is bounded by (n/100)*sum(sz): linear
+    with a constant, at every scale, and the cap is scale-relative so
+    the skip set grows with the corpus instead of silently exploding.
+
+    Exactness: pure int64 counts; sz^2 at the cap bound is (n/100)^2
+    ~ 4e8 at 100x -- ten digits under int64.
+
+    Plan: one explode + per-(part,token) distinct + token-keyed count
+    (the only fact-sized shuffles) + a 1-row closed-form fold. At
+    100 TB: two string-keyed shuffles, no pair materialization."""
+    p = t(spark, sf_dir, "part")
+    tok = p.select(
+        "p_partkey", F.explode(F.split("p_name", " ")).alias("w")
+    ).distinct()
+    n_parts = p.agg(
+        F.countDistinct("p_partkey").cast("long").alias("np")
+    )
+    blocks = tok.groupBy("w").agg(F.count(F.lit(1)).alias("sz"))
+    judged = blocks.crossJoin(F.broadcast(n_parts)).select(
+        "w",
+        "sz",
+        "np",
+        F.when(F.col("sz") * 100 > F.col("np"), 1).otherwise(0).alias(
+            "skipped"
+        ),
+    )
+    kept = F.col("skipped") == 0
+    return judged.agg(
+        F.max("np").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(1 - F.col("skipped")).cast("long").alias("n_kept"),
+        F.sum("skipped").cast("long").alias("n_stop_tokens"),
+        F.sum(
+            F.when(
+                kept,
+                F.expr("sz * (sz - 1) DIV 2"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("candidate_pairs"),
+        F.max(F.when(kept, F.col("sz")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("max_kept_block"),
+        F.sum(F.when(~kept, F.col("sz")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("stop_token_mass"),
+    )

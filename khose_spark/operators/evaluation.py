@@ -1859,3 +1859,104 @@ def q_ml_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(theta), 6).alias("boot_mean"),
         F.round(F.stddev_samp(theta), 8).alias("boot_se"),
     )
+
+
+@query(
+    "q_ml_woe_iv",
+    oracle="""
+    WITH labeled AS (
+      SELECT CAST((CAST(l_quantity AS BIGINT) - 1) // 10 AS BIGINT)
+               AS bin,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+      FROM lineitem
+    ), per_bin AS (
+      SELECT bin,
+             CAST(sum(1 - bad) AS BIGINT) AS n_good,
+             CAST(sum(bad) AS BIGINT) AS n_bad
+      FROM labeled GROUP BY bin
+    ), tot AS (
+      SELECT CAST(sum(n_good) AS BIGINT) AS tg,
+             CAST(sum(n_bad) AS BIGINT) AS tb
+      FROM per_bin
+    ), woe AS (
+      SELECT b.bin, b.n_good, b.n_bad,
+             ln(((CAST(b.n_good AS DOUBLE) / CAST(t.tg AS DOUBLE))
+                 / CAST(b.n_bad AS DOUBLE)) * CAST(t.tb AS DOUBLE))
+               AS wv,
+             CAST(b.n_good AS DOUBLE) / CAST(t.tg AS DOUBLE)
+               - CAST(b.n_bad AS DOUBLE) / CAST(t.tb AS DOUBLE) AS d
+      FROM per_bin b CROSS JOIN tot t
+    ), iv AS (
+      SELECT CAST(round(sum(d * wv), 4) AS DOUBLE) AS iv_total FROM woe
+    )
+    SELECT woe.bin, woe.n_good, woe.n_bad, round(woe.wv, 4) AS woe,
+           iv.iv_total
+    FROM woe CROSS JOIN iv
+    ORDER BY woe.bin
+    """,
+)
+def q_ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value table for a binned
+    feature against a binary target (quantity decile-ish bins vs
+    returned-flag) -- the credit-scoring-era feature-selection
+    primitive still used to rank features before model fitting:
+    WoE_bin = ln((good_share)/(bad_share)), IV = sum over bins of
+    (good_share - bad_share) * WoE. IV < 0.02 means the feature is
+    useless; > 0.5 suspiciously strong.
+
+    Exactness: bin counts fold in int64; each WoE is ONE ln of an
+    explicitly-ordered double chain (((g/TG)/b)*TB -- every step a
+    correctly-rounded IEEE op on identical inputs, the PMI r08 law);
+    IV sums 5 identical double terms (the PSI posture) with round-4
+    at the boundary. The unrounded WoE feeds IV in both engines --
+    rounding happens once per output column.
+
+    Plan: one map-side-combined 5-bin aggregate over lineitem + 1-row
+    totals broadcast-crossed back + a 5-row IV fold. At 100 TB: one
+    shuffle carrying 5 rows per task."""
+    labeled = t(spark, sf_dir, "lineitem").select(
+        F.expr("(CAST(l_quantity AS BIGINT) - 1) DIV 10").alias("bin"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bad"),
+    )
+    # The 5-row bin aggregate feeds THREE consumers (totals, the WoE
+    # projection, the IV fold); eager-checkpoint it so the lineitem
+    # scan+agg executes exactly once (the pmi share-then-release
+    # pattern — also what keeps this at one fact pass at 100 TB).
+    per_bin = (
+        labeled.groupBy("bin")
+        .agg(
+            F.sum(1 - F.col("bad")).cast("long").alias("n_good"),
+            F.sum("bad").cast("long").alias("n_bad"),
+        )
+        .localCheckpoint()
+    )
+    tot = per_bin.agg(
+        F.sum("n_good").cast("long").alias("tg"),
+        F.sum("n_bad").cast("long").alias("tb"),
+    )
+    w_expr = F.log(
+        (
+            F.col("n_good").cast("double") / F.col("tg").cast("double")
+            / F.col("n_bad").cast("double")
+        )
+        * F.col("tb").cast("double")
+    )
+    d_expr = (
+        F.col("n_good").cast("double") / F.col("tg").cast("double")
+        - F.col("n_bad").cast("double") / F.col("tb").cast("double")
+    )
+    woe = per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_good",
+        "n_bad",
+        w_expr.alias("w"),
+        d_expr.alias("d"),
+    )
+    iv = woe.agg(
+        F.round(F.sum(F.col("d") * F.col("w")), 4).alias("iv_total")
+    )
+    return (
+        woe.crossJoin(F.broadcast(iv))
+        .select("bin", "n_good", "n_bad", F.round("w", 4).alias("woe"), "iv_total")
+        .orderBy("bin")
+    )

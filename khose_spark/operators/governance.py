@@ -773,3 +773,75 @@ def q_priv_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_format_ok", "sample_token",
         )
     )
+
+
+@query(
+    "q_llm_mixture_temperature",
+    oracle="""
+    WITH per_lang AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             sum(sqrt(CAST(c AS DOUBLE))) AS z
+      FROM per_lang
+    )
+    SELECT p.lang, p.c AS n_docs, p.chars,
+           round(1000.0 * (CAST(p.c AS DOUBLE) / t.n), 2)
+             AS natural_permille,
+           round(1000.0 * (sqrt(CAST(p.c AS DOUBLE)) / t.z), 2)
+             AS sampled_permille,
+           round((sqrt(CAST(p.c AS DOUBLE)) / t.z)
+                 / (CAST(p.c AS DOUBLE) / t.n), 4) AS effective_epochs
+    FROM per_lang p CROSS JOIN tot t
+    ORDER BY p.lang
+    """,
+)
+def q_llm_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling weights (tau = 2, i.e.
+    p_i^(1/2)) -- the multilingual-LM rebalancing step that upsamples
+    tail languages without letting them dominate: sampled share
+    proportional to sqrt(count) instead of count, plus the
+    effective-epochs ratio (sampled share / natural share -- how many
+    times the tail language's data is repeated per head-language
+    epoch). Exponent 1/2 is deliberately sqrt, the one power function
+    IEEE-754 requires to be CORRECTLY ROUNDED -- so both engines
+    compute identical weight doubles (a pow(x, 0.7)-style exponent
+    would ride on libm's uncertified pow). The 5-term normalizer sums
+    identical doubles (the PSI posture); round-2/round-4 once per
+    output.
+
+    Plan: one map-side-combined per-lang aggregate over documents +
+    1-row normalizer fold broadcast-crossed back. At 100 TB: one
+    shuffle carrying |langs| rows per task."""
+    # The |langs|-row aggregate feeds BOTH the normalizer fold and the
+    # final projection; eager-checkpoint it so the documents scan+agg
+    # executes exactly once (one fact pass at 100 TB).
+    per_lang = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+        .localCheckpoint()
+    )
+    tot = per_lang.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.sqrt(F.col("c").cast("double"))).alias("z"),
+    )
+    nat = F.col("c").cast("double") / F.col("n")
+    samp = F.sqrt(F.col("c").cast("double")) / F.col("z")
+    return (
+        per_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("c").alias("n_docs"),
+            "chars",
+            F.round(1000.0 * nat, 2).alias("natural_permille"),
+            F.round(1000.0 * samp, 2).alias("sampled_permille"),
+            F.round(samp / nat, 4).alias("effective_epochs"),
+        )
+        .orderBy("lang")
+    )

@@ -2182,3 +2182,116 @@ def q_ml_shapley_2f(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("share_permille"),
     )
     return row1.unionByName(row2)
+
+
+_TE_SMOOTH = 100  # smoothing pseudo-count m in (S + m*global_mean)/(n + m)
+
+
+@query(
+    "q_ml_target_encoding",
+    oracle=f"""
+    WITH y AS (
+      SELECT o_orderpriority AS cat,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ), per_cat AS (
+      SELECT cat, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(min(cents) AS BIGINT) AS y_min,
+             CAST(max(cents) AS BIGINT) AS y_max
+      FROM y GROUP BY cat
+    ), gstats AS (
+      SELECT CAST(sum(n) AS BIGINT) AS ng, CAST(sum(s) AS BIGINT) AS sg
+      FROM per_cat
+    )
+    SELECT p.cat, p.n,
+           round(CAST(p.s AS DOUBLE) / p.n, 2) AS mean_cents,
+           round(CAST(p.s - p.y_max AS DOUBLE) / (p.n - 1), 2)
+             AS loo_min_cents,
+           round(CAST(p.s - p.y_min AS DOUBLE) / (p.n - 1), 2)
+             AS loo_max_cents,
+           round((CAST(p.s AS DOUBLE)
+                  + {_TE_SMOOTH} * (CAST(g.sg AS DOUBLE) / g.ng))
+                 / (p.n + {_TE_SMOOTH}), 2) AS smoothed_cents
+    FROM per_cat p CROSS JOIN gstats g
+    ORDER BY p.cat
+    """,
+)
+def q_ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out + smoothed target encoding of a categorical
+    feature (order priority -> mean order value), the leakage-safe
+    feature-engineering step before any tree/linear model: encoding a
+    category by its own target mean leaks the row's label, so
+    production uses LOO ((S - y_i)/(n - 1)) or additive smoothing
+    ((S + m*global_mean)/(n + m)).
+
+    Certification trick: LOO is per-ROW, but its extremes have CLOSED
+    FORMS over the per-category sufficient stats -- the largest target
+    in the category yields the SMALLEST leave-one-out mean, so
+    loo_min = (S - y_max)/(n - 1) and loo_max = (S - y_min)/(n - 1) --
+    which means the oracle certifies the per-row formula's arithmetic
+    without ever materializing per-row encodings. (The per-row apply
+    step at 100 TB is one broadcast join of this 5-row relation plus
+    the same subtract-divide, already covered.)
+
+    Exactness: S folds in int64 centicents (~6e13 per category at
+    100x, five digits of headroom at 1000x); every output is one
+    double division of exact int64s, round-2.
+
+    Plan: one map-side-combined 5-group aggregate over orders + a
+    5-row re-fold for the global mean, broadcast-crossed back. At
+    100 TB: one shuffle carrying 5 rows per task."""
+    y = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    # The 5-row category aggregate feeds BOTH the global fold and the
+    # final projection; eager-checkpoint it so the orders scan+agg
+    # executes exactly once (one fact pass at 100 TB).
+    per_cat = (
+        y.groupBy("cat")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s"),
+            F.min("cents").alias("y_min"),
+            F.max("cents").alias("y_max"),
+        )
+        .localCheckpoint()
+    )
+    glob = per_cat.agg(
+        F.sum("n").cast("long").alias("ng"),
+        F.sum("s").cast("long").alias("sg"),
+    )
+    return (
+        per_cat.crossJoin(F.broadcast(glob))
+        .select(
+            "cat",
+            "n",
+            F.round(F.col("s").cast("double") / F.col("n"), 2).alias(
+                "mean_cents"
+            ),
+            F.round(
+                (F.col("s") - F.col("y_max")).cast("double")
+                / (F.col("n") - 1),
+                2,
+            ).alias("loo_min_cents"),
+            F.round(
+                (F.col("s") - F.col("y_min")).cast("double")
+                / (F.col("n") - 1),
+                2,
+            ).alias("loo_max_cents"),
+            F.round(
+                (
+                    F.col("s").cast("double")
+                    + _TE_SMOOTH
+                    * (F.col("sg").cast("double") / F.col("ng"))
+                )
+                / (F.col("n") + _TE_SMOOTH),
+                2,
+            ).alias("smoothed_cents"),
+        )
+        .orderBy("cat")
+    )

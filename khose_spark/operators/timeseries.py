@@ -2908,3 +2908,95 @@ def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n") * (F.max("n") + F.lit(2.0)) * F.sum("term"), 4
         ).alias("q_lb"),
     )
+
+
+@query(
+    "q_ts_realized_vol",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+                 AS cents
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, cents,
+             lag(cents) OVER (PARTITION BY event_type ORDER BY d)
+               AS prev,
+             lag(d) OVER (PARTITION BY event_type ORDER BY d)
+               AS d_prev,
+             d
+      FROM daily
+    ), rets AS (
+      SELECT event_type,
+             ln(CAST(cents AS DOUBLE) / CAST(prev AS DOUBLE)) AS r
+      FROM lagged
+      WHERE prev IS NOT NULL AND prev > 0 AND cents > 0
+        AND d = d_prev + 1
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rets,
+           round(sqrt(sum(r * r)), 6) AS realized_vol,
+           round(sum(r), 6) AS total_log_return
+    FROM rets GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_ts_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized volatility per event type: sqrt of the sum of squared
+    daily log returns over consecutive-day pairs (a calendar gap
+    breaks the pair -- the q_ts_ar1 adjacency convention), plus the
+    telescoping total log return. The risk/variability diagnostic a
+    monitoring pipeline computes alongside the AR(1) persistence fit.
+
+    Determinism: the series collapses to exact int64 daily cents
+    first; each return is ONE ln of one double division of exact
+    int64s (identical inputs -> identical doubles cross-engine);
+    the per-type fold sums ~29 identical doubles (PSI posture),
+    sqrt is IEEE-correctly-rounded, round-6 once per output.
+
+    Plan: the (type,day) rollup is the only fact-sized shuffle; lag
+    window and fold run over the <=days-per-type relation. At 100 TB
+    the rollup is kilobytes."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+            .cast("long")
+            .alias("d"),
+        )
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    w_lag = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "cents",
+        F.lag("cents").over(w_lag).alias("prev"),
+        F.lag("d").over(w_lag).alias("d_prev"),
+        "d",
+    )
+    rets = lagged.filter(
+        F.col("prev").isNotNull()
+        & (F.col("prev") > 0)
+        & (F.col("cents") > 0)
+        & (F.col("d") == F.col("d_prev") + 1)
+    ).select(
+        "event_type",
+        F.log(
+            F.col("cents").cast("double") / F.col("prev").cast("double")
+        ).alias("r"),
+    )
+    return (
+        rets.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rets"),
+            F.round(F.sqrt(F.sum(F.col("r") * F.col("r"))), 6).alias(
+                "realized_vol"
+            ),
+            F.round(F.sum("r"), 6).alias("total_log_return"),
+        )
+        .orderBy("event_type")
+    )

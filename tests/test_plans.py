@@ -61,6 +61,15 @@ BNLJ_ALLOWED = {
     "q_ml_silhouette",         # same shared _lloyd broadcast-cross
                                # subtree + one more centroid-array
                                # cross for the a/b silhouette fold
+    "q_ml_target_encoding",    # 1-row global-mean fold broadcast-
+                               # crossed into the 5-category relation
+    "q_ml_woe_iv",             # 1-row good/bad totals + 1-row IV fold
+                               # broadcast-crossed into the 5-bin table
+    "q_llm_mixture_temperature",  # 1-row normalizer fold broadcast-
+                               # crossed into the |langs| relation
+    "q_er_token_blocking",     # 1-row part-universe count broadcast-
+                               # crossed into the block-size relation
+                               # (the stop-token 1% cap)
     "q_ml_shapley_2f",         # 1-row OLS-coefficient relation
                                # broadcast-crossed into the deviation
                                # pass (the q_ml_brier idiom)
@@ -200,6 +209,12 @@ MAX_SHUFFLES = {
                                   # self-join + per-type folds — all
                                   # post-rollup relations are
                                   # days×types-bounded
+    "q_er_token_blocking": 6,     # audited 5: explode distinct + block
+                                  # count + 1-row universe agg + 1-row
+                                  # closed-form fold
+    "q_ml_woe_iv": 6,             # audited 5: 5-bin agg + 1-row totals
+                                  # + 5-row IV fold + final sort — all
+                                  # tiny post the bin agg
     "q_ts_cusum": 6,              # audited 6, all tiny: daily rollup +
                                   # types/days distincts + spine
                                   # row_number + CUSUM window + final
