@@ -540,3 +540,94 @@ def q_dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_gap_at",
         "last_gap_at",
     )
+
+
+@query(
+    "q_dq_reconciliation",
+    oracle="""
+    WITH line_tot AS (
+      SELECT l_orderkey AS k,
+             sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                      AS DECIMAL(28,6))) AS charge
+      FROM lineitem GROUP BY 1
+    ), joined AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS booked,
+             lt.charge,
+             abs(lt.charge - CAST(o.o_totalprice AS DECIMAL(18,2)))
+               AS adiff
+      FROM orders o LEFT JOIN line_tot lt ON lt.k = o.o_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN charge IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_no_lines,
+           CAST(sum(CASE WHEN adiff = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(sum(CASE WHEN adiff <= 0.005 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_match_2dp,
+           CAST(sum(CASE WHEN adiff * 100 <= booked THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_1pct,
+           CAST(round(max(adiff), 2) AS DOUBLE) AS max_diff,
+           CAST(round(sum(adiff), 2) AS DOUBLE) AS total_abs_diff
+    FROM joined
+    """,
+)
+def q_dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation -- the ledger-vs-detail
+    audit every warehouse runs before trusting a fact table: does each
+    order's booked total equal the sum of its line charges
+    (extendedprice * (1-disc) * (1+tax))? Reports orphan orders (no
+    lines), exact matches, 2-dp matches, within-1% matches, and the
+    worst/total absolute drift.
+
+    Exactness: line charges fold as DECIMAL(28,6) (exact int128
+    accumulation, order-insensitive -- the sqlutil money law), the
+    booked side is the exact DECIMAL(18,2) cast, and every comparison
+    (= 0, <= 0.005, diff*100 <= booked) is pure decimal arithmetic
+    with no rounding before the predicate; the two reported magnitudes
+    round once at the boundary.
+
+    Plan: one orderkey-keyed line aggregate (map-side combined) + one
+    equi-join against orders + a 1-row fold. At 100 TB: two orderkey
+    shuffles -- the canonical co-partitioned fact-to-fact shape
+    (bucketed tables make it zero-shuffle, q_sink_bucketed_join)."""
+    li = t(spark, sf_dir, "lineitem")
+    line_tot = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.sum(
+            (
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).cast("decimal(28,6)")
+        ).alias("charge")
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("booked"),
+    )
+    joined = o.join(
+        line_tot, o.o_orderkey == line_tot.k, "left"
+    ).select(
+        "booked",
+        "charge",
+        F.abs(F.col("charge") - F.col("booked")).alias("adiff"),
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("charge").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_no_lines"),
+        F.sum(F.when(F.col("adiff") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.sum(F.when(F.col("adiff") <= 0.005, 1).otherwise(0))
+        .cast("long")
+        .alias("n_match_2dp"),
+        F.sum(
+            F.when(F.col("adiff") * 100 <= F.col("booked"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_within_1pct"),
+        F.round(F.max("adiff"), 2).cast("double").alias("max_diff"),
+        F.round(F.sum("adiff"), 2).cast("double").alias("total_abs_diff"),
+    )

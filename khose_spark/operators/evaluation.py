@@ -1960,3 +1960,113 @@ def q_ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bin", "n_good", "n_bad", F.round("w", 4).alias("woe"), "iv_total")
         .orderBy("bin")
     )
+
+
+@query(
+    "q_ml_info_gain",
+    oracle="""
+    WITH labeled AS (
+      SELECT CAST((CAST(l_quantity AS BIGINT) - 1) // 10 AS BIGINT)
+               AS bin,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+      FROM lineitem
+    ), per_bin AS (
+      SELECT bin,
+             CAST(sum(1 - bad) AS BIGINT) AS g,
+             CAST(sum(bad) AS BIGINT) AS b
+      FROM labeled GROUP BY bin
+    ), tot AS (
+      SELECT CAST(sum(g) AS BIGINT) AS tg, CAST(sum(b) AS BIGINT) AS tb,
+             CAST(sum(g + b) AS BIGINT) AS n
+      FROM per_bin
+    ), folds AS (
+      SELECT max(t.n) AS n,
+             -((CAST(max(t.tg) AS DOUBLE) / max(t.n))
+                 * ln(CAST(max(t.tg) AS DOUBLE) / max(t.n))
+               + (CAST(max(t.tb) AS DOUBLE) / max(t.n))
+                 * ln(CAST(max(t.tb) AS DOUBLE) / max(t.n))) AS hp,
+             sum((CAST(p.g + p.b AS DOUBLE) / t.n)
+                 * (CASE WHEN p.g = 0 THEN 0.0 ELSE
+                      -(CAST(p.g AS DOUBLE) / (p.g + p.b))
+                        * ln(CAST(p.g AS DOUBLE) / (p.g + p.b)) END
+                    + CASE WHEN p.b = 0 THEN 0.0 ELSE
+                      -(CAST(p.b AS DOUBLE) / (p.g + p.b))
+                        * ln(CAST(p.b AS DOUBLE) / (p.g + p.b)) END))
+               AS hc,
+             sum(-(CAST(p.g + p.b AS DOUBLE) / t.n)
+                  * ln(CAST(p.g + p.b AS DOUBLE) / t.n)) AS si
+      FROM per_bin p CROSS JOIN tot t
+    )
+    SELECT n AS n_rows, round(hp, 6) AS h_parent,
+           round(hc, 6) AS h_conditional,
+           round(hp - hc, 6) AS info_gain,
+           round(si, 6) AS split_info,
+           round((hp - hc) / si, 6) AS gain_ratio
+    FROM folds
+    """,
+)
+def q_ml_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiway information gain + gain ratio of the binned-quantity
+    feature against the returned-flag target -- the C4.5 split
+    criterion that complements q_ml_decision_stump (which picks a
+    binary threshold) and q_ml_woe_iv (which scores the same bins
+    monotonically): IG = H(target) - H(target|bin), gain ratio
+    divides by the split's own entropy to unbias multiway splits.
+
+    Exactness: bin counts fold in int64; every entropy term is
+    p*ln(p) over one double division of exact int64s with identical
+    parenthesization in both engines; empty-class bins contribute an
+    exact 0.0 by CASE guard (the lim p->0 p*ln(p) convention, not a
+    NaN); cross-bin sums are 5 identical double terms (PSI posture);
+    round-6 once per output with unrounded terms feeding the
+    downstream ratios.
+
+    Plan: reuses the woe_iv shape -- one map-side-combined 5-bin
+    aggregate (checkpointed, single fact pass) + 1-row folds. At
+    100 TB: one shuffle carrying 5 rows per task."""
+    labeled = t(spark, sf_dir, "lineitem").select(
+        F.expr("(CAST(l_quantity AS BIGINT) - 1) DIV 10").alias("bin"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bad"),
+    )
+    per_bin = (
+        labeled.groupBy("bin")
+        .agg(
+            F.sum(1 - F.col("bad")).cast("long").alias("g"),
+            F.sum("bad").cast("long").alias("b"),
+        )
+        .localCheckpoint()
+    )
+    tot = per_bin.agg(
+        F.sum("g").cast("long").alias("tg"),
+        F.sum("b").cast("long").alias("tb"),
+        F.sum(F.col("g") + F.col("b")).cast("long").alias("n"),
+    )
+    nb = (F.col("g") + F.col("b")).cast("double")
+    pg = F.col("g").cast("double") / (F.col("g") + F.col("b"))
+    pb = F.col("b").cast("double") / (F.col("g") + F.col("b"))
+    h_bin = F.when(F.col("g") == 0, F.lit(0.0)).otherwise(
+        -pg * F.log(pg)
+    ) + F.when(F.col("b") == 0, F.lit(0.0)).otherwise(-pb * F.log(pb))
+    folds = per_bin.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").alias("n"),
+        (
+            -(
+                (F.max("tg").cast("double") / F.max("n"))
+                * F.log(F.max("tg").cast("double") / F.max("n"))
+                + (F.max("tb").cast("double") / F.max("n"))
+                * F.log(F.max("tb").cast("double") / F.max("n"))
+            )
+        ).alias("hp"),
+        F.sum((nb / F.col("n")) * h_bin).alias("hc"),
+        F.sum(-(nb / F.col("n")) * F.log(nb / F.col("n"))).alias("si"),
+    )
+    return folds.select(
+        F.col("n").alias("n_rows"),
+        F.round("hp", 6).alias("h_parent"),
+        F.round("hc", 6).alias("h_conditional"),
+        F.round(F.col("hp") - F.col("hc"), 6).alias("info_gain"),
+        F.round("si", 6).alias("split_info"),
+        F.round((F.col("hp") - F.col("hc")) / F.col("si"), 6).alias(
+            "gain_ratio"
+        ),
+    )

@@ -880,3 +880,94 @@ def q_fn_ipv4_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (min_ip % 256).cast("string"),
         ).alias("min_ip_dotted"),
     )
+
+
+@query(
+    "q_fn_eom_laws",
+    oracle="""
+    WITH months AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    , calc AS (
+      SELECT mstart, n_orders,
+             last_day(mstart) AS eom,
+             CAST(mstart + INTERVAL 1 MONTH AS DATE) AS nm
+      FROM months
+    )
+    SELECT CAST(EXTRACT(year FROM mstart) AS BIGINT) AS y,
+           CAST(EXTRACT(month FROM mstart) AS BIGINT) AS m,
+           n_orders,
+           strftime(eom, '%Y-%m-%d') AS eom,
+           CAST(EXTRACT(day FROM eom) AS BIGINT) AS days_in_month,
+           strftime(last_day(nm), '%Y-%m-%d') AS next_eom,
+           strftime(CAST(last_day(mstart) + INTERVAL 1 MONTH AS DATE),
+                    '%Y-%m-%d') AS eom_plus_month,
+           CAST(CAST(last_day(mstart) + INTERVAL 1 MONTH AS DATE)
+                <> last_day(nm) AS INT) AS sticky_drift,
+           CAST(EXTRACT(month FROM mstart) = 2
+                AND EXTRACT(day FROM eom) = 29 AS INT)
+             AS is_leap_feb,
+           CAST(eom - mstart + 1 AS BIGINT) AS span_days
+    FROM calc ORDER BY y, m
+    """,
+)
+def q_fn_eom_laws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-of-month calendar laws pinned cross-engine (the
+    q_fn_dow_portable / q_fn_intdiv_laws portability family) -- and a
+    REAL migration trap certified while building it: Spark >= 3.0's
+    add_months is overflow-clamp-ONLY (Feb 28 + 1 month = Mar 28),
+    matching DuckDB's + INTERVAL 1 MONTH -- the EOM-STICKY behavior
+    (Feb 28 + 1 -> Mar 31) existed only in legacy Spark 2.x, and a
+    pipeline migrated from it silently changes results. The key pins
+    the shared convention (eom_plus_month: Spark add_months vs DuckDB
+    interval-add, hash-equal by construction), the overflow clamp
+    itself (Jan 31 + 1 month = Feb 28/29 -- certified wherever the
+    fixture has a 31-day month), and sticky_drift flags exactly the
+    months where the legacy convention WOULD have differed (every
+    month shorter than its successor) so the migration diff is a
+    checked, enumerable law instead of a surprise.
+
+    Exactness: pure calendar arithmetic on DATE -- both engines
+    implement proleptic-Gregorian month math; datediff spans are exact
+    int64. No floats anywhere.
+
+    Plan: one month-keyed rollup of orders (map-side combined, bounded
+    by the date span) + row-local date functions. At 100 TB: one tiny
+    shuffle."""
+    months = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", "o_orderdate")
+            .cast("date")
+            .alias("mstart")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    calc = months.select(
+        "mstart",
+        "n_orders",
+        F.last_day("mstart").alias("eom"),
+        F.add_months("mstart", 1).alias("nm"),
+    )
+    return calc.select(
+        F.year("mstart").cast("long").alias("y"),
+        F.month("mstart").cast("long").alias("m"),
+        "n_orders",
+        F.date_format("eom", "yyyy-MM-dd").alias("eom"),
+        F.dayofmonth("eom").cast("long").alias("days_in_month"),
+        F.date_format(F.last_day("nm"), "yyyy-MM-dd").alias("next_eom"),
+        F.date_format(F.add_months(F.col("eom"), 1), "yyyy-MM-dd").alias(
+            "eom_plus_month"
+        ),
+        (F.add_months(F.col("eom"), 1) != F.last_day("nm"))
+        .cast("int")
+        .alias("sticky_drift"),
+        ((F.month("mstart") == 2) & (F.dayofmonth("eom") == 29))
+        .cast("int")
+        .alias("is_leap_feb"),
+        (F.datediff(F.col("eom"), F.col("mstart")) + 1)
+        .cast("long")
+        .alias("span_days"),
+    ).orderBy("y", "m")

@@ -1120,3 +1120,103 @@ def q_llm_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rk")
     )
+
+
+_VOCAB_K = 1000  # tokenizer vocabulary budget for the coverage audit
+
+
+@query(
+    "q_llm_vocab_coverage",
+    oracle=f"""
+    WITH lt AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), lang_term AS (
+      SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+      FROM lt GROUP BY lang, term
+    ), term_tot AS (
+      SELECT term, CAST(sum(c) AS BIGINT) AS ct
+      FROM lang_term GROUP BY term
+    ), vocab AS (
+      SELECT term FROM (
+        SELECT term,
+               row_number() OVER (ORDER BY ct DESC, term ASC) AS rk
+        FROM term_tot
+      ) WHERE rk <= {_VOCAB_K}
+    )
+    SELECT l.lang,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(l.c) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN v.term IS NOT NULL THEN l.c ELSE 0 END)
+                AS BIGINT) AS covered_tokens,
+           CAST((2000 * (sum(l.c)
+                         - sum(CASE WHEN v.term IS NOT NULL THEN l.c
+                               ELSE 0 END)) + sum(l.c))
+                // (2 * sum(l.c)) AS BIGINT) AS oov_permille
+    FROM lang_term l LEFT JOIN vocab v ON v.term = l.term
+    GROUP BY l.lang
+    ORDER BY l.lang
+    """,
+)
+def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage / OOV audit: build the top-1000 terms by
+    global occurrence count (deterministic tie-break: count desc, term
+    asc) and measure, per language, how much of the token stream that
+    vocabulary covers -- the budget check a tokenizer team runs before
+    fixing a vocab size (high OOV in a tail language means its text
+    will fragment into bytes/unks and train poorly).
+
+    Exactness: pure int64 occurrence counts; OOV rate as half-up
+    integer permille ((2000*oov + tot) // (2*tot), the house permille
+    law) -- no doubles anywhere.
+
+    Plan: ONE fact-sized shuffle builds the (lang,term) count
+    relation; term totals re-aggregate THAT (vocabulary-bounded, not
+    corpus-bounded); the top-K is orderBy+limit = TakeOrderedAndProject
+    (distributed partial top-K, never a single-partition window); the
+    coverage join broadcasts the 1000-term vocab. At 100 TB: one
+    string-keyed shuffle + one broadcast join."""
+    lt = t(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    # (lang,term) counts feed BOTH the vocab derivation and the
+    # coverage join; eager-checkpoint so the explode+count runs once.
+    lang_term = (
+        lt.groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    term_tot = lang_term.groupBy("term").agg(
+        F.sum("c").cast("long").alias("ct")
+    )
+    vocab = (
+        term_tot.orderBy(F.col("ct").desc(), F.col("term").asc())
+        .limit(_VOCAB_K)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    cov = F.sum(
+        F.when(F.col("in_vocab").isNotNull(), F.col("c")).otherwise(
+            F.lit(0)
+        )
+    ).cast("long")
+    tot = F.sum("c").cast("long")
+    return (
+        lang_term.join(F.broadcast(vocab), "term", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            tot.alias("total_tokens"),
+            cov.alias("covered_tokens"),
+        )
+        .select(
+            "lang",
+            "n_terms",
+            "total_tokens",
+            "covered_tokens",
+            F.expr(
+                "(2000 * (total_tokens - covered_tokens) + total_tokens)"
+                " DIV (2 * total_tokens)"
+            ).alias("oov_permille"),
+        )
+        .orderBy("lang")
+    )

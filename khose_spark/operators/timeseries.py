@@ -3000,3 +3000,125 @@ def q_ts_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_ts_pacf2",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ), idxd AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY d)
+               AS i
+      FROM daily
+    ), stats2 AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n, avg(x) AS m
+      FROM idxd GROUP BY event_type
+    ), centered AS (
+      SELECT i.event_type, i.i, i.x - s.m AS c, s.n
+      FROM idxd i JOIN stats2 s ON i.event_type = s.event_type
+    ), denom AS (
+      SELECT event_type, sum(c * c) AS ss FROM centered GROUP BY 1
+    ), rho AS (
+      SELECT a.event_type, g.lag,
+             sum(a.c * b.c) / max(d.ss) AS r,
+             max(a.n) AS n
+      FROM centered a
+      JOIN (SELECT unnest([1, 2]) AS lag) g ON true
+      JOIN centered b ON b.event_type = a.event_type
+                     AND b.i = a.i + g.lag
+      JOIN denom d ON d.event_type = a.event_type
+      GROUP BY a.event_type, g.lag
+    ), wide AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+             max(CASE WHEN lag = 1 THEN r END) AS r1,
+             max(CASE WHEN lag = 2 THEN r END) AS r2
+      FROM rho GROUP BY event_type
+    )
+    SELECT event_type, n_days, round(r1, 4) AS rho1,
+           round(r2, 4) AS rho2,
+           round((r2 - r1 * r1) / (1 - r1 * r1), 4) AS pacf2
+    FROM wide ORDER BY event_type
+    """,
+)
+def q_ts_pacf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lag 2 via the Durbin-Levinson closed
+    form phi_22 = (rho_2 - rho_1^2) / (1 - rho_1^2) -- the diagnostic
+    that separates a true AR(2) memory from lag-1 correlation echoing
+    through (rho_2 ~ rho_1^2 means NO direct lag-2 effect; pacf2 ~ 0).
+    Completes the identification trio: q_ts_acf reads raw correlation,
+    q_ts_ljung_box tests joint whiteness, this picks the AR order.
+
+    Determinism: the exact-DECIMAL daily rollup and the full-series-
+    denominator ACF estimator are IDENTICAL to q_ts_ljung_box (same
+    centered relation, same index-adjacency lag pairing), so both
+    engines fold the same doubles; rho feeds the Durbin-Levinson ratio
+    UNROUNDED, one round(4) per output.
+
+    Plan: one (type,day) rollup (the only fact-sized shuffle) + index
+    window + centered self-join on (type, i+lag) + per-type pivot to
+    one row -- everything post-rollup is days x types-bounded."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    idxd = daily.select(
+        "event_type",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .alias("i"),
+    ).localCheckpoint()
+    stats = idxd.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("x").alias("m")
+    )
+    centered = idxd.join(F.broadcast(stats), "event_type").select(
+        "event_type", "i", (F.col("x") - F.col("m")).alias("c"), "n"
+    )
+    denom = centered.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("c")).alias("ss")
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("lag")
+    )
+    a = centered.alias("a").crossJoin(F.broadcast(lags))
+    b = centered.alias("b")
+    rho = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.i") == F.col("a.i") + F.col("lag")),
+        )
+        .join(F.broadcast(denom.alias("d")), "event_type")
+        .groupBy(F.col("a.event_type").alias("event_type"), "lag")
+        .agg(
+            (F.sum(F.col("a.c") * F.col("b.c")) / F.max("d.ss")).alias(
+                "r"
+            ),
+            F.max("a.n").alias("n"),
+        )
+    )
+    wide = rho.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.max(F.when(F.col("lag") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("r"))).alias("r2"),
+    )
+    return wide.select(
+        "event_type",
+        "n_days",
+        F.round("r1", 4).alias("rho1"),
+        F.round("r2", 4).alias("rho2"),
+        F.round(
+            (F.col("r2") - F.col("r1") * F.col("r1"))
+            / (1 - F.col("r1") * F.col("r1")),
+            4,
+        ).alias("pacf2"),
+    ).orderBy("event_type")

@@ -63,6 +63,11 @@ BNLJ_ALLOWED = {
                                # cross for the a/b silhouette fold
     "q_ml_target_encoding",    # 1-row global-mean fold broadcast-
                                # crossed into the 5-category relation
+    "q_ml_info_gain",          # 1-row class-totals fold broadcast-
+                               # crossed into the 5-bin relation
+    "q_ts_pacf2",              # 2-row lag grid broadcast-crossed into
+                               # the centered per-type daily relation
+                               # (the ljung_box idiom)
     "q_ml_woe_iv",             # 1-row good/bad totals + 1-row IV fold
                                # broadcast-crossed into the 5-bin table
     "q_llm_mixture_temperature",  # 1-row normalizer fold broadcast-
@@ -204,6 +209,8 @@ MAX_SHUFFLES = {
                                   # SAME subtree re-shuffled for the
                                   # deviation pass (two passes by
                                   # design) + 1-row tails
+    "q_ts_pacf2": 10,             # audited 9: same chain as ljung_box
+                                  # plus the per-type 2-row lag pivot
     "q_ts_ljung_box": 9,          # audited 8: daily rollup + type
                                   # window + stats/denom aggs + lag
                                   # self-join + per-type folds — all
