@@ -2070,3 +2070,184 @@ def q_ml_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gain_ratio"
         ),
     )
+
+
+@query(
+    "q_ml_mcnemar",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) > 15000000 THEN 1 ELSE 0 END AS pa,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS pb
+      FROM orders
+    ), cells AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(sum(CASE WHEN pa = y THEN 1 ELSE 0 END) AS BIGINT)
+               AS correct_a,
+             CAST(sum(CASE WHEN pb = y THEN 1 ELSE 0 END) AS BIGINT)
+               AS correct_b
+      FROM scored
+    )
+    SELECT n, b, c,
+           (2000 * correct_a + n) // (2 * n) AS acc_a_permille,
+           (2000 * correct_b + n) // (2 * n) AS acc_b_permille,
+           round(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+                 / (b + c), 4) AS chi2_cc
+    FROM cells
+    """,
+)
+def q_ml_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for comparing two classifiers on the SAME rows --
+    the paired analogue of q_ml_chi2_ab (which compares independent
+    cohorts): only the DISCORDANT pairs carry signal (b = A right & B
+    wrong, c = A wrong & B right), chi2 with continuity correction
+    (|b-c|-1)^2/(b+c). The deterministic classifiers are the house
+    price-band stump vs the priority rule against the order-finished
+    target; both marginal accuracies ship as half-up integer permilles
+    so the test statistic is auditable against them.
+
+    Exactness: all cells fold in int64 in ONE pass; the statistic is
+    one double division of exact int64s, round-4.
+
+    Plan: one map-side-combined 1-row aggregate over orders. At
+    100 TB: one shuffle carrying 1 row per task."""
+    cents = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    scored = t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        F.when(cents > 15_000_000, 1).otherwise(0).alias("pa"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("pb"),
+    )
+    cells = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when((F.col("pa") == F.col("y")) & (F.col("pb") != F.col("y")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("b"),
+        F.sum(
+            F.when((F.col("pa") != F.col("y")) & (F.col("pb") == F.col("y")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(F.col("pa") == F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("correct_a"),
+        F.sum(F.when(F.col("pb") == F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("correct_b"),
+    )
+    return cells.select(
+        "n",
+        "b",
+        "c",
+        F.expr("(2000 * correct_a + n) DIV (2 * n)").alias(
+            "acc_a_permille"
+        ),
+        F.expr("(2000 * correct_b + n) DIV (2 * n)").alias(
+            "acc_b_permille"
+        ),
+        F.round(
+            (
+                (F.abs(F.col("b") - F.col("c")) - 1)
+                * (F.abs(F.col("b") - F.col("c")) - 1)
+            ).cast("double")
+            / (F.col("b") + F.col("c")),
+            4,
+        ).alias("chi2_cc"),
+    )
+
+
+@query(
+    "q_ml_odds_ratio_ci",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(sum(CASE WHEN l_discount > 0.05 AND l_returnflag = 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN l_discount > 0.05 AND l_returnflag <> 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN l_discount <= 0.05 AND l_returnflag = 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN l_discount <= 0.05 AND l_returnflag <> 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM lineitem
+    ), folded AS (
+      SELECT a, b, c, d,
+             ln((CAST(a AS DOUBLE) / CAST(b AS DOUBLE))
+                * (CAST(d AS DOUBLE) / CAST(c AS DOUBLE))) AS lor,
+             sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) AS se
+      FROM cells
+    )
+    SELECT a, b, c, d,
+           round(lor, 4) AS log_odds_ratio,
+           round(se, 4) AS se_log_or,
+           round(lor - 1.96 * se, 4) AS ci_lo_log,
+           round(lor + 1.96 * se, 4) AS ci_hi_log,
+           CAST(lor - 1.96 * se > 0 OR lor + 1.96 * se < 0 AS INT)
+             AS significant
+    FROM folded
+    """,
+)
+def q_ml_odds_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 odds ratio with the Wald log-scale confidence interval
+    (exposure = deep discount, outcome = returned) -- the epidemiology/
+    AB-testing effect-size primitive complementing q_ml_chi2_ab (which
+    only tests, never sizes). Reported ON THE LOG SCALE deliberately:
+    ln and sqrt on identical double inputs are the certified float
+    surface (the house ln posture; sqrt is IEEE-correctly-rounded),
+    while exp(ci) would add an uncertified libm call for zero
+    information -- a consumer exponentiates at display time.
+
+    Exactness: the four cells fold in int64 in ONE pass; the OR folds
+    as the explicitly-ordered chain (a/b)*(d/c) (r08 PMI law -- never
+    the int64 product a*d, which crosses 2^63 three decades out); SE's
+    four reciprocals sum in fixed written order; round-4 once per
+    output; the significance flag compares UNROUNDED bounds to zero.
+
+    Plan: one map-side-combined 1-row aggregate over lineitem. At
+    100 TB: one shuffle carrying 1 row per task."""
+    exposed = F.col("l_discount") > 0.05
+    ret = F.col("l_returnflag") == "R"
+    cells = t(spark, sf_dir, "lineitem").agg(
+        F.sum(F.when(exposed & ret, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(exposed & ~ret, 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~exposed & ret, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(~exposed & ~ret, 1).otherwise(0)).cast("long").alias("d"),
+    )
+    lor = F.log(
+        (F.col("a").cast("double") / F.col("b").cast("double"))
+        * (F.col("d").cast("double") / F.col("c").cast("double"))
+    )
+    se = F.sqrt(
+        1.0 / F.col("a") + 1.0 / F.col("b") + 1.0 / F.col("c") + 1.0 / F.col("d")
+    )
+    folded = cells.select(
+        "a", "b", "c", "d", lor.alias("lor"), se.alias("se")
+    )
+    return folded.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round("lor", 4).alias("log_odds_ratio"),
+        F.round("se", 4).alias("se_log_or"),
+        F.round(F.col("lor") - 1.96 * F.col("se"), 4).alias("ci_lo_log"),
+        F.round(F.col("lor") + 1.96 * F.col("se"), 4).alias("ci_hi_log"),
+        (
+            (F.col("lor") - 1.96 * F.col("se") > 0)
+            | (F.col("lor") + 1.96 * F.col("se") < 0)
+        )
+        .cast("int")
+        .alias("significant"),
+    )

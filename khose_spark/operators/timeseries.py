@@ -3122,3 +3122,150 @@ def q_ts_pacf2(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("pacf2"),
     ).orderBy("event_type")
+
+
+# cos/sin(2*pi*k/7) as shortest round-trip literals: both engines parse
+# the SAME decimal string to the SAME nearest double, so the weekly DFT
+# basis is bit-identical cross-engine with ZERO libm trig calls.
+_DFT7_COS = {
+    0: "1.0",
+    1: "0.6234898018587336",
+    2: "-0.22252093395631434",
+    3: "-0.900968867902419",
+    4: "-0.9009688679024191",
+    5: "-0.2225209339563146",
+    6: "0.6234898018587334",
+}
+_DFT7_SIN = {
+    0: "0.0",
+    1: "0.7818314824680298",
+    2: "0.9749279121818236",
+    3: "0.43388373911755823",
+    4: "-0.433883739117558",
+    5: "-0.9749279121818236",
+    6: "-0.7818314824680299",
+}
+
+
+def _dft7_case(col: str, table: dict) -> str:
+    arms = " ".join(
+        f"WHEN {k} THEN {v}" for k, v in sorted(table.items())
+    )
+    return f"CASE {col} % 7 {arms} END"
+
+
+@query(
+    "q_ts_dft_power",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+                 AS cents
+      FROM events GROUP BY 1, 2
+    ), idxd AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) - 1
+               AS i
+      FROM daily
+    ), stats2 AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM idxd GROUP BY event_type
+    ), folded AS (
+      SELECT x.event_type, max(st.n) AS n,
+             sum((CAST(x.cents AS DOUBLE)
+                  - CAST(st.s AS DOUBLE) / st.n)
+                 * ({_dft7_case("x.i", _DFT7_COS)})) AS cs,
+             sum((CAST(x.cents AS DOUBLE)
+                  - CAST(st.s AS DOUBLE) / st.n)
+                 * ({_dft7_case("x.i", _DFT7_SIN)})) AS sn,
+             sum((CAST(x.cents AS DOUBLE)
+                  - CAST(st.s AS DOUBLE) / st.n)
+                 * (CAST(x.cents AS DOUBLE)
+                    - CAST(st.s AS DOUBLE) / st.n)) AS ss
+      FROM idxd x JOIN stats2 st ON st.event_type = x.event_type
+      GROUP BY x.event_type
+    )
+    SELECT event_type, n AS n_days,
+           round(2.0 * sqrt(cs * cs + sn * sn) / n, 2)
+             AS weekly_amplitude_cents,
+           round((cs * cs + sn * sn) / (CAST(n AS DOUBLE) / 2) / ss, 6)
+             AS weekly_power_share
+    FROM folded ORDER BY event_type
+    """,
+)
+def q_ts_dft_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-bin discrete Fourier transform at the weekly frequency:
+    per event type, project the mean-centered daily series onto
+    cos/sin(2*pi*i/7) and report the implied weekly amplitude (cents)
+    and the share of total variance the weekly bin explains -- the
+    targeted periodogram question ("is there day-of-week structure,
+    how strong") that q_ts_seasonality answers by grouping and this
+    answers spectrally. Indexing is over observed days (the house
+    trading-day convention).
+
+    Determinism: the 14 basis values are shortest-round-trip DOUBLE
+    LITERALS keyed by i % 7 -- both engines parse the same string to
+    the same bits, so there is ZERO libm trig anywhere; projections
+    sum identical doubles (PSI posture) and both outputs are O(1)-
+    or cents-scale ratios where last-ulp noise sits ~10 orders below
+    the rounding grid (never raw 1e14-scale power, which round()
+    could NOT stabilize).
+
+    Plan: one (type,day) rollup (the only fact-sized shuffle) + index
+    window + one fold over the days x types-bounded relation."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    idxd = daily.select(
+        "event_type",
+        "cents",
+        (
+            F.row_number()
+            .over(Window.partitionBy("event_type").orderBy("d"))
+            - 1
+        ).alias("i"),
+    ).localCheckpoint()
+    stats = idxd.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    centered = F.col("cents").cast("double") - F.col("s").cast(
+        "double"
+    ) / F.col("n")
+    folded = (
+        idxd.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(centered * F.expr(_dft7_case("i", _DFT7_COS))).alias(
+                "cs"
+            ),
+            F.sum(centered * F.expr(_dft7_case("i", _DFT7_SIN))).alias(
+                "sn"
+            ),
+            F.sum(centered * centered).alias("ss"),
+        )
+    )
+    return folded.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(
+            2.0
+            * F.sqrt(F.col("cs") * F.col("cs") + F.col("sn") * F.col("sn"))
+            / F.col("n"),
+            2,
+        ).alias("weekly_amplitude_cents"),
+        F.round(
+            (F.col("cs") * F.col("cs") + F.col("sn") * F.col("sn"))
+            / (F.col("n").cast("double") / 2)
+            / F.col("ss"),
+            6,
+        ).alias("weekly_power_share"),
+    ).orderBy("event_type")

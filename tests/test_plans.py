@@ -209,6 +209,10 @@ MAX_SHUFFLES = {
                                   # SAME subtree re-shuffled for the
                                   # deviation pass (two passes by
                                   # design) + 1-row tails
+    "q_ts_dft_power": 6,          # audited 5: daily rollup + index
+                                  # window + stats agg + projection
+                                  # fold + final sort — post-rollup
+                                  # relations are days×types-bounded
     "q_ts_pacf2": 10,             # audited 9: same chain as ljung_box
                                   # plus the per-type 2-row lag pivot
     "q_ts_ljung_box": 9,          # audited 8: daily rollup + type
