@@ -1221,3 +1221,90 @@ def q_agg_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_zero_regs").cast("long").alias("n_zero_regs"),
         )
     )
+
+
+@query(
+    "q_agg_skyline_2d",
+    oracle="""
+    WITH pts AS (
+      SELECT p_size AS s,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS c
+      FROM part
+    ), flagged AS (
+      SELECT s, c,
+             max(s) OVER (ORDER BY c
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS best_cheaper,
+             max(s) OVER (PARTITION BY c) AS best_same_price
+      FROM pts
+    )
+    SELECT s AS size, c AS price_cents,
+           CAST(count(*) AS BIGINT) AS n_parts
+    FROM flagged
+    WHERE (best_cheaper IS NULL OR s > best_cheaper)
+      AND s = best_same_price
+    GROUP BY s, c
+    ORDER BY s
+    """,
+)
+def q_agg_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) over parts -- minimize price,
+    maximize size: the multi-criteria shortlist operator ("no other
+    part is both cheaper AND at least as large"). The textbook forms
+    are both 100 TB-fatal -- NOT EXISTS self-join is quadratic, the
+    cumulative-max window is a GLOBAL single-partition sort -- so the
+    registered plan exploits the BOUNDED dominance dimension instead:
+    roll up to per-size minimum price (one fact shuffle, <=50 rows),
+    take the suffix-min over sizes ABOVE each level (a window over the
+    50-row rollup, not the fact), and a point (s, m(s)) survives iff
+    no size above it reaches a price <= m(s). Works for any attribute
+    with bounded cardinality (sizes, ratings, tiers) -- the common
+    production case; the oracle certifies it against the completely
+    different direct-definition window form.
+
+    Exactness: pure int64 size/cents arithmetic; dominance strictness
+    (cheaper-OR-larger with ties surviving) is pinned by the two
+    formulations agreeing row-for-row.
+
+    Plan: one (size,cents) fact rollup + 50-row windows + broadcast
+    filter join. At 100 TB: one shuffle bounded by the (size x price)
+    domain, never the row count."""
+    pts = t(spark, sf_dir, "part").select(
+        F.col("p_size").alias("s"),
+        F.expr(
+            "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("c"),
+    )
+    # the only fact-sized shuffle: domain-bounded (size, cents) points
+    point_counts = (
+        pts.groupBy("s", "c")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .localCheckpoint()
+    )
+    per_size = point_counts.groupBy("s").agg(F.min("c").alias("mc"))
+    # suffix min over the <=50-row size ladder: cheapest price among
+    # all STRICTLY larger sizes (window input is the rollup, not facts)
+    w_above = (
+        Window.orderBy(F.col("s").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ladder = per_size.select(
+        "s", "mc", F.min("mc").over(w_above).alias("best_above")
+    )
+    sky = ladder.filter(
+        F.col("best_above").isNull()
+        | (F.col("best_above") > F.col("mc"))
+    ).select(F.col("s").alias("sky_s"), F.col("mc").alias("sky_mc"))
+    return (
+        point_counts.join(
+            F.broadcast(sky),
+            (F.col("s") == F.col("sky_s")) & (F.col("c") == F.col("sky_mc")),
+        )
+        .select(
+            F.col("s").alias("size"),
+            F.col("c").alias("price_cents"),
+            "n_parts",
+        )
+        .orderBy("size")
+    )

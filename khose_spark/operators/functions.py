@@ -971,3 +971,94 @@ def q_fn_eom_laws(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("span_days"),
     ).orderBy("y", "m")
+
+
+@query(
+    "q_fn_decimal_round_laws",
+    oracle="""
+    WITH grid AS (
+      SELECT DISTINCT o_orderkey % 400 AS k FROM orders
+    ), vals AS (
+      SELECT k,
+             CAST(CAST(k - 200 AS DECIMAL(15,0))
+                  * CAST(0.125 AS DECIMAL(4,3)) AS DECIMAL(18,3))
+               AS eighth,
+             CAST(CAST(k - 200 AS DECIMAL(15,0))
+                  * CAST(0.025 AS DECIMAL(4,3)) AS DECIMAL(18,3))
+               AS fortieth
+      FROM grid
+    )
+    SELECT k,
+           CAST(eighth AS VARCHAR) AS eighth,
+           CAST(CAST(round(eighth, 2) AS DECIMAL(18,2)) AS VARCHAR)
+             AS eighth_r2,
+           CAST(CAST(round(eighth, 0) AS DECIMAL(18,0)) AS VARCHAR)
+             AS eighth_r0,
+           CAST(fortieth AS VARCHAR) AS fortieth,
+           CAST(CAST(round(fortieth, 2) AS DECIMAL(18,2)) AS VARCHAR)
+             AS fortieth_r2,
+           CAST(CAST(round(CAST(eighth * eighth AS DECIMAL(18,6)), 2)
+                     AS DECIMAL(18,2)) AS VARCHAR) AS sq_r2
+    FROM vals ORDER BY k
+    """,
+)
+def q_fn_decimal_round_laws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL rounding laws pinned cross-engine on a data-derived tie
+    grid -- the hash-checked registration of the sqlutil money law the
+    whole repo leans on: k/8 and k/40 (k in -200..199) hit every
+    half-digit tie class (x.125, x.5, x.025, negatives included), and
+    both engines must round DECIMAL HALF-UP AWAY FROM ZERO (0.125 ->
+    0.13, -0.125 -> -0.13, -2.5 -> -3). This is exactly the convention
+    that DIVERGES on naked doubles (Spark rounds the shortest repr,
+    DuckDB scales raw binary -- sqlutil.py's documented trap), so the
+    key certifies both that decimals agree and that the repo's
+    decimal-before-round discipline rests on tested ground. The
+    squared column exercises precision-doubling products (6 dp) at the
+    same tie points.
+
+    Exactness: the grid is built by exact DECIMAL MULTIPLICATION
+    ((k-200) x 0.125 / x 0.025 -- 3 dp closes both), never division,
+    because decimal-division RESULT-SCALE rules are engine-specific
+    while multiplication scales add identically everywhere; every
+    output re-casts to a pinned scale before rendering so the hash
+    certifies the scale, not just the value.
+
+    Plan: one distinct over the 400-class key grid (map-side combined)
+    + row-local decimal arithmetic. Constant output at every SF."""
+    grid = (
+        t(spark, sf_dir, "orders")
+        .select((F.col("o_orderkey") % 400).alias("k"))
+        .distinct()
+    )
+    vals = grid.select(
+        "k",
+        F.expr(
+            "CAST(CAST(k - 200 AS DECIMAL(15,0))"
+            " * CAST(0.125 AS DECIMAL(4,3)) AS DECIMAL(18,3))"
+        ).alias("eighth"),
+        F.expr(
+            "CAST(CAST(k - 200 AS DECIMAL(15,0))"
+            " * CAST(0.025 AS DECIMAL(4,3)) AS DECIMAL(18,3))"
+        ).alias("fortieth"),
+    )
+    return vals.select(
+        "k",
+        F.col("eighth").cast("string").alias("eighth"),
+        F.round("eighth", 2).cast("decimal(18,2)").cast("string").alias(
+            "eighth_r2"
+        ),
+        F.round("eighth", 0).cast("decimal(18,0)").cast("string").alias(
+            "eighth_r0"
+        ),
+        F.col("fortieth").cast("string").alias("fortieth"),
+        F.round("fortieth", 2)
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("fortieth_r2"),
+        F.round(
+            (F.col("eighth") * F.col("eighth")).cast("decimal(18,6)"), 2
+        )
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("sq_r2"),
+    ).orderBy("k")
