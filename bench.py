@@ -113,6 +113,19 @@ HEADLINE = [
     "q_llm_incremental_dedup",
     "q_join_asof_nearest",
     "q_agg_spearman",
+    # Round-8 family representatives (observability audits, spatial
+    # joins, applyInPandas DP, URL canonicalization, one-pass bootstrap,
+    # vocabulary coverage, reconciliation, skyline, spectral, Shapley):
+    "q_agg_hll_audit",
+    "q_join_geo_knn",
+    "q_ts_dtw",
+    "q_llm_url_dedup",
+    "q_ml_poisson_bootstrap",
+    "q_llm_vocab_coverage",
+    "q_dq_reconciliation",
+    "q_agg_skyline_2d",
+    "q_ts_dft_power",
+    "q_ml_shapley_2f",
 ]
 
 
