@@ -845,12 +845,14 @@ def q_llm_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                    regexp_replace(
                      regexp_replace(
                        regexp_replace(
-                         regexp_replace(lower(url), '#.*$', '', 'g'),
-                         '^https://www\\.', '', 'g'),
-                       '^https://', '', 'g'),
-                     ':443', '', 'g'),
-                   '&utm_[^&#]*', '', 'g'),
-                 '\\?utm_[^&#]*&', '?', 'g'),
+                         regexp_replace(
+                           regexp_replace(lower(url), '#.*$', '', 'g'),
+                           '^https://www\\.', '', 'g'),
+                         '^https://', '', 'g'),
+                       '^([^/?:]*):443', '\\1', 'g'),
+                     '&utm_[a-z]+=[^&#]*', '', 'g'),
+                   '\\?utm_[a-z]+=[^&#]*&', '?', 'g'),
+                 '\\?utm_[a-z]+=[^&#]*$', '', 'g'),
                '/\\?', '?', 'g') AS curl
       FROM raws
     )
@@ -874,7 +876,11 @@ def q_llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp_replace chain: drop fragment, strip scheme + ``www.``,
     strip default port, remove utm params (mid-list then head
     position, repairing the ``?``/``&`` separator), collapse ``/?`` —
-    must fold both variants to ONE canonical key.  The per-host audit
+    must fold both variants to ONE canonical key (the port strip is
+    authority-anchored and utm matching requires the full
+    ``utm_<name>=`` shape in mid/head/sole positions — ADVICE r08, so
+    the chain is a correct reusable contract, not just
+    fixture-correct).  The per-host audit
     (raw count, canonical count, dup count) certifies exactly that:
     n_dups = n_raw/2 iff the canonicalizer is correct on every row.
     DuckDB replays the identical chain with the ``g`` flag (Spark's
@@ -913,14 +919,22 @@ def q_llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("url"),
     )
+    # Canonicalization chain hardened per ADVICE r08 item 4: the port
+    # strip is ANCHORED to the authority (a literal ':443' elsewhere in
+    # the path/query must survive; Spark backrefs are $1, DuckDB's \1 —
+    # same RE semantics), and utm removal matches FULL param names
+    # (utm_[a-z]+=) in all three positions — mid-list, head-with-
+    # successor, and sole-param — so a non-tracking param that merely
+    # starts with 'utm' is never deleted.
     curl = F.lower(F.col("url"))
     for pat, repl in (
         ("#.*$", ""),
         ("^https://www\\.", ""),
         ("^https://", ""),
-        (":443", ""),
-        ("&utm_[^&#]*", ""),
-        ("\\?utm_[^&#]*&", "?"),
+        ("^([^/?:]*):443", "$1"),
+        ("&utm_[a-z]+=[^&#]*", ""),
+        ("\\?utm_[a-z]+=[^&#]*&", "?"),
+        ("\\?utm_[a-z]+=[^&#]*$", ""),
         ("/\\?", "?"),
     ):
         curl = F.regexp_replace(curl, pat, repl)

@@ -1481,14 +1481,21 @@ def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(f1_permille AS BIGINT) AS f1_permille
     FROM scored
     UNION ALL
+    -- macro averages divide by the count of DEFINED per-class scores
+    -- (count(col) skips NULL permilles exactly as sum(col) does), so a
+    -- class that is never predicted no longer biases macro precision
+    -- low (ADVICE r08 item 2); the CASE guards the all-NULL edge.
     SELECT '__macro__', CAST(sum(tp) AS BIGINT), CAST(sum(fp) AS BIGINT),
            CAST(sum(fn) AS BIGINT), CAST(sum(support) AS BIGINT),
-           CAST((2 * sum(p_permille) + count(*))
-                // (2 * count(*)) AS BIGINT),
-           CAST((2 * sum(r_permille) + count(*))
-                // (2 * count(*)) AS BIGINT),
-           CAST((2 * sum(f1_permille) + count(*))
-                // (2 * count(*)) AS BIGINT)
+           CAST(CASE WHEN count(p_permille) > 0 THEN
+                (2 * sum(p_permille) + count(p_permille))
+                // (2 * count(p_permille)) END AS BIGINT),
+           CAST(CASE WHEN count(r_permille) > 0 THEN
+                (2 * sum(r_permille) + count(r_permille))
+                // (2 * count(r_permille)) END AS BIGINT),
+           CAST(CASE WHEN count(f1_permille) > 0 THEN
+                (2 * sum(f1_permille) + count(f1_permille))
+                // (2 * count(f1_permille)) END AS BIGINT)
     FROM scored
     """,
 )
@@ -1509,8 +1516,11 @@ def q_ml_confusion_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual ∪ pred — the row-universe-by-construction rule from the
     burstiness advice), and every permille is the half-up integer form
     ``(2000·tp + d) // (2d)``.  The macro row averages the per-class
-    permilles with the same half-up integer division — no doubles
-    anywhere in the key.
+    permilles with the same half-up integer division over the count of
+    DEFINED scores (classes whose permille is NULL — never predicted /
+    never actual — are excluded from both numerator and denominator,
+    the standard macro convention; ADVICE r08) — no doubles anywhere
+    in the key.
 
     Plan: one window over customer order history (partition-bounded,
     ~10 rows per customer at every SF), one 25-cell aggregate, then
@@ -1600,6 +1610,10 @@ def q_ml_confusion_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("f1_permille"),
     )
+    # Macro denominators count DEFINED per-class scores only (count(col)
+    # skips the NULL permilles of never-predicted classes, matching what
+    # sum(col) folds — ADVICE r08 item 2), CASE-guarded for the all-NULL
+    # edge so both engines return NULL rather than divide by zero.
     macro = scored.agg(
         F.lit("__macro__").alias("label"),
         F.sum("tp").alias("tp"),
@@ -1607,13 +1621,19 @@ def q_ml_confusion_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("fn").alias("fn"),
         F.sum("support").alias("support"),
         F.expr(
-            "(2 * sum(p_permille) + count(1)) div (2 * count(1))"
+            "CASE WHEN count(p_permille) > 0 THEN"
+            " (2 * sum(p_permille) + count(p_permille))"
+            " div (2 * count(p_permille)) END"
         ).alias("p_permille"),
         F.expr(
-            "(2 * sum(r_permille) + count(1)) div (2 * count(1))"
+            "CASE WHEN count(r_permille) > 0 THEN"
+            " (2 * sum(r_permille) + count(r_permille))"
+            " div (2 * count(r_permille)) END"
         ).alias("r_permille"),
         F.expr(
-            "(2 * sum(f1_permille) + count(1)) div (2 * count(1))"
+            "CASE WHEN count(f1_permille) > 0 THEN"
+            " (2 * sum(f1_permille) + count(f1_permille))"
+            " div (2 * count(f1_permille)) END"
         ).alias("f1_permille"),
     )
     return scored.unionByName(macro)

@@ -1588,7 +1588,13 @@ def q_ml_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       FROM events
     ), rollup AS (
-      SELECT event_type, d, CAST(sum(cents) // 100 AS BIGINT) AS v
+      -- floor-consistent dollars: subtract the nonnegative remainder
+      -- first, so the division is exact and engine rounding modes
+      -- (DuckDB // floors, Spark DIV truncates) can never diverge on
+      -- a negative (type, day) sum (ADVICE r08 item 1)
+      SELECT event_type, d,
+             CAST((sum(cents) - ((sum(cents) % 100) + 100) % 100)
+                  // 100 AS BIGINT) AS v
       FROM ev GROUP BY 1, 2
     ), days AS (SELECT DISTINCT d FROM ev
     ), types AS (SELECT DISTINCT event_type FROM ev
@@ -1662,7 +1668,10 @@ def q_ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     added regressor.
 
     Exactness: the series carrier is whole DOLLARS per (type, day) —
-    exact int64 (DECIMAL-cents sum // 100), zero-filled on the
+    exact int64 (DECIMAL-cents sum, floor-divided by 100 via the
+    remainder-stripped form (s − pmod(s,100)) / 100 so Spark's
+    truncating DIV and DuckDB's flooring // agree even on negative
+    sums — ADVICE r08), zero-filled on the
     day × type spine derived from the SAME scan in both engines (the
     row-universe-by-construction rule).  All nine sufficient
     statistics per pair are exact integer sums (Σv² ≈ 3e12 at the 100×
@@ -1683,8 +1692,14 @@ def q_ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
+    # Floor-consistent dollars (ADVICE r08 item 1): Spark DIV truncates
+    # toward zero while DuckDB // floors, so both sides first strip the
+    # nonnegative remainder (pmod) and divide the exactly-divisible
+    # value — truncation == floor by construction, sign-independent.
     rollup = ev.groupBy("event_type", "d").agg(
-        F.expr("CAST(sum(cents) DIV 100 AS BIGINT)").alias("v")
+        F.expr(
+            "CAST((sum(cents) - pmod(sum(cents), 100)) DIV 100 AS BIGINT)"
+        ).alias("v")
     )
     days = ev.select("d").distinct()
     types = ev.select("event_type").distinct()
@@ -2207,9 +2222,14 @@ _TE_SMOOTH = 100  # smoothing pseudo-count m in (S + m*global_mean)/(n + m)
     )
     SELECT p.cat, p.n,
            round(CAST(p.s AS DOUBLE) / p.n, 2) AS mean_cents,
-           round(CAST(p.s - p.y_max AS DOUBLE) / (p.n - 1), 2)
+           -- LOO is undefined for singleton categories: guard n > 1 so
+           -- both engines agree on NULL instead of Spark-NULL-vs-
+           -- DuckDB-Infinity on 0/0 (ADVICE r08 item 5)
+           CASE WHEN p.n > 1 THEN
+             round(CAST(p.s - p.y_max AS DOUBLE) / (p.n - 1), 2) END
              AS loo_min_cents,
-           round(CAST(p.s - p.y_min AS DOUBLE) / (p.n - 1), 2)
+           CASE WHEN p.n > 1 THEN
+             round(CAST(p.s - p.y_min AS DOUBLE) / (p.n - 1), 2) END
              AS loo_max_cents,
            round((CAST(p.s AS DOUBLE)
                   + {_TE_SMOOTH} * (CAST(g.sg AS DOUBLE) / g.ng))
@@ -2237,7 +2257,10 @@ def q_ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: S folds in int64 centicents (~6e13 per category at
     100x, five digits of headroom at 1000x); every output is one
-    double division of exact int64s, round-2.
+    double division of exact int64s, round-2.  LOO columns are
+    CASE-guarded to n > 1 (a singleton category's LOO is 0/0 —
+    Spark returns NULL, recent DuckDB returns Infinity; the guard
+    makes the engines agree by construction, ADVICE r08).
 
     Plan: one map-side-combined 5-group aggregate over orders + a
     5-row re-fold for the global mean, broadcast-crossed back. At
@@ -2273,15 +2296,24 @@ def q_ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s").cast("double") / F.col("n"), 2).alias(
                 "mean_cents"
             ),
-            F.round(
-                (F.col("s") - F.col("y_max")).cast("double")
-                / (F.col("n") - 1),
-                2,
+            # n > 1 guard: a singleton category's LOO mean is undefined
+            # (0/0) — Spark yields NULL but DuckDB yields Infinity, so
+            # pin NULL explicitly on both sides (ADVICE r08 item 5).
+            F.when(
+                F.col("n") > 1,
+                F.round(
+                    (F.col("s") - F.col("y_max")).cast("double")
+                    / (F.col("n") - 1),
+                    2,
+                ),
             ).alias("loo_min_cents"),
-            F.round(
-                (F.col("s") - F.col("y_min")).cast("double")
-                / (F.col("n") - 1),
-                2,
+            F.when(
+                F.col("n") > 1,
+                F.round(
+                    (F.col("s") - F.col("y_min")).cast("double")
+                    / (F.col("n") - 1),
+                    2,
+                ),
             ).alias("loo_max_cents"),
             F.round(
                 (

@@ -2795,24 +2795,34 @@ def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS d,
-             CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS x
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS cents
       FROM events GROUP BY 1, 2
     ), idxd AS (
-      SELECT event_type, x,
+      SELECT event_type, cents,
              row_number() OVER (PARTITION BY event_type ORDER BY d)
                AS i
       FROM daily
     ), stats2 AS (
-      SELECT event_type, CAST(count(*) AS BIGINT) AS n, avg(x) AS m
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
       FROM idxd GROUP BY event_type
     ), centered AS (
-      SELECT i.event_type, i.i, i.x - s.m AS c, s.n, s.m
+      -- u_i = n*x_i - S: the mean-centered series scaled by n, an
+      -- EXACT int64 (the n^2 factors cancel in every rho ratio)
+      SELECT i.event_type, i.i,
+             CAST(s.n * i.cents - s.s AS BIGINT) AS u, s.n
       FROM idxd i JOIN stats2 s ON i.event_type = s.event_type
     ), denom AS (
-      SELECT event_type, sum(c * c) AS ss FROM centered GROUP BY 1
+      SELECT event_type,
+             sum(CAST(u AS DECIMAL(19,0)) * CAST(u AS DECIMAL(19,0)))
+               AS ssu
+      FROM centered GROUP BY 1
     ), rho AS (
       SELECT a.event_type, g.lag,
-             sum(a.c * b.c) / max(d.ss) AS r,
+             CAST(sum(CAST(a.u AS DECIMAL(19,0))
+                      * CAST(b.u AS DECIMAL(19,0))) AS DOUBLE)
+               / CAST(max(d.ssu) AS DOUBLE) AS r,
              max(a.n) AS n
       FROM centered a
       JOIN (SELECT unnest([1, 2, 3]) AS lag) g ON true
@@ -2820,11 +2830,18 @@ def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AND b.i = a.i + g.lag
       JOIN denom d ON d.event_type = a.event_type
       GROUP BY a.event_type, g.lag
+    ), wide AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             max(CASE WHEN lag = 1 THEN r END) AS r1,
+             max(CASE WHEN lag = 2 THEN r END) AS r2,
+             max(CASE WHEN lag = 3 THEN r END) AS r3
+      FROM rho GROUP BY event_type
     )
-    SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
-           round(max(n) * (max(n) + 2.0)
-                 * sum(r * r / (n - lag)), 4) AS q_lb
-    FROM rho GROUP BY event_type
+    SELECT event_type, n AS n_days,
+           round(n * (n + 2.0)
+                 * (r1 * r1 / (n - 1) + r2 * r2 / (n - 2)
+                    + r3 * r3 / (n - 3)), 4) AS q_lb
+    FROM wide
     """,
 )
 def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2837,40 +2854,52 @@ def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     index adjacency over OBSERVED days — the trading-day convention
     shared with q_ts_bollinger).
 
-    Determinism: the series collapses to exact DECIMAL(28,2) daily
-    sums first, so both engines center and fold IDENTICAL doubles
-    over the identical ≤720-row-per-type relation; lag pairing is
-    integer index equality; one round(4) at the end (the q_ts_acf
-    continuity posture).
+    Determinism (exact-carrier form, ADVICE r08 item 3): the series
+    collapses to exact int64 daily CENTS; centering is carried as
+    u_i = n·x_i − S — an exact int64 (|u| ≲ n·x_max ≈ 5e11 at 1000×)
+    whose implicit 1/n scale cancels in every ρ ratio — and both the
+    lag numerators Σu_i·u_{i+k} and the denominator Σu² fold in
+    DECIMAL(38,0) (≈2.5e23 per term at 1000×, 14 orders inside the
+    38-digit carrier).  Each ρ_k is then ONE double ratio of two
+    exact decimals, and Q folds the 3 ρ² terms in a FIXED pivoted
+    expression order — no order-sensitive double accumulation
+    anywhere, so round(4) is guaranteed stable, not probabilistic.
 
     Plan: one (type,day) rollup — the only fact-sized shuffle — then
-    index window, centered self-join on (type, i+lag) and a ≤3-row
-    per-type fold, all on the days×types-bounded rollup.  At 100 TB
+    index window, u self-join on (type, i+lag) and a ≤3-row
+    per-type pivot, all on the days×types-bounded rollup.  At 100 TB
     the rollup is kilobytes; everything after it broadcasts."""
     daily = (
         t(spark, sf_dir, "events")
         .groupBy("event_type", F.col("ts").cast("date").alias("d"))
         .agg(
-            F.sum(F.col("value").cast("decimal(28,2)"))
-            .cast("double")
-            .alias("x")
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("cents")
         )
     )
     idxd = daily.select(
         "event_type",
-        "x",
+        "cents",
         F.row_number()
         .over(Window.partitionBy("event_type").orderBy("d"))
         .alias("i"),
     ).localCheckpoint()
     stats = idxd.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.avg("x").alias("m")
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("s"),
     )
     centered = idxd.join(F.broadcast(stats), "event_type").select(
-        "event_type", "i", (F.col("x") - F.col("m")).alias("c"), "n"
+        "event_type",
+        "i",
+        (F.col("n") * F.col("cents") - F.col("s"))
+        .cast("long")
+        .alias("u"),
+        "n",
     )
+    udec = F.col("u").cast("decimal(19,0)")
     denom = centered.groupBy("event_type").agg(
-        F.sum(F.col("c") * F.col("c")).alias("ss")
+        F.sum(udec * udec).alias("ssu")
     )
     lags = spark.range(1).select(
         F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("lag")
@@ -2887,25 +2916,33 @@ def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.event_type").alias("event_type"), "lag")
         .agg(
             (
-                F.sum(F.col("a.c") * F.col("b.c")) / F.max("d.ss")
+                F.sum(
+                    F.col("a.u").cast("decimal(19,0)")
+                    * F.col("b.u").cast("decimal(19,0)")
+                ).cast("double")
+                / F.max("d.ssu").cast("double")
             ).alias("r"),
             F.max("a.n").alias("n"),
         )
     )
-    # Per-lag term BEFORE the fold: Spark (correctly) rejects
-    # max(n) inside sum(); n is constant per type so the row-level
-    # n is the same value.
-    terms = rho.select(
-        "event_type",
-        "n",
-        (F.col("r") * F.col("r") / (F.col("n") - F.col("lag"))).alias(
-            "term"
-        ),
+    # Pivot the 3 lags to columns so the Q fold is a FIXED expression
+    # tree (t1 + t2 + t3), not an order-unpinned 3-row sum().
+    wide = rho.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(F.when(F.col("lag") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("r"))).alias("r2"),
+        F.max(F.when(F.col("lag") == 3, F.col("r"))).alias("r3"),
     )
-    return terms.groupBy("event_type").agg(
-        F.max("n").cast("long").alias("n_days"),
+    q_terms = (
+        F.col("r1") * F.col("r1") / (F.col("n") - 1)
+        + F.col("r2") * F.col("r2") / (F.col("n") - 2)
+        + F.col("r3") * F.col("r3") / (F.col("n") - 3)
+    )
+    return wide.select(
+        "event_type",
+        F.col("n").alias("n_days"),
         F.round(
-            F.max("n") * (F.max("n") + F.lit(2.0)) * F.sum("term"), 4
+            F.col("n") * (F.col("n") + F.lit(2.0)) * q_terms, 4
         ).alias("q_lb"),
     )
 
@@ -3007,24 +3044,33 @@ def q_ts_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS d,
-             CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS x
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS cents
       FROM events GROUP BY 1, 2
     ), idxd AS (
-      SELECT event_type, x,
+      SELECT event_type, cents,
              row_number() OVER (PARTITION BY event_type ORDER BY d)
                AS i
       FROM daily
     ), stats2 AS (
-      SELECT event_type, CAST(count(*) AS BIGINT) AS n, avg(x) AS m
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
       FROM idxd GROUP BY event_type
     ), centered AS (
-      SELECT i.event_type, i.i, i.x - s.m AS c, s.n
+      -- u_i = n*x_i - S, exact int64; the n^2 scale cancels in rho
+      SELECT i.event_type, i.i,
+             CAST(s.n * i.cents - s.s AS BIGINT) AS u, s.n
       FROM idxd i JOIN stats2 s ON i.event_type = s.event_type
     ), denom AS (
-      SELECT event_type, sum(c * c) AS ss FROM centered GROUP BY 1
+      SELECT event_type,
+             sum(CAST(u AS DECIMAL(19,0)) * CAST(u AS DECIMAL(19,0)))
+               AS ssu
+      FROM centered GROUP BY 1
     ), rho AS (
       SELECT a.event_type, g.lag,
-             sum(a.c * b.c) / max(d.ss) AS r,
+             CAST(sum(CAST(a.u AS DECIMAL(19,0))
+                      * CAST(b.u AS DECIMAL(19,0))) AS DOUBLE)
+               / CAST(max(d.ssu) AS DOUBLE) AS r,
              max(a.n) AS n
       FROM centered a
       JOIN (SELECT unnest([1, 2]) AS lag) g ON true
@@ -3052,39 +3098,48 @@ def q_ts_pacf2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Completes the identification trio: q_ts_acf reads raw correlation,
     q_ts_ljung_box tests joint whiteness, this picks the AR order.
 
-    Determinism: the exact-DECIMAL daily rollup and the full-series-
-    denominator ACF estimator are IDENTICAL to q_ts_ljung_box (same
-    centered relation, same index-adjacency lag pairing), so both
-    engines fold the same doubles; rho feeds the Durbin-Levinson ratio
-    UNROUNDED, one round(4) per output.
+    Determinism (exact-carrier form, ADVICE r08 item 3 — shared with
+    q_ts_ljung_box): daily series as exact int64 CENTS, centering
+    carried as u_i = n·x_i − S (exact int64, scale cancels), lag
+    numerators and the Σu² denominator folded in DECIMAL(38,0), each
+    ρ one double ratio of exact decimals; ρ feeds the
+    Durbin-Levinson ratio UNROUNDED, one round(4) per output —
+    nothing order-sensitive remains.
 
     Plan: one (type,day) rollup (the only fact-sized shuffle) + index
-    window + centered self-join on (type, i+lag) + per-type pivot to
+    window + u self-join on (type, i+lag) + per-type pivot to
     one row -- everything post-rollup is days x types-bounded."""
     daily = (
         t(spark, sf_dir, "events")
         .groupBy("event_type", F.col("ts").cast("date").alias("d"))
         .agg(
-            F.sum(F.col("value").cast("decimal(28,2)"))
-            .cast("double")
-            .alias("x")
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("cents")
         )
     )
     idxd = daily.select(
         "event_type",
-        "x",
+        "cents",
         F.row_number()
         .over(Window.partitionBy("event_type").orderBy("d"))
         .alias("i"),
     ).localCheckpoint()
     stats = idxd.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.avg("x").alias("m")
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("s"),
     )
     centered = idxd.join(F.broadcast(stats), "event_type").select(
-        "event_type", "i", (F.col("x") - F.col("m")).alias("c"), "n"
+        "event_type",
+        "i",
+        (F.col("n") * F.col("cents") - F.col("s"))
+        .cast("long")
+        .alias("u"),
+        "n",
     )
+    udec = F.col("u").cast("decimal(19,0)")
     denom = centered.groupBy("event_type").agg(
-        F.sum(F.col("c") * F.col("c")).alias("ss")
+        F.sum(udec * udec).alias("ssu")
     )
     lags = spark.range(1).select(
         F.explode(F.array(F.lit(1), F.lit(2))).alias("lag")
@@ -3100,9 +3155,13 @@ def q_ts_pacf2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(denom.alias("d")), "event_type")
         .groupBy(F.col("a.event_type").alias("event_type"), "lag")
         .agg(
-            (F.sum(F.col("a.c") * F.col("b.c")) / F.max("d.ss")).alias(
-                "r"
-            ),
+            (
+                F.sum(
+                    F.col("a.u").cast("decimal(19,0)")
+                    * F.col("b.u").cast("decimal(19,0)")
+                ).cast("double")
+                / F.max("d.ssu").cast("double")
+            ).alias("r"),
             F.max("a.n").alias("n"),
         )
     )
@@ -3147,11 +3206,13 @@ _DFT7_SIN = {
 }
 
 
-def _dft7_case(col: str, table: dict) -> str:
-    arms = " ".join(
-        f"WHEN {k} THEN {v}" for k, v in sorted(table.items())
+def _dft7_dot(prefix: str, table: dict) -> str:
+    """Fixed left-to-right 7-term dot product of the exact per-residue
+    bins against the literal basis — the SAME expression tree in both
+    engines, so there is no order-sensitive accumulation at all."""
+    return " + ".join(
+        f"CAST({prefix}{k} AS DOUBLE) * ({table[k]})" for k in range(7)
     )
-    return f"CASE {col} % 7 {arms} END"
 
 
 @query(
@@ -3171,27 +3232,35 @@ def _dft7_case(col: str, table: dict) -> str:
       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(cents) AS BIGINT) AS s
       FROM idxd GROUP BY event_type
-    ), folded AS (
-      SELECT x.event_type, max(st.n) AS n,
-             sum((CAST(x.cents AS DOUBLE)
-                  - CAST(st.s AS DOUBLE) / st.n)
-                 * ({_dft7_case("x.i", _DFT7_COS)})) AS cs,
-             sum((CAST(x.cents AS DOUBLE)
-                  - CAST(st.s AS DOUBLE) / st.n)
-                 * ({_dft7_case("x.i", _DFT7_SIN)})) AS sn,
-             sum((CAST(x.cents AS DOUBLE)
-                  - CAST(st.s AS DOUBLE) / st.n)
-                 * (CAST(x.cents AS DOUBLE)
-                    - CAST(st.s AS DOUBLE) / st.n)) AS ss
+    ), scaled AS (
+      -- u_i = n*x_i - S (exact int64; the 1/n scale cancels at the end)
+      SELECT x.event_type, x.i % 7 AS j,
+             CAST(st.n * x.cents - st.s AS BIGINT) AS u, st.n
       FROM idxd x JOIN stats2 st ON st.event_type = x.event_type
-      GROUP BY x.event_type
+    ), bins AS (
+      SELECT event_type, max(n) AS n,
+             {", ".join(
+                 f"CAST(sum(CASE WHEN j = {k} THEN u ELSE 0 END)"
+                 f" AS BIGINT) AS w{k}" for k in range(7)
+             )},
+             sum(CAST(u AS DECIMAL(19,0)) * CAST(u AS DECIMAL(19,0)))
+               AS ssu
+      FROM scaled GROUP BY event_type
+    ), proj AS (
+      SELECT event_type, n,
+             {_dft7_dot("w", _DFT7_COS)} AS ncs,
+             {_dft7_dot("w", _DFT7_SIN)} AS nsn,
+             CAST(ssu AS DOUBLE) AS nss
+      FROM bins
     )
     SELECT event_type, n AS n_days,
-           round(2.0 * sqrt(cs * cs + sn * sn) / n, 2)
+           round(2.0 * sqrt(ncs * ncs + nsn * nsn)
+                 / (CAST(n AS DOUBLE) * n), 2)
              AS weekly_amplitude_cents,
-           round((cs * cs + sn * sn) / (CAST(n AS DOUBLE) / 2) / ss, 6)
+           round((ncs * ncs + nsn * nsn) / (CAST(n AS DOUBLE) / 2)
+                 / nss, 6)
              AS weekly_power_share
-    FROM folded ORDER BY event_type
+    FROM proj ORDER BY event_type
     """,
 )
 def q_ts_dft_power(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3204,16 +3273,18 @@ def q_ts_dft_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     answers spectrally. Indexing is over observed days (the house
     trading-day convention).
 
-    Determinism: the 14 basis values are shortest-round-trip DOUBLE
-    LITERALS keyed by i % 7 -- both engines parse the same string to
-    the same bits, so there is ZERO libm trig anywhere; projections
-    sum identical doubles (PSI posture) and both outputs are O(1)-
-    or cents-scale ratios where last-ulp noise sits ~10 orders below
-    the rounding grid (never raw 1e14-scale power, which round()
-    could NOT stabilize).
+    Determinism (exact-carrier form, ADVICE r08 item 3): the 14 basis
+    values are shortest-round-trip DOUBLE LITERALS keyed by i % 7 --
+    both engines parse the same string to the same bits, ZERO libm
+    trig anywhere.  The centered series is carried as u_i = n·x_i − S
+    (exact int64) and FIRST folded into the 7 per-residue integer
+    bins w_j = Σ_(i≡j mod 7) u_i (exact; ≈5e13 at 1000×), so each
+    projection is a FIXED 7-term literal dot product — no
+    order-sensitive double accumulation survives anywhere; Σu² folds
+    in DECIMAL(38,0).  The 1/n scale cancels in both outputs.
 
     Plan: one (type,day) rollup (the only fact-sized shuffle) + index
-    window + one fold over the days x types-bounded relation."""
+    window + one 7-bin fold over the days x types-bounded relation."""
     daily = (
         t(spark, sf_dir, "events")
         .groupBy("event_type", F.col("ts").cast("date").alias("d"))
@@ -3236,36 +3307,56 @@ def q_ts_dft_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").cast("long").alias("s"),
     )
-    centered = F.col("cents").cast("double") - F.col("s").cast(
-        "double"
-    ) / F.col("n")
-    folded = (
-        idxd.join(F.broadcast(stats), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.max("n").alias("n"),
-            F.sum(centered * F.expr(_dft7_case("i", _DFT7_COS))).alias(
-                "cs"
-            ),
-            F.sum(centered * F.expr(_dft7_case("i", _DFT7_SIN))).alias(
-                "sn"
-            ),
-            F.sum(centered * centered).alias("ss"),
-        )
+    scaled = idxd.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        (F.col("i") % 7).alias("j"),
+        (F.col("n") * F.col("cents") - F.col("s"))
+        .cast("long")
+        .alias("u"),
+        "n",
     )
-    return folded.select(
+    udec = F.col("u").cast("decimal(19,0)")
+    bins = scaled.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        *[
+            F.sum(F.when(F.col("j") == k, F.col("u")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"w{k}")
+            for k in range(7)
+        ],
+        F.sum(udec * udec).alias("ssu"),
+    )
+
+    def dot(table: dict):
+        out = F.col("w0").cast("double") * F.lit(float(table[0]))
+        for k in range(1, 7):
+            out = out + F.col(f"w{k}").cast("double") * F.lit(
+                float(table[k])
+            )
+        return out
+
+    proj = bins.select(
+        "event_type",
+        "n",
+        dot(_DFT7_COS).alias("ncs"),
+        dot(_DFT7_SIN).alias("nsn"),
+        F.col("ssu").cast("double").alias("nss"),
+    )
+    return proj.select(
         "event_type",
         F.col("n").alias("n_days"),
         F.round(
             2.0
-            * F.sqrt(F.col("cs") * F.col("cs") + F.col("sn") * F.col("sn"))
-            / F.col("n"),
+            * F.sqrt(
+                F.col("ncs") * F.col("ncs") + F.col("nsn") * F.col("nsn")
+            )
+            / (F.col("n").cast("double") * F.col("n")),
             2,
         ).alias("weekly_amplitude_cents"),
         F.round(
-            (F.col("cs") * F.col("cs") + F.col("sn") * F.col("sn"))
+            (F.col("ncs") * F.col("ncs") + F.col("nsn") * F.col("nsn"))
             / (F.col("n").cast("double") / 2)
-            / F.col("ss"),
+            / F.col("nss"),
             6,
         ).alias("weekly_power_share"),
     ).orderBy("event_type")
