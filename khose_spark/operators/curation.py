@@ -592,6 +592,94 @@ def q_llm_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEG_FIXED_POOL = 1000  # fixed-pool twin: constant broadcastable size
+
+
+@query(
+    "q_llm_negative_sampling_fixedpool",
+    oracle=f"""
+    WITH queries AS (
+      SELECT doc_id AS query_id, lang AS q_lang FROM documents
+      WHERE doc_id % 10 = 0
+    ), pool AS (
+      SELECT doc_id AS neg_id, lang AS neg_lang FROM (
+        SELECT doc_id, lang FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT {_NEG_FIXED_POOL}
+      )
+    ), scored AS (
+      SELECT q.query_id, p.neg_id, p.neg_lang,
+             md5(concat(CAST(q.query_id AS VARCHAR), '#',
+                        CAST(p.neg_id AS VARCHAR))) AS h
+      FROM queries q JOIN pool p
+        ON p.neg_lang <> q.q_lang
+    ), ranked AS (
+      SELECT query_id, neg_id, neg_lang,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY h, neg_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, CAST(rk AS INT) AS rk, neg_id, neg_lang
+    FROM ranked WHERE rk <= {_NEG_K}
+    """,
+)
+def q_llm_negative_sampling_fixedpool(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FIXED-POOL twin of q_llm_negative_sampling (round 9, VERDICT r08
+    item 2): identical semantics — every 10th document is a query,
+    negatives ranked by md5(query#candidate), top-3 cross-language —
+    but the candidate pool is a CONSTANT 1000 documents (the 1000
+    smallest md5(doc_id) ranks, deterministic and content-stable)
+    instead of the ~10% md5 bucket. The bucket form's pool grows with
+    the corpus, so its query × pool ranking is n²/10 md5 evaluations
+    BY CONTRACT (declared, 10×-verified, 100×-skip-listed); this twin
+    is the production shape its docstring promises: pool selection is
+    one linear TakeOrdered pass, the pool broadcasts at any corpus
+    size, and the ranking join is queries × 1000 — linear forever.
+
+    Plan: one top-1000-by-md5 TakeOrdered over documents (never a full
+    sort), broadcast pool join against the query stream, per-query
+    top-3 via WindowGroupLimit. At 100 TB: one scan + a ~50 KB
+    broadcast + a bounded window."""
+    d = t(spark, sf_dir, "documents")
+    queries = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("lang").alias("q_lang")
+    )
+    pool = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.md5(F.col("doc_id").cast("string")).alias("ph"),
+        )
+        .orderBy("ph", "doc_id")
+        .limit(_NEG_FIXED_POOL)
+        .select(
+            F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang")
+        )
+    )
+    scored = queries.join(
+        F.broadcast(pool), F.col("neg_lang") != F.col("q_lang")
+    ).select(
+        "query_id",
+        "neg_id",
+        "neg_lang",
+        F.md5(
+            F.concat(
+                F.col("query_id").cast("string"),
+                F.lit("#"),
+                F.col("neg_id").cast("string"),
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("query_id").orderBy("h", "neg_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _NEG_K)
+        .select("query_id", "rk", "neg_id", "neg_lang")
+    )
+
+
 _SPAN_LEN = 3  # masked-span length (T5-style)
 _SPAN_START_BUCKETS = 10  # span starts at ~10% of positions
 

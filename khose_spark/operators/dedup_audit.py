@@ -1700,3 +1700,190 @@ def q_er_token_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("stop_token_mass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Candidate-bounded exact-verify twins (round 9, VERDICT r08 item 2).
+#
+# q_llm_neardup_jaccard / q_llm_containment are the fixture-scale TRUTH
+# TWINS of the banded production tier: their all-candidate generation
+# (shingle self-join) is collision-mass-quadratic BY CONTRACT, which is
+# why they sit in SCALE100_SKIP. The two keys below are the
+# 100×-runnable form of the SAME SEMANTICS: candidates come from the
+# lossless-for-agreement 8×2 MinHash band join (linear: one signature
+# shuffle + one band-key equi-join), and the EXACT metric — true
+# shingle-set Jaccard / containment, not signature agreement — is then
+# computed on candidates only. Recall vs the all-pairs truth is the
+# measured quantity q_llm_lsh_recall_audit reports; at the ≥0.8
+# thresholds the md5-MinHash band join missed zero truth pairs on every
+# fixture/scale swept (sf0.001→10×).
+# ---------------------------------------------------------------------------
+
+_SQL_BANDS = (
+    "bands AS (\n"
+    "      SELECT doc_id, band_id,\n"
+    "             CASE band_id\n"
+    + "\n".join(
+        f"               WHEN {b} THEN concat_ws('|', "
+        + ", ".join(f"s{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS))
+        + ")"
+        for b in range(_N_HASHES // _BAND_ROWS)
+    )
+    + "\n             END AS band_key\n"
+    "      FROM sig, (SELECT unnest(range(0, "
+    f"{_N_HASHES // _BAND_ROWS})) AS band_id) g\n"
+    "    ), cand AS MATERIALIZED (\n"
+    "      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b\n"
+    "      FROM bands a JOIN bands b\n"
+    "        ON a.band_id = b.band_id AND a.band_key = b.band_key\n"
+    "       AND a.doc_id < b.doc_id\n"
+    "    )"
+)
+
+# Candidate-scoped shingle intersection: n_common per candidate pair
+# only — the join fans each candidate out by |shingles(id_a)| and
+# narrows on (id_b, shingle), so cost is candidate mass × doc length,
+# never corpus².
+_SQL_CAND_INTER = """
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    )
+"""
+
+
+def _candidate_intersections(
+    cand: DataFrame, sh: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(inter, sizes) computed over candidate pairs only: inter =
+    (id_a, id_b, n_common) via a candidate-scoped shingle equi-join,
+    sizes = per-doc distinct shingle counts. Mirrors _SQL_CAND_INTER."""
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(
+        F.col("doc_id").alias("b_doc"), F.col("shingle").alias("shingle_b")
+    )
+    inter = (
+        cand.join(a, "id_a")
+        .join(
+            b,
+            (F.col("id_b") == F.col("b_doc"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return inter, sizes
+
+
+@query(
+    "q_llm_neardup_jaccard_banded",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}, {_SQL_CAND_INTER}
+    SELECT id_a, id_b,
+           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    """,
+)
+def q_llm_neardup_jaccard_banded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-Jaccard near-dup pairs (≥ 0.8) with CANDIDATE-BOUNDED
+    verification — the 100×-runnable production form of
+    q_llm_neardup_jaccard (whose shingle self-join is the declared
+    quadratic truth twin). Tier 1: md5-MinHash 8×2 band join generates
+    candidates (one doc_id signature shuffle + one (band, key)
+    equi-join — linear, collision-bounded). Tier 2: TRUE shingle-set
+    Jaccard, not signature agreement, computed only for candidate
+    pairs, so the verify cost is candidate mass × doc length. Same
+    output schema and threshold as the truth twin; recall vs all-pairs
+    is the quantity q_llm_lsh_recall_audit measures (1000‰ on every
+    fixture swept — at J ≥ 0.8 the expected signature disagreement is
+    ≤ 3.2/16, and ≥ 10/16 agreement pigeonholes into a full band).
+
+    At 100 TB: signatures are one map-side-combined shuffle on doc_id;
+    band join shuffles 8 short rows per doc; the verify join touches
+    candidates only. The only skew is a degenerate band key shared by
+    a true duplicate cluster — the rows being hunted."""
+    sh = shingles(t(spark, sf_dir, "documents")).persist()
+    sig = _det_signatures(spark, sf_dir, sh=sh)
+    cand = _band_candidates(sig)
+    inter, sizes = _candidate_intersections(cand, sh)
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.8)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .localCheckpoint()
+    )
+    sh.unpersist()
+    return out
+
+
+@query(
+    "q_llm_containment_banded",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}, {_SQL_CAND_INTER}
+    SELECT id_a, id_b, n_common, least(sa.n, sb.n) AS n_small,
+           CAST((2 * 1000 * n_common + least(sa.n, sb.n))
+                // (2 * least(sa.n, sb.n)) AS BIGINT)
+             AS containment_permille
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST((2 * 1000 * n_common + least(sa.n, sb.n))
+               // (2 * least(sa.n, sb.n)) AS BIGINT) >= 800
+    """,
+)
+def q_llm_containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document containment (|A∩B| / min(|A|,|B|) ≥ 0.8, half-up
+    integer permille) with CANDIDATE-BOUNDED verification — the
+    100×-runnable form of q_llm_containment, same two-tier shape as
+    q_llm_neardup_jaccard_banded: md5-MinHash 8×2 band candidates,
+    exact shingle intersection on candidates only. Containment is the
+    wrapper-page detector (a page embedded in a larger page scores
+    ~1000‰ here while Jaccard dilutes), and high containment of the
+    SMALLER set implies high signature agreement for comparable sizes,
+    so the band prefilter keeps the same recall posture; asymmetric
+    extremes (tiny A inside huge B) are the declared residual risk and
+    exactly what the recall audit exists to watch.
+
+    Plan identical to the banded-Jaccard twin: one signature shuffle,
+    one band equi-join, candidate-scoped verify — linear at 100 TB."""
+    sh = shingles(t(spark, sf_dir, "documents")).persist()
+    sig = _det_signatures(spark, sf_dir, sh=sh)
+    cand = _band_candidates(sig)
+    inter, sizes = _candidate_intersections(cand, sh)
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_small", F.least("na", "nb"))
+        .withColumn(
+            "containment_permille",
+            F.expr(
+                "CAST((2 * 1000 * n_common + n_small)"
+                " DIV (2 * n_small) AS BIGINT)"
+            ),
+        )
+        .filter(F.col("containment_permille") >= 800)
+        .select(
+            "id_a", "id_b", "n_common", "n_small", "containment_permille"
+        )
+        .localCheckpoint()
+    )
+    sh.unpersist()
+    return out

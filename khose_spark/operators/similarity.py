@@ -868,25 +868,34 @@ _KM_ITERS = 3
 _KM_DIM = 64
 
 
-def _km_cte_chain() -> str:
+# The sampled-codebook fixture contract: k = n/50 seed centroids taken
+# from the data. The _fixedk twins (similarity_fixedk.py) swap ONLY
+# this CTE body for a constant-k md5-ranked seed set.
+_KM_CENT0_SAMPLED = (
+    "SELECT vec_id // 50 AS cid, v AS cv FROM base WHERE vec_id % 50 = 0"
+)
+
+
+def _km_cte_chain(cent0_sql: str = _KM_CENT0_SAMPLED) -> str:
     """Shared unrolled Lloyd CTE chain (base … assign3/cent3): each
     iteration assigns every vector to its nearest centroid (argmin on
     round(L2², 6), centroid-id tiebreak) and recomputes centroids as
     per-dimension means ROUNDED to 6 decimals — the rounding is the
     determinism contract (see q_llm_kmeans docstring). Used by both the
     k-means oracle and the silhouette oracle so the clustering they
-    audit is definitionally the same one."""
+    audit is definitionally the same one; ``cent0_sql`` parameterizes
+    the seed-centroid CTE (sampled n/50 default vs the fixed-k twins)."""
     dims = ", ".join(
         f"round(avg(v[{i}]), 6) AS c{i}" for i in range(1, _KM_DIM + 1)
     )
     relist = "list_value(" + ", ".join(
         f"c{i}" for i in range(1, _KM_DIM + 1)
     ) + ")"
-    sql = """
+    sql = f"""
     WITH base AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), cent0 AS (
-      SELECT vec_id // 50 AS cid, v AS cv FROM base WHERE vec_id % 50 = 0
+      {cent0_sql}
     )"""
     prev = "cent0"
     for it in range(1, _KM_ITERS + 1):
@@ -908,9 +917,9 @@ def _km_cte_chain() -> str:
     return sql
 
 
-def _km_oracle() -> str:
+def _km_oracle(cent0_sql: str = _KM_CENT0_SAMPLED) -> str:
     """q_llm_kmeans twin: the shared Lloyd chain + per-cluster stats."""
-    sql = _km_cte_chain() + f"""
+    sql = _km_cte_chain(cent0_sql) + f"""
     SELECT m.cid AS cluster_id, n_members, avg_dist,
            round(cv[1], 6) AS c1, round(cv[2], 6) AS c2,
            round(cv[3], 6) AS c3, round(cv[4], 6) AS c4
@@ -933,21 +942,24 @@ def _l2sq(a, b):
     )
 
 
-def _lloyd(spark: SparkSession, sf_dir: str):
+def _lloyd(spark: SparkSession, sf_dir: str, cent: DataFrame | None = None):
     """The deterministic Lloyd loop shared by q_llm_kmeans and
-    q_ml_silhouette: 3 iterations of broadcast-fold assignment (argmin
-    on round(L2²,6), cid tiebreak — see q_llm_kmeans's determinism
-    contract) + k-keyed centroid re-average rounded to 6, with a k-row
-    eager checkpoint per round. Returns (assign, cent) for the FINAL
-    iteration; neither is persisted — each caller decides its own
-    cache lifecycle."""
+    q_ml_silhouette (and their _fixedk twins): 3 iterations of
+    broadcast-fold assignment (argmin on round(L2²,6), cid tiebreak —
+    see q_llm_kmeans's determinism contract) + k-keyed centroid
+    re-average rounded to 6, with a k-row eager checkpoint per round.
+    ``cent`` overrides the seed centroids (default: the sampled n/50
+    fixture contract). Returns (assign, cent) for the FINAL iteration;
+    neither is persisted — each caller decides its own cache
+    lifecycle."""
     e = t(spark, sf_dir, "embeddings")
     dbl = F.transform("embedding", lambda x: x.cast("double"))
     base = e.select("vec_id", dbl.alias("v"))
-    cent = base.filter(F.col("vec_id") % 50 == 0).select(
-        (F.col("vec_id") / 50).cast("long").alias("cid"),
-        F.col("v").alias("cv"),
-    )
+    if cent is None:
+        cent = base.filter(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") / 50).cast("long").alias("cid"),
+            F.col("v").alias("cv"),
+        )
 
     def argmin_cid(cents_col):
         """Fold the broadcast (cid, cv) array to the nearest centroid's
@@ -1053,12 +1065,12 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _silhouette_oracle() -> str:
+def _silhouette_oracle(cent0_sql: str = _KM_CENT0_SAMPLED) -> str:
     """Simplified-silhouette twin over the SAME unrolled Lloyd chain as
     the k-means oracle (shared _km_cte_chain, so the clustering under
     audit is definitionally identical)."""
     n = _KM_ITERS
-    return _km_cte_chain() + f""", dists AS (
+    return _km_cte_chain(cent0_sql) + f""", dists AS (
       SELECT a.vec_id, a.cid AS own, c.cid,
              round(sqrt(list_sum(list_transform(range(1, {_KM_DIM + 1}),
                    i -> (a.v[i] - c.cv[i]) ^ 2))), 6) AS d

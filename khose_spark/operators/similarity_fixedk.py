@@ -1,0 +1,696 @@
+"""Fixed-k twins of the ANN / clustering family (round 9, VERDICT r08
+item 1 — the top-next item).
+
+The registered q_llm_ann_ivf / q_llm_ann_pq* / q_llm_kmeans /
+q_ml_silhouette / q_llm_semdedup keys use the SAMPLED-codebook fixture
+contract: k = n/50 centroids taken from the data (``vec_id % 50 == 0``),
+which makes the assign stage n·k = n²/50 distance evaluations in BOTH
+engines — superlinear by construction, the single reason the whole
+family sat in ``SCALE100_SKIP``. Production ANN fixes k; these twins
+pin that production contract so the family has a scale-LINEAR,
+100×-runnable registered form, while the sampled originals remain the
+fixture-scale truth twins (the q_llm_minhash_det /
+q_llm_lsh_threshold_sweep precedent).
+
+Fixed seed contract (engine-portable, scale-stable): the 64 vectors
+with the smallest ``md5(CAST(vec_id AS VARCHAR))`` digests, dense ids
+0..63 assigned by vec_id rank within the selected set. md5 is
+bit-identical in Spark and DuckDB; selection is one linear
+TakeOrdered, never a full sort; k stays 64 at EVERY corpus size, so
+assignment is 64 distance evals per vector forever.
+
+Keys:
+- ``q_llm_ann_ivf_fixedk``      — IVF probe-1 search over 64 cells
+- ``q_llm_ann_pq_fixedk``       — PQ/ADC search, 64-code codebook
+- ``q_llm_ann_pq_indexed_fixedk`` — build-once/search-many split
+- ``q_llm_ann_pq_rerank_fixedk`` — IVFPQ+R exact refinement (R=50)
+- ``q_llm_kmeans_fixedk``       — 3 Lloyd iterations from the 64 seeds
+- ``q_ml_silhouette_fixedk``    — simplified silhouette of that run
+- ``q_llm_semdedup_fixedk``     — cluster-route + in-cluster SRP-band
+  candidates + exact cosine verify (the only member whose within-
+  cluster prune would be n²/64 with fixed k alone; the 8-bit SRP band
+  prefilter inside each cluster restores collision-bounded cost)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from khose_spark.operators.similarity import (
+    _KM_ITERS,
+    _PQ_BUCKETS,
+    _PQ_ORACLE,
+    _PQ_RERANK_ORACLE,
+    _PQ_RERANK_R,
+    _SEMDEDUP_THRESH,
+    _km_oracle,
+    _l2sq,
+    _lloyd,
+    _pq_lut,
+    _pq_search,
+    _pq_subvectors,
+    _silhouette_oracle,
+    _srp_planes,
+)
+from khose_spark.registry import query
+from khose_spark.tables import t
+
+_FIXED_K = 64
+
+# ---------------------------------------------------------------------------
+# Shared fixed-seed machinery
+# ---------------------------------------------------------------------------
+
+# SQL twin of fixed_seeds(): requires a `base` CTE with (vec_id, v).
+_FK_CENT_SQL = f"""
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      FROM (SELECT vec_id, v FROM base
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {_FIXED_K}) fs
+    """
+
+
+def fixed_seeds(base: DataFrame, k: int = _FIXED_K) -> DataFrame:
+    """The fixed codebook: k md5-ranked seed vectors as (cid, cv) with
+    dense cids 0..k−1 by vec_id order. Selection is a TakeOrdered (no
+    global sort); the k-row window that assigns dense ids runs on a
+    k-row relation, so the single-partition window is constant-size by
+    construction."""
+    sel = (
+        base.select(
+            "vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(k)
+    )
+    w = Window.orderBy("vec_id")
+    return sel.select(
+        (F.row_number().over(w) - 1).cast("long").alias("cid"),
+        F.col("v").alias("cv"),
+    )
+
+
+def _dbl_base(e: DataFrame) -> DataFrame:
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select("vec_id", dbl.alias("v"))
+
+
+def _cos(a: str, b: str):
+    """Sequential-fold cosine — identical expression tree to the IVF /
+    semdedup originals, so rounded values are bit-identical."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return dot / (F.sqrt(sq(a)) * F.sqrt(sq(b)))
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_llm_ann_ivf_fixedk",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent AS (
+{_FK_CENT_SQL}
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT b.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY round(list_cosine_similarity(b.v, c.cv), 6) DESC, c.cid ASC
+               ) AS rn
+        FROM base b CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), probe AS (
+      SELECT b.vec_id AS qid, b.v AS qv, a.cid
+      FROM base b JOIN assign a ON a.vec_id = b.vec_id
+      WHERE b.vec_id < 10
+    ), cell_sims AS (
+      SELECT p.qid, b.vec_id,
+             round(list_cosine_similarity(p.qv, b.v), 4) AS sim
+      FROM probe p
+      JOIN assign a ON a.cid = p.cid
+      JOIN base b ON b.vec_id = a.vec_id
+      WHERE b.vec_id <> p.qid
+    )
+    SELECT qid, vec_id AS neighbor_id, sim, rn AS rank FROM (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+      FROM cell_sims
+    ) WHERE rn <= 3
+    """,
+)
+def q_llm_ann_ivf_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors over the FIXED 64-seed
+    codebook — the scale-linear twin of q_llm_ann_ivf (whose sampled
+    k = n/50 contract makes assignment n²/50; that form stays as the
+    fixture-scale truth twin). Assignment cost here is 64 cosine evals
+    per vector at ANY corpus size; each query probes only its own cell
+    and exact-reranks inside it. Same determinism contract as the
+    original: argmax on round(sim, 6) with centroid-id tiebreak,
+    round(4) + id tiebreak on the final ranking.
+
+    Plan: one TakeOrdered seed selection, corpus × broadcast-64 assign
+    (map-side), per-vector argmax window, probe join, cell-scoped
+    rerank. At 100 TB the corpus never shuffles for assignment; the
+    only shuffles carry (vec_id, cid) pairs."""
+    base = _dbl_base(t(spark, sf_dir, "embeddings"))
+    cent = fixed_seeds(base)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("asim"), F.asc("cid")
+    )
+    assign = (
+        base.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "cid", F.round(_cos("v", "cv"), 6).alias("asim")
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    probe = (
+        base.filter(F.col("vec_id") < 10)
+        .join(assign, "vec_id")
+        .select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "cid"
+        )
+    )
+    members = assign.join(base, "vec_id").select("cid", "vec_id", "v")
+    cell_sims = (
+        F.broadcast(probe)
+        .join(members, "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(_cos("qv", "v"), 4).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        cell_sims.select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            "sim",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ family: fixed 64-code codebook
+# ---------------------------------------------------------------------------
+
+# The fixedk PQ oracles are the SAMPLED oracles with ONLY the codebook
+# CTE swapped (assign/LUT/ADC stages definitionally identical), built
+# by exact string surgery with an existence assertion so drift in the
+# shared chain can never silently fork the twins.
+_PQ_CB_SAMPLED = """    ), cb AS (       -- deterministic codebook: seed vectors' slices
+      SELECT vec_id // 50 AS code, sub_id, sv AS cv
+      FROM sub WHERE vec_id % 50 = 0
+    ), assign AS ("""
+_PQ_CB_FIXED = f"""    ), cbseed AS (   -- fixed-k codebook: 64 md5-ranked seed vectors
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+      FROM (SELECT vec_id FROM base
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {_FIXED_K}) fs
+    ), cb AS (
+      SELECT f.code, s.sub_id, s.sv AS cv
+      FROM cbseed f JOIN sub s ON s.vec_id = f.vec_id
+    ), assign AS ("""
+
+assert _PQ_CB_SAMPLED in _PQ_ORACLE, "PQ oracle chain drifted"
+assert _PQ_CB_SAMPLED in _PQ_RERANK_ORACLE, "PQ rerank oracle drifted"
+_PQ_ORACLE_FIXEDK = _PQ_ORACLE.replace(_PQ_CB_SAMPLED, _PQ_CB_FIXED)
+_PQ_RERANK_ORACLE_FIXEDK = _PQ_RERANK_ORACLE.replace(
+    _PQ_CB_SAMPLED, _PQ_CB_FIXED
+)
+
+
+def _pq_fixed_codebook(sub: DataFrame) -> DataFrame:
+    """Fixed 64-entry PQ codebook: the 8 subvector slices of each
+    md5-ranked seed vector, code = dense seed rank (0..63)."""
+    seeds = (
+        sub.filter(F.col("sub_id") == 0)
+        .select(
+            "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(_FIXED_K)
+    )
+    w = Window.orderBy("vec_id")
+    coded = seeds.select(
+        "vec_id", (F.row_number().over(w) - 1).cast("long").alias("code")
+    )
+    return sub.join(F.broadcast(coded), "vec_id").select(
+        "code", "sub_id", F.col("sv").alias("cv")
+    )
+
+
+def _pq_fixed_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """PQ encoding against the fixed codebook — same argmin contract as
+    similarity._pq_assign (round(L2²,6), code tiebreak); re-stated here
+    so the twins share the oracle chain, not the sampled plan object."""
+    from khose_spark.operators.similarity import _pq_assign
+
+    return _pq_assign(sub, cb)
+
+
+@query("q_llm_ann_pq_fixedk", oracle=_PQ_ORACLE_FIXEDK)
+def q_llm_ann_pq_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with the FIXED 64-code codebook — the
+    scale-linear twin of q_llm_ann_pq: encoding costs 8×64 small-L2
+    evals per vector at any corpus size (the sampled form's codebook
+    grows as n/50, making encode n²/50 — it remains the fixture truth
+    twin). Queries precompute a 512-row (subspace, code) LUT and the
+    asymmetric distance is 8 LUT additions per code — the FAISS
+    layout, now with the production constant-k property.
+
+    Determinism: identical contracts to the sampled twin (round(L2²,6)
+    + code tiebreak on assignment; round(ADC,4) + id tiebreak on
+    ranking)."""
+    sub = _pq_subvectors(t(spark, sf_dir, "embeddings"))
+    cb = _pq_fixed_codebook(sub)
+    return _pq_search(_pq_fixed_assign(sub, cb), _pq_lut(sub, cb))
+
+
+_PQF_INDEX_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def build_pq_index_fixedk(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """INDEX-BUILD job for the fixed-k PQ lifecycle — same two-table
+    layout as similarity.build_pq_index (codes bucketed by vec_id so
+    the search job's ADC aggregation needs no exchange; codebook is a
+    broadcast dim), but encoding against the constant 64-code codebook,
+    which is what makes the BUILD job linear at any corpus size."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PQF_INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    codes_tbl, cb_tbl = f"pqf_codes_{tag}", f"pqf_codebook_{tag}"
+    loc = tempfile.mkdtemp(prefix=f"khose_pqf_{tag}_")
+    sub = _pq_subvectors(t(spark, sf_dir, "embeddings"))
+    cb = _pq_fixed_codebook(sub)
+    spark.sql(f"DROP TABLE IF EXISTS {codes_tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {cb_tbl}")
+    (
+        _pq_fixed_assign(sub, cb)
+        .write.format("parquet")
+        .bucketBy(_PQ_BUCKETS, "vec_id")
+        .option("path", f"{loc}/codes")
+        .saveAsTable(codes_tbl)
+    )
+    (
+        cb.write.format("parquet")
+        .option("path", f"{loc}/codebook")
+        .saveAsTable(cb_tbl)
+    )
+    _PQF_INDEX_CACHE[key] = (codes_tbl, cb_tbl)
+    return codes_tbl, cb_tbl
+
+
+@query("q_llm_ann_pq_indexed_fixedk", oracle=_PQ_ORACLE_FIXEDK)
+def q_llm_ann_pq_indexed_fixedk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEARCH job of the fixed-k PQ lifecycle (same answer as
+    q_llm_ann_pq_fixedk — the shared oracle certifies the split
+    changes nothing): read the bucketed codes + 64-entry codebook
+    written by :func:`build_pq_index_fixedk`, slice only the query
+    vectors, broadcast-LUT ADC top-3. The codes scan carries its
+    bucket distribution through the broadcast LUT join into the
+    (qid, vec_id) aggregation — zero shuffle before the final ranking
+    window, exactly like the sampled twin
+    (tests/test_bucketing.py posture)."""
+    codes_tbl, cb_tbl = build_pq_index_fixedk(spark, sf_dir)
+    codes = spark.table(codes_tbl)
+    cb = spark.table(cb_tbl)
+    qsub = _pq_subvectors(
+        t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    )
+    return _pq_search(codes, _pq_lut(qsub, cb))
+
+
+@query("q_llm_ann_pq_rerank_fixedk", oracle=_PQ_RERANK_ORACLE_FIXEDK)
+def q_llm_ann_pq_rerank_fixedk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVFPQ+R over the fixed-k index: ADC ranks the corpus from the
+    8-byte codes, keeps a top-R (=50) candidate pool per query, and
+    re-ranks the pool by EXACT full-precision L2² (round-4, id
+    tiebreak) — the refinement stage that makes the coarse 64-code
+    quantizer production-usable: codebook distortion bounds only
+    CANDIDATE recall, never the final ordering. Same R and contracts
+    as q_llm_ann_pq_rerank; with the constant codebook both the encode
+    and the search stay linear, so this is the registered ANN form
+    that runs on the 100× digest board.
+
+    Plan: zero-shuffle ADC over bucketed codes, then the R×|queries|
+    candidate pool broadcasts against the embeddings scan — the corpus
+    is read, never shuffled."""
+    codes_tbl, cb_tbl = build_pq_index_fixedk(spark, sf_dir)
+    codes = spark.table(codes_tbl)
+    cb = spark.table(cb_tbl)
+    e = t(spark, sf_dir, "embeddings")
+    qsub = _pq_subvectors(e.filter(F.col("vec_id") < 10))
+    cand = _pq_search(codes, _pq_lut(qsub, cb), k=_PQ_RERANK_R).select(
+        "qid", F.col("neighbor_id").alias("cand_id")
+    )
+    base = _dbl_base(e)
+    qv = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_vec"), F.col("v").alias("qv")
+    )
+    pool = cand.join(F.broadcast(qv), F.col("qid") == F.col("q_vec"))
+    exact_dist = F.round(
+        F.aggregate(
+            F.zip_with("qv", "v", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.asc("exact_dist"), F.asc("neighbor_id")
+    )
+    return (
+        base.join(F.broadcast(pool), F.col("vec_id") == F.col("cand_id"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            exact_dist.alias("exact_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .orderBy("qid", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means + silhouette from the fixed seeds
+# ---------------------------------------------------------------------------
+
+
+def _fixed_lloyd(spark: SparkSession, sf_dir: str):
+    base = _dbl_base(t(spark, sf_dir, "embeddings"))
+    return _lloyd(spark, sf_dir, cent=fixed_seeds(base))
+
+
+@query("q_llm_kmeans_fixedk", oracle=_km_oracle(_FK_CENT_SQL))
+def q_llm_kmeans_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means from the FIXED 64 md5-ranked seeds, 3
+    Lloyd iterations — the scale-linear twin of q_llm_kmeans: per
+    iteration, assignment is a map-side argmin fold over a ONE-ROW
+    broadcast of 64 centroids (64 distance evals per vector at any
+    corpus size) + one k-keyed re-average; the sampled n/50 form —
+    whose growing codebook is the declared n²/50 fixture contract —
+    stays as the fixture-scale truth twin. Identical determinism
+    contract (argmin on round(L2²,6) with cid tiebreak, per-round
+    round(6) centroid re-sync) via the SHARED _lloyd helper, so the
+    only difference between the twins is the seed CTE."""
+    assign, cent = _fixed_lloyd(spark, sf_dir)
+    assign = assign.persist()
+    cent = cent.persist()
+    stats = (
+        assign.join(F.broadcast(cent), "cid")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg(F.sqrt(_l2sq("v", "cv"))), 4).alias("avg_dist"),
+        )
+    )
+    out = stats.join(F.broadcast(cent), "cid").select(
+        F.col("cid").alias("cluster_id"),
+        "n_members",
+        "avg_dist",
+        *[
+            F.round(F.element_at("cv", i), 6).alias(f"c{i}")
+            for i in range(1, 5)
+        ],
+    ).localCheckpoint()
+    assign.unpersist()
+    cent.unpersist()
+    return out
+
+
+@query("q_ml_silhouette_fixedk", oracle=_silhouette_oracle(_FK_CENT_SQL))
+def q_ml_silhouette_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified-silhouette audit of the q_llm_kmeans_fixedk
+    clustering — same shared _lloyd chain from the fixed 64 seeds, same
+    a/b broadcast-fold as q_ml_silhouette (per-point distances and s
+    round to 6 before the mean, one round(4) at the boundary). With
+    constant k the whole audit is one map-side pass + one 64-row
+    rollup at any corpus size."""
+    assign, cent = _fixed_lloyd(spark, sf_dir)
+    cents_row = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents")
+    )
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            c["cid"].alias("cid"),
+            F.round(F.sqrt(_l2sq(F.col("v"), c["cv"])), 6).alias("d"),
+        ),
+    )
+    own = F.col("cid")
+    a = F.get(F.filter(scored, lambda x: x["cid"] == own), 0)["d"]
+    b = F.array_min(
+        F.transform(
+            F.filter(scored, lambda x: x["cid"] != own), lambda x: x["d"]
+        )
+    )
+    sil = assign.crossJoin(F.broadcast(cents_row)).select(
+        "cid",
+        F.round((b - a) / F.greatest(a, b), 6).alias("s"),
+    )
+    return (
+        sil.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("s"), 4).alias("silhouette_avg"),
+            F.sum((F.col("s") < 0).cast("long")).alias("n_negative"),
+        )
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            "silhouette_avg",
+            "n_negative",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup with fixed routing + in-cluster SRP banding
+# ---------------------------------------------------------------------------
+
+_SD_BAND_BITS = 8  # 2 bands × 8 bits from the 16 SRP planes
+
+
+def _srp_planes_sql() -> str:
+    """planes CTE body (16 md5-derived hyperplanes) — the q_llm_lsh_srp
+    oracle's construction verbatim."""
+    return """
+      SELECT p, list_transform(range(1, 65),
+               d -> (instr('0123456789abcdef',
+                           substr(md5(concat(CAST(p AS VARCHAR), '_',
+                                             CAST(d AS VARCHAR))), 1, 1))
+                     - 1 - 7.5) / 7.5) AS hp
+      FROM range(0, 16) t(p)
+    """
+
+
+@query(
+    "q_llm_semdedup_fixedk",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent AS (
+{_FK_CENT_SQL}
+    ), assign AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT b.vec_id, b.v, c.cid,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY round(list_sum(list_transform(range(1, 65),
+                           i -> (b.v[i] - c.cv[i]) ^ 2)), 6) ASC, c.cid ASC
+               ) AS rn
+        FROM base b CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), planes AS ({_srp_planes_sql()}
+    ), bits AS (
+      SELECT vec_id, p,
+             CASE WHEN round(list_dot_product(v, hp), 6) > 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM base CROSS JOIN planes
+    ), bands AS (
+      SELECT vec_id, CAST(p // {_SD_BAND_BITS} AS INT) AS band,
+             CAST(sum(bit * CAST(pow(2, p % {_SD_BAND_BITS}) AS INT))
+                  AS INT) AS code
+      FROM bits GROUP BY 1, 2
+    ), keyed AS (
+      SELECT a.vec_id, a.cid, b.band, b.code
+      FROM assign a JOIN bands b ON b.vec_id = a.vec_id
+    ), cand AS (
+      SELECT DISTINCT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
+      FROM keyed a JOIN keyed b
+        ON a.cid = b.cid AND a.band = b.band AND a.code = b.code
+       AND a.vec_id < b.vec_id
+    ), pairs AS (
+      SELECT c.cid, c.id_a, c.id_b
+      FROM cand c
+      JOIN base va ON va.vec_id = c.id_a
+      JOIN base vb ON vb.vec_id = c.id_b
+      WHERE round(list_cosine_similarity(va.v, vb.v), 4)
+            >= {_SEMDEDUP_THRESH}
+    ), members AS (
+      SELECT cid, count(*) AS n_members FROM assign GROUP BY cid
+    ), pstats AS (
+      SELECT cid, count(*) AS n_dup_pairs,
+             count(DISTINCT id_b) AS n_dropped
+      FROM pairs GROUP BY cid
+    )
+    SELECT m.cid AS cluster_id, n_members,
+           COALESCE(n_dup_pairs, 0) AS n_dup_pairs,
+           COALESCE(n_dropped, 0) AS n_dropped,
+           n_members - COALESCE(n_dropped, 0) AS n_kept
+    FROM members m LEFT JOIN pstats p ON m.cid = p.cid
+    """,
+)
+def q_llm_semdedup_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with FIXED 64-cell routing and an in-cluster SRP-LSH
+    prefilter — the 100×-runnable twin of q_llm_semdedup. The sampled
+    form keeps clusters ~50 vectors wide (so its within-cluster prune
+    is linear) at the price of an n²/50 assign; fixing k alone would
+    flip the cost to the prune (n²/64 within-cluster pairs). This twin
+    therefore restores collision-bounded pruning the way every other
+    production dedup tier here does — banding: each vector gets the
+    16-bit SRP sign code (md5-derived hyperplanes, the q_llm_lsh_srp
+    machinery verbatim), candidates are pairs agreeing on (cluster,
+    band, 8-bit code) for either of the 2 bands, and the exact cosine
+    ≥ 0.3 verify runs on candidates only. Expected bucket occupancy is
+    |cluster|/256 per band, so candidate mass is Σ|bucket|² — the
+    quantity q_llm_band_occupancy-style audits watch — instead of
+    Σ|cluster|². Recall: SRP collision prob per 8-bit band is
+    (1−θ/π)⁸; two bands + the 0.3 threshold make the miss band narrow,
+    and the fixture-scale truth twin (q_llm_semdedup) is the measured
+    reference.
+
+    Plan: one-row broadcast argmin assign (64 evals/vector), map-side
+    sign codes (16 broadcast hyperplanes), one (cid, band, code)
+    equi-join for candidates, candidate-scoped verify, 64-row audit.
+    Every stage is linear-modulo-collision at any corpus size."""
+    base = _dbl_base(t(spark, sf_dir, "embeddings"))
+    cent = fixed_seeds(base)
+    # Broadcast argmin fold (the _lloyd assignment pattern): one row of
+    # 64 (cid, cv) structs, array_sort → cid-ascending tie order.
+    cents_row = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents")
+    )
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.round(_l2sq(F.col("v"), c["cv"]), 6).alias("d2"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    init = F.struct(
+        F.lit(float("inf")).alias("d2"),
+        F.lit(-1).cast("long").alias("cid"),
+    )
+    assign = (
+        base.crossJoin(F.broadcast(cents_row))
+        .select(
+            "vec_id",
+            "v",
+            F.aggregate(
+                scored,
+                init,
+                lambda acc, x: F.when(x["d2"] < acc["d2"], x).otherwise(acc),
+                lambda acc: acc["cid"],
+            ).alias("cid"),
+        )
+        .persist()
+    )
+    planes = spark.createDataFrame(
+        [(p, hp) for p, hp in enumerate(_srp_planes())],
+        "p int, hp array<double>",
+    )
+    pdot = F.aggregate(
+        F.zip_with("v", "hp", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    bits = base.crossJoin(F.broadcast(planes)).select(
+        "vec_id",
+        "p",
+        F.when(F.round(pdot, 6) > 0, 1).otherwise(0).alias("bit"),
+    )
+    bands = bits.groupBy(
+        "vec_id",
+        (F.col("p") / _SD_BAND_BITS).cast("int").alias("band"),
+    ).agg(
+        F.sum(
+            F.col("bit") * F.pow(2, F.col("p") % _SD_BAND_BITS).cast("int")
+        )
+        .cast("int")
+        .alias("code")
+    )
+    keyed = assign.select("vec_id", "cid").join(bands, "vec_id")
+    ka, kb = keyed.alias("ka"), keyed.alias("kb")
+    cand = (
+        ka.join(
+            kb,
+            (F.col("ka.cid") == F.col("kb.cid"))
+            & (F.col("ka.band") == F.col("kb.band"))
+            & (F.col("ka.code") == F.col("kb.code"))
+            & (F.col("ka.vec_id") < F.col("kb.vec_id")),
+        )
+        .select(
+            F.col("ka.cid").alias("cid"),
+            F.col("ka.vec_id").alias("id_a"),
+            F.col("kb.vec_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = base.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(F.round(_cos("va", "vb"), 4) >= _SEMDEDUP_THRESH)
+        .select("cid", "id_a", "id_b")
+    )
+    members = assign.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    pstats = pairs.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("id_b").alias("n_dropped"),
+    )
+    out = (
+        members.join(F.broadcast(pstats), "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("n_members") - F.coalesce("n_dropped", F.lit(0)))
+            .alias("n_kept"),
+        )
+        .localCheckpoint()
+    )
+    assign.unpersist()
+    return out

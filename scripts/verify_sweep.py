@@ -74,9 +74,12 @@ SCALE10_SKIP: dict[str, str] = {}
 _Q = "quadratic-by-contract at 100x: "
 SCALE100_SKIP = {
     "q_llm_neardup_jaccard": _Q + "exact shingle-intersection verifier"
-    " (collision mass ~ sum |shingle group|^2)",
+    " (collision mass ~ sum |shingle group|^2) — the ALL-PAIRS truth"
+    " twin; the registered 100x-runnable sibling is"
+    " q_llm_neardup_jaccard_banded (band candidates + exact verify)",
     "q_llm_containment": _Q + "sub-document containment, same shingle-"
-    "collision shape",
+    "collision shape — truth twin of q_llm_containment_banded, which"
+    " runs at 100x",
     "q_llm_minhash_det": _Q + "oracle is the declared ALL-PAIRS truth"
     " twin of the banded Spark plan",
     "q_llm_simhash": _Q + "oracle is the all-pairs hamming truth twin"
@@ -94,7 +97,9 @@ SCALE100_SKIP = {
     "q_llm_neardup_two_tier": _Q + "exact tier runs over SRP"
     " candidates (~n^2/16); rows-only key",
     "q_llm_semdedup": _Q + "within-cluster pairwise prune (~n^2/k for"
-    " fixed fixture k)",
+    " fixed fixture k) — truth twin of q_llm_semdedup_fixedk (fixed"
+    " 64-cell routing + in-cluster SRP band candidates), which runs"
+    " at 100x",
     "q_llm_dedup_clusters": _Q + "edge generation is the shingle-"
     "collision pair tier; oracle is a recursive CTE over those pairs",
     "q_llm_dedup_apply": _Q + "same pair-generation chain as"
@@ -109,10 +114,10 @@ SCALE100_SKIP = {
     " 1-row bucketed-join aggregate and stays cheap",
     "q_llm_negative_sampling": _Q + "fixture pool contract = n/10 of"
     " the corpus, so the query x pool ranking is n^2/10 md5 evals in"
-    " BOTH engines (production fixes the pool at a constant"
-    " broadcastable size, per the docstring) — 10x-verified (6.3 s);"
-    " at 100x the 2e9-pair mass heap-OOMs the local[32] executor"
-    " (measured r08)",
+    " BOTH engines — 10x-verified (6.3 s); at 100x the 2e9-pair mass"
+    " heap-OOMs the local[32] executor (measured r08). The registered"
+    " production shape is q_llm_negative_sampling_fixedpool (constant"
+    " 1000-doc broadcast pool), which runs at 100x",
     "q_llm_incremental_dedup": _Q + "the exact-verify tier over the"
     " delta's shingle-collision candidates grows superlinearly on the"
     " decorrelated corpus (19.6 s at 10x, >17 min unfinished at 100x,"
@@ -122,13 +127,18 @@ SCALE100_SKIP = {
     # centroid/code set from every 50th vector, so k grows WITH the
     # corpus and the assign stage is n*k = n^2/50 distance evals in
     # BOTH engines — superlinear by construction, not by plan defect
-    # (production fixes k; the 10x board runs all six green, and the
-    # r08 OOM forensics traced the 117 GB DuckDB blow-up to exactly
-    # this shape in q_llm_kmeans' unrolled Lloyd chain).
+    # (the 10x board runs all six green, and the r08 OOM forensics
+    # traced the 117 GB DuckDB blow-up to exactly this shape in
+    # q_llm_kmeans' unrolled Lloyd chain). Since round 9 each member
+    # has a REGISTERED constant-k production twin
+    # (similarity_fixedk.py: the _fixedk keys, 64 md5-ranked seeds)
+    # that runs on the 100x board — the sampled forms stay as the
+    # fixture-scale truth twins.
     **{
         k: _Q + "sampled codebook k = n/50 makes assign cost n^2/50"
-        " in both engines (fixture contract; production fixes k) —"
-        " 10x-verified"
+        " in both engines (fixture-scale truth-twin contract) —"
+        f" 10x-verified; the linear registered sibling {k}_fixedk"
+        " runs at 100x"
         for k in (
             "q_llm_ann_ivf",
             "q_llm_ann_pq",

@@ -114,6 +114,16 @@ BNLJ_ALLOWED = {
     "q_llm_semdedup",           # 1-row broadcast centroid-array collapse
                                 # crossed into the corpus (the kmeans
                                 # map-side argmin fold, single pass)
+    # Fixed-k twins (round 9): same broadcast-cross idioms as their
+    # sampled originals — 1-row centroid-array collapse into the corpus
+    # (argmin fold), broadcast 16-hyperplane table, broadcast fixed
+    # pool / 64-seed centroid set.
+    "q_llm_ann_ivf_fixedk",     # corpus × broadcast 64-seed centroids
+    "q_llm_kmeans_fixedk",      # 1-row centroid-array collapse / round
+    "q_ml_silhouette_fixedk",   # shared fixed _lloyd cross + a/b fold
+    "q_llm_semdedup_fixedk",    # argmin-fold cross + broadcast planes
+    "q_llm_negative_sampling_fixedpool",  # broadcast 1000-doc pool ×
+                                # query stream (≠-lang theta join)
     "q_ts_acf",                 # 3-row broadcast lag dimension crossed
                                 # into the tiny daily rollup
     "q_ml_logreg",              # 1-row broadcast weight vector crossed
@@ -248,6 +258,11 @@ MAX_SHUFFLES = {
                                   # pair join + totals
     "q_llm_semdedup": 8,          # audited 6: Lloyd assign + cluster-
                                   # scoped pair search + sizes
+    "q_llm_semdedup_fixedk": 10,  # audited 8: seed TakeOrdered + argmin
+                                  # cross + SRP band agg/join + verify
+                                  # + 64-row audit
+    "q_ml_silhouette_fixedk": 8,  # audited 6: fixed-seed Lloyd chain
+                                  # (same budget as q_ml_silhouette)
     "q_ts_mann_kendall": 10,      # audited 8: daily rollup + banded
                                   # concordance + variance terms
     "q_llm_neardup_jaccard": 8,   # shingle distinct + pair agg + 2 size joins
