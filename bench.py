@@ -126,6 +126,14 @@ HEADLINE = [
     "q_agg_skyline_2d",
     "q_ts_dft_power",
     "q_ml_shapley_2f",
+    # Round-9 scale-linear twins (the production forms of the declared-
+    # superlinear family — constant-k ANN/clustering, banded exact
+    # verify, fixed-pool sampling):
+    "q_llm_ann_pq_rerank_fixedk",
+    "q_llm_kmeans_fixedk",
+    "q_llm_semdedup_fixedk",
+    "q_llm_neardup_jaccard_banded",
+    "q_llm_negative_sampling_fixedpool",
 ]
 
 
@@ -207,6 +215,12 @@ SCALING_KEYS = [
     "q_llm_containment",
     "q_llm_incremental_dedup",
     "q_llm_semdedup",
+    # Round-9 fixed-k / banded twins: the empirical near-linear ratios
+    # that justify retiring their sampled/all-candidate originals from
+    # the scale path (originals stay above as the superlinear controls).
+    "q_llm_ann_pq_indexed_fixedk",
+    "q_llm_semdedup_fixedk",
+    "q_llm_neardup_jaccard_banded",
     "q_graph_triangles",
     "q_graph_adamic_adar",
     "q_graph_labelprop",
@@ -383,6 +397,18 @@ def run_ann_recall(spark, big_dir: str) -> dict:
         "ann_pq_rerank_r3_permille": recall_permille(
             "q_llm_ann_pq_rerank", exact_l2
         ),
+        # Fixed-k twins (round 9): the constant-64-seed production
+        # contracts — recall tracked per round next to the sampled
+        # forms so the codebook-size trade is a measured quantity.
+        "ann_ivf_fixedk_r3_permille": recall_permille(
+            "q_llm_ann_ivf_fixedk", exact_cos
+        ),
+        "ann_pq_fixedk_r3_permille": recall_permille(
+            "q_llm_ann_pq_indexed_fixedk", exact_l2
+        ),
+        "ann_pq_rerank_fixedk_r3_permille": recall_permille(
+            "q_llm_ann_pq_rerank_fixedk", exact_l2
+        ),
     }
     audit = registry.QUERIES["q_llm_lsh_recall_audit"](spark, big_dir).collect()
     if audit:
@@ -496,6 +522,61 @@ def regression_gate(spark, sf_dir: str, timings: dict[str, float], sf) -> dict:
     return result
 
 
+def _prev_ingest_rates(n: int = 2, want_sf=None) -> list[float]:
+    """ingest rows/s from the newest ``n`` parseable BENCH_r*.json
+    records at the matching sf (compact lines carry
+    ``ingest_rows_per_sec``)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out: list[float] = []
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+        try:
+            doc = json.load(open(p))
+            body = doc if doc.get("queries") else (doc.get("parsed") or {})
+            rate = body.get("ingest_rows_per_sec")
+            sf = body.get("sf")
+        except (OSError, ValueError, AttributeError):
+            continue
+        if isinstance(rate, (int, float)) and (want_sf is None or sf == want_sf):
+            out.append(float(rate))
+        if len(out) == n:
+            break
+    return out
+
+
+def ingest_gate(spark, sf_dir: str, ing: dict, sf) -> tuple[dict, dict]:
+    """Ingest regression gate (VERDICT r08 item 5) — the queries' 40%
+    interleaved-rerun rule applied to the one metric that had none:
+    if rows/s falls below 0.6× the trailing-two-round MAX at the same
+    sf, re-run ingest once and keep the better measurement (a noise
+    spike must reproduce to count). Returns (gate_record, ing) — ing is
+    replaced by the re-run when the re-run is faster."""
+    prev = _prev_ingest_rates(2, want_sf=sf)
+    if not prev:
+        return {"ok": True, "reason": f"no prior ingest record at sf={sf}"}, ing
+    floor = 0.6 * max(prev)
+    if ing["rows_per_sec"] >= floor:
+        return {"ok": True, "prev_max": max(prev)}, ing
+    print(
+        f"# ingest gate: {ing['rows_per_sec']} < 0.6*{max(prev)} — re-running",
+        file=sys.stderr,
+    )
+    second = run_ingest(spark, sf_dir)
+    best = second if second["rows_per_sec"] > ing["rows_per_sec"] else ing
+    gate = {
+        "ok": best["rows_per_sec"] >= floor,
+        "prev_max": max(prev),
+        "first_rows_per_sec": ing["rows_per_sec"],
+        "rerun_rows_per_sec": second["rows_per_sec"],
+    }
+    if not gate["ok"]:
+        print(
+            "# INGEST GATE FAILED: " + json.dumps(gate), file=sys.stderr
+        )
+    return gate, best
+
+
 def _family(name: str) -> str:
     """Bucket a query key into its operator family (q_<fam>_...)."""
     parts = name.split("_")
@@ -598,6 +679,12 @@ def main() -> None:
     # rides along in the same single JSON line (contract: ONE line).
     ing = run_ingest(spark, sf_dir)
     print(f"# ingest: {ing}", file=sys.stderr)
+    ing_gate, ing = ingest_gate(
+        spark,
+        sf_dir,
+        ing,
+        float(sf) if sf.replace(".", "").isdigit() else sf,
+    )
 
     # 10× ingest (VERDICT r07 item 5): the same pipeline over the 10×
     # events materialization when it's on disk — throughput evidence at
@@ -640,6 +727,7 @@ def main() -> None:
     if scaling is not None:
         payload["scaling"] = scaling
     payload["regression_gate"] = gate
+    payload["ingest_gate"] = ing_gate
     common = common_with_prev(timings)
     if common is not None:
         payload["common_with_prev"] = common
@@ -655,7 +743,7 @@ def main() -> None:
         json.dump(payload, f, indent=1, sort_keys=True)
     print(json.dumps(_compact_line(payload), separators=(",", ":")))
     spark.stop()
-    if not gate.get("ok", True):
+    if not gate.get("ok", True) or not ing_gate.get("ok", True):
         sys.exit(3)  # regression gate breach (offenders on stderr)
 
 
@@ -687,6 +775,8 @@ def _compact_line(payload: dict, budget: int = 1900) -> dict:
             out["scaling"]["recall_10x"] = rec
     if not payload.get("regression_gate", {}).get("ok", True):
         out["regression_gate"] = "FAILED"
+    if not payload.get("ingest_gate", {}).get("ok", True):
+        out["ingest_gate"] = "FAILED"
     if "common_with_prev" in payload:
         out["common_with_prev"] = payload["common_with_prev"]
     for threshold in (0.5, 1.0, 2.0, 5.0, 1e9):

@@ -2082,9 +2082,11 @@ def q_ml_shapley_2f(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the deviation mass folds INTEGER-exactly —
     mean|x−x̄| = Σ|n·x_j − s_j|/n², where n·x_j and s_j are exact
-    int64 (≈3e18 at 100×, inside int64); β comes from the identical
-    Cramer tree as q_ml_linreg_2f; doubles only in the 2-row tail,
-    shares as integer permille.
+    int64 (MEASURED by scripts/margin_audit.py, r09: 9.9e15 at 100×,
+    ×100 per decade ⇒ ≈1e18 at 1000× — the thinnest int64 law in the
+    repo; the pre-r09 docstring figure 3e18@100× was 300× pessimistic);
+    β comes from the identical Cramer tree as q_ml_linreg_2f; doubles
+    only in the 2-row tail, shares as integer permille.
 
     Plan: the per-order feature agg + orders join runs twice (the
     9-stat pass, then the deviation pass with the 1-row stats

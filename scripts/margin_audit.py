@@ -1,0 +1,317 @@
+"""Executable overflow-margin audit (round 9, VERDICT r08 item 4).
+
+Three consecutive decade jumps each caught exactly one latent int64
+overflow that a DOCSTRING margin law had mispredicted or not covered
+(spearman/gini/welch_t at 10×; q_ts_ar1 and q_llm_pmi at 100×). This
+script turns those laws into measurements: for every key family whose
+docstring declares a fixed-width-carrier law, it computes the ACTUAL
+max |intermediate| on a materialization with one DuckDB aggregate per
+law, and asserts at least ONE DECADE of headroom against the carrier —
+so the next decade's overflow is flagged at THIS decade, before it
+corrupts a result.
+
+DuckDB-only by design: every audited intermediate is definable over
+the raw parquet with the oracle dialect, so the audit needs no Spark
+session and runs in seconds even on the 100× materialization.
+
+Usage:
+    python scripts/margin_audit.py                      # sf0.1 (1x)
+    python scripts/margin_audit.py --dir=/path/to/dir   # any materialization
+    python scripts/margin_audit.py --factor=10          # 10x dir (must exist
+                                                        #  or be buildable via
+                                                        #  the verify_sweep dirs)
+
+Writes MARGIN_AUDIT.json at the repo root (keyed by audited dir) and
+exits nonzero if any law has < 1 decade of headroom ("thin") or is
+outright overflowed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+INT64 = 9.223372036854776e18
+DEC38 = 1e38
+MIN_DECADES = 1.0  # required headroom: carrier / measured >= 10^1
+
+# Shared CTE: exact (type, day) cents rollup + the u = n*x − S carrier
+# used by the ljung_box/pacf2/dft exact-carrier family (r09).
+_DAILY = """
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ), st AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM daily GROUP BY 1
+    ), u AS (
+      SELECT d.event_type,
+             CAST(st.n * d.cents - st.s AS DOUBLE) AS u
+      FROM daily d JOIN st ON st.event_type = d.event_type
+    )
+"""
+
+# Each law: the docstring's carrier claim made executable. `sql` must
+# return ONE row with one DOUBLE column `measured` = max |intermediate|.
+LAWS: dict[str, dict] = {
+    "granger_suffstats_int64": {
+        "keys": ["q_ts_granger_lag1", "q_ml_linreg_2f"],
+        "carrier": INT64,
+        "law": "nine sufficient stats fold as int64 sums; docstring:"
+        " max Σv² ≈ 3e12 at 100×, 3e16 at 10000×",
+        "sql": """
+        WITH ev AS (
+          SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM events
+        ), r AS (
+          SELECT event_type, d,
+                 CAST((sum(cents) - ((sum(cents) % 100) + 100) % 100)
+                      // 100 AS BIGINT) AS v
+          FROM ev GROUP BY 1, 2
+        )
+        SELECT max(s) AS measured FROM (
+          SELECT event_type, sum(CAST(v AS DOUBLE) * v) AS s
+          FROM r GROUP BY 1)
+        """,
+    },
+    "acf_u_carrier_int64": {
+        "keys": ["q_ts_ljung_box", "q_ts_pacf2", "q_ts_dft_power"],
+        "carrier": INT64,
+        "law": "u = n·x − S is exact int64; docstring: |u| ≈ 5e10 at"
+        " 100×, 5e11 at 1000×",
+        "sql": f"WITH {_DAILY} SELECT max(abs(u)) AS measured FROM u",
+    },
+    "acf_ssu_decimal38": {
+        "keys": ["q_ts_ljung_box", "q_ts_pacf2", "q_ts_dft_power"],
+        "carrier": DEC38,
+        "law": "Σu² folds in DECIMAL(38,0); docstring: ≈2.5e23 per term"
+        " ×720 at 1000×",
+        "sql": f"""WITH {_DAILY}
+        SELECT max(s) AS measured FROM (
+          SELECT event_type, sum(u * u) AS s FROM u GROUP BY 1)
+        """,
+    },
+    "dft_residue_bins_int64": {
+        "keys": ["q_ts_dft_power"],
+        "carrier": INT64,
+        "law": "w_j = Σ_(i≡j mod 7) u_i exact int64; docstring ≈5e13 at"
+        " 1000×",
+        "sql": f"""WITH {_DAILY},
+        idx AS (
+          SELECT d.event_type,
+                 (row_number() OVER (PARTITION BY d.event_type
+                                     ORDER BY d.d) - 1) % 7 AS j,
+                 CAST(st.n * d.cents - st.s AS DOUBLE) AS u
+          FROM daily d JOIN st ON st.event_type = d.event_type
+        )
+        SELECT max(abs(w)) AS measured FROM (
+          SELECT event_type, j, sum(u) AS w FROM idx GROUP BY 1, 2)
+        """,
+    },
+    "ar1_cramer_decimal38": {
+        "keys": ["q_ts_ar1"],
+        "carrier": DEC38,
+        "law": "n·Σx² (the DECIMAL(19,0) first-factor product that"
+        " overflowed int64 at 100×: measured 9.3e19 r08)",
+        "sql": f"""WITH {_DAILY}
+        SELECT max(m) AS measured FROM (
+          SELECT d.event_type,
+                 max(st.n) * sum(CAST(d.cents AS DOUBLE) * d.cents) AS m
+          FROM daily d JOIN st ON st.event_type = d.event_type
+          GROUP BY 1)
+        """,
+    },
+    "bollinger_quadform_decimal38": {
+        "keys": ["q_ts_bollinger"],
+        "carrier": DEC38,
+        "law": "(7x−S)² and 4(7Q−S²) as DECIMAL(19,0)² → 38-digit"
+        " products (int64 overflows at exactly the 100× decade)",
+        "sql": f"""WITH {_DAILY},
+        fr AS (
+          SELECT event_type, cents,
+                 sum(cents) OVER w AS sf,
+                 sum(CAST(cents AS DOUBLE) * cents) OVER w AS qf,
+                 count(*) OVER w AS m
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT max(greatest(
+                 (7.0 * cents - sf) * (7.0 * cents - sf),
+                 abs(4.0 * (7.0 * qf - CAST(sf AS DOUBLE) * sf))))
+               AS measured
+        FROM fr WHERE m = 7
+        """,
+    },
+    "shapley_deviation_int64": {
+        "keys": ["q_ml_shapley_2f"],
+        "carrier": INT64,
+        "law": "Σ|n·x_j − s_j| exact int64; docstring ≈3e18 at 100× —"
+        " the thinnest documented margin in the repo",
+        "sql": """
+        WITH feat AS (
+          SELECT l_orderkey,
+                 CAST(count(*) AS BIGINT) AS x1,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * 100 // 100)
+                      AS BIGINT) AS x2
+          FROM lineitem GROUP BY 1
+        ), st AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x1) AS BIGINT) AS s1,
+                 CAST(sum(x2) AS BIGINT) AS s2
+          FROM feat
+        )
+        SELECT greatest(
+                 (SELECT sum(abs(CAST(st.n * f.x1 - st.s1 AS DOUBLE)))
+                  FROM feat f, st),
+                 (SELECT sum(abs(CAST(st.n * f.x2 - st.s2 AS DOUBLE)))
+                  FROM feat f, st)) AS measured
+        """,
+    },
+    "target_encoding_sums_int64": {
+        "keys": ["q_ml_target_encoding"],
+        "carrier": INT64,
+        "law": "per-category Σcents int64; docstring ≈6e13 at 100×,"
+        " five digits of headroom at 1000×",
+        "sql": """
+        SELECT max(s) AS measured FROM (
+          SELECT o_orderpriority,
+                 sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS DOUBLE)) AS s
+          FROM orders GROUP BY 1)
+        """,
+    },
+    "ttest_paired_revcc_int64": {
+        "keys": ["q_ml_ttest_paired"],
+        "carrier": INT64,
+        "law": "per-supplier-year Σrev_cc (centicents) int64",
+        "sql": """
+        SELECT max(s) AS measured FROM (
+          SELECT l_suppkey,
+                 CASE WHEN l_shipdate < TIMESTAMP '1996-01-01'
+                      THEN 0 ELSE 1 END AS yr,
+                 sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS DOUBLE)
+                     * (100 - round(CAST(l_discount AS DECIMAL(8,2))
+                                    * 100, 0))) AS s
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY 1, 2)
+        """,
+    },
+    "spearman_moments_decimal38": {
+        "keys": ["q_agg_spearman"],
+        "carrier": DEC38,
+        "law": "centered rank scatter n·sxx − sx² ≈ 4n³ (1e18 at sf0.1"
+        " — widened to DECIMAL(38)/HUGEINT in r05)",
+        "sql": "SELECT 4.0 * pow(CAST(count(*) AS DOUBLE), 3)"
+        " AS measured FROM lineitem",
+    },
+    "pmi_ratio_double": {
+        "keys": ["q_llm_pmi"],
+        "carrier": 1.7e308,
+        "law": "c_xy·N_u² folds as an ORDERED double ratio chain (the"
+        " r08 overflow fix) — recorded so the magnitude stays visible",
+        "sql": """
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        )
+        SELECT pow(CAST(count(*) AS DOUBLE), 2) * 1000 AS measured
+        FROM toks
+        """,
+    },
+}
+
+
+def run(sf_dir: str) -> dict:
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql("SET memory_limit='24GB'")
+    con.sql("SET temp_directory='/tmp/khose_duckdb_spill'")
+    for tname in TABLES:
+        path = f"{sf_dir}/{tname}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {tname} AS SELECT * FROM '{path}'")
+    results: dict[str, dict] = {}
+    worst_ok = True
+    for name, law in LAWS.items():
+        try:
+            measured = con.sql(law["sql"]).fetchone()[0]
+            measured = float(measured) if measured is not None else 0.0
+            import math
+
+            decades = (
+                math.log10(law["carrier"] / measured)
+                if measured > 0
+                else float("inf")
+            )
+            status = (
+                "OVERFLOW"
+                if measured > law["carrier"]
+                else ("thin" if decades < MIN_DECADES else "ok")
+            )
+        except Exception as exc:  # noqa: BLE001 — report, keep auditing
+            measured, decades, status = None, None, f"ERROR: {exc}"
+        if status != "ok":
+            worst_ok = False
+        results[name] = {
+            "keys": law["keys"],
+            "carrier": law["carrier"],
+            "measured": measured,
+            "decades_of_headroom": (
+                round(decades, 2) if isinstance(decades, float) else None
+            ),
+            "status": status,
+            "law": law["law"],
+        }
+        print(f"{status:8s} {name}: measured={measured!r} "
+              f"decades={results[name]['decades_of_headroom']}",
+              file=sys.stderr)
+    con.close()
+    return {"dir": sf_dir, "green": worst_ok, "laws": results}
+
+
+def main() -> int:
+    sf_dir = "/root/testdata/sf0.1"
+    for a in sys.argv[1:]:
+        if a.startswith("--dir="):
+            sf_dir = a.split("=", 1)[1]
+        elif a.startswith("--factor="):
+            f = int(a.split("=", 1)[1])
+            sf_dir = (
+                os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/khose_scale")
+                + f"_sf0.1_x{f}"
+            )
+    report = run(sf_dir)
+    path = os.path.join(REPO, "MARGIN_AUDIT.json")
+    merged: dict = {}
+    if os.path.exists(path):
+        try:
+            merged = json.load(open(path))
+        except (OSError, ValueError):
+            merged = {}
+    merged[sf_dir] = report
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+    print(json.dumps({"dir": sf_dir, "green": report["green"]}))
+    return 0 if report["green"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
