@@ -2736,10 +2736,11 @@ def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness law: the band test never takes a square root — with n
     pinned at 7, x > μ + 2σ ⇔ (7x − S)² > 4·(7Q − S²) over the frame
     sums S = Σx, Q = Σx² in integer cents; the quadratic forms run as
-    DECIMAL(19,0)×DECIMAL(19,0) → 38-digit products (at 100× daily
-    cents ≈ 2e9, dev7 ≈ 1e10, dev7² ≈ 1e20 — int64 would overflow at
-    exactly this decade, hence the decimal carrier; ceiling 1e38 is 18
-    orders away).  Every output is an int64 count.
+    DECIMAL(19,0)×DECIMAL(19,0) → 38-digit products (MEASURED by
+    scripts/margin_audit.py r09: max quadratic form 1.6e17 at 100×,
+    1.6e19 at 1000× — int64 crosses at the 1000× decade, one decade
+    later than the pre-r09 estimate; the decimal carrier holds 18+
+    decades of headroom at both).  Every output is an int64 count.
 
     Plan: one (type,day) rollup (the only fact-sized shuffle,
     map-side combined), a type-partitioned 7-row window and a

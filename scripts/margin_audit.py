@@ -237,7 +237,54 @@ LAWS: dict[str, dict] = {
 }
 
 
-def run(sf_dir: str) -> dict:
+# Laws that read ONLY the events table — the moment-folding class the
+# decade ladder keeps catching (VERDICT r08 item 6 names exactly this
+# burstiness/ar1/bollinger family for the 1000× spot-probe).
+EVENTS_ONLY_LAWS = {
+    "granger_suffstats_int64",
+    "acf_u_carrier_int64",
+    "acf_ssu_decimal38",
+    "dft_residue_bins_int64",
+    "ar1_cramer_decimal38",
+    "bollinger_quadform_decimal38",
+}
+
+
+def ensure_events_scale(base_dir: str, factor: int) -> str:
+    """Materialize (once) a ``factor``× copy of the EVENTS table only,
+    straight through DuckDB — no Spark session, no decorrelation caps
+    (event copies only shift event_id; values/timestamps are untouched,
+    i.e. the same time range at factor× density, which is exactly the
+    carrier-magnitude regime the moment laws must survive). This is how
+    the 1000× decade probe stays a seconds-scale job instead of a full
+    fixture materialization."""
+    import duckdb
+
+    dest = f"/tmp/khose_margin_events_x{factor}"
+    marker = os.path.join(dest, f"_EVENTS_x{factor}_OK")
+    out = os.path.join(dest, "events.parquet")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(dest, exist_ok=True)
+    con = duckdb.connect()
+    con.sql("SET memory_limit='24GB'")
+    con.sql("SET temp_directory='/tmp/khose_duckdb_spill'")
+    con.sql(
+        f"""
+        COPY (
+          SELECT * REPLACE (event_id + c.i * 1000000000 AS event_id)
+          FROM '{base_dir}/events.parquet',
+               (SELECT unnest(range(0, {factor})) AS i) c
+        ) TO '{out}' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out
+
+
+def run(sf_dir: str, events_override: str | None = None) -> dict:
     import duckdb
 
     con = duckdb.connect()
@@ -245,12 +292,19 @@ def run(sf_dir: str) -> dict:
     con.sql("SET temp_directory='/tmp/khose_duckdb_spill'")
     for tname in TABLES:
         path = f"{sf_dir}/{tname}.parquet"
+        if tname == "events" and events_override:
+            path = events_override
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
         con.sql(f"CREATE VIEW {tname} AS SELECT * FROM '{path}'")
     results: dict[str, dict] = {}
     worst_ok = True
-    for name, law in LAWS.items():
+    laws = (
+        {k: v for k, v in LAWS.items() if k in EVENTS_ONLY_LAWS}
+        if events_override
+        else LAWS
+    )
+    for name, law in laws.items():
         try:
             measured = con.sql(law["sql"]).fetchone()[0]
             measured = float(measured) if measured is not None else 0.0
@@ -289,6 +343,8 @@ def run(sf_dir: str) -> dict:
 
 def main() -> int:
     sf_dir = "/root/testdata/sf0.1"
+    events_override = None
+    tag = None
     for a in sys.argv[1:]:
         if a.startswith("--dir="):
             sf_dir = a.split("=", 1)[1]
@@ -298,7 +354,16 @@ def main() -> int:
                 os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/khose_scale")
                 + f"_sf0.1_x{f}"
             )
-    report = run(sf_dir)
+        elif a.startswith("--events-factor="):
+            # events-only decade probe (1000× and beyond): materialize
+            # just the events table and audit the moment-folding class.
+            f = int(a.split("=", 1)[1])
+            events_override = ensure_events_scale(sf_dir, f)
+            tag = f"{sf_dir} [events x{f}]"
+    report = run(sf_dir, events_override=events_override)
+    if tag:
+        report["dir"] = tag
+        sf_dir = tag
     path = os.path.join(REPO, "MARGIN_AUDIT.json")
     merged: dict = {}
     if os.path.exists(path):
