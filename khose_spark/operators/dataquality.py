@@ -631,3 +631,95 @@ def q_dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("adiff"), 2).cast("double").alias("max_diff"),
         F.round(F.sum("adiff"), 2).cast("double").alias("total_abs_diff"),
     )
+
+
+# Candidate functional dependencies audited by q_dq_functional_dep:
+# (label, table, lhs, rhs) — one holding by construction (nation's
+# region assignment) and two expected to fail with measurable g3 mass.
+_FD_CANDIDATES = (
+    ("nation.n_nationkey->n_regionkey", "nation", "n_nationkey",
+     "n_regionkey"),
+    ("orders.o_custkey->o_orderstatus", "orders", "o_custkey",
+     "o_orderstatus"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey",
+     "o_orderpriority"),
+)
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for label, table, lhs, rhs in _FD_CANDIDATES:
+        parts.append(f"""
+    SELECT '{label}' AS fd,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_lhs,
+           CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_lhs,
+           CAST(sum(cnt) - sum(mx) AS BIGINT) AS violation_mass,
+           CAST((2 * 1000 * (sum(cnt) - sum(mx)) + sum(cnt))
+                // (2 * sum(cnt)) AS BIGINT) AS g3_permille
+    FROM (
+      SELECT {lhs} AS l, count(*) AS n_rhs,
+             sum(c) AS cnt, max(c) AS mx
+      FROM (
+        SELECT {lhs}, {rhs}, count(*) AS c
+        FROM {table} WHERE {lhs} IS NOT NULL
+        GROUP BY 1, 2
+      ) GROUP BY 1
+    )""")
+    return " UNION ALL ".join(parts)
+
+
+@query("q_dq_functional_dep", oracle=_fd_oracle())
+def q_dq_functional_dep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency violation audit — the profiling step that
+    decides whether a column pair can be normalized into a dimension /
+    used as a merge key: for each candidate FD X → Y, report the
+    distinct-LHS count, how many LHS values map to >1 RHS value, and
+    the **g3 error** (minimum rows to delete to make the FD hold =
+    n − Σ_x max_y count(x,y)) as a half-up integer permille — the
+    standard approximate-FD measure, so "holds", "holds with 0.3%
+    dirt", and "does not hold" are one hash-checked relation.
+    Candidates cover one true FD (nation → region) and two
+    deliberately-false ones (customer → order status / priority), so
+    both branches of the audit execute at every SF.
+
+    Plan: per FD, one (lhs, rhs) count aggregate (map-side combined —
+    the only fact-sized shuffle), one lhs-keyed re-fold of that
+    bounded relation, one 1-row summary; the three FD relations union.
+    At 100 TB each FD costs exactly one shuffle keyed on its LHS,
+    all-integer arithmetic end to end."""
+    outs = []
+    for label, table, lhs, rhs in _FD_CANDIDATES:
+        pairs = (
+            t(spark, sf_dir, table)
+            .filter(F.col(lhs).isNotNull())
+            .groupBy(F.col(lhs).alias("l"), F.col(rhs).alias("r"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        per_lhs = pairs.groupBy("l").agg(
+            F.count(F.lit(1)).alias("n_rhs"),
+            F.sum("c").alias("cnt"),
+            F.max("c").alias("mx"),
+        )
+        outs.append(
+            per_lhs.agg(
+                F.lit(label).alias("fd"),
+                F.sum("cnt").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_lhs"),
+                F.sum((F.col("n_rhs") > 1).cast("long"))
+                .cast("long")
+                .alias("n_violating_lhs"),
+                (F.sum("cnt") - F.sum("mx"))
+                .cast("long")
+                .alias("violation_mass"),
+                F.expr(
+                    "CAST((2 * 1000 * (sum(cnt) - sum(mx)) + sum(cnt))"
+                    " DIV (2 * sum(cnt)) AS BIGINT)"
+                ).alias("g3_permille"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -1887,3 +1887,85 @@ def q_llm_containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh.unpersist()
     return out
+
+
+@query(
+    "q_er_phonetic_blocking",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT p_partkey,
+             unnest(string_split(lower(p_name), ' ')) AS w
+      FROM part
+    ), keyed AS (
+      SELECT p_partkey, w,
+             concat(substr(w, 1, 1),
+                    regexp_replace(substr(w, 2), '[aeiou]', '', 'g'))
+               AS pkey
+      FROM tok WHERE length(w) > 0
+    ), blocks AS (
+      SELECT pkey,
+             CAST(count(DISTINCT w) AS BIGINT) AS n_raw_words,
+             CAST(count(DISTINCT p_partkey) AS BIGINT) AS n_parts
+      FROM keyed GROUP BY pkey
+    )
+    SELECT pkey, n_raw_words, n_parts,
+           CAST(n_parts * (n_parts - 1) // 2 AS BIGINT)
+             AS candidate_pairs,
+           CASE WHEN n_raw_words > 1 THEN 1 ELSE 0 END AS is_fuzzy
+    FROM blocks WHERE n_parts > 1
+    ORDER BY candidate_pairs DESC, pkey ASC LIMIT 20
+    """,
+)
+def q_er_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic-key blocking audit for entity resolution — the fuzzy
+    sibling of q_er_token_blocking: words block on an engine-portable
+    consonant-skeleton key (first letter + vowels stripped from the
+    tail — 'bolt' and 'belt' collide on 'blt', so typo/variant families
+    land in one block WITHOUT any pairwise edit-distance scan). Reports
+    the top-20 blocks by closed-form candidate mass sz·(sz−1)/2 plus
+    the is_fuzzy flag (block holds >1 distinct raw word = the blocks a
+    matcher must actually adjudicate). No RE2-unsupported constructs
+    (no backrefs), so Spark and DuckDB compute identical keys.
+
+    Plan: distinct (part, word) explode, map-side key derivation, ONE
+    block-keyed count aggregate, TakeOrdered top-20 — never a pair
+    enumeration. At 100 TB: one shuffle on the phonetic key; skew =
+    a stop-word-like skeleton, handled the token_blocking way (cap)
+    if a real corpus needs it."""
+    tok = (
+        t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.explode(F.split(F.lower("p_name"), " ")).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+        .distinct()
+    )
+    keyed = tok.select(
+        "p_partkey",
+        "w",
+        F.concat(
+            F.substring("w", 1, 1),
+            F.regexp_replace(F.expr("substring(w, 2)"), "[aeiou]", ""),
+        ).alias("pkey"),
+    )
+    blocks = keyed.groupBy("pkey").agg(
+        F.countDistinct("w").alias("n_raw_words"),
+        F.countDistinct("p_partkey").alias("n_parts"),
+    )
+    return (
+        blocks.filter(F.col("n_parts") > 1)
+        .select(
+            "pkey",
+            "n_raw_words",
+            "n_parts",
+            F.expr("CAST(n_parts * (n_parts - 1) DIV 2 AS BIGINT)").alias(
+                "candidate_pairs"
+            ),
+            F.when(F.col("n_raw_words") > 1, 1).otherwise(0).alias(
+                "is_fuzzy"
+            ),
+        )
+        .orderBy(F.desc("candidate_pairs"), F.asc("pkey"))
+        .limit(20)
+    )

@@ -845,3 +845,111 @@ def q_llm_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_DPM_CLIP = 20_000_000  # per-order contribution clip: 200k dollars, cents
+_DPM_SCALE = _DPM_CLIP // 10  # ladder step on the clipped sum (cents)
+
+
+@query(
+    "q_priv_dp_mean",
+    oracle=f"""
+    WITH clipped AS (
+      SELECT o_orderpriority AS grp,
+             least(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT), {_DPM_CLIP}) AS cents
+      FROM orders
+    ), agg AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(CASE WHEN cents = {_DPM_CLIP} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clipped
+      FROM clipped GROUP BY grp
+    ), seeded AS (
+      SELECT *, ({" + ".join(
+          f"(instr('0123456789abcdef', substr(md5(concat('dpm:', grp)), {j}, 1)) - 1)"
+          f" * {16 ** (6 - j)}"
+          for j in range(1, 7)
+      )}) % {_DP_M} AS u
+      FROM agg
+    ), noised AS (
+      SELECT grp, n, s, n_clipped,
+             CAST((CASE {" ".join(
+                 f"WHEN u < {hi} THEN {noise}"
+                 for hi, noise in _dp_ladder()
+             )} ELSE 0 END) * {_DPM_SCALE} AS BIGINT) AS noise_cents
+      FROM seeded
+    )
+    SELECT grp, n, n_clipped,
+           round(CAST(s AS DOUBLE) / n, 2) AS true_mean_cents,
+           noise_cents,
+           round(CAST(s + noise_cents AS DOUBLE) / n, 2)
+             AS dp_mean_cents
+    FROM noised ORDER BY grp
+    """,
+)
+def q_priv_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private bounded mean (order value per priority,
+    known-n variant): each order's contribution is CLIPPED to 200k
+    dollars (the sensitivity bound — and the clip genuinely binds on
+    fixture rows, so the clamp branch is exercised), discrete-Laplace
+    noise lands on the clipped SUM through the exact integer
+    inverse-CDF ladder shared with q_priv_dp_histogram (md5-seeded
+    uniform per group — deterministic by design, hash-checkable; a
+    deployment swaps only the uniform source for a CSPRNG), scaled by
+    C/10 cents per ladder step, and the released mean is
+    (S + noise)/n. True mean and clip count ride along because this is
+    the release AUDIT. Zero libm anywhere — integers until the final
+    per-group division, round-2.
+
+    Plan: one map-side-combined 5-group aggregate over orders (the
+    only fact shuffle) + a literal CASE ladder in the projection. At
+    100 TB: one shuffle carrying 5 rows per task."""
+    clipped = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.least(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                "long"
+            ),
+            F.lit(_DPM_CLIP),
+        ).alias("cents"),
+    )
+    agg = clipped.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum((F.col("cents") == _DPM_CLIP).cast("long"))
+        .cast("long")
+        .alias("n_clipped"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dpm:"), F.col("grp"))), 1, 6),
+            16,
+            10,
+        ).cast("long")
+        % _DP_M
+    )
+    noise = None
+    for hi, nz in _dp_ladder():
+        cond = F.col("u") < hi
+        noise = F.when(cond, nz) if noise is None else noise.when(cond, nz)
+    noise = (noise.otherwise(0) * _DPM_SCALE).cast("long")
+    return (
+        agg.withColumn("u", u)
+        .withColumn("noise_cents", noise)
+        .select(
+            "grp",
+            "n",
+            "n_clipped",
+            F.round(F.col("s").cast("double") / F.col("n"), 2).alias(
+                "true_mean_cents"
+            ),
+            "noise_cents",
+            F.round(
+                (F.col("s") + F.col("noise_cents")).cast("double")
+                / F.col("n"),
+                2,
+            ).alias("dp_mean_cents"),
+        )
+        .orderBy("grp")
+    )

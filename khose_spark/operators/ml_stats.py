@@ -2329,3 +2329,337 @@ def q_ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cat")
     )
+
+
+_BOOST_BAND = 2_500_000  # $25k threshold grid on the totalprice feature
+
+
+def _boost_cand_sql(grid: str, wcol: str, feat: str, fband: str) -> str:
+    """Candidate-stump SQL over one feature: per-band class masses,
+    cumulative windows, then both polarities' exact integer errors."""
+    return f"""
+      SELECT '{feat}' AS feature, t, p.pol,
+             CASE WHEN p.pol = 1 THEN neg_le + (pos_tot - pos_le)
+                  ELSE pos_le + (neg_tot - neg_le) END AS err,
+             neg_tot + pos_tot AS w
+      FROM (
+        SELECT t,
+               sum(neg) OVER (ORDER BY t) AS neg_le,
+               sum(pos) OVER (ORDER BY t) AS pos_le,
+               sum(neg) OVER () AS neg_tot,
+               sum(pos) OVER () AS pos_tot
+        FROM (
+          SELECT {fband} AS t,
+                 sum(CASE WHEN y = 1 THEN {wcol} ELSE 0 END) AS pos,
+                 sum(CASE WHEN y = -1 THEN {wcol} ELSE 0 END) AS neg
+          FROM {grid} GROUP BY 1
+        )
+      ) CROSS JOIN (SELECT unnest([1, -1]) AS pol) p
+    """
+
+
+_BOOST_H1 = """r1.pol * (CASE WHEN
+      (CASE WHEN r1.feature = 'totalprice' THEN g.b1 ELSE g.b2 END)
+      <= r1.t THEN 1 ELSE -1 END)"""
+
+
+@query(
+    "q_ml_boosted_stumps",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               // {_BOOST_BAND} AS b1,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                  AS BIGINT) AS b2,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE -1 END AS y
+      FROM orders
+    ), grid AS (
+      SELECT b1, b2, y, CAST(count(*) AS BIGINT) AS c
+      FROM labeled GROUP BY 1, 2, 3
+    ), cand1 AS (
+      {_boost_cand_sql("grid", "c", "totalprice", "b1")}
+      UNION ALL
+      {_boost_cand_sql("grid", "c", "month_idx", "b2")}
+    ), r1 AS (
+      SELECT feature, t, pol, err AS e, w - err AS cw, w FROM (
+        SELECT *, row_number() OVER (
+          ORDER BY err ASC, feature ASC, t ASC, pol ASC) AS rn
+        FROM cand1) WHERE rn = 1
+    ), g2w AS (
+      SELECT g.b1, g.b2, g.y, g.c, {_BOOST_H1} AS h1,
+             CASE WHEN {_BOOST_H1} = g.y
+                  THEN g.c * r1.e ELSE g.c * r1.cw END AS wgt
+      FROM grid g, r1
+    ), cand2 AS (
+      {_boost_cand_sql("g2w", "wgt", "totalprice", "b1")}
+      UNION ALL
+      {_boost_cand_sql("g2w", "wgt", "month_idx", "b2")}
+    ), r2 AS (
+      SELECT feature, t, pol, err AS e, w - err AS cw, w FROM (
+        SELECT *, row_number() OVER (
+          ORDER BY err ASC, feature ASC, t ASC, pol ASC) AS rn
+        FROM cand2) WHERE rn = 1
+    ), ens AS (
+      SELECT CAST(sum(CASE WHEN ens_h = y THEN c ELSE 0 END)
+                  AS BIGINT) AS n_corr,
+             CAST(sum(c) AS BIGINT) AS n
+      FROM (
+        SELECT w.y, w.c,
+               CASE WHEN w.h1 = (r2.pol * (CASE WHEN
+                      (CASE WHEN r2.feature = 'totalprice'
+                            THEN w.b1 ELSE w.b2 END) <= r2.t
+                      THEN 1 ELSE -1 END)) THEN w.h1
+                    WHEN CAST(r1.cw AS DECIMAL(19,0))
+                         * CAST(r2.e AS DECIMAL(19,0))
+                         > CAST(r2.cw AS DECIMAL(19,0))
+                         * CAST(r1.e AS DECIMAL(19,0)) THEN w.h1
+                    ELSE (r2.pol * (CASE WHEN
+                      (CASE WHEN r2.feature = 'totalprice'
+                            THEN w.b1 ELSE w.b2 END) <= r2.t
+                      THEN 1 ELSE -1 END)) END AS ens_h
+        FROM g2w w, r1, r2)
+    )
+    SELECT 'round1' AS stage, r1.feature,
+           CAST(r1.t AS BIGINT) AS threshold,
+           CAST(r1.pol AS INT) AS pol,
+           CAST((1000 * r1.e) // r1.w
+                + CASE WHEN 2 * ((1000 * r1.e) % r1.w) >= r1.w
+                       THEN 1 ELSE 0 END AS BIGINT)
+             AS err_permille,
+           CASE WHEN r1.e > 0 AND r1.cw > 0 THEN
+             round(0.5 * ln(CAST(r1.cw AS DOUBLE) / r1.e), 6) END
+             AS alpha,
+           CAST(NULL AS BIGINT) AS accuracy_permille
+    FROM r1
+    UNION ALL
+    SELECT 'round2', r2.feature, CAST(r2.t AS BIGINT),
+           CAST(r2.pol AS INT),
+           CAST((1000 * r2.e) // r2.w
+                + CASE WHEN 2 * ((1000 * r2.e) % r2.w) >= r2.w
+                       THEN 1 ELSE 0 END AS BIGINT),
+           CASE WHEN r2.e > 0 AND r2.cw > 0 THEN
+             round(0.5 * ln(CAST(r2.cw AS DOUBLE) / r2.e), 6) END,
+           CAST(NULL AS BIGINT)
+    FROM r2
+    UNION ALL
+    SELECT 'ensemble', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS INT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE),
+           CAST((2 * 1000 * n_corr + n) // (2 * n) AS BIGINT)
+    FROM ens
+    """,
+)
+def q_ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of AdaBoost over decision stumps (features: $25k
+    total-price grid and the order-date month index; target: order
+    finished 'F' — genuinely learnable from the date, so round 1 finds
+    the real date split and round 2 must work the reweighted residual)
+    — the fourth fully-oracled ITERATIVE algorithm (after k-means,
+    PageRank, logreg), and the one where exactness usually dies in the
+    weight exponentials. The certification trick: after round 1 the
+    misclassified:correct weight ratio is exp(2α₁) = c₁/e₁ — RATIONAL —
+    so round-2 per-row weights are the exact integers e₁ (correct
+    rows) and c₁ (misclassified rows), every weighted stump error is
+    an exact integer, and the ensemble sign for h₁ ≠ h₂ reduces to the
+    integer cross-product compare c₁·e₂ vs c₂·e₁ (ties fall to h₁,
+    documented). The ONLY double in the key is the reported
+    α = ½·ln(c/e) itself — one ln of an integer ratio, round-6 (the
+    PMI ordered-chain law); nothing downstream consumes it.
+
+    Plan: ONE fact shuffle builds the (b1, b2, y) count grid (bounded
+    by band-grid × months × 2 at any SF); both boosting rounds, the
+    reweighting, and the ensemble fold are windows over that bounded
+    grid — at 100 TB the boosting loop costs nothing beyond the single
+    scan.
+
+    Overflow law (CAUGHT by the round-9 100× digest run — the decade
+    ladder's 4th consecutive catch): the ensemble cross-product
+    cw₁·e₂ mixes an unweighted count with a weighted error and scales
+    n³ (≈5e20 at 100× orders — PAST int64), so it compares as
+    DECIMAL(19,0)×DECIMAL(19,0) in both engines; the weighted permille
+    uses the two-step half-up form q + (2r ≥ w) so its largest term is
+    1000·e₂ — measured ≈5e18 at 1000× on the fixture split, with the
+    worst-split closed-form bound 2000·e₁·cw₁ ≤ 500·n² ≈ 1.1e19
+    grazing int64 there: 1000× is the LAST int64-certified decade and
+    margin_audit's boost_weighted_err_int64 law tracks the bound
+    (1.9 decades of headroom at 100×); beyond it the permille carrier
+    widens to DECIMAL. Per-cell weights c·c₁ ≤ n² stay int64 through
+    1000×."""
+    labeled = t(spark, sf_dir, "orders").select(
+        F.expr(
+            f"CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            f" DIV {_BOOST_BAND}"
+        ).alias("b1"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("b2"),
+        F.when(F.col("o_orderstatus") == "F", 1)
+        .otherwise(-1)
+        .alias("y"),
+    )
+    grid = (
+        labeled.groupBy("b1", "b2", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+
+    def candidates(g: DataFrame, wcol: str) -> DataFrame:
+        outs = []
+        for feat, fband in (("totalprice", "b1"), ("month_idx", "b2")):
+            per = g.groupBy(F.col(fband).alias("t")).agg(
+                F.sum(F.when(F.col("y") == 1, F.col(wcol)).otherwise(0))
+                .alias("pos"),
+                F.sum(F.when(F.col("y") == -1, F.col(wcol)).otherwise(0))
+                .alias("neg"),
+            )
+            w_cum = Window.orderBy("t").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            w_all = Window.orderBy("t").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            cum = per.select(
+                "t",
+                F.sum("neg").over(w_cum).alias("neg_le"),
+                F.sum("pos").over(w_cum).alias("pos_le"),
+                F.sum("neg").over(w_all).alias("neg_tot"),
+                F.sum("pos").over(w_all).alias("pos_tot"),
+            )
+            for pol in (1, -1):
+                err = (
+                    F.col("neg_le") + (F.col("pos_tot") - F.col("pos_le"))
+                    if pol == 1
+                    else F.col("pos_le")
+                    + (F.col("neg_tot") - F.col("neg_le"))
+                )
+                outs.append(
+                    cum.select(
+                        F.lit(feat).alias("feature"),
+                        "t",
+                        F.lit(pol).alias("pol"),
+                        err.alias("err"),
+                        (F.col("neg_tot") + F.col("pos_tot")).alias("w"),
+                    )
+                )
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
+
+    def argmin(cand: DataFrame) -> DataFrame:
+        w = Window.orderBy(
+            F.asc("err"), F.asc("feature"), F.asc("t"), F.asc("pol")
+        )
+        return (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "feature",
+                "t",
+                "pol",
+                F.col("err").alias("e"),
+                (F.col("w") - F.col("err")).alias("cw"),
+                "w",
+            )
+            .localCheckpoint()  # 1 row; reused by reweight + ensemble
+        )
+
+    r1 = argmin(candidates(grid, "c"))
+
+    def stump_h(prefix: str):
+        fval = F.when(
+            F.col(f"{prefix}feature") == "totalprice", F.col("b1")
+        ).otherwise(F.col("b2"))
+        return F.col(f"{prefix}pol") * F.when(
+            fval <= F.col(f"{prefix}t"), 1
+        ).otherwise(-1)
+
+    g2w = (
+        grid.crossJoin(F.broadcast(r1))
+        .select(
+            "b1",
+            "b2",
+            "y",
+            "c",
+            stump_h("").alias("h1"),
+            F.when(
+                stump_h("") == F.col("y"), F.col("c") * F.col("e")
+            )
+            .otherwise(F.col("c") * F.col("cw"))
+            .alias("wgt"),
+        )
+        .localCheckpoint()
+    )
+    r2 = argmin(candidates(g2w, "wgt"))
+
+    r2r = r2.select(
+        F.col("feature").alias("r2feature"),
+        F.col("t").alias("r2t"),
+        F.col("pol").alias("r2pol"),
+        F.col("e").alias("e2"),
+        F.col("cw").alias("cw2"),
+    )
+    r1r = r1.select(
+        F.col("e").alias("e1"), F.col("cw").alias("cw1")
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    ens_h = F.when(F.col("h1") == F.col("h2v"), F.col("h1")).otherwise(
+        F.when(
+            dec("cw1") * dec("e2") > dec("cw2") * dec("e1"),
+            F.col("h1"),
+        ).otherwise(F.col("h2v"))
+    )
+    ens = (
+        g2w.crossJoin(F.broadcast(r2r))
+        .crossJoin(F.broadcast(r1r))
+        .withColumn("h2v", stump_h("r2"))
+        .select("y", "c", ens_h.alias("ens_h"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ens_h") == F.col("y"), F.col("c")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_corr"),
+            F.sum("c").cast("long").alias("n"),
+        )
+    )
+
+    def round_row(r: DataFrame, stage: str) -> DataFrame:
+        alpha = F.when(
+            (F.col("e") > 0) & (F.col("cw") > 0),
+            F.round(
+                0.5 * F.log(F.col("cw").cast("double") / F.col("e")), 6
+            ),
+        )
+        return r.select(
+            F.lit(stage).alias("stage"),
+            "feature",
+            F.col("t").cast("long").alias("threshold"),
+            F.col("pol").cast("int").alias("pol"),
+            F.expr(
+                "CAST((1000 * e) DIV w"
+                " + CASE WHEN 2 * ((1000 * e) % w) >= w"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("err_permille"),
+            alpha.alias("alpha"),
+            F.lit(None).cast("long").alias("accuracy_permille"),
+        )
+
+    ens_row = ens.select(
+        F.lit("ensemble").alias("stage"),
+        F.lit(None).cast("string").alias("feature"),
+        F.lit(None).cast("long").alias("threshold"),
+        F.lit(None).cast("int").alias("pol"),
+        F.lit(None).cast("long").alias("err_permille"),
+        F.lit(None).cast("double").alias("alpha"),
+        F.expr(
+            "CAST((2 * 1000 * n_corr + n) DIV (2 * n) AS BIGINT)"
+        ).alias("accuracy_permille"),
+    )
+    return (
+        round_row(r1, "round1")
+        .unionByName(round_row(r2, "round2"))
+        .unionByName(ens_row)
+    )

@@ -675,3 +675,122 @@ def q_lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("b1") == F.col("b2"), 1).otherwise(0)
         ).alias("n_same"),
     )
+
+
+def _z16_sql(xc: str, yc: str, div: str = "//") -> str:
+    """16-bit Morton (Z-order) interleave of two 8-bit coords in pure
+    integer arithmetic — the same expression in both engines modulo
+    the floor-division spelling (``//`` in DuckDB, ``DIV`` in Spark
+    SQL; operands are nonnegative so the two agree exactly)."""
+    terms = []
+    for j in range(8):
+        terms.append(f"(({xc}) {div} {2**j} % 2) * {4**j}")
+        terms.append(f"(({yc}) {div} {2**j} % 2) * {2 * 4**j}")
+    return " + ".join(terms)
+
+
+@query(
+    "q_lake_zorder_locality",
+    oracle=f"""
+    WITH pts AS (
+      SELECT l_orderkey, l_partkey % 256 AS x, l_suppkey % 256 AS y,
+             {_z16_sql("l_partkey % 256", "l_suppkey % 256")} AS z
+      FROM lineitem
+    ), blocked AS (
+      SELECT 'zorder' AS method, d.k,
+             z // CAST(pow(4, 8 - d.k) AS BIGINT) AS blk, x, y
+      FROM pts, (SELECT unnest([2, 4]) AS k) d
+      UNION ALL
+      SELECT 'natural', d.k,
+             l_orderkey % CAST(pow(4, d.k) AS BIGINT), x, y
+      FROM pts, (SELECT unnest([2, 4]) AS k) d
+    ), per_block AS (
+      SELECT method, k, blk, CAST(count(*) AS BIGINT) AS n,
+             (max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS bbox
+      FROM blocked GROUP BY 1, 2, 3
+    )
+    SELECT method, CAST(k AS INT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST((2 * 1000 * sum(bbox) + count(*) * 65536)
+                // (2 * count(*) * 65536) AS BIGINT)
+             AS avg_bbox_permille,
+           CAST(max(bbox) AS BIGINT) AS max_bbox
+    FROM per_block GROUP BY 1, 2 ORDER BY method, depth
+    """,
+)
+def q_lake_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout locality audit — the closed-form
+    version of "would Z-ordering these two filter columns shrink my
+    scans": each lineitem row gets a 16-bit Morton code over
+    (l_partkey mod 256, l_suppkey mod 256); a quadtree cell at prefix
+    depth k is exactly `z // 4^(8−k)`, and the per-cell (x, y)
+    bounding-box area — as a permille of the full 256×256 domain — IS
+    the fraction of the key space a block's min/max zone-map covers,
+    i.e. the data-skipping power a Z-ordered file layout would have.
+    The control rows block by `l_orderkey mod 4^k` (the natural
+    arrival order), whose blocks span ~the whole domain — the audited
+    gap between ~1000‰ (natural) and ~4^−k·1000‰ (Z-order) is the
+    measured justification for a Z-order rewrite, computed WITHOUT
+    writing a single file. Pure integer arithmetic end to end (the
+    interleave is // % on powers of two — no engine bit intrinsics),
+    so the hash check certifies the curve itself.
+
+    Plan: one map-side Morton projection + one (method, depth, block)
+    aggregate + a 4-row rollup. At 100 TB: one shuffle keyed on the
+    block id — the same shape as the compaction job that would
+    actually apply the Z-order."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_partkey") % 256).alias("x"),
+        (F.col("l_suppkey") % 256).alias("y"),
+    )
+    pts = li.select(
+        "l_orderkey",
+        "x",
+        "y",
+        F.expr(_z16_sql("x", "y", div="DIV")).alias("z"),
+    )
+    rows = []
+    for k in (2, 4):
+        rows.append(
+            pts.select(
+                F.lit("zorder").alias("method"),
+                F.lit(k).alias("k"),
+                F.expr(f"z DIV {4 ** (8 - k)}").alias("blk"),
+                "x",
+                "y",
+            )
+        )
+        rows.append(
+            pts.select(
+                F.lit("natural").alias("method"),
+                F.lit(k).alias("k"),
+                (F.col("l_orderkey") % (4**k)).alias("blk"),
+                "x",
+                "y",
+            )
+        )
+    blocked = rows[0]
+    for r in rows[1:]:
+        blocked = blocked.unionByName(r)
+    per_block = blocked.groupBy("method", "k", "blk").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            (F.max("x") - F.min("x") + 1)
+            * (F.max("y") - F.min("y") + 1)
+        ).alias("bbox"),
+    )
+    return (
+        per_block.groupBy("method", F.col("k").cast("int").alias("depth"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.expr(
+                "CAST((2 * 1000 * sum(bbox) + count(1) * 65536)"
+                " DIV (2 * count(1) * 65536) AS BIGINT)"
+            ).alias("avg_bbox_permille"),
+            F.max("bbox").cast("long").alias("max_bbox"),
+        )
+        .orderBy("method", "depth")
+    )

@@ -3361,3 +3361,206 @@ def q_ts_dft_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("weekly_power_share"),
     ).orderBy("event_type")
+
+
+@query(
+    "q_ts_spc_rules",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ), idxd AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY d)
+               AS i
+      FROM daily
+    ), base AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS nb,
+             CAST(sum(cents) AS BIGINT) AS sb,
+             sum(CAST(cents AS DECIMAL(19,0))
+                 * CAST(cents AS DECIMAL(19,0))) AS qb
+      FROM idxd WHERE i <= 10 GROUP BY event_type
+    ), scored AS (
+      SELECT x.event_type, x.i,
+             CAST(b.nb * x.cents - b.sb AS BIGINT) AS dd,
+             b.nb * b.qb - CAST(b.sb AS DECIMAL(19,0))
+               * CAST(b.sb AS DECIMAL(19,0)) AS v
+      FROM idxd x JOIN base b ON b.event_type = x.event_type
+      WHERE x.i > 10
+    ), flags AS (
+      SELECT event_type, i,
+             CASE WHEN dd > 0 THEN 1 ELSE 0 END AS pos,
+             CASE WHEN CAST(dd AS DECIMAL(19,0))
+                       * CAST(dd AS DECIMAL(19,0)) > 9 * v
+                  THEN 1 ELSE 0 END AS b3,
+             CASE WHEN CAST(dd AS DECIMAL(19,0))
+                       * CAST(dd AS DECIMAL(19,0)) > 4 * v
+                  THEN 1 ELSE 0 END AS b2,
+             CASE WHEN CAST(dd AS DECIMAL(19,0))
+                       * CAST(dd AS DECIMAL(19,0)) > v
+                  THEN 1 ELSE 0 END AS b1
+      FROM scored
+    ), wind AS (
+      SELECT event_type, i, b3,
+             sum(b2 * pos) OVER w3 AS p2,
+             sum(b2 * (1 - pos)) OVER w3 AS m2,
+             count(*) OVER w3 AS c3,
+             sum(b1 * pos) OVER w5 AS p1,
+             sum(b1 * (1 - pos)) OVER w5 AS m1,
+             count(*) OVER w5 AS c5,
+             sum(pos) OVER w8 AS p8,
+             count(*) OVER w8 AS c8
+      FROM flags
+      WINDOW
+        w3 AS (PARTITION BY event_type ORDER BY i
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        w5 AS (PARTITION BY event_type ORDER BY i
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        w8 AS (PARTITION BY event_type ORDER BY i
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(b3) AS BIGINT) AS n_r1,
+           CAST(sum(CASE WHEN c3 = 3 AND (p2 >= 2 OR m2 >= 2)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_r2,
+           CAST(sum(CASE WHEN c5 = 5 AND (p1 >= 4 OR m1 >= 4)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_r3,
+           CAST(sum(CASE WHEN c8 = 8 AND (p8 = 8 OR p8 = 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_r4
+    FROM wind GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_ts_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Western-Electric SPC rules over each type's daily revenue — the
+    control-chart companion to q_ts_cusum (drift) and q_ts_bollinger
+    (volatility bands): baseline μ/σ from the first 10 observed days,
+    then per evaluation day the four classic rules — R1 point beyond
+    3σ, R2 two-of-three consecutive beyond 2σ same side, R3
+    four-of-five beyond 1σ same side, R4 eight consecutive on one side
+    of μ — counted per type.
+
+    Exactness: ZERO square roots and zero doubles — every test is the
+    squared integer form (nb·x − Sb)² > k²·(nb·Qb − Sb²) over exact
+    int64/DECIMAL(38,0) carriers (the bollinger law: D ≈ 7e11 and
+    D² ≈ 5e23 at 1000×, inside the 38-digit ceiling per
+    scripts/margin_audit.py's acf_u/ssu measurements), and side/rule
+    logic is pure integer window arithmetic — the hash check certifies
+    the whole chart.
+
+    Plan: one (type,day) rollup (the only fact-sized shuffle), one
+    10-row baseline fold, three ROWS-frame windows over the ≤720-row
+    per-type relation, one 5-row rollup. At 100 TB everything
+    post-rollup is kilobytes."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    idxd = daily.select(
+        "event_type",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .alias("i"),
+    ).localCheckpoint()
+    cdec = F.col("cents").cast("decimal(19,0)")
+    base = (
+        idxd.filter(F.col("i") <= 10)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum("cents").cast("long").alias("sb"),
+            F.sum(cdec * cdec).alias("qb"),
+        )
+    )
+    scored = (
+        idxd.filter(F.col("i") > 10)
+        .join(F.broadcast(base), "event_type")
+        .select(
+            "event_type",
+            "i",
+            (F.col("nb") * F.col("cents") - F.col("sb"))
+            .cast("long")
+            .alias("dd"),
+            (
+                F.col("nb") * F.col("qb")
+                - F.col("sb").cast("decimal(19,0)")
+                * F.col("sb").cast("decimal(19,0)")
+            ).alias("v"),
+        )
+    )
+    d2 = F.col("dd").cast("decimal(19,0)") * F.col("dd").cast(
+        "decimal(19,0)"
+    )
+    flags = scored.select(
+        "event_type",
+        "i",
+        F.when(F.col("dd") > 0, 1).otherwise(0).alias("pos"),
+        F.when(d2 > 9 * F.col("v"), 1).otherwise(0).alias("b3"),
+        F.when(d2 > 4 * F.col("v"), 1).otherwise(0).alias("b2"),
+        F.when(d2 > F.col("v"), 1).otherwise(0).alias("b1"),
+    )
+    w3 = (
+        Window.partitionBy("event_type").orderBy("i").rowsBetween(-2, 0)
+    )
+    w5 = (
+        Window.partitionBy("event_type").orderBy("i").rowsBetween(-4, 0)
+    )
+    w8 = (
+        Window.partitionBy("event_type").orderBy("i").rowsBetween(-7, 0)
+    )
+    wind = flags.select(
+        "event_type",
+        "b3",
+        F.sum(F.col("b2") * F.col("pos")).over(w3).alias("p2"),
+        F.sum(F.col("b2") * (1 - F.col("pos"))).over(w3).alias("m2"),
+        F.count(F.lit(1)).over(w3).alias("c3"),
+        F.sum(F.col("b1") * F.col("pos")).over(w5).alias("p1"),
+        F.sum(F.col("b1") * (1 - F.col("pos"))).over(w5).alias("m1"),
+        F.count(F.lit(1)).over(w5).alias("c5"),
+        F.sum("pos").over(w8).alias("p8"),
+        F.count(F.lit(1)).over(w8).alias("c8"),
+    )
+    return (
+        wind.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum("b3").cast("long").alias("n_r1"),
+            F.sum(
+                F.when(
+                    (F.col("c3") == 3)
+                    & ((F.col("p2") >= 2) | (F.col("m2") >= 2)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_r2"),
+            F.sum(
+                F.when(
+                    (F.col("c5") == 5)
+                    & ((F.col("p1") >= 4) | (F.col("m1") >= 4)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_r3"),
+            F.sum(
+                F.when(
+                    (F.col("c8") == 8)
+                    & ((F.col("p8") == 8) | (F.col("p8") == 0)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_r4"),
+        )
+        .orderBy("event_type")
+    )

@@ -221,6 +221,15 @@ LAWS: dict[str, dict] = {
         "sql": "SELECT 4.0 * pow(CAST(count(*) AS DOUBLE), 3)"
         " AS measured FROM lineitem",
     },
+    "boost_weighted_err_int64": {
+        "keys": ["q_ml_boosted_stumps"],
+        "carrier": INT64,
+        "law": "largest permille term 1000·e2 ≤ 1000·w2 = 2000·e1·cw1"
+        " ≤ 500·n² (the round-9 catch: the UNBOUNDED form cw1·e2 ~ n³"
+        " overflowed at 100× and now compares in DECIMAL)",
+        "sql": "SELECT 500.0 * pow(CAST(count(*) AS DOUBLE), 2)"
+        " AS measured FROM orders",
+    },
     "pmi_ratio_double": {
         "keys": ["q_llm_pmi"],
         "carrier": 1.7e308,

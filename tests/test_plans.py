@@ -124,6 +124,9 @@ BNLJ_ALLOWED = {
     "q_llm_semdedup_fixedk",    # argmin-fold cross + broadcast planes
     "q_llm_negative_sampling_fixedpool",  # broadcast 1000-doc pool ×
                                 # query stream (≠-lang theta join)
+    "q_ml_boosted_stumps",      # 1-row chosen-stump relations
+                                # broadcast-crossed into the bounded
+                                # count grid (reweight + ensemble)
     "q_ts_acf",                 # 3-row broadcast lag dimension crossed
                                 # into the tiny daily rollup
     "q_ml_logreg",              # 1-row broadcast weight vector crossed
@@ -263,6 +266,17 @@ MAX_SHUFFLES = {
                                   # + 64-row audit
     "q_ml_silhouette_fixedk": 8,  # audited 6: fixed-seed Lloyd chain
                                   # (same budget as q_ml_silhouette)
+    "q_dq_functional_dep": 11,    # audited 9: per-FD (lhs,rhs) agg +
+                                  # lhs re-fold + 1-row summary × 3
+                                  # FDs unioned — each FD is one fact
+                                  # shuffle on its own key
+    "q_ml_boosted_stumps": 11,    # audited 9: ONE fact grid shuffle +
+                                  # checkpointed bounded-grid windows
+                                  # per candidate feature × 2 rounds
+                                  # (post-grid relations ≤500 rows)
+    "q_ts_spc_rules": 6,          # audited 5: daily rollup + baseline
+                                  # fold + three ROWS windows + final
+                                  # 5-row rollup, all post-rollup tiny
     "q_ts_mann_kendall": 10,      # audited 8: daily rollup + banded
                                   # concordance + variance terms
     "q_llm_neardup_jaccard": 8,   # shingle distinct + pair agg + 2 size joins
