@@ -1308,3 +1308,156 @@ def q_agg_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size")
     )
+
+
+@query(
+    "q_agg_cm_join_estimate",
+    oracle=f"""
+    WITH rkeys AS (
+      SELECT l_partkey AS k FROM lineitem
+    ), skeys AS (
+      SELECT p_partkey AS k FROM part WHERE p_size >= 25
+    ), rh AS (
+      SELECT k,
+             {_sql_hash_bucket("concat('0|', CAST(k AS VARCHAR))", _CMS_W)} AS b0,
+             {_sql_hash_bucket("concat('1|', CAST(k AS VARCHAR))", _CMS_W)} AS b1
+      FROM rkeys
+    ), sh AS (
+      SELECT k,
+             {_sql_hash_bucket("concat('0|', CAST(k AS VARCHAR))", _CMS_W)} AS b0,
+             {_sql_hash_bucket("concat('1|', CAST(k AS VARCHAR))", _CMS_W)} AS b1
+      FROM skeys
+    ), r0 AS (SELECT b0 AS b, count(*) AS c FROM rh GROUP BY 1),
+    r1 AS (SELECT b1 AS b, count(*) AS c FROM rh GROUP BY 1),
+    s0 AS (SELECT b0 AS b, count(*) AS c FROM sh GROUP BY 1),
+    s1 AS (SELECT b1 AS b, count(*) AS c FROM sh GROUP BY 1),
+    est AS (
+      SELECT
+        (SELECT sum(r0.c * s0.c) FROM r0 JOIN s0 ON s0.b = r0.b) AS j0,
+        (SELECT sum(r1.c * s1.c) FROM r1 JOIN s1 ON s1.b = r1.b) AS j1,
+        (SELECT sum(c * c) FROM r0) AS f0,
+        (SELECT sum(c * c) FROM r1) AS f1
+    ), truth AS (
+      SELECT
+        (SELECT count(*) FROM rkeys r JOIN skeys s ON s.k = r.k)
+          AS exact_join,
+        (SELECT sum(c * c) FROM
+           (SELECT count(*) AS c FROM rkeys GROUP BY k)) AS exact_f2
+    )
+    SELECT CAST(exact_join AS BIGINT) AS exact_join_rows,
+           CAST(least(j0, j1) AS BIGINT) AS cm_join_est,
+           CAST((2 * 1000 * (least(j0, j1) - exact_join) + exact_join)
+                // (2 * exact_join) AS BIGINT) AS join_over_permille,
+           CAST(exact_f2 AS BIGINT) AS exact_selfjoin_f2,
+           CAST(least(f0, f1) AS BIGINT) AS cm_f2_est,
+           CAST((2 * 1000 * (least(f0, f1) - exact_f2) + exact_f2)
+                // (2 * exact_f2) AS BIGINT) AS f2_over_permille
+    FROM est, truth
+    """,
+)
+def q_agg_cm_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from count-min sketches — the query
+    optimizer's question ("how many rows will lineitem ⋈ filtered-part
+    produce?") answered from 2×1024-cell sketch state instead of a
+    join, audited against the exact answer: the CM inner product
+    Σ_b cR(b)·cS(b) per hash row (min over rows) estimates
+    |R ⋈_k S| = Σ_k fR(k)·fS(k), and the same machinery's self inner
+    product estimates the self-join size / second frequency moment F2.
+    Both estimates are one-sided overestimates (collision mass only) —
+    the audit reports each alongside its exact value and half-up
+    permille overestimate, completing the sketch-audit family
+    (countmin point queries, HLL distinct, quantile bins).
+
+    Exactness: md5-seeded buckets are engine-portable (the
+    q_agg_countmin_audit contract) so DuckDB rebuilds the identical
+    sketches; everything is integer (counts, products ≈ 3.4e12 at
+    100×, 3.4e14 at 1000× — four decades inside int64).
+
+    Plan: each stream's WHOLE d×w sketch builds in ONE map-side-
+    combined shuffle — rows explode to (seed, bucket) pairs and
+    aggregate on that 2×1024-cell grid — then bucket-cell joins are
+    broadcast; the exact-truth join/F2 aggregates (two more fact
+    shuffles) exist only because this is the audit. At 100 TB
+    production keeps the 1-shuffle sketch path and drops the truth
+    path."""
+    rkeys = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k")
+    )
+    skeys = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= 25)
+        .select(F.col("p_partkey").alias("k"))
+    )
+
+    def sketch(df: DataFrame) -> DataFrame:
+        """2×1024-cell CM sketch in ONE shuffle: explode each row to
+        its (seed, bucket) pair for both hash rows, aggregate on the
+        grid key — constant state at any volume."""
+        cells = F.array(
+            *[
+                F.struct(
+                    F.lit(seed).alias("seed"),
+                    hash_bucket(
+                        F.concat(
+                            F.lit(f"{seed}|"), F.col("k").cast("string")
+                        ),
+                        _CMS_W,
+                    ).alias("b"),
+                )
+                for seed in (0, 1)
+            ]
+        )
+        return (
+            df.select(F.explode(cells).alias("x"))
+            .select("x.seed", "x.b")
+            .groupBy("seed", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    r = sketch(rkeys).localCheckpoint()  # 2048 cells: feeds j + f2
+    s = sketch(skeys).withColumnRenamed("c", "cs")
+    j = (
+        r.join(F.broadcast(s), ["seed", "b"])
+        .groupBy("seed")
+        .agg(F.sum(F.col("c") * F.col("cs")).alias("j"))
+    )
+    f2 = r.groupBy("seed").agg(F.sum(F.col("c") * F.col("c")).alias("f"))
+    est = (
+        j.groupBy()
+        .pivot("seed", [0, 1])
+        .agg(F.first("j"))
+        .select(F.col("0").alias("j0"), F.col("1").alias("j1"))
+        .crossJoin(
+            f2.groupBy()
+            .pivot("seed", [0, 1])
+            .agg(F.first("f"))
+            .select(F.col("0").alias("f0"), F.col("1").alias("f1"))
+        )
+    )
+    exact_join = rkeys.join(skeys, "k").agg(
+        F.count(F.lit(1)).alias("exact_join")
+    )
+    exact_f2 = (
+        rkeys.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("exact_f2"))
+    )
+    half_up = lambda num, den: F.expr(  # noqa: E731
+        f"CAST((2 * 1000 * ({num}) + {den}) DIV (2 * {den}) AS BIGINT)"
+    )
+    return (
+        est.crossJoin(F.broadcast(exact_join))
+        .crossJoin(F.broadcast(exact_f2))
+        .select(
+            F.col("exact_join").cast("long").alias("exact_join_rows"),
+            F.least("j0", "j1").cast("long").alias("cm_join_est"),
+            half_up(
+                "least(j0, j1) - exact_join", "exact_join"
+            ).alias("join_over_permille"),
+            F.col("exact_f2").cast("long").alias("exact_selfjoin_f2"),
+            F.least("f0", "f1").cast("long").alias("cm_f2_est"),
+            half_up("least(f0, f1) - exact_f2", "exact_f2").alias(
+                "f2_over_permille"
+            ),
+        )
+    )

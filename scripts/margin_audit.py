@@ -230,6 +230,14 @@ LAWS: dict[str, dict] = {
         "sql": "SELECT 500.0 * pow(CAST(count(*) AS DOUBLE), 2)"
         " AS measured FROM orders",
     },
+    "cm_inner_product_int64": {
+        "keys": ["q_agg_cm_join_estimate"],
+        "carrier": INT64,
+        "law": "CM inner products fold Σ_b c(b)² ≤ n²/1024 (uniform"
+        " bound; ≈3.4e12 measured at 100×)",
+        "sql": "SELECT pow(CAST(count(*) AS DOUBLE), 2) / 1024.0"
+        " AS measured FROM lineitem",
+    },
     "pmi_ratio_double": {
         "keys": ["q_llm_pmi"],
         "carrier": 1.7e308,

@@ -575,6 +575,12 @@ def main() -> int:
                 merged["summary"][sf] = _tally(merged[sf])
         merged["fingerprints"] = now_fp
         merged["green"] = _bad_count(merged["summary"]) == 0
+        # n_keys tracks the merged board, not the launch-time count
+        # (the r08 stale-n_keys nit: a --changed merge that adds keys
+        # must grow the flagship artifact's headline number too).
+        merged["n_keys"] = max(
+            len(merged.get(sf, {})) for sf in ("sf0.01", "sf0.1")
+        )
         merged["last_changed_sweep"] = {
             "n_keys": len(keys),
             "total_sec": report["total_sec"],

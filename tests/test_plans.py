@@ -127,6 +127,9 @@ BNLJ_ALLOWED = {
     "q_ml_boosted_stumps",      # 1-row chosen-stump relations
                                 # broadcast-crossed into the bounded
                                 # count grid (reweight + ensemble)
+    "q_agg_cm_join_estimate",   # 1-row estimate/truth relations
+                                # broadcast-crossed into one audit row
+                                # (the scalar-subquery idiom ×4)
     "q_ts_acf",                 # 3-row broadcast lag dimension crossed
                                 # into the tiny daily rollup
     "q_ml_logreg",              # 1-row broadcast weight vector crossed
@@ -277,6 +280,11 @@ MAX_SHUFFLES = {
     "q_ts_spc_rules": 6,          # audited 5: daily rollup + baseline
                                   # fold + three ROWS windows + final
                                   # 5-row rollup, all post-rollup tiny
+    "q_agg_cm_join_estimate": 11, # audited 9: 1 grid shuffle per
+                                  # sketch (the checkpointed R sketch
+                                  # feeds j + f2) + 2 pivot folds +
+                                  # truth join + truth F2 — the truth
+                                  # tier is audit-only by contract
     "q_ts_mann_kendall": 10,      # audited 8: daily rollup + banded
                                   # concordance + variance terms
     "q_llm_neardup_jaccard": 8,   # shingle distinct + pair agg + 2 size joins
