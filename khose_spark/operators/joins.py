@@ -803,3 +803,85 @@ def q_join_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_customers"), "s_suppkey")
         .limit(15)
     )
+
+
+_ASOF_TOL_US = 1_800_000_000  # 30-minute attribution window, microseconds
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ), purchases AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ), matched AS (
+      SELECT p.event_id, p.user_id,
+             c.click_id,
+             epoch_us(p.ts) - epoch_us(c.ts) AS stale_us
+      FROM purchases p
+      ASOF LEFT JOIN clicks c
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+    )
+    SELECT event_id, user_id,
+           CASE WHEN stale_us <= {_ASOF_TOL_US}
+                THEN click_id END AS attributed_click_id,
+           CASE WHEN stale_us <= {_ASOF_TOL_US}
+                THEN CAST(stale_us AS BIGINT) END AS staleness_us,
+           CASE WHEN stale_us <= {_ASOF_TOL_US} THEN 1 ELSE 0 END
+             AS is_attributed
+    FROM matched
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH STALENESS TOLERANCE — the attribution-window
+    variant that completes the as-of family (backward: q_join_asof;
+    nearest-either-direction: q_join_asof_nearest): each purchase
+    attributes to the user's latest click at-or-before it, but ONLY if
+    that click is within the 30-minute window; older matches are
+    rejected to NULL (an attribution system must distinguish "no prior
+    click" from "prior click too stale" — both NULL here, flagged by
+    is_attributed). This is kdb's ``wj``/tolerance-asof semantics, the
+    shape khose-style event pipelines join quotes-to-trades with.
+
+    Plan: the same linear union-tag + windowed last(ignoreNulls) idiom
+    as q_join_asof (one shuffle per input, no row explosion — the
+    tolerance is a post-match map-side CASE, never a range-join blowup
+    of candidates). Staleness carried as EXACT epoch-microsecond int64
+    differences (no float time math), so the window compare and the
+    hash check are exact. Right side pre-deduped per (user, ts) with
+    max(event_id) — equal-time ties deterministic in both engines. At
+    100 TB: two fact shuffles on (user, time), the standard as-of
+    shape."""
+    ev = t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", F.col("ts").alias("t"), "click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("t")
+    )
+    clicks = clicks.withColumn("click_ts", F.col("t"))
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="t",
+        by=["user_id"],
+        value_cols=["click_id", "click_ts"],
+    )
+    stale_us = F.unix_micros(F.col("t")) - F.unix_micros(
+        F.col("click_ts")
+    )
+    within = stale_us <= _ASOF_TOL_US
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(within, F.col("click_id")).alias("attributed_click_id"),
+        F.when(within, stale_us.cast("long")).alias("staleness_us"),
+        F.when(within, 1).otherwise(0).alias("is_attributed"),
+    )
