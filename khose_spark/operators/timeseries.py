@@ -3564,3 +3564,339 @@ def q_ts_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _stl_seasonal_ss(prefix_s: str, prefix_n: str) -> str:
+    """Fixed 7-term Σ_r S_r²/n_r chain (residue classes pivoted to
+    columns — same determinism posture as the DFT literal dot)."""
+    return " + ".join(
+        f"(CASE WHEN {prefix_n}{r} > 0 THEN"
+        f" CAST({prefix_s}{r} AS DOUBLE) * {prefix_s}{r} / {prefix_n}{r}"
+        f" ELSE 0.0 END)"
+        for r in range(7)
+    )
+
+
+@query(
+    "q_ts_stl_strength",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ), idxd AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY d)
+               AS i
+      FROM daily
+    ), trended AS (
+      SELECT event_type, i, cents,
+             sum(cents) OVER w AS t7,
+             count(*) OVER w AS cw
+      FROM idxd
+      WINDOW w AS (PARTITION BY event_type ORDER BY i
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), ev AS (
+      SELECT event_type, i % 7 AS r,
+             CAST(7 * cents - t7 AS BIGINT) AS dd,
+             CAST(7 * cents AS BIGINT) AS x7
+      FROM trended WHERE cw = 7
+    ), res AS (
+      SELECT event_type, r, CAST(count(*) AS BIGINT) AS nr,
+             CAST(sum(dd) AS BIGINT) AS sr
+      FROM ev GROUP BY 1, 2
+    ), resw AS (
+      SELECT event_type,
+             {", ".join(
+               f"max(CASE WHEN r = {r} THEN nr ELSE 0 END) AS n{r}, "
+               f"max(CASE WHEN r = {r} THEN sr ELSE 0 END) AS s{r}"
+               for r in range(7)
+             )}
+      FROM res GROUP BY event_type
+    ), tots AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(dd) AS BIGINT) AS sd,
+             sum(CAST(dd AS DECIMAL(19,0)) * CAST(dd AS DECIMAL(19,0)))
+               AS sdd,
+             CAST(sum(x7) AS BIGINT) AS sx,
+             sum(CAST(x7 AS DECIMAL(19,0)) * CAST(x7 AS DECIMAL(19,0)))
+               AS sxx
+      FROM ev GROUP BY 1
+    )
+    SELECT t.event_type, t.m AS n_eval,
+           round(greatest(0.0, 1.0 -
+             (t.m * CAST(t.sdd AS DOUBLE)
+              - CAST(t.sd AS DOUBLE) * t.sd)
+             / (t.m * CAST(t.sxx AS DOUBLE)
+                - CAST(t.sx AS DOUBLE) * t.sx)), 4) AS trend_strength,
+           round(greatest(0.0, 1.0 -
+             (CAST(t.sdd AS DOUBLE)
+              - ({_stl_seasonal_ss("w.s", "w.n")}))
+             / (CAST(t.sdd AS DOUBLE)
+                - CAST(t.sd AS DOUBLE) * t.sd / t.m)), 4)
+             AS seasonal_strength
+    FROM tots t JOIN resw w ON w.event_type = t.event_type
+    ORDER BY t.event_type
+    """,
+)
+def q_ts_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style decomposition strengths per event type — the two
+    numbers an STL run is usually FOR: trend strength
+    1 − Var(detrended)/Var(series) and seasonal strength
+    1 − Var(residual)/Var(detrended), with trend = centered 7-day
+    moving average (full windows only) and seasonal = per-residue
+    (i mod 7, the observed-day convention) means of the detrended
+    series — the Hyndman F_T/F_S measures, clamped at 0.
+
+    Exactness: everything folds in EXACT carriers — the detrended
+    series is carried ×7 (D_i = 7x_i − T7_i, int64 ≈ 5e9 cents at
+    1000×; the /7 scale cancels in every variance ratio), ΣD² and
+    Σ(7x)² in DECIMAL(38,0) (≈1e25 at 1000×, inside the bollinger/
+    margin-audit law class), residue sums pivot to 7 FIXED columns so
+    Σ_r S_r²/n_r is a fixed 7-term expression chain, and each strength
+    is a ratio of such terms — the ljung_box/dft posture: no
+    order-sensitive accumulation anywhere, one round(4) per output.
+
+    Plan: one (type,day) rollup (the only fact-sized shuffle) + one
+    7-row centered window + two bounded aggregates over the
+    days×types relation + a 7-column pivot join. At 100 TB everything
+    post-rollup is kilobytes."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    idxd = daily.select(
+        "event_type",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .alias("i"),
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("i").rowsBetween(-3, 3)
+    )
+    ev = (
+        idxd.select(
+            "event_type",
+            "i",
+            "cents",
+            F.sum("cents").over(w7).alias("t7"),
+            F.count(F.lit(1)).over(w7).alias("cw"),
+        )
+        .filter(F.col("cw") == 7)
+        .select(
+            "event_type",
+            (F.col("i") % 7).alias("r"),
+            (7 * F.col("cents") - F.col("t7")).cast("long").alias("dd"),
+            (7 * F.col("cents")).cast("long").alias("x7"),
+        )
+        .localCheckpoint()
+    )
+    res = ev.groupBy("event_type", "r").agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum("dd").cast("long").alias("sr"),
+    )
+    resw = res.groupBy("event_type").agg(
+        *[
+            F.max(F.when(F.col("r") == r, F.col("nr")).otherwise(0)).alias(
+                f"n{r}"
+            )
+            for r in range(7)
+        ],
+        *[
+            F.max(F.when(F.col("r") == r, F.col("sr")).otherwise(0)).alias(
+                f"s{r}"
+            )
+            for r in range(7)
+        ],
+    )
+    ddec = F.col("dd").cast("decimal(19,0)")
+    xdec = F.col("x7").cast("decimal(19,0)")
+    tots = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dd").cast("long").alias("sd"),
+        F.sum(ddec * ddec).alias("sdd"),
+        F.sum("x7").cast("long").alias("sx"),
+        F.sum(xdec * xdec).alias("sxx"),
+    )
+
+    def seasonal_ss():
+        out = None
+        for r in range(7):
+            term = F.when(
+                F.col(f"n{r}") > 0,
+                F.col(f"s{r}").cast("double")
+                * F.col(f"s{r}")
+                / F.col(f"n{r}"),
+            ).otherwise(F.lit(0.0))
+            out = term if out is None else out + term
+        return out
+
+    joined = tots.join(F.broadcast(resw), "event_type")
+    trend = F.greatest(
+        F.lit(0.0),
+        1.0
+        - (
+            F.col("m") * F.col("sdd").cast("double")
+            - F.col("sd").cast("double") * F.col("sd")
+        )
+        / (
+            F.col("m") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx")
+        ),
+    )
+    seasonal = F.greatest(
+        F.lit(0.0),
+        1.0
+        - (F.col("sdd").cast("double") - seasonal_ss())
+        / (
+            F.col("sdd").cast("double")
+            - F.col("sd").cast("double") * F.col("sd") / F.col("m")
+        ),
+    )
+    return joined.select(
+        "event_type",
+        F.col("m").alias("n_eval"),
+        F.round(trend, 4).alias("trend_strength"),
+        F.round(seasonal, 4).alias("seasonal_strength"),
+    ).orderBy("event_type")
+
+
+def _pe_rank_sql(me: str, a: str, b: str, mi: int, ia: int, ib: int) -> str:
+    """Bandt-Pompe rank of element ``me`` among the ordered triple —
+    strictly-smaller plus equal-with-earlier-index comparisons, pure
+    integer CASE arithmetic (identical text in both engines)."""
+    def lt(x, ix, y, iy):
+        return (
+            f"(CASE WHEN {x} < {y} OR ({x} = {y} AND {ix} < {iy})"
+            f" THEN 1 ELSE 0 END)"
+        )
+
+    return lt(a, ia, me, mi) + " + " + lt(b, ib, me, mi)
+
+
+_PE_PATTERNS = (12, 21, 102, 120, 201, 210)  # r0*100 + r1*10 + r2
+
+
+def _pe_entropy_sql() -> str:
+    """Fixed 6-term −Σ p·ln p chain over the pivoted pattern counts,
+    normalized by ln 6 (the q_ml_info_gain p·ln p posture)."""
+    terms = " + ".join(
+        f"(CASE WHEN c{pid} > 0 THEN"
+        f" -(CAST(c{pid} AS DOUBLE) / m) * ln(CAST(c{pid} AS DOUBLE) / m)"
+        f" ELSE 0.0 END)"
+        for pid in _PE_PATTERNS
+    )
+    return f"({terms}) / ln(6.0)"
+
+
+@query(
+    "q_ts_permutation_entropy",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ), laged AS (
+      SELECT event_type, cents AS x0,
+             lead(cents, 1) OVER w AS x1,
+             lead(cents, 2) OVER w AS x2
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ), pats AS (
+      SELECT event_type,
+             ({_pe_rank_sql("x0", "x1", "x2", 0, 1, 2)}) * 100
+           + ({_pe_rank_sql("x1", "x0", "x2", 1, 0, 2)}) * 10
+           + ({_pe_rank_sql("x2", "x0", "x1", 2, 0, 1)}) AS pid
+      FROM laged WHERE x2 IS NOT NULL
+    ), counts AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+             {", ".join(
+               f"CAST(sum(CASE WHEN pid = {pid} THEN 1 ELSE 0 END)"
+               f" AS BIGINT) AS c{pid}"
+               for pid in _PE_PATTERNS
+             )}
+      FROM pats GROUP BY event_type
+    )
+    SELECT event_type, m AS n_triples,
+           CAST({" + ".join(
+             f"(CASE WHEN c{pid} > 0 THEN 1 ELSE 0 END)"
+             for pid in _PE_PATTERNS
+           )} AS INT) AS n_patterns,
+           round({_pe_entropy_sql()}, 4) AS pe_norm
+    FROM counts ORDER BY event_type
+    """,
+)
+def q_ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy (Bandt-Pompe, order 3) of each type's daily
+    revenue series — the complexity/randomness gauge that complements
+    the identification trio (acf/pacf/ljung_box test LINEAR structure;
+    PE detects any deterministic ordinal structure, robust to monotone
+    transforms): every consecutive day-triple maps to its ordinal
+    pattern (ranks by (value, index) — ties break to the earlier index,
+    the standard convention, so the classification is PURE INTEGER),
+    and the 6-pattern distribution's normalized Shannon entropy is the
+    score (1 = white-noise-like ordinal structure, 0 = monotone).
+
+    Determinism: pattern ids are exact integer CASE arithmetic on
+    exact int64 cents; counts pivot to 6 FIXED columns; the entropy is
+    a fixed 6-term −p·ln p chain over exact-integer ratios normalized
+    by ln 6 (the q_ml_info_gain posture: identical parenthesization
+    cross-engine, empty classes contribute exact 0.0), one round(4).
+
+    Plan: one (type,day) rollup (the only fact-sized shuffle) + two
+    lead() windows over ≤720-row partitions + one 6-column fold."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    laged = daily.select(
+        "event_type",
+        F.col("cents").alias("x0"),
+        F.lead("cents", 1).over(w).alias("x1"),
+        F.lead("cents", 2).over(w).alias("x2"),
+    ).filter(F.col("x2").isNotNull())
+    pid = F.expr(
+        f"({_pe_rank_sql('x0', 'x1', 'x2', 0, 1, 2)}) * 100"
+        f" + ({_pe_rank_sql('x1', 'x0', 'x2', 1, 0, 2)}) * 10"
+        f" + ({_pe_rank_sql('x2', 'x0', 'x1', 2, 0, 1)})"
+    )
+    pats = laged.select("event_type", pid.alias("pid"))
+    counts = pats.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        *[
+            F.sum(F.when(F.col("pid") == p, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{p}")
+            for p in _PE_PATTERNS
+        ],
+    )
+    npat = None
+    ent = None
+    for p in _PE_PATTERNS:
+        seen = F.when(F.col(f"c{p}") > 0, 1).otherwise(0)
+        npat = seen if npat is None else npat + seen
+        share = F.col(f"c{p}").cast("double") / F.col("m")
+        term = F.when(
+            F.col(f"c{p}") > 0, -share * F.log(share)
+        ).otherwise(F.lit(0.0))
+        ent = term if ent is None else ent + term
+    return counts.select(
+        "event_type",
+        F.col("m").alias("n_triples"),
+        npat.cast("int").alias("n_patterns"),
+        F.round(ent / F.log(F.lit(6.0)), 4).alias("pe_norm"),
+    ).orderBy("event_type")

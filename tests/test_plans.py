@@ -280,6 +280,10 @@ MAX_SHUFFLES = {
     "q_ts_spc_rules": 6,          # audited 5: daily rollup + baseline
                                   # fold + three ROWS windows + final
                                   # 5-row rollup, all post-rollup tiny
+    "q_ts_stl_strength": 8,       # audited 6: daily rollup + centered
+                                  # window + residue/total folds + the
+                                  # 7-column pivot join — post-rollup
+                                  # relations are days×types-bounded
     "q_agg_cm_join_estimate": 11, # audited 9: 1 grid shuffle per
                                   # sketch (the checkpointed R sketch
                                   # feeds j + f2) + 2 pivot folds +
