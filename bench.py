@@ -134,6 +134,12 @@ HEADLINE = [
     "q_llm_semdedup_fixedk",
     "q_llm_neardup_jaccard_banded",
     "q_llm_negative_sampling_fixedpool",
+    # Round-9 second wave: exact-integer AdaBoost, one-shuffle CM
+    # sketch, tolerance as-of, STL strengths.
+    "q_ml_boosted_stumps",
+    "q_agg_cm_join_estimate",
+    "q_join_asof_tolerance",
+    "q_ts_stl_strength",
 ]
 
 
