@@ -230,6 +230,18 @@ LAWS: dict[str, dict] = {
         "sql": "SELECT 500.0 * pow(CAST(count(*) AS DOUBLE), 2)"
         " AS measured FROM orders",
     },
+    "stl_quadsum_decimal38": {
+        "keys": ["q_ts_stl_strength", "q_ts_spc_rules"],
+        "carrier": DEC38,
+        "law": "Σ(7x)² per type folds in DECIMAL(38,0) (the largest"
+        " r09 quadratic carrier; same class as bollinger/ar1)",
+        "sql": f"""WITH {_DAILY}
+        SELECT max(s) AS measured FROM (
+          SELECT event_type,
+                 sum(49.0 * CAST(cents AS DOUBLE) * cents) AS s
+          FROM daily GROUP BY 1)
+        """,
+    },
     "cm_inner_product_int64": {
         "keys": ["q_agg_cm_join_estimate"],
         "carrier": INT64,
@@ -264,6 +276,7 @@ EVENTS_ONLY_LAWS = {
     "dft_residue_bins_int64",
     "ar1_cramer_decimal38",
     "bollinger_quadform_decimal38",
+    "stl_quadsum_decimal38",
 }
 
 
