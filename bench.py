@@ -134,6 +134,9 @@ HEADLINE = [
     "q_llm_semdedup_fixedk",
     "q_llm_neardup_jaccard_banded",
     "q_llm_negative_sampling_fixedpool",
+    # Round-10 probe-scaled search (the recall-at-scale closers):
+    "q_llm_ann_ivf_probed",
+    "q_llm_ann_pq_rerank_scaled",
     # Round-9 second wave: exact-integer AdaBoost, one-shuffle CM
     # sketch, tolerance as-of, STL strengths.
     "q_ml_boosted_stumps",
@@ -225,6 +228,9 @@ SCALING_KEYS = [
     # that justify retiring their sampled/all-candidate originals from
     # the scale path (originals stay above as the superlinear controls).
     "q_llm_ann_pq_indexed_fixedk",
+    # Round-10 probe-scaled search: the corpus-scaled rerank pool's
+    # time ratio rides next to its gated recall.
+    "q_llm_ann_pq_rerank_scaled",
     "q_llm_semdedup_fixedk",
     "q_llm_neardup_jaccard_banded",
     "q_graph_triangles",
@@ -415,6 +421,16 @@ def run_ann_recall(spark, big_dir: str) -> dict:
         "ann_pq_rerank_fixedk_r3_permille": recall_permille(
             "q_llm_ann_pq_rerank_fixedk", exact_l2
         ),
+        # Round 10: the probe-scaled forms that close VERDICT r09's
+        # `weak` — multi-probe routing and the corpus-scaled (R=2n/25)
+        # refinement pool. The scaled rerank is the GATED one (733‰
+        # floor at 10×, enforced by recall_gate below).
+        "ann_ivf_probed_r3_permille": recall_permille(
+            "q_llm_ann_ivf_probed", exact_cos
+        ),
+        "ann_pq_rerank_scaled_r3_permille": recall_permille(
+            "q_llm_ann_pq_rerank_scaled", exact_l2
+        ),
     }
     audit = registry.QUERIES["q_llm_lsh_recall_audit"](spark, big_dir).collect()
     if audit:
@@ -422,15 +438,33 @@ def run_ann_recall(spark, big_dir: str) -> dict:
     return out
 
 
+def _bench_files_newest_first() -> list[str]:
+    """BENCH_r*.json paths sorted by PARSED round number, newest first
+    (ADVICE r09 item 2: a reverse lexicographic sort of the raw name
+    breaks at round 100 — 'BENCH_r99' sorts after 'BENCH_r100' — which
+    would silently compare gates against stale rounds)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def round_no(p: str) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    return sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=round_no,
+        reverse=True,
+    )
+
+
 def _prev_bench_queries(n: int = 2) -> list[tuple[str, dict[str, float]]]:
     """Per-key timings from the newest ``n`` PARSEABLE BENCH_r*.json
     records (compact lines carry every key above the noise floor;
     '_'-prefixed entries are subtotals, not queries)."""
-    import glob
-
-    here = os.path.dirname(os.path.abspath(__file__))
     out: list[tuple[str, dict[str, float]]] = []
-    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+    for p in _bench_files_newest_first():
         try:
             doc = json.load(open(p))
             body = doc if doc.get("queries") else (doc.get("parsed") or {})
@@ -528,15 +562,44 @@ def regression_gate(spark, sf_dir: str, timings: dict[str, float], sf) -> dict:
     return result
 
 
+RECALL_FLOOR_PERMILLE = 733  # the sampled n/50-codebook contract's
+# IVFPQ+R top-3 recall at 10× (BENCH_r09) — the bar the scale-linear
+# form must clear for the fixed-k family to be `done`, not `weak`.
+
+
+def recall_gate(scaling) -> dict:
+    """ANN recall gate (VERDICT r09 item 1: 'recall becomes a gated
+    metric, not a printout'): the corpus-scaled IVFPQ+R rerank
+    (q_llm_ann_pq_rerank_scaled) must hold ≥733‰ top-3 recall on the
+    decorrelated 10× corpus — the recall the SAMPLED (superlinear)
+    contract achieved — or the bench exits non-zero like any other
+    regression."""
+    if not scaling:
+        return {"ok": True, "reason": "scaling report skipped"}
+    rec = scaling.get("recall_10x") or {}
+    val = rec.get("ann_pq_rerank_scaled_r3_permille")
+    if not isinstance(val, int):
+        return {
+            "ok": True,
+            "reason": "no 10x recall measurement in this run",
+        }
+    gate = {
+        "ok": val >= RECALL_FLOOR_PERMILLE,
+        "floor_permille": RECALL_FLOOR_PERMILLE,
+        "measured_permille": val,
+        "key": "q_llm_ann_pq_rerank_scaled",
+    }
+    if not gate["ok"]:
+        print("# RECALL GATE FAILED: " + json.dumps(gate), file=sys.stderr)
+    return gate
+
+
 def _prev_ingest_rates(n: int = 2, want_sf=None) -> list[float]:
     """ingest rows/s from the newest ``n`` parseable BENCH_r*.json
     records at the matching sf (compact lines carry
     ``ingest_rows_per_sec``)."""
-    import glob
-
-    here = os.path.dirname(os.path.abspath(__file__))
     out: list[float] = []
-    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+    for p in _bench_files_newest_first():
         try:
             doc = json.load(open(p))
             body = doc if doc.get("queries") else (doc.get("parsed") or {})
@@ -594,14 +657,11 @@ def common_with_prev(timings: dict[str, float]) -> dict | None:
     this run over the intersection with the NEWEST BENCH_r*.json on
     disk, next to the same subtotal from that file — so a changed suite
     composition can't masquerade as a perf regression/win."""
-    import glob
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    benches = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
     prev, prev_file = {}, None
     # newest PARSEABLE round wins: a round whose stdout overflowed the
     # driver's capture is recorded with parsed=null (r05) — skip it.
-    for prev_file in reversed(benches):
+    # Round-number sort (ADVICE r09 item 2), not raw-filename sort.
+    for prev_file in _bench_files_newest_first():
         try:
             doc = json.load(open(prev_file))
             prev = (
@@ -734,6 +794,8 @@ def main() -> None:
         payload["scaling"] = scaling
     payload["regression_gate"] = gate
     payload["ingest_gate"] = ing_gate
+    rec_gate = recall_gate(scaling)
+    payload["recall_gate"] = rec_gate
     common = common_with_prev(timings)
     if common is not None:
         payload["common_with_prev"] = common
@@ -749,8 +811,12 @@ def main() -> None:
         json.dump(payload, f, indent=1, sort_keys=True)
     print(json.dumps(_compact_line(payload), separators=(",", ":")))
     spark.stop()
-    if not gate.get("ok", True) or not ing_gate.get("ok", True):
-        sys.exit(3)  # regression gate breach (offenders on stderr)
+    if (
+        not gate.get("ok", True)
+        or not ing_gate.get("ok", True)
+        or not rec_gate.get("ok", True)
+    ):
+        sys.exit(3)  # gate breach (offenders on stderr)
 
 
 def _compact_line(payload: dict, budget: int = 1900) -> dict:
@@ -783,6 +849,8 @@ def _compact_line(payload: dict, budget: int = 1900) -> dict:
         out["regression_gate"] = "FAILED"
     if not payload.get("ingest_gate", {}).get("ok", True):
         out["ingest_gate"] = "FAILED"
+    if not payload.get("recall_gate", {}).get("ok", True):
+        out["recall_gate"] = "FAILED"
     if "common_with_prev" in payload:
         out["common_with_prev"] = payload["common_with_prev"]
     for threshold in (0.5, 1.0, 2.0, 5.0, 1e9):

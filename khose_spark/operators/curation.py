@@ -937,7 +937,7 @@ def q_llm_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                            regexp_replace(lower(url), '#.*$', '', 'g'),
                            '^https://www\\.', '', 'g'),
                          '^https://', '', 'g'),
-                       '^([^/?:]*):443', '\\1', 'g'),
+                       '^([^/?:]*):443([/?]|$)', '\\1\\2', 'g'),
                      '&utm_[a-z]+=[^&#]*', '', 'g'),
                    '\\?utm_[a-z]+=[^&#]*&', '?', 'g'),
                  '\\?utm_[a-z]+=[^&#]*$', '', 'g'),
@@ -965,10 +965,11 @@ def q_llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     strip default port, remove utm params (mid-list then head
     position, repairing the ``?``/``&`` separator), collapse ``/?`` —
     must fold both variants to ONE canonical key (the port strip is
-    authority-anchored and utm matching requires the full
-    ``utm_<name>=`` shape in mid/head/sole positions — ADVICE r08, so
-    the chain is a correct reusable contract, not just
-    fixture-correct).  The per-host audit
+    authority-anchored on BOTH sides — left to the authority, right to
+    ``[/?]`` or end-of-string so ``host:4433`` never prefix-matches —
+    and utm matching requires the full ``utm_<name>=`` shape in
+    mid/head/sole positions — ADVICE r08 + r09, so the chain is a
+    correct reusable contract, not just fixture-correct).  The per-host audit
     (raw count, canonical count, dup count) certifies exactly that:
     n_dups = n_raw/2 iff the canonicalizer is correct on every row.
     DuckDB replays the identical chain with the ``g`` flag (Spark's
@@ -1007,10 +1008,13 @@ def q_llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("url"),
     )
-    # Canonicalization chain hardened per ADVICE r08 item 4: the port
-    # strip is ANCHORED to the authority (a literal ':443' elsewhere in
-    # the path/query must survive; Spark backrefs are $1, DuckDB's \1 —
-    # same RE semantics), and utm removal matches FULL param names
+    # Canonicalization chain hardened per ADVICE r08 item 4 + r09 item
+    # 1: the port strip is ANCHORED to the authority on BOTH sides — a
+    # literal ':443' elsewhere in the path/query must survive, and the
+    # right boundary ([/?]|$) stops prefix-matching longer ports (the
+    # r09 edge: 'host:4433/x' must NOT canonicalize to 'host3/x').
+    # Spark backrefs are $1$2, DuckDB's \1\2 — same RE semantics.
+    # utm removal matches FULL param names
     # (utm_[a-z]+=) in all three positions — mid-list, head-with-
     # successor, and sole-param — so a non-tracking param that merely
     # starts with 'utm' is never deleted.
@@ -1019,7 +1023,7 @@ def q_llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("#.*$", ""),
         ("^https://www\\.", ""),
         ("^https://", ""),
-        ("^([^/?:]*):443", "$1"),
+        ("^([^/?:]*):443([/?]|$)", "$1$2"),
         ("&utm_[a-z]+=[^&#]*", ""),
         ("\\?utm_[a-z]+=[^&#]*&", "?"),
         ("\\?utm_[a-z]+=[^&#]*$", ""),

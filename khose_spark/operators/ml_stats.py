@@ -2048,14 +2048,16 @@ def q_ml_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
              (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
       FROM alg
     ), absdev AS (
-      SELECT CAST(sum(abs(s.n * xy.x1 - s.s1)) AS BIGINT) AS a1,
-             CAST(sum(abs(s.n * xy.x2 - s.s2)) AS BIGINT) AS a2
+      SELECT CAST(sum(CAST(abs(s.n * xy.x1 - s.s1) AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS a1,
+             CAST(sum(CAST(abs(s.n * xy.x2 - s.s2) AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS a2
       FROM xy CROSS JOIN sums s
     ), phi AS (
       SELECT c.b1, c.b2,
-             abs(c.b1) * a.a1
+             abs(c.b1) * CAST(a.a1 AS DOUBLE)
                / (CAST(c.n AS DOUBLE) * c.n) AS p1,
-             abs(c.b2) * a.a2
+             abs(c.b2) * CAST(a.a2 AS DOUBLE)
                / (CAST(c.n AS DOUBLE) * c.n) AS p2
       FROM coef c CROSS JOIN absdev a
     )
@@ -2081,10 +2083,14 @@ def q_ml_shapley_2f(spark: SparkSession, sf_dir: str) -> DataFrame:
     two features the model's predictions actually ride on.
 
     Exactness: the deviation mass folds INTEGER-exactly —
-    mean|x−x̄| = Σ|n·x_j − s_j|/n², where n·x_j and s_j are exact
-    int64 (MEASURED by scripts/margin_audit.py, r09: 9.9e15 at 100×,
-    ×100 per decade ⇒ ≈1e18 at 1000× — the thinnest int64 law in the
-    repo; the pre-r09 docstring figure 3e18@100× was 300× pessimistic);
+    mean|x−x̄| = Σ|n·x_j − s_j|/n², where the PER-ROW term n·x_j − s_j
+    is exact int64 (≈6e11 at 1000×, linear per decade — 7 decades of
+    headroom) and the SUM folds in DECIMAL(38,0) (widened round 10,
+    VERDICT r09 item 2: the int64 sum measured 9.9e15 at 100×,
+    ×100/decade ⇒ ≈1e18 at 1000× — one decade from the edge, the
+    thinnest law on the books; DECIMAL buys 20 more decades. Both
+    carriers MEASURED per round by scripts/margin_audit.py:
+    shapley_rowterm_int64 + shapley_deviation_decimal38);
     β comes from the identical Cramer tree as q_ml_linreg_2f; doubles
     only in the 2-row tail, shares as integer permille.
 
@@ -2156,13 +2162,15 @@ def q_ml_shapley_2f(spark: SparkSession, sf_dir: str) -> DataFrame:
     absdev = xy.crossJoin(F.broadcast(coef)).agg(
         F.sum(
             F.abs(F.col("n") * F.col("x1") - F.col("s1"))
+            .cast("decimal(38,0)")
         )
-        .cast("long")
+        .cast("decimal(38,0)")
         .alias("a1"),
         F.sum(
             F.abs(F.col("n") * F.col("x2") - F.col("s2"))
+            .cast("decimal(38,0)")
         )
-        .cast("long")
+        .cast("decimal(38,0)")
         .alias("a2"),
         F.max("b1").alias("b1"),
         F.max("b2").alias("b2"),
@@ -2173,12 +2181,12 @@ def q_ml_shapley_2f(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b2",
         (
             F.abs(F.col("b1"))
-            * F.col("a1")
+            * F.col("a1").cast("double")
             / (F.col("n").cast("double") * F.col("n"))
         ).alias("p1"),
         (
             F.abs(F.col("b2"))
-            * F.col("a2")
+            * F.col("a2").cast("double")
             / (F.col("n").cast("double") * F.col("n"))
         ).alias("p2"),
     )

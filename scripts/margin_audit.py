@@ -156,11 +156,12 @@ LAWS: dict[str, dict] = {
         FROM fr WHERE m = 7
         """,
     },
-    "shapley_deviation_int64": {
+    "shapley_deviation_decimal38": {
         "keys": ["q_ml_shapley_2f"],
-        "carrier": INT64,
-        "law": "Σ|n·x_j − s_j| exact int64; docstring ≈3e18 at 100× —"
-        " the thinnest documented margin in the repo",
+        "carrier": DEC38,
+        "law": "Σ|n·x_j − s_j| folds in DECIMAL(38,0) (widened r10 —"
+        " the int64 sum was the repo's thinnest law: measured 9.9e15"
+        " at 100×, ×100/decade ⇒ ≈1e18 at 1000× vs int64's 9.2e18)",
         "sql": """
         WITH feat AS (
           SELECT l_orderkey,
@@ -178,6 +179,32 @@ LAWS: dict[str, dict] = {
                  (SELECT sum(abs(CAST(st.n * f.x1 - st.s1 AS DOUBLE)))
                   FROM feat f, st),
                  (SELECT sum(abs(CAST(st.n * f.x2 - st.s2 AS DOUBLE)))
+                  FROM feat f, st)) AS measured
+        """,
+    },
+    "shapley_rowterm_int64": {
+        "keys": ["q_ml_shapley_2f"],
+        "carrier": INT64,
+        "law": "per-row term n·x_j − s_j stays exact int64 (linear per"
+        " decade: ≈6e9 at 100×, ≈6e11 at 1000× — the carrier the"
+        " DECIMAL(38,0) sum fold consumes)",
+        "sql": """
+        WITH feat AS (
+          SELECT l_orderkey,
+                 CAST(count(*) AS BIGINT) AS x1,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * 100 // 100)
+                      AS BIGINT) AS x2
+          FROM lineitem GROUP BY 1
+        ), st AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x1) AS BIGINT) AS s1,
+                 CAST(sum(x2) AS BIGINT) AS s2
+          FROM feat
+        )
+        SELECT greatest(
+                 (SELECT max(abs(CAST(st.n * f.x1 - st.s1 AS DOUBLE)))
+                  FROM feat f, st),
+                 (SELECT max(abs(CAST(st.n * f.x2 - st.s2 AS DOUBLE)))
                   FROM feat f, st)) AS measured
         """,
     },

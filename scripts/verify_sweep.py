@@ -90,12 +90,20 @@ SCALE100_SKIP = {
     " all-candidate tier",
     "q_llm_lsh_threshold_sweep": _Q + "single-slot band collisions ~"
     " sum |(slot,val) group|^2 — 16x cheaper than all-pairs but still"
-    " quadratic mass; 10x-proven (29 s)",
+    " quadratic mass; 10x-proven (29 s);"
+    " linear sibling: q_llm_neardup_jaccard_banded (8x2 banding keeps"
+    " collision mass candidate-bounded)",
     "q_llm_lsh_srp": _Q + "4-bit band CONTRACT gives ~n^2/16"
-    " candidates (docstring scale law; production widens b)",
-    "q_llm_neardup_cosine": _Q + "pairwise-cosine verifier tier",
+    " candidates (docstring scale law; production widens b);"
+    " linear sibling: q_llm_semdedup_fixedk (8-bit SRP bands +"
+    " fixed 64-cell routing, collision-bounded)",
+    "q_llm_neardup_cosine": _Q + "pairwise-cosine verifier tier;"
+    " linear sibling: q_llm_semdedup_fixedk (exact-cosine verify on"
+    " banded candidates only)",
     "q_llm_neardup_two_tier": _Q + "exact tier runs over SRP"
-    " candidates (~n^2/16); rows-only key",
+    " candidates (~n^2/16); rows-only key;"
+    " linear sibling: q_llm_neardup_jaccard_banded (band candidates"
+    " + exact verify)",
     "q_llm_semdedup": _Q + "within-cluster pairwise prune (~n^2/k for"
     " fixed fixture k) — truth twin of q_llm_semdedup_fixedk (fixed"
     " 64-cell routing + in-cluster SRP band candidates), which runs"
@@ -395,8 +403,12 @@ def run_scale10(
             "Spark result written as parquet, both relations digested "
             "by DuckDB with one shared canonicalization)"
         )
+    # Self-describing per-factor label (r09 verdict nit: the 100×
+    # artifact carried a copy-pasted "scale10" section name). Factor 10
+    # keeps the historical "scale10" name; other factors get their own.
+    label = f"scale{factor}"
     t0 = time.perf_counter()
-    report["scale10"] = sweep(
+    report[label] = sweep(
         spark,
         big,
         keys,
@@ -404,7 +416,7 @@ def run_scale10(
         digest_dir=(dest + "_digest") if digest else None,
     )
     report["total_sec"] = round(time.perf_counter() - t0, 1)
-    report["summary"] = {"scale10": _tally(report["scale10"])}
+    report["summary"] = {label: _tally(report[label])}
     bad = _bad_count(report["summary"])
     report["green"] = bad == 0
     path = os.path.join(REPO, f"LOCAL_CORRECTNESS_{factor}x.json")
@@ -420,7 +432,11 @@ def run_scale10(
         # MERGED artifact's (ADVICE r07): a green subset must not mask
         # red keys still recorded from earlier runs.
         merged = json.load(open(path))
-        merged.setdefault("scale10", {}).update(report["scale10"])
+        # Migrate any pre-r10 artifact still carrying the copy-pasted
+        # "scale10" section name at a non-10 factor.
+        if label != "scale10" and "scale10" in merged:
+            merged[label] = merged.pop("scale10")
+        merged.setdefault(label, {}).update(report[label])
         # A key that now has a real row is no longer skipped (r08: the
         # de-quadratified threshold sweep retired its skip entry);
         # conversely the factor's declared skip set is recorded with
@@ -428,10 +444,10 @@ def run_scale10(
         merged["skipped"] = {
             k: v
             for k, v in {**skip, **merged.get("skipped", {})}.items()
-            if k not in merged["scale10"]
+            if k not in merged[label]
         }
-        merged["summary"] = {"scale10": _tally(merged["scale10"])}
-        merged["n_keys"] = len(merged["scale10"])
+        merged["summary"] = {label: _tally(merged[label])}
+        merged["n_keys"] = len(merged[label])
         merged["green"] = _bad_count(merged["summary"]) == 0
         with open(path, "w") as f:
             json.dump(merged, f, indent=1, sort_keys=True)

@@ -119,6 +119,11 @@ BNLJ_ALLOWED = {
     # (argmin fold), broadcast 16-hyperplane table, broadcast fixed
     # pool / 64-seed centroid set.
     "q_llm_ann_ivf_fixedk",     # corpus × broadcast 64-seed centroids
+    "q_llm_ann_ivf_probed",     # same corpus × broadcast-64 cross (the
+                                # fixedk assign), probe-8 query side
+    "q_llm_ann_pq_rerank_scaled",  # 1-row pool-size (R=2n/25) aggregate
+                                # broadcast-crossed into the ADC ranking
+                                # (the scalar-subquery idiom)
     "q_llm_kmeans_fixedk",      # 1-row centroid-array collapse / round
     "q_ml_silhouette_fixedk",   # shared fixed _lloyd cross + a/b fold
     "q_llm_semdedup_fixedk",    # argmin-fold cross + broadcast planes
