@@ -435,6 +435,16 @@ def run_ann_recall(spark, big_dir: str) -> dict:
     audit = registry.QUERIES["q_llm_lsh_recall_audit"](spark, big_dir).collect()
     if audit:
         out["two_tier_recall_permille"] = int(audit[0]["recall_permille"])
+    # Containment recall (round 10, VERDICT r09 item 4): the banded
+    # containment twin's declared residual risk (tiny-inside-huge
+    # asymmetric pairs) measured per round, same audit pattern.
+    caudit = registry.QUERIES["q_llm_containment_recall_audit"](
+        spark, big_dir
+    ).collect()
+    if caudit:
+        out["containment_recall_permille"] = int(
+            caudit[0]["recall_permille"]
+        )
     return out
 
 

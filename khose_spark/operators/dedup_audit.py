@@ -1969,3 +1969,118 @@ def q_er_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("candidate_pairs"), F.asc("pkey"))
         .limit(20)
     )
+
+
+@query(
+    "q_llm_containment_recall_audit",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_SIG},
+    sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), exact AS MATERIALIZED (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST((2 * 1000 * n_common + least(sa.n, sb.n))
+                 // (2 * least(sa.n, sb.n)) AS BIGINT) >= 800
+    ), cand AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE {" OR ".join(
+          "(" + " AND ".join(
+              f"a.s{b * _BAND_ROWS + r} = b.s{b * _BAND_ROWS + r}"
+              for r in range(_BAND_ROWS)
+          ) + ")"
+          for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    )
+    SELECT (SELECT count(*) FROM exact) AS n_exact,
+           (SELECT count(*) FROM cand) AS n_candidates,
+           (SELECT count(*) FROM exact e
+             JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b) AS n_hit,
+           CASE WHEN (SELECT count(*) FROM exact) = 0 THEN 1000
+                ELSE CAST(((SELECT count(*) FROM exact e
+                            JOIN cand c ON c.id_a = e.id_a
+                                       AND c.id_b = e.id_b) * 2000
+                           + (SELECT count(*) FROM exact))
+                          // (2 * (SELECT count(*) FROM exact)) AS BIGINT)
+           END AS recall_permille
+    """,
+)
+def q_llm_containment_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Band-candidate recall vs the exact CONTAINMENT ≥0.8 truth set —
+    the containment twin of q_llm_lsh_recall_audit (VERDICT r09 item
+    4). q_llm_containment_banded's docstring declares asymmetric
+    tiny-inside-huge extremes as its residual recall risk (a small set
+    fully contained in a much larger one has high containment but LOW
+    Jaccard, so its MinHash signature agreement — which tracks Jaccard
+    — can fall below the band threshold); until round 10 only the
+    Jaccard tier had a measuring audit. Output: one row (n_exact,
+    n_candidates, n_hit, half-up permille recall; 1000 when the truth
+    set is empty), recorded at 1× and 10× per round by bench.py next
+    to the Jaccard and two-tier recalls.
+
+    The truth tier is the ALL-PAIRS shingle equi-join — quadratic by
+    contract, exactly like the Jaccard recall audit (both sit in
+    SCALE100_SKIP; the production tier they certify is the banded
+    twin, which runs at 100×).
+
+    Plan: truth via shingle equi-join + size joins; candidates via the
+    8×2 band join; the audit semi-joins two pair lists and folds to
+    one row. Caches released eagerly (the lsh_recall_audit lifecycle
+    discipline)."""
+    d = t(spark, sf_dir, "documents")
+    sh = shingles(d).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    contain = F.expr(
+        "CAST((2 * 1000 * n_common + least(na, nb))"
+        " DIV (2 * least(na, nb)) AS BIGINT)"
+    )
+    exact = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(contain >= 800)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    sig = _det_signatures(spark, sf_dir, sh=sh).persist()
+    cand = _band_candidates(sig).persist()
+    hit = exact.join(cand, ["id_a", "id_b"], "left_semi")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    row = n_exact.crossJoin(F.broadcast(n_cand)).crossJoin(
+        F.broadcast(n_hit)
+    )
+    recall = F.when(
+        F.col("n_exact") == 0, F.lit(1000).cast("long")
+    ).otherwise(
+        F.expr("(n_hit * 2000 + n_exact) DIV (2 * n_exact)").cast("long")
+    )
+    out = row.select(
+        "n_exact", "n_candidates", "n_hit", recall.alias("recall_permille")
+    ).localCheckpoint()
+    for df in (sh, exact, sig, cand):
+        df.unpersist()
+    return out

@@ -306,31 +306,55 @@ EVENTS_ONLY_LAWS = {
     "stl_quadsum_decimal38",
 }
 
+# Laws that read ONLY lineitem/orders — the other carrier class the
+# decade ladder keeps spending (shapley at 100×→1000× was the thinnest;
+# VERDICT r09 item 3 asks for the 1000× probe to cover this family too).
+LINEITEM_FAMILY_LAWS = {
+    "shapley_deviation_decimal38",
+    "shapley_rowterm_int64",
+    "ttest_paired_revcc_int64",
+    "spearman_moments_decimal38",
+    "boost_weighted_err_int64",
+    "cm_inner_product_int64",
+    "target_encoding_sums_int64",
+}
 
-def ensure_events_scale(base_dir: str, factor: int) -> str:
-    """Materialize (once) a ``factor``× copy of the EVENTS table only,
+
+def ensure_table_scale(
+    base_dir: str, factor: int, table: str, key_cols: tuple[str, ...]
+) -> str:
+    """Materialize (once) a ``factor``× copy of ONE fixture table,
     straight through DuckDB — no Spark session, no decorrelation caps
-    (event copies only shift event_id; values/timestamps are untouched,
-    i.e. the same time range at factor× density, which is exactly the
-    carrier-magnitude regime the moment laws must survive). This is how
-    the 1000× decade probe stays a seconds-scale job instead of a full
-    fixture materialization."""
+    (copies only shift the integer key columns by i·10⁹; values and
+    timestamps are untouched, i.e. the same domain at factor× density,
+    which is exactly the carrier-magnitude regime the moment laws must
+    survive). Key shifts are CONSISTENT across tables (the same
+    i·10⁹ per copy), so lineitem↔orders joins survive replication.
+    This is how the 1000× decade probe stays a minutes-scale job
+    instead of a full fixture materialization."""
     import duckdb
 
-    dest = f"/tmp/khose_margin_events_x{factor}"
-    marker = os.path.join(dest, f"_EVENTS_x{factor}_OK")
-    out = os.path.join(dest, "events.parquet")
+    dest = f"/tmp/khose_margin_{table}_x{factor}"
+    marker = os.path.join(dest, f"_{table.upper()}_x{factor}_OK")
+    out = os.path.join(dest, f"{table}.parquet")
     if os.path.exists(marker):
         return out
     os.makedirs(dest, exist_ok=True)
+    repl = ", ".join(
+        f"{k} + c.i * 1000000000 AS {k}" for k in key_cols
+    )
     con = duckdb.connect()
     con.sql("SET memory_limit='24GB'")
     con.sql("SET temp_directory='/tmp/khose_duckdb_spill'")
+    # Without this, COPY preserves insertion order by BUFFERING the
+    # whole replicated relation (600M lineitem rows spilled >60 GB and
+    # filled the disk); row order is irrelevant to every consumer here.
+    con.sql("SET preserve_insertion_order=false")
     con.sql(
         f"""
         COPY (
-          SELECT * REPLACE (event_id + c.i * 1000000000 AS event_id)
-          FROM '{base_dir}/events.parquet',
+          SELECT * REPLACE ({repl})
+          FROM '{base_dir}/{table}.parquet',
                (SELECT unnest(range(0, {factor})) AS i) c
         ) TO '{out}' (FORMAT PARQUET)
         """
@@ -341,24 +365,44 @@ def ensure_events_scale(base_dir: str, factor: int) -> str:
     return out
 
 
-def run(sf_dir: str, events_override: str | None = None) -> dict:
+def ensure_events_scale(base_dir: str, factor: int) -> str:
+    return ensure_table_scale(base_dir, factor, "events", ("event_id",))
+
+
+def ensure_lineitem_scale(base_dir: str, factor: int) -> dict[str, str]:
+    """lineitem + orders at ``factor``×, join keys shifted in lockstep
+    (l_orderkey and o_orderkey get the same per-copy offset)."""
+    return {
+        "lineitem": ensure_table_scale(
+            base_dir, factor, "lineitem", ("l_orderkey",)
+        ),
+        "orders": ensure_table_scale(
+            base_dir, factor, "orders", ("o_orderkey",)
+        ),
+    }
+
+
+def run(
+    sf_dir: str,
+    overrides: dict[str, str] | None = None,
+    law_subset: set[str] | None = None,
+) -> dict:
     import duckdb
 
     con = duckdb.connect()
     con.sql("SET memory_limit='24GB'")
     con.sql("SET temp_directory='/tmp/khose_duckdb_spill'")
+    overrides = overrides or {}
     for tname in TABLES:
-        path = f"{sf_dir}/{tname}.parquet"
-        if tname == "events" and events_override:
-            path = events_override
+        path = overrides.get(tname, f"{sf_dir}/{tname}.parquet")
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
         con.sql(f"CREATE VIEW {tname} AS SELECT * FROM '{path}'")
     results: dict[str, dict] = {}
     worst_ok = True
     laws = (
-        {k: v for k, v in LAWS.items() if k in EVENTS_ONLY_LAWS}
-        if events_override
+        {k: v for k, v in LAWS.items() if k in law_subset}
+        if law_subset is not None
         else LAWS
     )
     for name, law in laws.items():
@@ -400,7 +444,8 @@ def run(sf_dir: str, events_override: str | None = None) -> dict:
 
 def main() -> int:
     sf_dir = "/root/testdata/sf0.1"
-    events_override = None
+    overrides: dict[str, str] = {}
+    law_subset: set[str] | None = None
     tag = None
     for a in sys.argv[1:]:
         if a.startswith("--dir="):
@@ -415,9 +460,18 @@ def main() -> int:
             # events-only decade probe (1000× and beyond): materialize
             # just the events table and audit the moment-folding class.
             f = int(a.split("=", 1)[1])
-            events_override = ensure_events_scale(sf_dir, f)
+            overrides["events"] = ensure_events_scale(sf_dir, f)
+            law_subset = EVENTS_ONLY_LAWS
             tag = f"{sf_dir} [events x{f}]"
-    report = run(sf_dir, events_override=events_override)
+        elif a.startswith("--lineitem-factor="):
+            # lineitem/orders decade probe (VERDICT r09 item 3): extend
+            # the 1000× ladder beyond events — join keys shift in
+            # lockstep so lineitem↔orders keys still match.
+            f = int(a.split("=", 1)[1])
+            overrides.update(ensure_lineitem_scale(sf_dir, f))
+            law_subset = LINEITEM_FAMILY_LAWS
+            tag = f"{sf_dir} [lineitem x{f}]"
+    report = run(sf_dir, overrides=overrides, law_subset=law_subset)
     if tag:
         report["dir"] = tag
         sf_dir = tag

@@ -88,6 +88,10 @@ SCALE100_SKIP = {
     " tier (shingle self-join) in both engines",
     "q_llm_lsh_recall_audit": _Q + "recall denominator IS the exact"
     " all-candidate tier",
+    "q_llm_containment_recall_audit": _Q + "containment truth tier is"
+    " the same all-pairs shingle equi-join; the production tier it"
+    " certifies — linear sibling: q_llm_containment_banded — runs at"
+    " 100x",
     "q_llm_lsh_threshold_sweep": _Q + "single-slot band collisions ~"
     " sum |(slot,val) group|^2 — 16x cheaper than all-pairs but still"
     " quadratic mass; 10x-proven (29 s);"
@@ -350,7 +354,10 @@ def _session():
 
 
 def run_scale10(
-    wanted: list[str], factor: int = SCALE_FACTOR, digest: bool = False
+    wanted: list[str],
+    factor: int = SCALE_FACTOR,
+    digest: bool = False,
+    dir_override: str | None = None,
 ) -> int:
     """Oracle sweep at ``factor``× sf0.1 → LOCAL_CORRECTNESS_{factor}x.json.
 
@@ -360,7 +367,15 @@ def run_scale10(
     materialization bench.py times (same path), so correctness evidence
     and timing evidence cover the same bytes. Factors beyond 10 exist
     to chase the int64-overflow family one more decade (every decade
-    jump so far caught a real widening bug)."""
+    jump so far caught a real widening bug).
+
+    ``dir_override`` points the sweep at a caller-provided
+    materialization instead of building the full ``factor``× fixture —
+    the 1000× lineitem/orders probe dir (scripts/margin_audit.py
+    ``ensure_lineitem_scale`` + symlinks for the untouched tables) is
+    the intended caller; ensure_scale_dir caps at 128× and a full
+    1000× materialization would be ~100 GB for keys that read two
+    tables."""
     spark = _session()
     import __spark_entry__ as E
 
@@ -371,7 +386,11 @@ def run_scale10(
         os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/khose_scale")
         + f"_{tag}_x{factor}"
     )
-    big = ensure_scale_dir(spark, SCALE_BASE, dest, factor=factor)
+    if dir_override:
+        dest = dir_override.rstrip("/")
+        big = dest
+    else:
+        big = ensure_scale_dir(spark, SCALE_BASE, dest, factor=factor)
     skip = dict(SCALE10_SKIP)
     if factor >= 100:
         skip.update(SCALE100_SKIP)
@@ -518,10 +537,19 @@ def main() -> int:
         SCALE_FACTOR,
     )
     if "--scale10" in sys.argv:
+        dir_override = next(
+            (
+                a.split("=", 1)[1]
+                for a in sys.argv[1:]
+                if a.startswith("--dir=")
+            ),
+            None,
+        )
         return run_scale10(
             [a for a in sys.argv[1:] if not a.startswith("--")],
             factor=factor,
             digest="--digest" in sys.argv,
+            dir_override=dir_override,
         )
     if "--digest-selfcheck" in sys.argv:
         return run_digest_selfcheck(

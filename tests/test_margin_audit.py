@@ -42,3 +42,11 @@ def test_events_only_scale_subset_is_the_moment_family():
     assert margin_audit.EVENTS_ONLY_LAWS <= set(margin_audit.LAWS)
     for name in margin_audit.EVENTS_ONLY_LAWS:
         assert "events" in margin_audit.LAWS[name]["sql"], name
+
+
+def test_lineitem_family_subset_reads_only_lineitem_orders():
+    assert margin_audit.LINEITEM_FAMILY_LAWS <= set(margin_audit.LAWS)
+    for name in margin_audit.LINEITEM_FAMILY_LAWS:
+        sql = margin_audit.LAWS[name]["sql"]
+        assert "lineitem" in sql or "orders" in sql, name
+        assert "events" not in sql and "documents" not in sql, name

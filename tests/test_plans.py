@@ -94,6 +94,8 @@ BNLJ_ALLOWED = {
                                # broadcast-crossed into the 5-row alloc
     "q_llm_lsh_recall_audit",  # three 1-row count aggregates
                                # broadcast-crossed into one audit row
+    "q_llm_containment_recall_audit",  # same three-count audit fold
+                               # (the containment twin of the above)
     "q_ml_naive_bayes",        # 1-row corpus-size + vocab-size aggregates
                                # broadcast-crossed into the scoring stream
     "q_fn_geo_haversine",      # 25-row nation dimension self-paired on a
@@ -349,6 +351,9 @@ MAX_SHUFFLES = {
                                   # joins) + band tier (sig agg + band
                                   # join) + 3 count aggs; persisted sh/sig
                                   # subplans embedded 2-3x in the string
+                                  # (audited: 17)
+    "q_llm_containment_recall_audit": 20,  # same tiers/fold as the
+                                  # Jaccard recall audit above
                                   # (audited: 17)
     "q_llm_minhash_det": 6,       # sig agg + band self-join + distinct +
                                   # 2 sig-lookup joins (audited: 5)
