@@ -137,6 +137,13 @@ HEADLINE = [
     # Round-10 probe-scaled search (the recall-at-scale closers):
     "q_llm_ann_ivf_probed",
     "q_llm_ann_pq_rerank_scaled",
+    # Round-10 second wave: DSIR selection, rank concordance, drift,
+    # local-DP release, compaction planning.
+    "q_llm_dsir",
+    "q_ml_kendall_tau",
+    "q_ts_page_hinkley",
+    "q_priv_randomized_response",
+    "q_lake_compaction_plan",
     # Round-9 second wave: exact-integer AdaBoost, one-shuffle CM
     # sketch, tolerance as-of, STL strengths.
     "q_ml_boosted_stumps",

@@ -1117,3 +1117,113 @@ def q_llm_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_DSIR_K = 20  # resample budget: top-k non-target docs by importance
+
+
+@query(
+    "q_llm_dsir",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), tgt AS (
+      SELECT term, count(*) AS n_t FROM tok WHERE lang = 'en'
+      GROUP BY term
+    ), src AS (
+      SELECT term, count(*) AS n_s FROM tok GROUP BY term
+    ), tots AS (
+      SELECT (SELECT count(*) FROM tok WHERE lang = 'en') AS tot_t,
+             (SELECT count(*) FROM tok) AS tot_s,
+             (SELECT count(DISTINCT term) FROM tok) AS v
+    ), model AS (
+      SELECT s.term,
+             ln(CAST(COALESCE(t.n_t, 0) + 1 AS DOUBLE)
+                / (tots.tot_t + tots.v))
+             - ln(CAST(s.n_s + 1 AS DOUBLE) / (tots.tot_s + tots.v))
+               AS llr
+      FROM src s LEFT JOIN tgt t ON t.term = s.term CROSS JOIN tots
+    ), scored AS (
+      SELECT k.doc_id, k.lang,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             round(avg(m.llr), 4) AS avg_llr
+      FROM tok k JOIN model m ON m.term = k.term
+      WHERE k.lang <> 'en'
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, lang, n_tokens, avg_llr, rk AS rank FROM (
+      SELECT doc_id, lang, n_tokens, avg_llr,
+             row_number() OVER (ORDER BY avg_llr DESC, doc_id ASC) AS rk
+      FROM scored
+    ) WHERE rk <= {_DSIR_K}
+    """,
+)
+def q_llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scoring for data selection (Xie et al.,
+    Data Selection via Importance Resampling): score each NON-target
+    document by how much more likely its unigrams are under the target
+    distribution (lang='en' here — the 'quality reference' pool) than
+    under the raw-corpus distribution, log w(d) = Σ_w c_d(w)·(ln
+    p_tgt(w) − ln p_src(w)) with add-1 smoothing over the joint
+    vocabulary; report the top-20 candidates by per-token importance
+    (length-debiased avg llr) — the resample set a pretraining mixture
+    would promote. This is the selection step between raw crawl and
+    quality-filtered corpus that the Gopher/quality-score keys don't
+    cover: those score documents in isolation, DSIR scores them
+    AGAINST a target distribution.
+
+    Determinism: avg-of-logs is continuous so round(4) is hash-stable
+    (the q_llm_surprisal/sqlutil law); ranking compares the ROUNDED
+    score with doc_id tiebreak.
+
+    Plan: two vocabulary-sized count aggs (target + corpus) and three
+    1-row totals build the model, which broadcasts into the token
+    stream (the surprisal shape); scoring is map-side + one per-doc
+    shuffle; the top-20 cut is TakeOrdered (no global sort), with the
+    dense rank attached on the 20-row result. At 100 TB the only
+    corpus-scale shuffles are the token count aggs and the per-doc
+    fold."""
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    src = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n_s"))
+    tots = tok.agg(
+        F.sum((F.col("lang") == "en").cast("long")).alias("tot_t"),
+        F.count(F.lit(1)).alias("tot_s"),
+        F.countDistinct("term").alias("v"),
+    )
+    llr = F.log(
+        (F.coalesce(F.col("n_t"), F.lit(0)) + 1).cast("double")
+        / (F.col("tot_t") + F.col("v"))
+    ) - F.log(
+        (F.col("n_s") + 1).cast("double") / (F.col("tot_s") + F.col("v"))
+    )
+    model = (
+        src.join(tgt, "term", "left")
+        .crossJoin(F.broadcast(tots))
+        .select("term", llr.alias("llr"))
+    )
+    scored = (
+        tok.filter(F.col("lang") != "en")
+        .join(F.broadcast(model), "term")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("llr"), 4).alias("avg_llr"),
+        )
+    )
+    top = scored.orderBy(F.desc("avg_llr"), F.asc("doc_id")).limit(_DSIR_K)
+    w = Window.orderBy(F.desc("avg_llr"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "avg_llr",
+        F.row_number().over(w).alias("rank"),
+    )

@@ -953,3 +953,120 @@ def q_priv_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@query(
+    "q_priv_randomized_response",
+    oracle="""
+    WITH resp AS (
+      SELECT o_orderpriority AS pri,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             CASE WHEN instr('0123456789abcdef',
+                       substr(md5(concat('rr:',
+                              CAST(o_orderkey AS VARCHAR))), 1, 1)) - 1
+                       < 12
+                  THEN CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                  ELSE CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END
+             END AS r
+      FROM orders
+    ), g AS (
+      SELECT pri,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_true,
+             CAST(sum(r) AS BIGINT) AS n_reported_true
+      FROM resp GROUP BY pri
+    ), est AS (
+      SELECT pri, n, n_true, n_reported_true,
+             CAST((2 * 1000 * n_true + n) // (2 * n) AS BIGINT)
+               AS true_permille,
+             2000 * n_reported_true - 500 * n AS a
+      FROM g
+    )
+    SELECT pri, n, n_true, n_reported_true, true_permille,
+           CASE WHEN a >= 0
+                THEN CAST((2 * a + n) // (2 * n) AS BIGINT)
+                ELSE -CAST((2 * (-a) + n) // (2 * n) AS BIGINT)
+           END AS est_permille,
+           abs(CASE WHEN a >= 0
+                    THEN CAST((2 * a + n) // (2 * n) AS BIGINT)
+                    ELSE -CAST((2 * (-a) + n) // (2 * n) AS BIGINT)
+               END - true_permille) AS abs_err_permille
+    FROM est
+    """,
+)
+def q_priv_randomized_response(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Randomized-response release audit (Warner's mechanism — the
+    LOCAL-DP member of the privacy family; dp_histogram/dp_mean are
+    central-DP): each order reports its true bit (status = 'F') with
+    probability p = 3/4 and the FLIPPED bit otherwise, so any single
+    report is plausibly deniable (ε = ln 3); the aggregate debiases as
+    π̂ = (obs − (1−p))/(2p − 1) = 2·obs − ½. Per priority class:
+    n, true count, reported count, true rate, debiased estimate, and
+    |error| — the release audit, in integer permille throughout.
+
+    All-integer exactness: the p = 3/4 coin is the first md5 hex digit
+    < 12 (12/16 exactly — the dp_histogram ladder idiom, deterministic
+    by design so the mechanism is hash-checkable; production swaps the
+    uniform source for a CSPRNG), and the debiased estimate folds as
+    half-up integer permille with a sign-safe form (a = 2000·n_rep −
+    500·n can be negative in adversarial inputs even though the
+    mechanism floors obs at (1−p); the CASE keeps the contract correct
+    beyond the fixture — the ADVICE r09 lesson).
+
+    Plan: map-side bit + coin per row, ONE 5-group aggregate — a scan
+    plus a constant-size shuffle at any scale."""
+    o = t(spark, sf_dir, "orders")
+    y = (F.col("o_orderstatus") == "F").cast("long")
+    digit = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("rr:"), F.col("o_orderkey").cast("string")
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        )
+        .cast("int")
+    )
+    r = F.when(digit < 12, y).otherwise(1 - y)
+    g = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        y.alias("y"),
+        r.alias("r"),
+    ).groupBy("pri").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_true"),
+        F.sum("r").alias("n_reported_true"),
+    )
+    est = g.select(
+        "pri",
+        "n",
+        "n_true",
+        "n_reported_true",
+        F.expr(
+            "CAST((2 * 1000 * n_true + n) DIV (2 * n) AS BIGINT)"
+        ).alias("true_permille"),
+        (2000 * F.col("n_reported_true") - 500 * F.col("n")).alias("a"),
+    )
+    half_up = F.when(
+        F.col("a") >= 0,
+        F.expr("CAST((2 * a + n) DIV (2 * n) AS BIGINT)"),
+    ).otherwise(-F.expr("CAST((2 * (-a) + n) DIV (2 * n) AS BIGINT)"))
+    return est.select(
+        "pri",
+        "n",
+        "n_true",
+        "n_reported_true",
+        "true_permille",
+        half_up.alias("est_permille"),
+        F.abs(half_up - F.col("true_permille")).alias(
+            "abs_err_permille"
+        ),
+    )

@@ -396,8 +396,10 @@ def q_ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(x2 * x2) AS BIGINT) AS s22,
              CAST(sum(x1 * x2) AS BIGINT) AS s12,
              CAST(sum(x1 * y) AS BIGINT) AS s1y,
-             CAST(sum(x2 * y) AS BIGINT) AS s2y,
-             CAST(sum(y * y) AS BIGINT) AS syy
+             CAST(sum(CAST(x2 * y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS s2y,
+             CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS syy
       FROM xy
     ), alg AS (
       SELECT n,
@@ -440,11 +442,14 @@ def q_ml_linreg_2f(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: features and the whole-dollar response (DECIMAL-cast
     half-up law) are int64, so all nine sufficient statistics
-    (n, Σx, Σy, Σx², Σxy, Σy²) are EXACT integer sums (Σy² ≈ 4e17 at
-    sf1 — within int64; the >sf10 path would move to DECIMAL(38)
-    accumulators). The covariance algebra then runs in doubles with
-    the SAME expression tree in both engines (IEEE ops are
-    deterministic given identical inputs and order), rounded to 6 dp.
+    (n, Σx, Σy, Σx², Σxy, Σy²) are EXACT integer sums. Σy² and Σx₂y
+    fold in DECIMAL(38,0) since round 10 — the 1000× lineitem digest
+    probe hit Spark's ANSI long-overflow on the int64 Σy² (the
+    docstring's own documented ">sf10 → DECIMAL" path, now taken;
+    the 6th consecutive decade catch). The covariance algebra then
+    runs in doubles with the SAME expression tree in both engines
+    (IEEE ops are deterministic given identical inputs and order),
+    rounded to 6 dp.
 
     Plan: per-order feature agg (one l_orderkey shuffle, map-side
     combined) + broadcast-sized join to orders + a single 1-row
@@ -475,8 +480,19 @@ def q_ml_linreg_2f(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
         F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
         F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
-        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        # s2y/syy fold in DECIMAL(38,0) since round 10: the 1000×
+        # lineitem digest probe hit Spark's ANSI long-overflow on Σy²
+        # (per-row y² ≈ 3.6e11 stays int64; the SUM crossed 9.2e18 at
+        # n = 1.5e8 — exactly the ">sf10 moves to DECIMAL" path the
+        # docstring had promised). The other stats grow linearly per
+        # decade with ≥3 decades of int64 room at 1000×; margin-audit
+        # law linreg_syy_decimal38 tracks the widened pair.
+        F.sum((F.col("x2") * F.col("y")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s2y"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
     )
     # Mirror the oracle's expression tree exactly: every mean is
     # (double)S / n, every centered moment is S/n - mean*mean.
@@ -2430,8 +2446,9 @@ _BOOST_H1 = """r1.pol * (CASE WHEN
     SELECT 'round1' AS stage, r1.feature,
            CAST(r1.t AS BIGINT) AS threshold,
            CAST(r1.pol AS INT) AS pol,
-           CAST((1000 * r1.e) // r1.w
-                + CASE WHEN 2 * ((1000 * r1.e) % r1.w) >= r1.w
+           CAST((1000 * CAST(r1.e AS HUGEINT)) // r1.w
+                + CASE WHEN 2 * ((1000 * CAST(r1.e AS HUGEINT)) % r1.w)
+                            >= r1.w
                        THEN 1 ELSE 0 END AS BIGINT)
              AS err_permille,
            CASE WHEN r1.e > 0 AND r1.cw > 0 THEN
@@ -2442,8 +2459,9 @@ _BOOST_H1 = """r1.pol * (CASE WHEN
     UNION ALL
     SELECT 'round2', r2.feature, CAST(r2.t AS BIGINT),
            CAST(r2.pol AS INT),
-           CAST((1000 * r2.e) // r2.w
-                + CASE WHEN 2 * ((1000 * r2.e) % r2.w) >= r2.w
+           CAST((1000 * CAST(r2.e AS HUGEINT)) // r2.w
+                + CASE WHEN 2 * ((1000 * CAST(r2.e AS HUGEINT)) % r2.w)
+                            >= r2.w
                        THEN 1 ELSE 0 END AS BIGINT),
            CASE WHEN r2.e > 0 AND r2.cw > 0 THEN
              round(0.5 * ln(CAST(r2.cw AS DOUBLE) / r2.e), 6) END,
@@ -2485,14 +2503,18 @@ def q_ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     cw₁·e₂ mixes an unweighted count with a weighted error and scales
     n³ (≈5e20 at 100× orders — PAST int64), so it compares as
     DECIMAL(19,0)×DECIMAL(19,0) in both engines; the weighted permille
-    uses the two-step half-up form q + (2r ≥ w) so its largest term is
-    1000·e₂ — measured ≈5e18 at 1000× on the fixture split, with the
-    worst-split closed-form bound 2000·e₁·cw₁ ≤ 500·n² ≈ 1.1e19
-    grazing int64 there: 1000× is the LAST int64-certified decade and
-    margin_audit's boost_weighted_err_int64 law tracks the bound
-    (1.9 decades of headroom at 100×); beyond it the permille carrier
-    widens to DECIMAL. Per-cell weights c·c₁ ≤ n² stay int64 through
-    1000×."""
+    uses the two-step half-up form q + (2r ≥ w) and its numerator
+    1000·e₂ — worst-split bound 2000·e₁·cw₁ ≤ 500·n² — was WIDENED in
+    round 10 after the 1000× lineitem margin probe measured the bound
+    at 1.125e19 > int64 (the 5th consecutive decade catch, this one
+    BEFORE the carrier shipped thin): Spark folds the numerator in
+    DECIMAL(38,0) (exact DIV/%), the oracle in HUGEINT (DuckDB's
+    DECIMAL // coerces through DOUBLE and loses ulps; int128 division
+    is exact). margin_audit's boost_weighted_err_decimal38 law tracks
+    the bound with ~19 decades of room at 1000×. Per-cell weights
+    c·c₁ ≤ n² stay int64 through 1000×; w₂ = 2·e₁·c₁ ≤ n²/2 stays
+    int64 through 1000× with 2.9 decades (the next widening
+    candidate, documented)."""
     labeled = t(spark, sf_dir, "orders").select(
         F.expr(
             f"CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
@@ -2646,9 +2668,17 @@ def q_ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "feature",
             F.col("t").cast("long").alias("threshold"),
             F.col("pol").cast("int").alias("pol"),
+            # Permille numerator widened round 10 (the 5th consecutive
+            # decade catch, this time by the 1000× lineitem margin
+            # probe BEFORE any wrong result shipped): 1000·e₂ ≤
+            # 1000·w₂ ≤ 500·n² = 1.125e19 at 1000× > int64. Spark
+            # folds it in DECIMAL(38,0) (exact DIV/%); the oracle uses
+            # HUGEINT — DuckDB's DECIMAL // coerces through DOUBLE and
+            # loses ulps, HUGEINT division is exact int128.
             F.expr(
-                "CAST((1000 * e) DIV w"
-                " + CASE WHEN 2 * ((1000 * e) % w) >= w"
+                "CAST((1000 * CAST(e AS DECIMAL(38,0))) DIV w"
+                " + CASE WHEN 2 * ((1000 * CAST(e AS DECIMAL(38,0))) % w)"
+                " >= w"
                 " THEN 1 ELSE 0 END AS BIGINT)"
             ).alias("err_permille"),
             alpha.alias("alpha"),

@@ -13,7 +13,7 @@ import hashlib
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -793,4 +793,103 @@ def q_lake_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("bbox").cast("long").alias("max_bbox"),
         )
         .orderBy("method", "depth")
+    )
+
+
+_COMPACT_BINS = 8  # compaction fan-in: pack the file list into 8 outputs
+
+
+@query(
+    "q_lake_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS bytes
+      FROM documents GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(sum(bytes) AS BIGINT) AS total,
+             CAST((sum(bytes) + {_COMPACT_BINS} - 1) // {_COMPACT_BINS}
+                  AS BIGINT) AS target
+      FROM files
+    ), planned AS (
+      SELECT f.source, f.lang, f.bytes, t.target,
+             CAST(COALESCE(sum(f.bytes) OVER (
+                    ORDER BY f.bytes DESC, f.source ASC, f.lang ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) // t.target AS BIGINT) AS bin_id
+      FROM files f CROSS JOIN tot t
+    )
+    SELECT bin_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+           max(target) AS target_bytes,
+           CAST((2 * 1000 * sum(bytes) + max(target))
+                // (2 * max(target)) AS BIGINT) AS fill_permille
+    FROM planned GROUP BY bin_id
+    """,
+)
+def q_lake_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the lakehouse maintenance job
+    that turns N small files into ~8 right-sized outputs BEFORE
+    rewriting a byte (the q_lake_zorder_locality pattern: measure the
+    plan, don't write the file). Files are modeled as the (source,
+    lang) byte masses of the document corpus; the plan orders them
+    size-descending (name tiebreak — the first-fit-decreasing greedy's
+    sort order) and assigns each file to output bin = floor(cum_bytes_
+    before / target) with target = ceil(total/8) — the running-total
+    split a sorted compactor actually uses, in closed form via ONE
+    prefix-sum window instead of a sequential packing loop. Per bin:
+    file count, bytes, and half-up permille fill vs target — the skew
+    report that decides whether the compaction is worth running.
+
+    All-integer exactness (bytes, ceil/floor divisions, half-up
+    permille); sums are non-negative so DuckDB's flooring // and
+    Spark's truncating DIV agree.
+
+    Plan: one (source, lang) fact rollup (the only corpus-scale
+    shuffle), a 1-row total broadcast-crossed in, and one prefix-sum
+    window over the file list — which is DIMENSION-bounded (sources ×
+    langs), not corpus-bounded, so the single-partition window is
+    constant-size at any volume (the fixed_seeds argument)."""
+    files = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.sum("n_chars").cast("long").alias("bytes"))
+    )
+    tot = files.agg(
+        F.sum("bytes").cast("long").alias("total"),
+        F.expr(
+            f"CAST((sum(bytes) + {_COMPACT_BINS} - 1)"
+            f" DIV {_COMPACT_BINS} AS BIGINT)"
+        ).alias("target"),
+    )
+    w_prefix = Window.orderBy(
+        F.desc("bytes"), F.asc("source"), F.asc("lang")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    planned = (
+        files.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "bytes",
+            "target",
+            F.coalesce(F.sum("bytes").over(w_prefix), F.lit(0)).alias(
+                "cum_before"
+            ),
+        )
+        .select(
+            "bytes",
+            "target",
+            F.expr("CAST(cum_before DIV target AS BIGINT)").alias(
+                "bin_id"
+            ),
+        )
+    )
+    return planned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").cast("long").alias("bin_bytes"),
+        F.max("target").alias("target_bytes"),
+        F.expr(
+            "CAST((2 * 1000 * sum(bytes) + max(target))"
+            " DIV (2 * max(target)) AS BIGINT)"
+        ).alias("fill_permille"),
     )

@@ -3900,3 +3900,289 @@ def q_ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         npat.cast("int").alias("n_patterns"),
         F.round(ent / F.log(F.lit(6.0)), 4).alias("pe_norm"),
     ).orderBy("event_type")
+
+
+@query(
+    "q_ml_kendall_tau",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ), paired AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, a.d,
+             a.cents AS x, b.cents AS y
+      FROM daily a JOIN daily b
+        ON a.d = b.d AND a.event_type < b.event_type
+    ), pp AS (
+      SELECT p.type_a, p.type_b,
+             CAST(sum(CASE WHEN (p.x < q.x AND p.y < q.y)
+                             OR (p.x > q.x AND p.y > q.y)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_conc,
+             CAST(sum(CASE WHEN (p.x < q.x AND p.y > q.y)
+                             OR (p.x > q.x AND p.y < q.y)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+             CAST(sum(CASE WHEN p.x = q.x THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tie_x,
+             CAST(sum(CASE WHEN p.y = q.y THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tie_y,
+             CAST(count(*) AS BIGINT) AS n0
+      FROM paired p JOIN paired q
+        ON p.type_a = q.type_a AND p.type_b = q.type_b AND p.d < q.d
+      GROUP BY 1, 2
+    ), nd AS (
+      SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_days
+      FROM paired GROUP BY 1, 2
+    )
+    SELECT pp.type_a, pp.type_b, nd.n_days,
+           n_conc, n_disc, n_tie_x, n_tie_y,
+           CASE WHEN (n0 - n_tie_x) * (n0 - n_tie_y) = 0 THEN NULL
+                ELSE round((n_conc - n_disc)
+                           / sqrt(CAST((n0 - n_tie_x) AS DOUBLE)
+                                  * (n0 - n_tie_y)), 4)
+           END AS tau_b
+    FROM pp JOIN nd ON nd.type_a = pp.type_a AND nd.type_b = pp.type_b
+    """,
+)
+def q_ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between every pair of per-type daily spend series —
+    the rank-concordance companion to q_ts_corr_matrix (Pearson) and
+    q_agg_spearman: τ-b is the robust choice when the relationship is
+    monotone-but-nonlinear and it handles ties explicitly. EXACT
+    integer tier all the way to the boundary: series values are exact
+    daily cents, concordant/discordant/tied pair counts use pure
+    integer COMPARISONS (never the (x1−x2)(y1−y2) product, whose cents²
+    magnitude would cross int64 at the 100× decade), τ-b =
+    (C−D)/√((n0−n_tx)(n0−n_ty)) is ONE double ratio, round-4, with the
+    all-tied degenerate case NULL-guarded.
+
+    Plan: one (type, day) fact rollup (the only corpus-scale shuffle);
+    the pair join and the day-pair self-join run on the days×types
+    bounded relation (~30 days × 10 type pairs ⇒ ≤ 4,350 comparison
+    rows at ANY volume — timestamps are a time range, not a scale
+    axis), so the quadratic-in-days stage is constant-bounded by the
+    same argument as ljung_box/pacf2. The daily rollup is eagerly
+    checkpointed because it is referenced FOUR times downstream (both
+    pair sides, both day-pair sides) — without the cut the corpus
+    would be scanned and re-aggregated once per reference."""
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint()
+    )
+    a = daily.select(
+        F.col("event_type").alias("type_a"),
+        "d",
+        F.col("cents").alias("x"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("d").alias("d_b"),
+        F.col("cents").alias("y"),
+    )
+    paired = a.join(
+        b,
+        (F.col("d") == F.col("d_b"))
+        & (F.col("type_a") < F.col("type_b")),
+    ).select("type_a", "type_b", "d", "x", "y")
+    p = paired.alias("p")
+    q = paired.alias("q")
+    pairs = p.join(
+        q,
+        (F.col("p.type_a") == F.col("q.type_a"))
+        & (F.col("p.type_b") == F.col("q.type_b"))
+        & (F.col("p.d") < F.col("q.d")),
+    )
+    conc = (
+        ((F.col("p.x") < F.col("q.x")) & (F.col("p.y") < F.col("q.y")))
+        | ((F.col("p.x") > F.col("q.x")) & (F.col("p.y") > F.col("q.y")))
+    ).cast("long")
+    disc = (
+        ((F.col("p.x") < F.col("q.x")) & (F.col("p.y") > F.col("q.y")))
+        | ((F.col("p.x") > F.col("q.x")) & (F.col("p.y") < F.col("q.y")))
+    ).cast("long")
+    pp = pairs.groupBy(
+        F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b")
+    ).agg(
+        F.sum(conc).alias("n_conc"),
+        F.sum(disc).alias("n_disc"),
+        F.sum((F.col("p.x") == F.col("q.x")).cast("long")).alias("n_tie_x"),
+        F.sum((F.col("p.y") == F.col("q.y")).cast("long")).alias("n_tie_y"),
+        F.count(F.lit(1)).alias("n0"),
+    )
+    nd = paired.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    denom = (F.col("n0") - F.col("n_tie_x")) * (
+        F.col("n0") - F.col("n_tie_y")
+    )
+    tau = F.when(denom == 0, F.lit(None).cast("double")).otherwise(
+        F.round(
+            (F.col("n_conc") - F.col("n_disc"))
+            / F.sqrt(
+                (F.col("n0") - F.col("n_tie_x")).cast("double")
+                * (F.col("n0") - F.col("n_tie_y"))
+            ),
+            4,
+        )
+    )
+    return pp.join(nd, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "n_days",
+        "n_conc",
+        "n_disc",
+        "n_tie_x",
+        "n_tie_y",
+        tau.alias("tau_b"),
+    )
+
+
+@query(
+    "q_ts_page_hinkley",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, d, cents,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                  AS BIGINT) AS i,
+             CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY d
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS s
+      FROM daily
+    ), terms AS (
+      SELECT event_type, i, cents - s // i AS term, s
+      FROM idx
+    ), m AS (
+      SELECT event_type, i,
+             CAST(sum(term) OVER (PARTITION BY event_type ORDER BY i
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS m_t
+      FROM terms
+    ), ph AS (
+      SELECT event_type, i,
+             m_t - min(m_t) OVER (PARTITION BY event_type ORDER BY i
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS ph_t
+      FROM m
+    ), lam AS (
+      SELECT event_type, max(s) // (5 * max(i)) AS lambda_cents
+      FROM idx GROUP BY 1
+    )
+    SELECT p.event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           l.lambda_cents,
+           round(CAST(max(p.ph_t) AS DOUBLE) / l.lambda_cents, 4)
+             AS max_ph_over_lambda,
+           CAST(sum(CASE WHEN p.ph_t > l.lambda_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alarms,
+           CAST(COALESCE(min(CASE WHEN p.ph_t > l.lambda_cents
+                                  THEN p.i END), 0) AS BIGINT)
+             AS first_alarm_i
+    FROM ph p JOIN lam l ON l.event_type = p.event_type
+    GROUP BY 1, 3
+    """,
+)
+def q_ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detector per event type — the
+    expanding-mean companion to q_ts_cusum (which monitors against a
+    KNOWN target mean; PH learns the mean as it goes, the shape used
+    when no baseline exists): m_t = Σ_{i≤t}(x_i − μ̂_i), PH_t = m_t −
+    min_{i≤t} m_i, alarm when PH_t exceeds λ (set to 20% of the mean
+    daily spend). EXACT integer carriers throughout — the one division
+    in the recurrence, the expanding mean μ̂_i, is taken as the FLOOR
+    mean s_i // i (cents; sums are non-negative so DuckDB's flooring
+    // and Spark's truncating DIV agree), making every m_t/PH_t/λ
+    comparison pure int64 with zero order-sensitive double
+    accumulation (the ljung_box exact-carrier discipline — a windowed
+    DOUBLE cumsum would be engine-divergent: Spark accumulates
+    sequentially, DuckDB folds a segment tree). The only double is the
+    reported max_PH/λ ratio, round-4.
+
+    Plan: one (type, day) fact rollup, then three ROWS-frame windows
+    (cumsum, running min via the cumulative frame, index) and a 5-row
+    λ join — everything past the rollup is days×types bounded."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    idx = daily.select(
+        "event_type",
+        "d",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .cast("long")
+        .alias("i"),
+        F.sum("cents").over(w_cum).cast("long").alias("s"),
+    )
+    terms = idx.select(
+        "event_type",
+        "i",
+        "s",
+        (F.col("cents") - F.expr("s DIV i")).alias("term"),
+    )
+    w_cum_i = (
+        Window.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = terms.select(
+        "event_type",
+        "i",
+        F.sum("term").over(w_cum_i).cast("long").alias("m_t"),
+    )
+    ph = m.select(
+        "event_type",
+        "i",
+        (F.col("m_t") - F.min("m_t").over(w_cum_i)).alias("ph_t"),
+    )
+    lam = idx.groupBy("event_type").agg(
+        F.expr("max(s) DIV (5 * max(i))").alias("lambda_cents")
+    )
+    alarmed = F.when(
+        F.col("ph_t") > F.col("lambda_cents"), F.col("i")
+    )
+    return (
+        ph.join(lam, "event_type")
+        .groupBy("event_type", "lambda_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(
+                F.max("ph_t").cast("double") / F.col("lambda_cents"), 4
+            ).alias("max_ph_over_lambda"),
+            F.sum(
+                (F.col("ph_t") > F.col("lambda_cents")).cast("long")
+            ).alias("n_alarms"),
+            F.coalesce(F.min(alarmed), F.lit(0)).cast("long").alias(
+                "first_alarm_i"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "lambda_cents",
+            "max_ph_over_lambda",
+            "n_alarms",
+            "first_alarm_i",
+        )
+    )

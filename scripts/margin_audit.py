@@ -162,8 +162,11 @@ LAWS: dict[str, dict] = {
         "law": "Σ|n·x_j − s_j| folds in DECIMAL(38,0) (widened r10 —"
         " the int64 sum was the repo's thinnest law: measured 9.9e15"
         " at 100×, ×100/decade ⇒ ≈1e18 at 1000× vs int64's 9.2e18)",
+        # MATERIALIZED + single-pass greatest: at the 1000× probe the
+        # 150M-group feat CTE must not be recomputed per scalar
+        # subquery (two extra passes spilled past the disk).
         "sql": """
-        WITH feat AS (
+        WITH feat AS MATERIALIZED (
           SELECT l_orderkey,
                  CAST(count(*) AS BIGINT) AS x1,
                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * 100 // 100)
@@ -176,10 +179,10 @@ LAWS: dict[str, dict] = {
           FROM feat
         )
         SELECT greatest(
-                 (SELECT sum(abs(CAST(st.n * f.x1 - st.s1 AS DOUBLE)))
-                  FROM feat f, st),
-                 (SELECT sum(abs(CAST(st.n * f.x2 - st.s2 AS DOUBLE)))
-                  FROM feat f, st)) AS measured
+                 sum(abs(CAST(st.n * f.x1 - st.s1 AS DOUBLE))),
+                 sum(abs(CAST(st.n * f.x2 - st.s2 AS DOUBLE))))
+               AS measured
+        FROM feat f, st
         """,
     },
     "shapley_rowterm_int64": {
@@ -189,7 +192,7 @@ LAWS: dict[str, dict] = {
         " decade: ≈6e9 at 100×, ≈6e11 at 1000× — the carrier the"
         " DECIMAL(38,0) sum fold consumes)",
         "sql": """
-        WITH feat AS (
+        WITH feat AS MATERIALIZED (
           SELECT l_orderkey,
                  CAST(count(*) AS BIGINT) AS x1,
                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * 100 // 100)
@@ -202,10 +205,10 @@ LAWS: dict[str, dict] = {
           FROM feat
         )
         SELECT greatest(
-                 (SELECT max(abs(CAST(st.n * f.x1 - st.s1 AS DOUBLE)))
-                  FROM feat f, st),
-                 (SELECT max(abs(CAST(st.n * f.x2 - st.s2 AS DOUBLE)))
-                  FROM feat f, st)) AS measured
+                 max(abs(CAST(st.n * f.x1 - st.s1 AS DOUBLE))),
+                 max(abs(CAST(st.n * f.x2 - st.s2 AS DOUBLE))))
+               AS measured
+        FROM feat f, st
         """,
     },
     "target_encoding_sums_int64": {
@@ -248,13 +251,38 @@ LAWS: dict[str, dict] = {
         "sql": "SELECT 4.0 * pow(CAST(count(*) AS DOUBLE), 3)"
         " AS measured FROM lineitem",
     },
-    "boost_weighted_err_int64": {
+    "boost_weighted_err_decimal38": {
+        "keys": ["q_ml_boosted_stumps"],
+        "carrier": DEC38,
+        "law": "largest permille term 1000·e2 ≤ 1000·w2 = 2000·e1·cw1"
+        " ≤ 500·n² — folds in DECIMAL(38,0)/HUGEINT since r10: the"
+        " 1000× lineitem probe measured the bound at 1.125e19 > int64"
+        " (5th consecutive decade catch; r9's n³ catch was the same"
+        " key's ensemble compare)",
+        "sql": "SELECT 500.0 * pow(CAST(count(*) AS DOUBLE), 2)"
+        " AS measured FROM orders",
+    },
+    "linreg_syy_decimal38": {
+        "keys": ["q_ml_linreg_2f"],
+        "carrier": DEC38,
+        "law": "Σy² (whole-dollar response squared) folds in"
+        " DECIMAL(38,0) since r10 — the 1000× digest probe hit Spark's"
+        " ANSI int64 overflow on the sum (6th consecutive decade"
+        " catch); per-row y² ≈ 3.6e11 stays int64 at any decade",
+        "sql": """
+        SELECT sum(CAST(y AS DOUBLE) * y) AS measured FROM (
+          SELECT CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 0)
+                      AS BIGINT) AS y
+          FROM orders)
+        """,
+    },
+    "boost_round2_weight_int64": {
         "keys": ["q_ml_boosted_stumps"],
         "carrier": INT64,
-        "law": "largest permille term 1000·e2 ≤ 1000·w2 = 2000·e1·cw1"
-        " ≤ 500·n² (the round-9 catch: the UNBOUNDED form cw1·e2 ~ n³"
-        " overflowed at 100× and now compares in DECIMAL)",
-        "sql": "SELECT 500.0 * pow(CAST(count(*) AS DOUBLE), 2)"
+        "law": "round-2 total weight w2 = 2·e1·cw1 ≤ n²/2 stays int64"
+        " (≈1.1e16 bound at 1000×, 2.9 decades — the documented next"
+        " widening candidate)",
+        "sql": "SELECT 0.5 * pow(CAST(count(*) AS DOUBLE), 2)"
         " AS measured FROM orders",
     },
     "stl_quadsum_decimal38": {
@@ -314,7 +342,9 @@ LINEITEM_FAMILY_LAWS = {
     "shapley_rowterm_int64",
     "ttest_paired_revcc_int64",
     "spearman_moments_decimal38",
-    "boost_weighted_err_int64",
+    "boost_weighted_err_decimal38",
+    "boost_round2_weight_int64",
+    "linreg_syy_decimal38",
     "cm_inner_product_int64",
     "target_encoding_sums_int64",
 }

@@ -55,6 +55,12 @@ BNLJ_ALLOWED = {
                                # event-type dimension
     "q_llm_tfidf",             # 1-row corpus-size aggregate broadcast-
                                # crossed into the term-score relation
+    "q_llm_dsir",              # 1-row totals (tot_t/tot_s/V) broadcast-
+                               # crossed into the vocab-sized LLR model
+                               # (the tfidf/surprisal idiom)
+    "q_lake_compaction_plan",  # 1-row total/target aggregate broadcast-
+                               # crossed into the dimension-bounded
+                               # file list (the scalar-subquery idiom)
     "q_llm_kmeans",            # 1-row broadcast centroid-array collapse
                                # crossed into the corpus each iteration
                                # (map-side argmin fold, no vector shuffle)
