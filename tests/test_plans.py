@@ -361,6 +361,9 @@ MAX_SHUFFLES = {
     "q_llm_containment_recall_audit": 20,  # same tiers/fold as the
                                   # Jaccard recall audit above
                                   # (audited: 17)
+    "q_llm_dsir": 6,              # target + corpus vocab aggs + 1-row
+                                  # totals + per-doc score fold +
+                                  # TakeOrdered (audited: 5)
     "q_llm_minhash_det": 6,       # sig agg + band self-join + distinct +
                                   # 2 sig-lookup joins (audited: 5)
     "q_graph_cooccurrence": 10,   # distinct edges + degree agg + semi
