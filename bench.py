@@ -144,6 +144,8 @@ HEADLINE = [
     "q_ts_page_hinkley",
     "q_priv_randomized_response",
     "q_lake_compaction_plan",
+    "q_ml_kruskal_wallis",
+    "q_ts_holt_winters",
     # Round-9 second wave: exact-integer AdaBoost, one-shuffle CM
     # sketch, tolerance as-of, STL strengths.
     "q_ml_boosted_stumps",

@@ -2701,3 +2701,291 @@ def q_ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(round_row(r2, "round2"))
         .unionByName(ens_row)
     )
+
+
+@query(
+    "q_ml_kruskal_wallis",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS pri,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               // 10000 AS band
+      FROM orders
+    ), joint AS (
+      SELECT band, pri, CAST(count(*) AS BIGINT) AS c
+      FROM v GROUP BY 1, 2
+    ), marg AS (
+      SELECT band, t,
+             2 * coalesce(sum(t) OVER (ORDER BY band ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+               AS mid2
+      FROM (SELECT band, CAST(sum(c) AS BIGINT) AS t
+            FROM joint GROUP BY band)
+    ), grp AS (
+      SELECT pri, CAST(sum(c) AS BIGINT) AS n_g,
+             CAST(sum(CAST(c AS HUGEINT) * mid2) AS HUGEINT) AS r2
+      FROM joint j JOIN marg m ON m.band = j.band
+      GROUP BY pri
+    ), tot AS (
+      SELECT CAST(sum(t) AS HUGEINT) AS n,
+             CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT)
+               AS tie_mass
+      FROM marg
+    ), sterm AS (
+      SELECT sum(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / n_g)
+               AS s FROM grp
+    ), hstat AS (
+      SELECT CAST(t.n AS BIGINT) AS n,
+             round(3.0 * s.s
+                   / (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) + 1))
+                   - 3.0 * (CAST(t.n AS DOUBLE) + 1), 4) AS h_stat,
+             round((3.0 * s.s
+                    / (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) + 1))
+                    - 3.0 * (CAST(t.n AS DOUBLE) + 1))
+                   / (1.0 - CAST(t.tie_mass AS DOUBLE)
+                      / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n)), 4)
+               AS h_corrected
+      FROM tot t, sterm s
+    )
+    SELECT g.pri, g.n_g,
+           CAST((2 * (1000 * g.r2) + 2 * g.n_g) // (4 * g.n_g)
+                AS BIGINT) AS mean_rank_milli,
+           h.n, h.h_stat, h.h_corrected
+    FROM grp g CROSS JOIN hstat h
+    """,
+)
+def q_ml_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test across the five order-priority groups —
+    the k-group NONPARAMETRIC one-way test completing the trio with
+    q_ml_anova_f (parametric k-group) and q_ml_mann_whitney (2-group
+    rank-sum): does total price distribute identically across
+    priorities, judged on ranks so outliers and non-normality don't
+    drive the answer. Computed WITHOUT ranking a single row — the
+    q_agg_spearman banded-midrank idiom: values quantize onto the $100
+    cents grid, midranks come from cumulative counts over the
+    domain-bounded band marginal (DOUBLED — 2·below + t + 1 — so the
+    tie-average half never leaves the integer lattice), per-group rank
+    sums fold as Σ c·mid2 in exact DECIMAL(38,0)/HUGEINT, and
+    H = 3·Σ(r2²/n_g)/(N(N+1)) − 3(N+1) with the standard tie
+    correction C = 1 − Σ(t³−t)/(N³−N) applies doubles only in the
+    final 1-row fold (continuous under round-4, sqlutil law). Per-group
+    mean rank reports as EXACT half-up integer milliranks.
+
+    Carriers: c·mid2 ≈ c·2N folds in DECIMAL(38,0) (per-row term int64
+    through 1000×); r2² ≈ 4N⁴/25 evaluates in DOUBLE from exact
+    integers (identical conversions both engines); t³ ≤ N³ in
+    DECIMAL/HUGEINT.
+
+    Plan: one (band, pri) grid aggregation (the only fact-scale
+    shuffle, map-side combined), a window over the domain-bounded band
+    marginal, broadcast midrank join, 5-row group fold + 1-row H fold
+    broadcast-crossed back — the spearman shape with a group axis."""
+    v = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " DIV 10000"
+        ).alias("band"),
+    )
+    # Eager checkpoint: the grid feeds the marginal AND the group fold
+    # (the spearman lifecycle).
+    joint = (
+        v.groupBy("band", "pri")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    w_below = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    marg = (
+        joint.groupBy("band")
+        .agg(F.sum("c").cast("long").alias("t"))
+        .select(
+            "band",
+            "t",
+            (
+                2 * F.coalesce(F.sum("t").over(w_below), F.lit(0))
+                + F.col("t")
+                + 1
+            ).alias("mid2"),
+        )
+    )
+    wide = F.col("c").cast("decimal(38,0)")
+    grp = (
+        joint.join(F.broadcast(marg), "band")
+        .groupBy("pri")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(wide * F.col("mid2")).cast("decimal(38,0)").alias("r2"),
+        )
+    )
+    tw = F.col("t").cast("decimal(38,0)")
+    tot = marg.agg(
+        F.sum("t").cast("decimal(38,0)").alias("n"),
+        F.sum(tw * F.col("t") * F.col("t") - F.col("t"))
+        .cast("decimal(38,0)")
+        .alias("tie_mass"),
+    )
+    sterm = grp.agg(
+        F.sum(
+            F.col("r2").cast("double")
+            * F.col("r2").cast("double")
+            / F.col("n_g")
+        ).alias("s")
+    )
+    hstat = tot.crossJoin(F.broadcast(sterm)).select(
+        F.col("n").cast("long").alias("n"),
+        F.expr(
+            "round(3.0 * s / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))"
+            " - 3.0 * (CAST(n AS DOUBLE) + 1), 4)"
+        ).alias("h_stat"),
+        F.expr(
+            "round((3.0 * s"
+            " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))"
+            " - 3.0 * (CAST(n AS DOUBLE) + 1))"
+            " / (1.0 - CAST(tie_mass AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * n * n - n)), 4)"
+        ).alias("h_corrected"),
+    )
+    return grp.crossJoin(F.broadcast(hstat)).select(
+        "pri",
+        "n_g",
+        F.expr(
+            "CAST((2 * (1000 * r2) + 2 * n_g) DIV (4 * n_g) AS BIGINT)"
+        ).alias("mean_rank_milli"),
+        "n",
+        "h_stat",
+        "h_corrected",
+    )
+
+
+@query(
+    "q_ts_holt_winters",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, cents,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                  AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_days
+      FROM daily
+    ), init0 AS (
+      SELECT event_type, CAST(sum(cents) // 7 AS BIGINT) AS l,
+             CAST(max(n_days) AS BIGINT) AS n_days
+      FROM idx WHERE rn <= 7 GROUP BY event_type HAVING count(*) = 7
+    ), init AS (
+      SELECT i.event_type, i.n_days, i.l, CAST(0 AS BIGINT) AS b,
+             list(d.cents - i.l ORDER BY d.rn) AS s
+      FROM init0 i JOIN idx d ON d.event_type = i.event_type
+                             AND d.rn <= 7
+      GROUP BY i.event_type, i.n_days, i.l
+    ), hw AS (
+      SELECT event_type, CAST(7 AS BIGINT) AS rn, n_days, l, b, s
+      FROM init
+      UNION ALL
+      SELECT h.event_type, h.rn + 1, h.n_days,
+             (d.cents - h.s[CAST(h.rn % 7 AS INT) + 1] + h.l + h.b)
+               // 2 AS l,
+             ((d.cents - h.s[CAST(h.rn % 7 AS INT) + 1] + h.l + h.b)
+               // 2 - h.l + h.b) // 2 AS b,
+             list_transform(range(1, 8),
+               j -> CASE WHEN j = CAST(h.rn % 7 AS INT) + 1
+                    THEN (d.cents
+                          - (d.cents - h.s[CAST(h.rn % 7 AS INT) + 1]
+                             + h.l + h.b) // 2
+                          + h.s[CAST(h.rn % 7 AS INT) + 1]) // 2
+                    ELSE h.s[j] END) AS s
+      FROM hw h JOIN idx d ON d.event_type = h.event_type
+                          AND d.rn = h.rn + 1
+    )
+    SELECT event_type, n_days, l AS level_cents, b AS trend_cents,
+           l + b + s[CAST(n_days % 7 AS INT) + 1] AS fc1_cents,
+           l + 2 * b + s[CAST((n_days + 1) % 7 AS INT) + 1] AS fc2_cents,
+           l + 3 * b + s[CAST((n_days + 2) % 7 AS INT) + 1] AS fc3_cents
+    FROM hw WHERE rn = n_days
+    """,
+)
+def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE-SEASONAL smoothing (level + trend +
+    period-7 weekly seasonal state, α = β = γ = 1/2) per event type
+    with 1/2/3-step-ahead seasonal forecasts — the seasonality step up
+    from q_ts_holt_forecast that a weekly-cycled ops series actually
+    needs (Holt alone smears the weekend dip into the trend).
+
+    Exactness (the holt/SPC integer discipline): daily cents are exact
+    int64; the l/b/s recurrences use α = 1/2 as TRUNCATE-toward-zero
+    halving, which Python's floor // must emulate for negatives
+    (tdiv2) because DuckDB's integer ``//`` truncates — all three
+    state vectors stay exact integers forever, zero float drift, and
+    the hash check certifies the full 30-step × 7-lane recurrence.
+    Initialization: l₀ = trunc-mean of the first week, b₀ = 0,
+    s_i = y_i − l₀ (types with < 7 observed days drop, both engines).
+
+    Plan: one (type, day) rollup shuffle; the recurrence is inherently
+    sequential per type, so it runs as a grouped applyInPandas over
+    the days×types-bounded rollup (≤ ~30 rows per group — Arrow
+    transfer of a few KB); the oracle unrolls the same recurrence as a
+    recursive CTE carrying the 7-lane seasonal LIST. At 100 TB the
+    fact scan dominates and the smoother costs nothing."""
+    import pandas as pd  # noqa: F401 — applyInPandas payload
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+
+    def hw(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("d")
+        n = len(pdf)
+        cols = [
+            "event_type", "n_days", "level_cents", "trend_cents",
+            "fc1_cents", "fc2_cents", "fc3_cents",
+        ]
+        if n < 7:
+            return pd.DataFrame(columns=cols)
+
+        def tdiv2(a: int) -> int:  # truncate toward zero, like DuckDB //
+            return a // 2 if a >= 0 else -((-a) // 2)
+
+        def tdiv7(a: int) -> int:
+            return a // 7 if a >= 0 else -((-a) // 7)
+
+        y = [int(c) for c in pdf["cents"]]
+        l = tdiv7(sum(y[:7]))
+        b = 0
+        s = [yi - l for yi in y[:7]]
+        for t_i in range(7, n):
+            idx = t_i % 7
+            yt = y[t_i]
+            l_new = tdiv2(yt - s[idx] + l + b)
+            b = tdiv2(l_new - l + b)
+            s[idx] = tdiv2(yt - l_new + s[idx])
+            l = l_new
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [n],
+                "level_cents": [l],
+                "trend_cents": [b],
+                "fc1_cents": [l + b + s[n % 7]],
+                "fc2_cents": [l + 2 * b + s[(n + 1) % 7]],
+                "fc3_cents": [l + 3 * b + s[(n + 2) % 7]],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        hw,
+        "event_type string, n_days long, level_cents long, "
+        "trend_cents long, fc1_cents long, fc2_cents long, fc3_cents long",
+    )

@@ -223,6 +223,10 @@ BNLJ_ALLOWED = {
     "q_ml_poisson_bootstrap",   # 1-row full-sample totals broadcast-
                                 # crossed into the 20-row replicate
                                 # relation (the jackknife idiom)
+    "q_ml_kruskal_wallis",      # 1-row Σr²/n fold + 1-row H relation
+                                # broadcast-crossed into the 5-row
+                                # group fold (the scalar-subquery
+                                # idiom ×2)
 }
 
 # Shuffle-exchange ceilings. Default covers scan→agg/join→window plans;
@@ -364,6 +368,10 @@ MAX_SHUFFLES = {
     "q_llm_dsir": 6,              # target + corpus vocab aggs + 1-row
                                   # totals + per-doc score fold +
                                   # TakeOrdered (audited: 5)
+    "q_ml_kruskal_wallis": 12,    # band marginal + group fold + tie
+                                  # fold + Σr²/n fold; the checkpointed
+                                  # grid's window subplan embeds 2-3x
+                                  # in the string (audited: 10)
     "q_llm_minhash_det": 6,       # sig agg + band self-join + distinct +
                                   # 2 sig-lookup joins (audited: 5)
     "q_graph_cooccurrence": 10,   # distinct edges + degree agg + semi
