@@ -92,6 +92,16 @@ SHOWCASE = [
     "q_llm_neardup_jaccard_banded",
     "q_ml_boosted_stumps",
     "q_agg_cm_join_estimate",
+    # Round-10 families: corpus-scaled refinement pool (the gated
+    # recall-at-scale key — ids-only pool broadcast), multi-probe IVF
+    # routing, target-distribution importance scoring (broadcast LLR
+    # model), banded-midrank k-group rank test, exact-integer
+    # seasonal smoothing recursion.
+    "q_llm_ann_pq_rerank_scaled",
+    "q_llm_ann_ivf_probed",
+    "q_llm_dsir",
+    "q_ml_kruskal_wallis",
+    "q_ts_holt_winters",
 ]
 
 LAYOUT_NOTES = """\
