@@ -1633,12 +1633,12 @@ def q_ml_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(x1) AS BIGINT) AS s1,
              CAST(sum(x2) AS BIGINT) AS s2,
              CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x1 * x1) AS BIGINT) AS s11,
-             CAST(sum(x2 * x2) AS BIGINT) AS s22,
-             CAST(sum(x1 * x2) AS BIGINT) AS s12,
-             CAST(sum(x1 * y) AS BIGINT) AS s1y,
-             CAST(sum(x2 * y) AS BIGINT) AS s2y,
-             CAST(sum(y * y) AS BIGINT) AS syy
+             CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+             CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+             CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+             CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+             CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
       FROM pairs GROUP BY x_type, y_type
     ), alg AS (
       SELECT x_type, y_type, n,
@@ -1690,9 +1690,13 @@ def q_ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums — ADVICE r08), zero-filled on the
     day × type spine derived from the SAME scan in both engines (the
     row-universe-by-construction rule).  All nine sufficient
-    statistics per pair are exact integer sums (Σv² ≈ 3e12 at the 100×
-    materialization, ≈3e16 at a further 100× — four orders inside
-    int64); the covariance algebra and the single F-ratio run in
+    statistics per pair are exact sums; the QUADRATIC six fold in
+    DECIMAL(38,0)/HUGEINT since round 10 — the 10000× decade probe
+    MEASURED max Σv² at 3.36e18, 0.44 decades inside int64 (7th
+    consecutive catch, one decade before corruption; margin-audit law
+    granger_suffstats_decimal38), with the widening applied INSIDE
+    the v·v product whose own magnitude crosses int64 one decade
+    later. The covariance algebra and the single F-ratio run in
     doubles with identical expression trees, rounded once (6/4 dp).
 
     Plan: ONE (type, day) rollup shuffle over the fact scan (map-side
@@ -1751,17 +1755,25 @@ def q_ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("x1").isNotNull() & F.col("x2").isNotNull())
         .select("x_type", "y_type", "x1", "x2", "y")
     )
+    # Quadratic stats fold in DECIMAL(38,0)/HUGEINT since round 10: the
+    # 10000× events decade probe MEASURED max Σv² at 3.36e18 — 0.44
+    # decades inside int64 (the 7th consecutive decade catch, flagged a
+    # full decade before corruption; the per-row product v·v ≈ 1.2e17
+    # there would itself cross int64 one decade later, so the widening
+    # is applied INSIDE the product, the spearman first-factor lesson).
+    # Linear stats (Σv ≈ 1e10 at 10000×) keep int64 with ~8 decades.
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     sums = pairs.groupBy("x_type", "y_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x1").cast("long").alias("s1"),
         F.sum("x2").cast("long").alias("s2"),
         F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
-        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
-        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
-        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
-        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(dec("x1") * F.col("x1")).cast("decimal(38,0)").alias("s11"),
+        F.sum(dec("x2") * F.col("x2")).cast("decimal(38,0)").alias("s22"),
+        F.sum(dec("x1") * F.col("x2")).cast("decimal(38,0)").alias("s12"),
+        F.sum(dec("x1") * F.col("y")).cast("decimal(38,0)").alias("s1y"),
+        F.sum(dec("x2") * F.col("y")).cast("decimal(38,0)").alias("s2y"),
+        F.sum(dec("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
     )
 
     def cm(sab: str, sa: str, sb: str) -> "F.Column":

@@ -66,11 +66,14 @@ _DAILY = """
 # Each law: the docstring's carrier claim made executable. `sql` must
 # return ONE row with one DOUBLE column `measured` = max |intermediate|.
 LAWS: dict[str, dict] = {
-    "granger_suffstats_int64": {
-        "keys": ["q_ts_granger_lag1", "q_ml_linreg_2f"],
-        "carrier": INT64,
-        "law": "nine sufficient stats fold as int64 sums; docstring:"
-        " max Σv² ≈ 3e12 at 100×, 3e16 at 10000×",
+    "granger_suffstats_decimal38": {
+        "keys": ["q_ts_granger_lag1"],
+        "carrier": DEC38,
+        "law": "quadratic sufficient stats (Σv² etc.) fold in"
+        " DECIMAL(38,0)/HUGEINT since r10 — the 10000× probe MEASURED"
+        " max Σv² at 3.36e18, 0.44 decades inside int64 (7th"
+        " consecutive decade catch); per-row v·v crosses int64 at"
+        " ~100000×, so the widening is inside the product",
         "sql": """
         WITH ev AS (
           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
@@ -325,7 +328,7 @@ LAWS: dict[str, dict] = {
 # decade ladder keeps catching (VERDICT r08 item 6 names exactly this
 # burstiness/ar1/bollinger family for the 1000× spot-probe).
 EVENTS_ONLY_LAWS = {
-    "granger_suffstats_int64",
+    "granger_suffstats_decimal38",
     "acf_u_carrier_int64",
     "acf_ssu_decimal38",
     "dft_residue_bins_int64",
