@@ -2424,7 +2424,8 @@ _BOOST_H1 = """r1.pol * (CASE WHEN
     ), g2w AS (
       SELECT g.b1, g.b2, g.y, g.c, {_BOOST_H1} AS h1,
              CASE WHEN {_BOOST_H1} = g.y
-                  THEN g.c * r1.e ELSE g.c * r1.cw END AS wgt
+                  THEN CAST(g.c AS HUGEINT) * r1.e
+                  ELSE CAST(g.c AS HUGEINT) * r1.cw END AS wgt
       FROM grid g, r1
     ), cand2 AS (
       {_boost_cand_sql("g2w", "wgt", "totalprice", "b1")}
@@ -2445,10 +2446,8 @@ _BOOST_H1 = """r1.pol * (CASE WHEN
                       (CASE WHEN r2.feature = 'totalprice'
                             THEN w.b1 ELSE w.b2 END) <= r2.t
                       THEN 1 ELSE -1 END)) THEN w.h1
-                    WHEN CAST(r1.cw AS DECIMAL(19,0))
-                         * CAST(r2.e AS DECIMAL(19,0))
-                         > CAST(r2.cw AS DECIMAL(19,0))
-                         * CAST(r1.e AS DECIMAL(19,0)) THEN w.h1
+                    WHEN CAST(r1.cw AS HUGEINT) * r2.e
+                         > r2.cw * CAST(r1.e AS HUGEINT) THEN w.h1
                     ELSE (r2.pol * (CASE WHEN
                       (CASE WHEN r2.feature = 'totalprice'
                             THEN w.b1 ELSE w.b2 END) <= r2.t
@@ -2523,10 +2522,15 @@ def q_ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) (exact DIV/%), the oracle in HUGEINT (DuckDB's
     DECIMAL // coerces through DOUBLE and loses ulps; int128 division
     is exact). margin_audit's boost_weighted_err_decimal38 law tracks
-    the bound with ~19 decades of room at 1000×. Per-cell weights
-    c·c₁ ≤ n² stay int64 through 1000×; w₂ = 2·e₁·c₁ ≤ n²/2 stays
-    int64 through 1000× with 2.9 decades (the next widening
-    candidate, documented)."""
+    the bound with ~19 decades of room at 1000×. Round 11 spent the
+    next-thinnest margin BEFORE the ladder reached it: the round-2
+    per-cell weights c·c₁ ≤ n² and total w₂ = 2·e₁·cw₁ ≤ n²/2 (2.9
+    decades left at 1000×) now fold in DECIMAL(38,0) (Spark) /
+    HUGEINT (oracle) end-to-end, and the ensemble cross-product
+    compares count-scale decimal(19,0) against the widened weight
+    sums (bound n³/2 ≈ 4e28 at n = 4.4e9 — inside decimal(38,0)).
+    margin_audit's boost_round2_weight_decimal38 law re-measures the
+    bound under the widened carrier."""
     labeled = t(spark, sf_dir, "orders").select(
         F.expr(
             f"CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
@@ -2624,10 +2628,17 @@ def q_ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y",
             "c",
             stump_h("").alias("h1"),
+            # Round-2 per-cell weight and (downstream) every round-2
+            # sum fold in DECIMAL(38,0) — widened in round 11 (the
+            # 8th decade-ladder spend, this one BEFORE the ladder
+            # caught it): w₂ = 2·e₁·cw₁ ≤ n²/2 had 2.9 decades left
+            # at 1000× and was the documented next candidate.
             F.when(
-                stump_h("") == F.col("y"), F.col("c") * F.col("e")
+                stump_h("") == F.col("y"),
+                F.col("c").cast("decimal(19,0)") * F.col("e"),
             )
-            .otherwise(F.col("c") * F.col("cw"))
+            .otherwise(F.col("c").cast("decimal(19,0)") * F.col("cw"))
+            .cast("decimal(38,0)")
             .alias("wgt"),
         )
         .localCheckpoint()
@@ -2644,10 +2655,13 @@ def q_ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1r = r1.select(
         F.col("e").alias("e1"), F.col("cw").alias("cw1")
     )
+    # cw₁/e₁ are count-scale (≤ n — decimal(19,0) holds through
+    # n < 1e19); e₂/cw₂ arrive as decimal(38,0) weight sums. Either
+    # product is ≤ n³/2 (≈4e28 at n = 4.4e9) — inside decimal(38,0).
     dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     ens_h = F.when(F.col("h1") == F.col("h2v"), F.col("h1")).otherwise(
         F.when(
-            dec("cw1") * dec("e2") > dec("cw2") * dec("e1"),
+            dec("cw1") * F.col("e2") > F.col("cw2") * dec("e1"),
             F.col("h1"),
         ).otherwise(F.col("h2v"))
     )

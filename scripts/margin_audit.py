@@ -279,12 +279,14 @@ LAWS: dict[str, dict] = {
           FROM orders)
         """,
     },
-    "boost_round2_weight_int64": {
+    "boost_round2_weight_decimal38": {
         "keys": ["q_ml_boosted_stumps"],
-        "carrier": INT64,
-        "law": "round-2 total weight w2 = 2·e1·cw1 ≤ n²/2 stays int64"
-        " (≈1.1e16 bound at 1000×, 2.9 decades — the documented next"
-        " widening candidate)",
+        "carrier": DEC38,
+        "law": "round-2 total weight w2 = 2·e1·cw1 ≤ n²/2 folds in"
+        " DECIMAL(38,0)/HUGEINT since r11 — widened while it still had"
+        " 2.9 decades at 1000× (the documented next candidate, spent"
+        " BEFORE the ladder caught it; 8th consecutive pre-production"
+        " widening)",
         "sql": "SELECT 0.5 * pow(CAST(count(*) AS DOUBLE), 2)"
         " AS measured FROM orders",
     },
@@ -346,7 +348,7 @@ LINEITEM_FAMILY_LAWS = {
     "ttest_paired_revcc_int64",
     "spearman_moments_decimal38",
     "boost_weighted_err_decimal38",
-    "boost_round2_weight_int64",
+    "boost_round2_weight_decimal38",
     "linreg_syy_decimal38",
     "cm_inner_product_int64",
     "target_encoding_sums_int64",
