@@ -911,3 +911,261 @@ def q_llm_ann_pq_rerank_scaled(
         .filter(F.col("rank") <= 3)
         .orderBy("qid", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: the COMPOSED production search — multi-probe cell routing
+# feeding the corpus-scaled exact rerank WITHIN the probed cells
+# (VERDICT r10 item 1: until now routing (q_llm_ann_ivf_probed) and
+# recall-strong refinement (q_llm_ann_pq_rerank_scaled) were separate
+# keys, so no single registered operator was both cell-routed — the
+# 100-TB read pattern, touch ~8/64 of the corpus — and recall-strong.)
+# ---------------------------------------------------------------------------
+
+# Oracle: the scaled-rerank chain with (a) the IVF cell CTEs spliced in
+# after `base` and (b) the ADC stage restricted to probed-cell members.
+# Exact string surgery with existence assertions (the fixedk precedent)
+# so drift in the shared chain can never silently fork this twin.
+_CELL_CTES = f"""    ), cellcent AS (
+{_FK_CENT_SQL}
+    ), cellassign AS (   -- corpus vector -> its ONE nearest cell
+      SELECT vec_id, cid FROM (
+        SELECT b.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY round(list_cosine_similarity(b.v, c.cv), 6) DESC,
+                          c.cid ASC
+               ) AS rn
+        FROM base b CROSS JOIN cellcent c
+      ) WHERE rn = 1
+    ), cellprobe AS (    -- query -> its {_IVF_PROBES} nearest cells
+      SELECT vec_id AS qid, cid FROM (
+        SELECT b.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY round(list_cosine_similarity(b.v, c.cv), 6) DESC,
+                          c.cid ASC
+               ) AS rn
+        FROM base b CROSS JOIN cellcent c
+        WHERE b.vec_id < 10
+      ) WHERE rn <= {_IVF_PROBES}
+    ), sub AS ("""
+
+_BASE_CTE = """    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sub AS ("""
+
+_ADC_FULL = """), adc AS (      -- asymmetric distance: sum of 8 LUT lookups
+      SELECT l.qid, a.vec_id,
+             round(sum(l.pdist), 4) AS approx_dist
+      FROM assign a
+      JOIN lut l ON l.sub_id = a.sub_id AND l.code = a.code
+      WHERE a.vec_id <> l.qid
+      GROUP BY l.qid, a.vec_id
+    )"""
+
+_ADC_PROBED = """), adc AS (    -- ADC restricted to probed-cell members
+      SELECT l.qid, a.vec_id,
+             round(sum(l.pdist), 4) AS approx_dist
+      FROM assign a
+      JOIN cellassign ca ON ca.vec_id = a.vec_id
+      JOIN cellprobe cp ON cp.cid = ca.cid
+      JOIN lut l ON l.qid = cp.qid
+                AND l.sub_id = a.sub_id AND l.code = a.code
+      WHERE a.vec_id <> l.qid
+      GROUP BY l.qid, a.vec_id
+    )"""
+
+assert _BASE_CTE in _PQ_RERANK_ORACLE_SCALED, "scaled oracle base drifted"
+assert _ADC_FULL in _PQ_RERANK_ORACLE_SCALED, "scaled oracle ADC drifted"
+_PQ_PROBED_SCALED_ORACLE = _PQ_RERANK_ORACLE_SCALED.replace(
+    _BASE_CTE,
+    _BASE_CTE.replace("), sub AS (", _CELL_CTES),
+).replace(_ADC_FULL, _ADC_PROBED)
+
+
+_IVFPQ_INDEX_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def build_ivfpq_index_fixedk(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """INDEX-BUILD job for the composed IVF+PQ lifecycle: the fixed-k
+    PQ codes of :func:`build_pq_index_fixedk`, now carrying each
+    vector's IVF cell id and laid out for CELL-ROUTED search —
+
+    - ``codes``: (cid, vec_id, sub_id, code) PARTITIONED BY cid (64
+      directories) and BUCKETED by vec_id within each partition. The
+      cid partitioning is what makes multi-probe search a partial
+      SCAN, not a filter: a probe set joined broadcast against this
+      table prunes to ~nprobe/64 of the files (Spark dynamic
+      partition pruning), which is the FAISS inverted-list read
+      pattern expressed as parquet layout. The vec_id bucketing keeps
+      the downstream (qid, vec_id) ADC aggregation exchange-free,
+      same as every PQ index here.
+    - ``codebook``: the 64x8 fixed-seed subvector slices (broadcast
+      dim).
+
+    Cell assignment (cosine argmax over the 64 fixed seeds, round-6,
+    cid tiebreak) happens ONCE, at build time — the O(corpus) routing
+    cost is paid by the writer, and every search afterwards reads only
+    probed partitions' 8-byte codes."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _IVFPQ_INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    codes_tbl, cb_tbl = f"ivfpqf_codes_{tag}", f"ivfpqf_cb_{tag}"
+    loc = tempfile.mkdtemp(prefix=f"khose_ivfpqf_{tag}_")
+    e = t(spark, sf_dir, "embeddings")
+    base = _dbl_base(e)
+    cent = fixed_seeds(base)
+    w_rank = Window.partitionBy("vec_id").orderBy(
+        F.desc("asim"), F.asc("cid")
+    )
+    cellassign = (
+        base.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "cid", F.round(_cos("v", "cv"), 6).alias("asim")
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    sub = _pq_subvectors(e)
+    cb = _pq_fixed_codebook(sub)
+    codes = _pq_fixed_assign(sub, cb).join(cellassign, "vec_id")
+    spark.sql(f"DROP TABLE IF EXISTS {codes_tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {cb_tbl}")
+    (
+        codes.write.format("parquet")
+        .partitionBy("cid")
+        .bucketBy(_PQ_BUCKETS, "vec_id")
+        .option("path", f"{loc}/codes")
+        .saveAsTable(codes_tbl)
+    )
+    (
+        cb.write.format("parquet")
+        .option("path", f"{loc}/codebook")
+        .saveAsTable(cb_tbl)
+    )
+    _IVFPQ_INDEX_CACHE[key] = (codes_tbl, cb_tbl)
+    return codes_tbl, cb_tbl
+
+
+@query("q_llm_ann_pq_probed_scaled", oracle=_PQ_PROBED_SCALED_ORACLE)
+def q_llm_ann_pq_probed_scaled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The composed production ANN search (VERDICT r10 item 1): multi-
+    probe IVF routing (each query inspects its 8 nearest of the 64
+    fixed cells) feeding the corpus-scaled exact rerank pool
+    (R = ceil(2n/25)) WITHIN the probed cells — the first registered
+    key that is simultaneously CELL-ROUTED (the 100-TB read pattern:
+    touch ~8/64 of the corpus codes) and RECALL-STRONG (the scaled
+    refinement budget that made q_llm_ann_pq_rerank_scaled hold 933
+    permille at 10x).
+
+    Pipeline (FAISS IVFPQ+R with nprobe=8, end to end):
+      1. BUILD (once, :func:`build_ivfpq_index_fixedk`): corpus
+         encoded to 8-byte PQ codes + routed to its one nearest cell;
+         codes land partitioned by cid, bucketed by vec_id.
+      2. ROUTE: the query batch ranks the 64 broadcast seeds, keeps 8
+         cells each (round-6 cosine, cid tiebreak — the
+         q_llm_ann_ivf_probed contract verbatim).
+      3. ADC: broadcast the 80-row probe set against the codes scan —
+         Spark's dynamic partition pruning drops the 56 unprobed cell
+         directories — then 8 LUT adds per surviving code, aggregated
+         (qid, vec_id) with zero exchange (vec_id bucketing).
+      4. POOL: per query keep the R = ceil(2n/25) ADC-nearest
+         candidates (round-4, id tiebreak) — the corpus-fraction
+         budget, counted over the FULL corpus so the contract is
+         unchanged from the scaled twin.
+      5. REFINE: fetch only the pool's raw vectors (broadcast of id
+         pairs against the embeddings scan — the corpus is read, never
+         shuffled) and rank by exact L2^2 (round-4, id tiebreak).
+
+    Recall semantics, measured per round by bench.py: on CLUSTERED
+    geometry (the resolvable-neighbor case real embeddings present)
+    probe-8 routing is near-lossless and this key holds the >=900
+    permille gate at 10x (recall_gate_routed). On the decorrelated
+    fixture, routing itself is information-limited (367 permille at
+    10x for exact search within probed cells — documented ladder), so
+    the composed recall is bounded by routing there; that number is
+    recorded, not gated: a sublinear reader cannot beat the geometry
+    it routes over, which is exactly why the UNROUTED scaled rerank
+    stays registered (and gated) as the decorrelated-data fallback.
+
+    Scale: every stage is linear — 64 cosine evals/vector at build, 8
+    LUT adds per probed code at search, |queries|*2n/25 exact evals at
+    refine; the only corpus-sized shuffles are the build-time writes."""
+    codes_tbl, cb_tbl = build_ivfpq_index_fixedk(spark, sf_dir)
+    codes = spark.table(codes_tbl)
+    cb = spark.table(cb_tbl)
+    e = t(spark, sf_dir, "embeddings")
+    base = _dbl_base(e)
+    cent = fixed_seeds(base)
+    w_rank = Window.partitionBy("vec_id").orderBy(
+        F.desc("asim"), F.asc("cid")
+    )
+    cellprobe = (
+        base.filter(F.col("vec_id") < 10)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "cid", F.round(_cos("v", "cv"), 6).alias("asim")
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _IVF_PROBES)
+        .select(F.col("vec_id").alias("qid"), "cid")
+    )
+    qsub = _pq_subvectors(e.filter(F.col("vec_id") < 10))
+    lut = _pq_lut(qsub, cb)
+    r_pool = base.agg(
+        F.floor((2 * F.count(F.lit(1)) + 24) / 25)
+        .cast("long")
+        .alias("r_pool")
+    )
+    # Probed ADC: the broadcast probe join on cid is the partition-
+    # pruning filter; the LUT join then matches (qid, sub_id, code).
+    adc = (
+        codes.join(F.broadcast(cellprobe), "cid")
+        .join(F.broadcast(lut), ["qid", "sub_id", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.round(F.sum("pdist"), 4).alias("approx_dist"))
+    )
+    w_pool = Window.partitionBy("qid").orderBy(
+        F.asc("approx_dist"), F.asc("vec_id")
+    )
+    cand = (
+        adc.withColumn("rn", F.row_number().over(w_pool))
+        .crossJoin(F.broadcast(r_pool))
+        .filter(F.col("rn") <= F.col("r_pool"))
+        .select("qid", F.col("vec_id").alias("cand_id"))
+    )
+    qv = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_vec"), F.col("v").alias("qv")
+    )
+    exact_dist = F.round(
+        F.aggregate(
+            F.zip_with("qv", "v", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.asc("exact_dist"), F.asc("neighbor_id")
+    )
+    return (
+        base.join(F.broadcast(cand), F.col("vec_id") == F.col("cand_id"))
+        .join(F.broadcast(qv), F.col("qid") == F.col("q_vec"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            exact_dist.alias("exact_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .orderBy("qid", "rank")
+    )

@@ -110,3 +110,39 @@ def test_pq_index_search_is_shuffle_free(spark, sf_dir):
     assert "SortMergeJoin" not in plan, (
         "LUT join fell out of broadcast:\n" + plan
     )
+
+
+def test_ivfpq_probed_search_is_pruned_and_shuffle_free(spark, sf_dir):
+    """The composed routed search (similarity_fixedk.
+    build_ivfpq_index_fixedk + q_llm_ann_pq_probed_scaled): the codes
+    table is PARTITIONED by cell id and BUCKETED by vec_id, so the
+    search job must (a) prune unprobed cell directories via dynamic
+    partition pruning — the FAISS inverted-list read pattern — and
+    (b) aggregate ADC on (qid, vec_id) with zero shuffle, riding the
+    bucket distribution. The only allowed hash exchanges are the tiny
+    query-side window inputs (probe ranking over |queries|x64 rows,
+    pool/final ranking over id pairs) — single-key qid or vec_id, never
+    a (qid, vec_id) re-clustering of the ADC stream."""
+    import re
+
+    from khose_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["q_llm_ann_pq_probed_scaled"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, (
+        "probe set does not prune the cid-partitioned codes scan:\n" + plan
+    )
+    assert "SortMergeJoin" not in plan, (
+        "LUT/probe join fell out of broadcast:\n" + plan
+    )
+    hash_exchanges = re.findall(
+        r"Exchange hashpartitioning\(([^)]*)\)", plan
+    )
+    two_key = [
+        h for h in hash_exchanges if "qid" in h and "vec_id" in h
+    ]
+    assert not two_key, (
+        "ADC aggregation re-shuffled on (qid, vec_id) — the bucket "
+        "distribution was lost:\n" + plan
+    )

@@ -132,6 +132,9 @@ BNLJ_ALLOWED = {
     "q_llm_ann_pq_rerank_scaled",  # 1-row pool-size (R=2n/25) aggregate
                                 # broadcast-crossed into the ADC ranking
                                 # (the scalar-subquery idiom)
+    "q_llm_ann_pq_probed_scaled",  # same 1-row pool-size cross, plus
+                                # the corpus × broadcast-64 routing
+                                # cross (composed IVFPQ+R search)
     "q_llm_kmeans_fixedk",      # 1-row centroid-array collapse / round
     "q_ml_silhouette_fixedk",   # shared fixed _lloyd cross + a/b fold
     "q_llm_semdedup_fixedk",    # argmin-fold cross + broadcast planes
@@ -286,6 +289,12 @@ MAX_SHUFFLES = {
                                   # + 64-row audit
     "q_ml_silhouette_fixedk": 8,  # audited 6: fixed-seed Lloyd chain
                                   # (same budget as q_ml_silhouette)
+    "q_llm_ann_pq_probed_scaled": 8,  # audited 6: seed TakeOrdered +
+                                  # probe window (640 rows) + 1-row
+                                  # pool agg + pool/final rank windows
+                                  # on id pairs — the corpus-sized
+                                  # codes scan is DPP-pruned to probed
+                                  # cells and never exchanges
     "q_dq_functional_dep": 11,    # audited 9: per-FD (lhs,rhs) agg +
                                   # lhs re-fold + 1-row summary × 3
                                   # FDs unioned — each FD is one fact
