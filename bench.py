@@ -148,6 +148,7 @@ HEADLINE = [
     "q_ts_page_hinkley",
     "q_priv_randomized_response",
     "q_lake_compaction_plan",
+    "q_lake_compaction_apply",
     "q_ml_kruskal_wallis",
     "q_ts_holt_winters",
     # Round-9 second wave: exact-integer AdaBoost, one-shuffle CM

@@ -55,18 +55,30 @@ def list_versions(root: str) -> list[int]:
     )
 
 
-def commit_snapshot(df: DataFrame, root: str, note: str = "") -> int:
+def commit_snapshot(
+    df: DataFrame,
+    root: str,
+    note: str = "",
+    partition_by: list[str] | None = None,
+) -> int:
     """Write ``df`` as the next snapshot version and publish it
     atomically. Returns the committed version number.
 
     Stage-then-publish: data lands under its final ``data/v=N`` path
     first (parquet write), the manifest is written to a temp file and
     os.replace()d into place last. A crash before the replace leaves no
-    visible snapshot."""
+    visible snapshot.
+
+    ``partition_by`` (round 11, the compaction-apply writer): lay the
+    snapshot out hive-partitioned on the given columns — the rewrite
+    job's bin layout — with the same atomic-manifest visibility rule."""
     versions = list_versions(root)
     version = (versions[-1] + 1) if versions else 1
     data_path = _data_dir(root, version)
-    df.write.mode("overwrite").parquet(data_path)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_path)
     n_files = sum(
         1
         for _, _, fs in os.walk(data_path)

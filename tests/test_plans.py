@@ -135,6 +135,10 @@ BNLJ_ALLOWED = {
     "q_llm_ann_pq_probed_scaled",  # same 1-row pool-size cross, plus
                                 # the corpus × broadcast-64 routing
                                 # cross (composed IVFPQ+R search)
+    "q_lake_compaction_apply",  # 1-row target/v1-total/v2-total audit
+                                # aggregates broadcast-crossed into the
+                                # 8-row bin rollup (scalar-subquery
+                                # idiom ×3)
     "q_llm_kmeans_fixedk",      # 1-row centroid-array collapse / round
     "q_ml_silhouette_fixedk",   # shared fixed _lloyd cross + a/b fold
     "q_llm_semdedup_fixedk",    # argmin-fold cross + broadcast planes
@@ -295,6 +299,14 @@ MAX_SHUFFLES = {
                                   # on id pairs — the corpus-sized
                                   # codes scan is DPP-pruned to probed
                                   # cells and never exchanges
+    "q_lake_compaction_apply": 10,  # audited 8: v2-read bin rollup +
+                                  # v1/v2 1-row audit totals + the
+                                  # files rollup/prefix window chain
+                                  # re-derived for the audit columns —
+                                  # each a snapshot-scan agg or a
+                                  # dimension-bounded window; the
+                                  # rewrite's own clustering exchange
+                                  # happens at commit time, not here
     "q_dq_functional_dep": 11,    # audited 9: per-FD (lhs,rhs) agg +
                                   # lhs re-fold + 1-row summary × 3
                                   # FDs unioned — each FD is one fact

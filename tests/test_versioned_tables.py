@@ -87,3 +87,60 @@ def test_merge_is_next_version(spark, sf_dir, root):
     assert read_snapshot(spark, root, 1).filter(
         F.col("n_name") == "RENAMED"
     ).count() == 0  # history untouched
+
+
+def test_compaction_apply_crash_leaves_v1_visible(spark, sf_dir, root):
+    """Failure injection for the compaction-apply rewrite (round 11):
+    a compactor that stages the bin-partitioned v2 data but dies before
+    the manifest publish must leave v1 the visible latest — readers see
+    the pre-compaction table, and a re-run apply commits a clean v2."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    commit_snapshot(docs, root, "v1: pre-compaction")
+    n1 = read_snapshot(spark, root).count()
+    # crashed compactor: bin-partitioned data staged, no manifest
+    staged = os.path.join(root, "data", "v=000002")
+    (
+        docs.withColumn("bin_id", F.pmod("doc_id", F.lit(8)))
+        .repartition("bin_id")
+        .write.mode("overwrite")
+        .partitionBy("bin_id")
+        .parquet(staged)
+    )
+    assert list_versions(root) == [1]
+    assert read_snapshot(spark, root).count() == n1  # latest is still v1
+    # recovery: a clean re-run overwrites the orphan and publishes
+    v = commit_snapshot(
+        docs.withColumn("bin_id", F.pmod("doc_id", F.lit(8))).repartition(
+            "bin_id"
+        ),
+        root,
+        "v2: compacted (recovered)",
+        partition_by=["bin_id"],
+    )
+    assert v == 2
+    v2 = read_snapshot(spark, root, 2)
+    assert v2.count() == n1  # row identity survives the rewrite
+    assert (
+        v2.agg(F.sum("n_chars")).first()[0]
+        == docs.agg(F.sum("n_chars")).first()[0]
+    )
+
+
+def test_partitioned_snapshot_layout(spark, sf_dir, root):
+    """partition_by commits land hive-partitioned under the version dir
+    and read back with the partition column intact."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    v = commit_snapshot(
+        docs.withColumn("b", F.pmod("doc_id", F.lit(4))).repartition("b"),
+        root,
+        "binned",
+        partition_by=["b"],
+    )
+    ddir = os.path.join(root, "data", f"v={v:06d}")
+    bins = sorted(d for d in os.listdir(ddir) if d.startswith("b="))
+    assert bins == ["b=0", "b=1", "b=2", "b=3"]
+    back = read_snapshot(spark, root, v)
+    assert back.count() == docs.count()
+    assert set(back.columns) == {"doc_id", "n_chars", "b"}
