@@ -1227,3 +1227,103 @@ def q_llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_llr",
         F.row_number().over(w).alias("rank"),
     )
+
+
+@query(
+    "q_llm_paragraph_dedup",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, source, lang, string_split(text, ' ') AS w
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, source, lang,
+             unnest(range(0, CAST((len(w) + 15) // 16 AS BIGINT)))
+               AS ci,
+             unnest(list_transform(
+                 range(0, CAST((len(w) + 15) // 16 AS BIGINT)),
+                 i -> array_to_string(w[i*16+1 : i*16+16], ' ')))
+               AS chunk,
+             len(w) AS nw
+      FROM docs
+    ), marked AS (
+      SELECT source, lang,
+             least(16, nw - ci * 16) AS n_words,
+             row_number() OVER (PARTITION BY chunk
+                                ORDER BY doc_id ASC, ci ASC) AS rn
+      FROM chunks
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           CAST(sum(CASE WHEN rn > 1 THEN n_words ELSE 0 END) AS BIGINT)
+             AS words_removed,
+           CAST((2 * 1000 * sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                 + count(*)) // (2 * count(*)) AS BIGINT)
+             AS dup_permille
+    FROM marked GROUP BY source, lang
+    """,
+)
+def q_llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity exact dedup — the C4/CCNet LINE-level pass
+    the document-level keys can't express: documents split into
+    non-overlapping 16-word paragraphs (the corpus has no newlines, so
+    fixed word windows stand in for line boundaries), each paragraph
+    deduplicated ACROSS the whole corpus keeping its first occurrence
+    (min doc_id, then earliest position — a total order), and the
+    removal audited per (source, lang): paragraphs seen, duplicates
+    removed, words they carried, half-up permille dup rate. Catches
+    boilerplate shared across documents that whole-document hashing
+    (q_llm_dedup_clusters) and near-dup banding both keep, because the
+    CONTAINING documents are distinct.
+
+    Deterministic and all-integer: the paragraph key is the exact text,
+    first-occurrence is a row_number over (doc_id, position), word
+    masses are exact counts, and the rate uses the house half-up
+    permille fold.
+
+    Plan: map-side chunk explode (a per-row sequence — no cross-row
+    work, ~n_words/16 rows per doc), ONE corpus-scale shuffle
+    partitioned by paragraph text for the first-occurrence window (the
+    inherent cost of exact global dedup — same key the hash-groupBy
+    dedup family shuffles on), then a dimension-bounded (source, lang)
+    rollup. At 100 TB the paragraph shuffle dominates and is the
+    textbook hash-partition; no window ever sees more rows than one
+    paragraph's duplicate set."""
+    words = F.split("text", " ")
+    nch = F.expr("(size(split(text, ' ')) + 15) DIV 16")
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(words).alias("nw"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nch - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * 16 + 1, 16), " "
+                ),
+            )
+        ).alias("ci", "chunk"),
+    )
+    w_first = Window.partitionBy("chunk").orderBy(
+        F.asc("doc_id"), F.asc("ci")
+    )
+    marked = docs.select(
+        "source",
+        "lang",
+        F.least(F.lit(16), F.col("nw") - F.col("ci") * 16).alias(
+            "n_words"
+        ),
+        F.row_number().over(w_first).alias("rn"),
+    )
+    dup = (F.col("rn") > 1).cast("long")
+    return marked.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(dup).cast("long").alias("n_dup"),
+        F.sum(dup * F.col("n_words")).cast("long").alias("words_removed"),
+        F.expr(
+            "CAST((2 * 1000 * sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)"
+            " + count(*)) DIV (2 * count(*)) AS BIGINT)"
+        ).alias("dup_permille"),
+    )

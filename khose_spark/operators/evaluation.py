@@ -2271,3 +2271,125 @@ def q_ml_odds_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("significant"),
     )
+
+
+@query(
+    "q_ml_isotonic_pav",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT {_CENTS_SQL} // {_AUC_BAND_CENTS} AS band,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ), bands AS (
+      SELECT band, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(count(*)) OVER w AS BIGINT) AS cn,
+             CAST(sum(sum(pos)) OVER w AS BIGINT) AS cp
+      FROM labeled GROUP BY band
+      WINDOW w AS (ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ), pairs AS (
+      SELECT i.band AS iband, j.band AS jband,
+             CAST(j.cp - (i.cp - i.n_pos) AS DOUBLE)
+               / (j.cn - (i.cn - i.n)) AS a
+      FROM bands i JOIN bands j ON i.band <= j.band
+    ), revmin AS (
+      SELECT iband, jband,
+             min(a) OVER (PARTITION BY iband ORDER BY jband DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS m
+      FROM pairs
+    ), fit AS (
+      SELECT jband AS band, max(m) AS f FROM revmin GROUP BY jband
+    )
+    SELECT b.band, b.n, b.n_pos,
+           CAST((2 * 1000 * b.n_pos + b.n) // (2 * b.n) AS BIGINT)
+             AS emp_permille,
+           round(f.f, 4) AS iso_rate
+    FROM bands b JOIN fit f ON f.band = b.band
+    """,
+)
+def q_ml_isotonic_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression of the positive-class rate on the $1k score
+    band — the PAV (pool-adjacent-violators) calibration map, the
+    non-parametric monotone member completing the calibration axis:
+    q_ml_calibration shows WHERE the empirical rates violate
+    monotonicity, Platt-style temperature scaling forces a sigmoid;
+    isotonic is what sklearn's CalibratedClassifierCV(method=
+    'isotonic') actually fits. Computed in CLOSED FORM via the minimax
+    identity ŷ_k = max_{i≤k} min_{j≥k} avg(y[i..j]) — no sequential
+    pooling loop, so the whole fit is three window passes over the
+    DOMAIN-BOUNDED band grid (the o_totalprice lattice, ~540 bands at
+    any corpus volume — the fixed_seeds argument).
+
+    Determinism: interval averages are ONE IEEE division of exact
+    int64 prefix-sum differences (identical doubles both engines);
+    min/max over doubles carry no tie ambiguity (equal doubles are one
+    value); the empirical rate stays half-up integer permille and the
+    fit reports round-4. Monotonicity of iso_rate is a THEOREM of the
+    minimax form, so the hash pins it implicitly.
+
+    Plan: one corpus-scale (band, pos) aggregation (map-side combined
+    — the only fact shuffle), a prefix window over the ~540-row band
+    relation, a bounded band² pair join (~150k constant rows), one
+    reverse-cummin window partitioned by interval start, and a
+    band-grouped max. At 100 TB only the first aggregate grows."""
+    labeled = t(spark, sf_dir, "orders").select(
+        F.expr(f"{_CENTS_SQL} DIV {_AUC_BAND_CENTS}").alias("band"),
+        F.when(F.col("o_orderpriority").isin(*_POS_PRIORITIES), 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    w_cum = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bands = (
+        labeled.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+        .select(
+            "band",
+            "n",
+            "n_pos",
+            F.sum("n").over(w_cum).cast("long").alias("cn"),
+            F.sum("n_pos").over(w_cum).cast("long").alias("cp"),
+        )
+        .localCheckpoint()  # feeds the pair join twice + final join
+    )
+    i, j = bands.alias("i"), bands.alias("j")
+    pairs = i.join(
+        F.broadcast(j), F.col("i.band") <= F.col("j.band")
+    ).select(
+        F.col("i.band").alias("iband"),
+        F.col("j.band").alias("jband"),
+        (
+            (F.col("j.cp") - (F.col("i.cp") - F.col("i.n_pos"))).cast(
+                "double"
+            )
+            / (F.col("j.cn") - (F.col("i.cn") - F.col("i.n")))
+        ).alias("a"),
+    )
+    w_rev = (
+        Window.partitionBy("iband")
+        .orderBy(F.desc("jband"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fit = (
+        pairs.select("jband", F.min("a").over(w_rev).alias("m"))
+        .groupBy(F.col("jband").alias("fband"))
+        .agg(F.max("m").alias("f"))
+    )
+    return bands.join(
+        fit, F.col("band") == F.col("fband")
+    ).select(
+        "band",
+        "n",
+        "n_pos",
+        F.expr(
+            "CAST((2 * 1000 * n_pos + n) DIV (2 * n) AS BIGINT)"
+        ).alias("emp_permille"),
+        F.round("f", 4).alias("iso_rate"),
+    )

@@ -851,3 +851,120 @@ def q_ts_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp("lnsurv"), 6))
         .alias("survival"),
     )
+
+
+@query(
+    "q_evt_multitouch",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS conv_ts
+      FROM events GROUP BY user_id
+    ), touches AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id
+      FROM events e JOIN conv c ON c.user_id = e.user_id
+      WHERE c.conv_ts IS NOT NULL
+        AND e.ts < c.conv_ts
+        AND e.event_type IN ('view', 'click', 'signup')
+    ), pos AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS p,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM touches
+    ), credited AS (
+      SELECT event_type, p, n,
+             CASE WHEN n = 1 THEN 1000
+                  WHEN n = 2 THEN 500
+                  WHEN p = 1 OR p = n THEN 400
+                  ELSE CAST(200 * (p - 1) // (n - 2)
+                            - 200 * (p - 2) // (n - 2) AS BIGINT)
+             END AS credit
+      FROM pos
+    )
+    SELECT event_type AS channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_first,
+           CAST(sum(CASE WHEN p = n THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_last,
+           CAST(sum(credit) AS BIGINT) AS credit_permille
+    FROM credited GROUP BY event_type
+    """,
+)
+def q_evt_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each
+    converting user's pre-purchase touches (view/click/signup strictly
+    before their FIRST purchase) share 1000 permille of conversion
+    credit — 400 to the first touch, 400 to the last, the remaining
+    200 split across the middles; per channel, total credit plus
+    first/last touch counts. The position-credit member of the
+    attribution family: q_join_asof_tolerance assigns each conversion
+    to ONE touch inside a window, this key splits the credit along the
+    whole journey (the marketing-mix report).
+
+    Integer exactness: the middle split uses the cumulative-quota
+    difference 200·i DIV m − 200·(i−1) DIV m (i = middle index, m =
+    middle count), which sums to EXACTLY 200 at any m with no float
+    rounding and no leftover-redistribution pass; n=1 → 1000, n=2 →
+    500/500 by contract. All operands non-negative, so Spark DIV ≡
+    DuckDB //.
+
+    Plan: one user-partitioned window pass pins each user's first
+    purchase timestamp next to every event (no self-join), the touch
+    filter drops post-conversion rows map-side, a second
+    user-partitioned window ranks the surviving journey, and ONE
+    5-channel aggregate folds the credit — every shuffle is keyed on
+    user_id with per-user state bounded by journey length."""
+    ev = t(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id")
+    conv = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        )
+        .over(w_user)
+        .alias("conv_ts"),
+    )
+    touches = conv.filter(
+        F.col("conv_ts").isNotNull()
+        & (F.col("ts") < F.col("conv_ts"))
+        & F.col("event_type").isin("view", "click", "signup")
+    )
+    w_pos = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    pos = touches.select(
+        "event_type",
+        F.row_number().over(w_pos).alias("p"),
+        F.count(F.lit(1)).over(w_user).alias("n"),
+    )
+    credited = pos.select(
+        "event_type",
+        "p",
+        "n",
+        F.when(F.col("n") == 1, F.lit(1000))
+        .when(F.col("n") == 2, F.lit(500))
+        .when((F.col("p") == 1) | (F.col("p") == F.col("n")), F.lit(400))
+        .otherwise(
+            F.expr(
+                "CAST(200 * (p - 1) DIV (n - 2)"
+                " - 200 * (p - 2) DIV (n - 2) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("credit"),
+    )
+    return credited.groupBy(
+        F.col("event_type").alias("channel")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum((F.col("p") == 1).cast("long")).cast("long").alias("n_first"),
+        F.sum((F.col("p") == F.col("n")).cast("long"))
+        .cast("long")
+        .alias("n_last"),
+        F.sum("credit").cast("long").alias("credit_permille"),
+    )

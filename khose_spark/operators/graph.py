@@ -1613,3 +1613,145 @@ def q_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("degree").desc(), F.col("node").asc())
     )
+
+
+@query(
+    "q_graph_modularity",
+    oracle=f"""
+    WITH {_BACKBONE_CTES}, lab AS (
+      SELECT s_suppkey AS node, CAST(s_nationkey AS BIGINT) AS com
+      FROM supplier
+    ), labeled AS (
+      SELECT la.com AS ca, lb.com AS cb
+      FROM adj JOIN lab la ON la.node = adj.node
+               JOIN lab lb ON lb.node = adj.nbr
+    ), m2t AS (
+      SELECT CAST(count(*) AS BIGINT) AS m2 FROM labeled
+    ), nodes AS (
+      SELECT la.com, CAST(count(DISTINCT adj.node) AS BIGINT) AS n_nodes
+      FROM (SELECT DISTINCT node FROM adj) adj
+      JOIN lab la ON la.node = adj.node GROUP BY la.com
+    ), per_c AS (
+      SELECT ca AS com,
+             CAST(count(*) AS BIGINT) AS deg_sum,
+             CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT)
+               AS intra_dir
+      FROM labeled GROUP BY ca
+    ), contrib AS (
+      SELECT p.com, n.n_nodes, p.deg_sum,
+             p.intra_dir // 2 AS m_intra,
+             CAST(p.intra_dir AS HUGEINT) * t.m2
+               - CAST(p.deg_sum AS HUGEINT) * p.deg_sum AS num,
+             CAST(t.m2 AS HUGEINT) * t.m2 AS den
+      FROM per_c p JOIN nodes n ON n.com = p.com CROSS JOIN m2t t
+    ), qfold AS (
+      SELECT round(sum(CAST(num AS DOUBLE)) / max(CAST(den AS DOUBLE)),
+                   4) AS q_modularity
+      FROM contrib
+    )
+    SELECT c.com AS community, c.n_nodes, c.m_intra, c.deg_sum,
+           CASE WHEN c.num >= 0
+                THEN CAST((2 * 1000 * c.num + c.den)
+                          // (2 * c.den) AS BIGINT)
+                ELSE -CAST((2 * 1000 * (-c.num) + c.den)
+                           // (2 * c.den) AS BIGINT)
+           END AS contrib_permille,
+           q.q_modularity
+    FROM contrib c CROSS JOIN qfold q
+    """,
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the supplier-NATION partition over the
+    symmetrized 3-NN co-occurrence backbone — the partition-QUALITY
+    metric the community family lacked: labelprop FINDS communities,
+    this key SCORES a partition (here the natural geographic one), the
+    number a Louvain-style optimizer would climb. Q = Σ_c [m_c/m −
+    (D_c/2m)²]: intra-community edge share minus the share expected
+    under the degree-preserving null model; per nation the audit
+    reports nodes, intra-edges, degree sum, and its signed half-up
+    permille contribution, plus the global round-4 Q.
+
+    Exactness: with m2 = 2m directed rows, each community's
+    contribution is the exact integer ratio (intra_dir·m2 − D_c²) /
+    m2² — numerator and denominator fold in DECIMAL(38,0)/HUGEINT
+    (D_c² is supplier-count-quadratic: ~3.6e17 at a 1M-supplier sf100,
+    and the 1000× permille product would cross int64 around 1e8
+    suppliers — widened NOW, the registration-time-carrier
+    discipline); the signed permille uses the sign-safe half-up CASE
+    (intra-poor communities contribute negatively). Q itself is the
+    one double fold, round-4.
+
+    Plan: the memoized backbone (built once per session, shared with
+    LPA/k-core/clustering), two broadcast joins against the
+    supplier-dimension label table, a 25-group aggregate, and 1-row
+    m2/Q folds broadcast-crossed back (the q_agg_theil decomposition
+    shape). Nothing beyond the backbone build touches a fact table."""
+    adj = _knn_backbone(spark, sf_dir)
+    lab = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("lnode"),
+        F.col("s_nationkey").cast("long").alias("com"),
+    )
+    labeled = (
+        adj.join(
+            F.broadcast(lab), F.col("node") == F.col("lnode")
+        )
+        .select(F.col("com").alias("ca"), "nbr")
+        .join(F.broadcast(lab), F.col("nbr") == F.col("lnode"))
+        .select("ca", F.col("com").alias("cb"))
+    )
+    m2t = labeled.agg(F.count(F.lit(1)).cast("long").alias("m2"))
+    nodes = (
+        adj.select("node")
+        .distinct()
+        .join(F.broadcast(lab), F.col("node") == F.col("lnode"))
+        .groupBy("com")
+        .agg(F.countDistinct("node").cast("long").alias("n_nodes"))
+    )
+    per_c = labeled.groupBy(F.col("ca").alias("com")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg_sum"),
+        F.sum((F.col("ca") == F.col("cb")).cast("long"))
+        .cast("long")
+        .alias("intra_dir"),
+    )
+    wide = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    contrib = (
+        per_c.join(nodes, "com")
+        .crossJoin(F.broadcast(m2t))
+        .select(
+            "com",
+            "n_nodes",
+            "deg_sum",
+            F.expr("intra_dir DIV 2").alias("m_intra"),
+            (wide("intra_dir") * F.col("m2") - wide("deg_sum") * F.col("deg_sum"))
+            .cast("decimal(38,0)")
+            .alias("num"),
+            (wide("m2") * F.col("m2")).cast("decimal(38,0)").alias("den"),
+        )
+        .localCheckpoint()  # feeds the Q fold AND the final projection
+    )
+    qfold = contrib.agg(
+        F.round(
+            F.sum(F.col("num").cast("double"))
+            / F.max(F.col("den").cast("double")),
+            4,
+        ).alias("q_modularity")
+    )
+    return contrib.crossJoin(F.broadcast(qfold)).select(
+        F.col("com").alias("community"),
+        "n_nodes",
+        "m_intra",
+        "deg_sum",
+        F.when(
+            F.col("num") >= 0,
+            F.expr(
+                "CAST((2 * 1000 * num + den) DIV (2 * den) AS BIGINT)"
+            ),
+        )
+        .otherwise(
+            -F.expr(
+                "CAST((2 * 1000 * (-num) + den) DIV (2 * den) AS BIGINT)"
+            )
+        )
+        .alias("contrib_permille"),
+        "q_modularity",
+    )

@@ -3015,3 +3015,164 @@ def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, n_days long, level_cents long, "
         "trend_cents long, fc1_cents long, fc2_cents long, fc3_cents long",
     )
+
+
+@query(
+    "q_ml_friedman",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2)) * 100)
+                  AS DECIMAL(18,0)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), kdim AS (
+      SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM daily
+    ), blocks AS (
+      SELECT x FROM daily GROUP BY x
+      HAVING count(*) = (SELECT k FROM kdim)
+    ), ranked AS (
+      SELECT d.event_type, d.x,
+             2 * rank() OVER (PARTITION BY d.x ORDER BY d.cents ASC)
+               + count(*) OVER (PARTITION BY d.x, d.cents) - 1 AS mid2
+      FROM daily d JOIN blocks b ON b.x = d.x
+    ), grp AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(mid2) AS BIGINT) AS s2
+      FROM ranked GROUP BY event_type
+    ), tot AS (
+      SELECT CAST(count(DISTINCT x) AS BIGINT) AS n,
+             (SELECT k FROM kdim) AS k,
+             CAST(sum(CAST(mid2 AS BIGINT) * mid2) AS BIGINT) AS b4
+      FROM ranked
+    ), folds AS (
+      SELECT t.n, t.k,
+             CAST(sum(CAST(g.s2 AS BIGINT) * g.s2) AS BIGINT) AS a4
+      FROM grp g CROSS JOIN tot t GROUP BY t.n, t.k
+    ), stat AS (
+      SELECT f.n, f.k,
+             round((f.k - 1) * (CAST(f.a4 AS DOUBLE)
+                                - CAST(f.n AS DOUBLE) * f.n * f.k
+                                  * (f.k + 1) * (f.k + 1))
+                   / nullif(CAST(t2.b4 AS DOUBLE)
+                            - CAST(f.n AS DOUBLE) * f.k
+                              * (f.k + 1) * (f.k + 1), 0.0),
+                   4) AS chi2_f
+      FROM folds f JOIN tot t2 ON t2.n = f.n AND t2.k = f.k
+    )
+    SELECT g.event_type, g.n_blocks,
+           CAST((2 * (1000 * g.s2) + 2 * g.n_blocks)
+                // (4 * g.n_blocks) AS BIGINT) AS mean_rank_milli,
+           s.n, s.k, s.chi2_f
+    FROM grp g CROSS JOIN stat s
+    """,
+)
+def q_ml_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test across the five event types with days as
+    BLOCKS — the repeated-measures member completing the nonparametric
+    suite: kruskal_wallis compares INDEPENDENT groups, mann_whitney two
+    of them; Friedman asks whether the k types rank consistently WITHIN
+    each day, which removes day-level volume shifts (weekends, spikes)
+    that inflate the independent-sample tests. Only COMPLETE blocks
+    (days observing all k types) enter, per the classical design.
+
+    Determinism/exactness: within-block tie-averaged ranks use DOUBLED
+    midranks (2·rank + ties − 1 — the spearman lattice trick), so rank
+    sums S2_j = Σ mid2 and both sufficient statistics A = Σ_j S2_j²,
+    B = Σ_ij mid2² are exact int64 (mid2 ≤ 2k, S2_j ≤ 2kn — horizon-
+    bounded, ~9 int64 decades of headroom at a 30-day fixture and still
+    >6 at a 10-year horizon). The tie-general statistic evaluates the
+    doubled-lattice identity
+        χ²_F = (k−1)·(A − n²k(k+1)²) / (B − nk(k+1)²)
+    (both parenthesized terms are the classical ones scaled by 4) as
+    ONE double ratio, round-4; all-tied blocks zero the denominator →
+    NULL guard. Per-type mean rank reports as exact half-up milliranks.
+
+    Plan: one (type, day) fact rollup (the only corpus-scale shuffle,
+    map-side combined), a k-complete block semi-join on the
+    days-bounded rollup, per-block windows over ≤k rows, then 5-row /
+    1-row folds broadcast-crossed back (the kruskal shape with the
+    group axis swapped for a block axis)."""
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .alias("cents")
+        )
+        .localCheckpoint()  # feeds k-dim, block filter, and ranks
+    )
+    kdim = daily.agg(
+        F.countDistinct("event_type").cast("long").alias("k")
+    )
+    blocks = (
+        daily.crossJoin(F.broadcast(kdim))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("nt"), F.max("k").alias("k"))
+        .filter(F.col("nt") == F.col("k"))
+        .select("x", "k")
+    )
+    w_rank = Window.partitionBy("x").orderBy(F.asc("cents"))
+    w_tie = Window.partitionBy("x", "cents")
+    ranked = (
+        daily.join(F.broadcast(blocks), "x")
+        .select(
+            "event_type",
+            "x",
+            "k",
+            (
+                2 * F.rank().over(w_rank)
+                + F.count(F.lit(1)).over(w_tie)
+                - 1
+            ).cast("long").alias("mid2"),
+        )
+        .localCheckpoint()  # feeds the group fold AND the total fold
+    )
+    grp = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("mid2").cast("long").alias("s2"),
+    )
+    tot = ranked.agg(
+        F.countDistinct("x").cast("long").alias("n"),
+        F.max("k").alias("k"),
+        F.sum(F.col("mid2") * F.col("mid2")).cast("long").alias("b4"),
+    )
+    folds = grp.crossJoin(F.broadcast(tot)).groupBy("n", "k", "b4").agg(
+        F.sum(F.col("s2") * F.col("s2")).cast("long").alias("a4")
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    stat = folds.select(
+        "n",
+        "k",
+        F.round(
+            (kd - 1)
+            * (
+                F.col("a4").cast("double")
+                - nd * nd * kd * (kd + 1) * (kd + 1)
+            )
+            / F.nullif(
+                F.col("b4").cast("double")
+                - nd * kd * (kd + 1) * (kd + 1),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("chi2_f"),
+    )
+    return grp.crossJoin(F.broadcast(stat)).select(
+        "event_type",
+        "n_blocks",
+        F.expr(
+            "CAST((2 * (1000 * s2) + 2 * n_blocks)"
+            " DIV (4 * n_blocks) AS BIGINT)"
+        ).alias("mean_rank_milli"),
+        "n",
+        "k",
+        "chi2_f",
+    )

@@ -113,6 +113,7 @@ MEMO_CREATORS = {
     "q_graph_ppr",
     "q_graph_degree_dist",
     "q_graph_two_hop",
+    "q_graph_modularity",
 }
 
 # Total sanctioned session-wide SQL-cache entries: the memo above is
