@@ -1062,3 +1062,123 @@ def q_fn_decimal_round_laws(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("sq_r2"),
     ).orderBy("k")
+
+
+def _jw_score(s1: str, s2: str) -> float:
+    """Jaro-Winkler similarity, replicating DuckDB's
+    ``jaro_winkler_similarity`` exactly (verified pairwise-identical
+    under round(4) on every fixture blocking pair at sf0.001/0.01/0.1):
+    matching window max(l1,l2)//2 − 1, transpositions = half the
+    misaligned matches, Winkler prefix boost (cap 4, weight 0.1)
+    applied ONLY when jaro > 0.7, and the empty-string convention
+    jw('', anything) = 0 — DuckDB scores even two empty strings 0."""
+    if not s1 or not s2:
+        return 0.0
+    l1, l2 = len(s1), len(s2)
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    used2 = [False] * l2
+    match1 = [False] * l1
+    m = 0
+    for i, c in enumerate(s1):
+        lo = i - window if i > window else 0
+        hi = min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not used2[j] and s2[j] == c:
+                match1[i] = used2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    trans = 0
+    j = 0
+    for i in range(l1):
+        if match1[i]:
+            while not used2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                trans += 1
+            j += 1
+    trans //= 2
+    jaro = (m / l1 + m / l2 + (m - trans) / m) / 3.0
+    if jaro > 0.7:
+        p = 0
+        for a, b in zip(s1, s2):
+            if a == b and p < 4:
+                p += 1
+            else:
+                break
+        jaro = jaro + p * 0.1 * (1.0 - jaro)
+    return jaro
+
+
+@query(
+    "q_fn_jaro_winkler",
+    oracle="""
+    WITH pairs AS (
+      SELECT p_partkey AS key_a, p_name AS name_a,
+             lead(p_partkey, 1) OVER w AS key_b,
+             lead(p_name, 1) OVER w AS name_b
+      FROM part
+      WINDOW w AS (PARTITION BY p_brand, p_type
+                   ORDER BY p_name ASC, p_partkey ASC)
+    )
+    SELECT key_a, key_b,
+           round(jaro_winkler_similarity(name_a, name_b), 4) AS jw
+    FROM pairs WHERE key_b IS NOT NULL
+    """,
+)
+def q_fn_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler similarity over blocked candidate part-name pairs —
+    the ER string metric the function family lacked: levenshtein (the
+    existing key) counts EDITS, Jaro-Winkler scores transposition-
+    tolerant agreement with a prefix premium, the standard name-matcher
+    (Winkler 1990, built into DuckDB). Candidates are the LINEAR
+    adjacent pairs inside (brand, type) blocks ordered by name — the
+    token-blocking discipline: never all-pairs, one neighbor per row.
+
+    Spark has no built-in Jaro-Winkler, so the metric runs as an
+    Arrow-batched pandas UDF (_jw_score — the slow-path rule: batch
+    transfer, not per-row pickling) replicating DuckDB's exact
+    semantics: window matching, half-transpositions, boost only above
+    0.7, empty-string → 0. Verified round(4)-identical on EVERY
+    fixture blocking pair at all three fixture scales before
+    registration.
+
+    Plan: one block-partitioned window (the only shuffle — keyed on
+    the blocking key exactly like the production ER blocker), then a
+    map-side Arrow batch through the UDF. At 100 TB the pair stream
+    is |parts| rows, never |parts|²."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _jw_batch(a, b):
+        return pd.Series(
+            [_jw_score(x, y) for x, y in zip(a, b)], dtype="float64"
+        )
+
+    # functions.py runs under `from __future__ import annotations`, which
+    # stringifies inline hints pandas_udf can't resolve against a
+    # function-local pandas import — set real annotation objects instead.
+    _jw_batch.__annotations__ = {
+        "a": pd.Series,
+        "b": pd.Series,
+        "return": pd.Series,
+    }
+    jw_udf = pandas_udf(_jw_batch, "double")
+
+    w = Window.partitionBy("p_brand", "p_type").orderBy(
+        F.asc("p_name"), F.asc("p_partkey")
+    )
+    pairs = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.lead("p_partkey", 1).over(w).alias("key_b"),
+        F.lead("p_name", 1).over(w).alias("name_b"),
+    )
+    return pairs.filter(F.col("key_b").isNotNull()).select(
+        "key_a",
+        "key_b",
+        F.round(jw_udf("name_a", "name_b"), 4).alias("jw"),
+    )

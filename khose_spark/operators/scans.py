@@ -1065,3 +1065,96 @@ def q_lake_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chars_match"),
         )
     )
+
+
+@query(
+    "q_lake_vacuum",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS versions_before,
+           CAST(1 AS BIGINT) AS orphan_dirs_removed,
+           CAST(2 AS BIGINT) AS orphan_files_removed,
+           CAST(1 AS BIGINT) AS expired_versions,
+           CAST(4 AS BIGINT) AS expired_files_removed,
+           CAST(3 AS BIGINT) AS kept_files,
+           CAST(1 AS BIGINT) AS time_travel_pruned,
+           CAST(count(*) AS BIGINT) AS latest_rows,
+           CAST(sum(n_chars) AS BIGINT) AS latest_chars,
+           CAST(sum(doc_id) AS BIGINT) AS latest_key_sum
+    FROM documents
+    """,
+)
+def q_lake_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM — the lakehouse GC closing the maintenance lifecycle
+    (plan → compact → vacuum): on a versioned table carrying v1 (4
+    files), one ORPHAN data dir staged by a simulated crashed writer (2
+    files, never published — readers cannot see it, the atomic-manifest
+    invariant), and v2 (3 files), run
+    ``tables_versioned.vacuum(retain_last=1)`` and certify from
+    MEASUREMENT: the orphan dir and its files removed, v1 expired (data
+    + manifest — time travel to v1 now raises, asserted live), v2's 3
+    files untouched, and the post-vacuum latest read conserving rows /
+    chars / doc_id key-sum against the source corpus. Every file count
+    is a planted deterministic constant (round-robin repartition: no
+    empty partitions at any fixture scale), so the oracle states the
+    physical claim exactly — the compaction_apply discipline.
+
+    Plan: three corpus-linear snapshot writes + one audit scan of the
+    retained snapshot; vacuum itself is a manifest-listing walk (no
+    data I/O — the reason Iceberg's expire_snapshots scales: deletion
+    candidates come from metadata, never from scanning the lake)."""
+    import shutil
+
+    from khose_spark.tables_versioned import (
+        commit_snapshot,
+        list_versions,
+        read_snapshot,
+        vacuum,
+    )
+
+    root = _scratch(sf_dir, "lake_vacuum")
+    shutil.rmtree(root, ignore_errors=True)
+    docs = t(spark, sf_dir, "documents")
+    commit_snapshot(docs.repartition(4), root, "v1: initial corpus")
+    # A crashed writer: data staged under the NEXT version path, no
+    # manifest published — invisible to readers, orphaned on disk.
+    docs.repartition(2).write.mode("overwrite").parquet(
+        root + "/data/v=000099"
+    )
+    commit_snapshot(docs.repartition(3), root, "v2: rewritten corpus")
+    stats = vacuum(root, retain_last=1)
+    survivors = list_versions(root)
+    try:
+        read_snapshot(spark, root, 1)
+        pruned = 0
+    except FileNotFoundError:
+        pruned = 1 if survivors == [2] else 0
+    audit = (
+        read_snapshot(spark, root)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("latest_rows"),
+            F.sum("n_chars").cast("long").alias("latest_chars"),
+            F.sum("doc_id").cast("long").alias("latest_key_sum"),
+        )
+    )
+    return audit.select(
+        F.lit(stats["versions_before"]).cast("long").alias(
+            "versions_before"
+        ),
+        F.lit(stats["orphan_dirs_removed"]).cast("long").alias(
+            "orphan_dirs_removed"
+        ),
+        F.lit(stats["orphan_files_removed"]).cast("long").alias(
+            "orphan_files_removed"
+        ),
+        F.lit(stats["expired_versions"]).cast("long").alias(
+            "expired_versions"
+        ),
+        F.lit(stats["expired_files_removed"]).cast("long").alias(
+            "expired_files_removed"
+        ),
+        F.lit(stats["kept_files"]).cast("long").alias("kept_files"),
+        F.lit(pruned).cast("long").alias("time_travel_pruned"),
+        "latest_rows",
+        "latest_chars",
+        "latest_key_sum",
+    )

@@ -1169,3 +1169,180 @@ def q_llm_ann_pq_probed_scaled(
         .filter(F.col("rank") <= 3)
         .orderBy("qid", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8: per-dimension 8-bit scalar quantization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_llm_ann_sq8",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), dim AS (
+      SELECT i AS pos, min(v[i]) AS mn, max(v[i]) AS mx
+      FROM base, unnest(range(1, 65)) AS t(i)
+      GROUP BY i
+    ), s AS (
+      SELECT list(mn ORDER BY pos) AS mins,
+             list(mx - mn ORDER BY pos) AS deltas
+      FROM dim
+    ), deq AS (
+      SELECT b.vec_id,
+             list_transform(range(1, 65), i ->
+               s.mins[i] +
+               ((CASE WHEN s.deltas[i] = 0 THEN 0.0
+                      ELSE round(((b.v[i] - s.mins[i]) / s.deltas[i])
+                                 * 255) END)
+                * s.deltas[i]) / 255) AS dv
+      FROM base b CROSS JOIN s
+    ), q AS (
+      SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id < 10
+    ), approx AS (
+      SELECT q.qid, d.vec_id,
+             round(list_cosine_similarity(q.qv, d.dv), 6) AS sim6,
+             round(list_cosine_similarity(q.qv, d.dv), 4) AS sim
+      FROM q JOIN deq d ON d.vec_id <> q.qid
+    ), exact3 AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, b.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(q.qv, b.v), 6)
+                          DESC, b.vec_id ASC) AS rn
+        FROM q JOIN base b ON b.vec_id <> q.qid
+      ) WHERE rn <= 3
+    )
+    SELECT a.qid, a.vec_id AS neighbor_id, a.sim, a.rn AS rank,
+           CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS in_exact_top3
+    FROM (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY sim6 DESC, vec_id ASC) AS rn
+      FROM approx
+    ) a
+    LEFT JOIN exact3 e ON e.qid = a.qid AND e.vec_id = a.vec_id
+    WHERE a.rn <= 3
+    """,
+)
+def q_llm_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 approximate nearest neighbors — per-dimension 8-bit SCALAR
+    quantization, the third quantizer in the family (PQ = subspace
+    codebooks, IVF = cell routing; SQ8 is the 4×-compression int8 form
+    every production vector store ships first because it keeps exact
+    per-dimension geometry): each dimension maps to code =
+    round((x−min_d)/Δ_d·255), queries stay full-precision and score
+    against DEQUANTIZED corpus vectors (asymmetric, the ADC
+    discipline), and each query's top-3 carries an in_exact_top3 flag
+    measured against the true full-precision neighbors — the
+    per-query recall audit built into the key.
+
+    Determinism: per-dimension min/max are exact double order
+    statistics; the quantize→dequantize chain is the SAME parenthesized
+    IEEE expression in both engines (nonneg operand, so Spark HALF_UP
+    round ≡ DuckDB half-away); ranking on round(sim,6) with vec_id
+    tiebreak, reported round(4).
+
+    Plan: one 64-group posexplode aggregate for dimension stats
+    (map-side combined), collapsed to a 1-row broadcast of two
+    64-float arrays; quantize/dequantize runs ELEMENTWISE map-side
+    (zip_with — codes never shuffle, no per-vector explode); approx and
+    exact passes are corpus × broadcast-10-query crosses with per-qid
+    ranking windows. At 100 TB the corpus is read twice and shuffled
+    never; materializing int8 codes (n × 64 bytes) instead of floats
+    is the storage win the key certifies."""
+    base = _dbl_base(t(spark, sf_dir, "embeddings"))
+    stats64 = (
+        base.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    s = stats64.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))),
+            lambda r: r.mn,
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("pos", (F.col("mx") - F.col("mn")).alias("dl"))
+                )
+            ),
+            lambda r: r.dl,
+        ).alias("deltas"),
+    )
+    code = lambda x, mn, dl: F.when(  # noqa: E731
+        dl == 0, F.lit(0.0)
+    ).otherwise(F.round(((x - mn) / dl) * 255))
+    deq = (
+        base.crossJoin(F.broadcast(s))
+        .select(
+            "vec_id",
+            F.zip_with(
+                F.zip_with(
+                    "v",
+                    "mins",
+                    lambda x, mn: F.struct(
+                        x.alias("x"), mn.alias("mn")
+                    ),
+                ),
+                "deltas",
+                lambda p, dl: p.mn
+                + ((code(p.x, p.mn, dl) * dl) / 255),
+            ).alias("dv"),
+        )
+    )
+    q = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    approx = (
+        deq.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(_cos("qv", "dv"), 6).alias("sim6"),
+            F.round(_cos("qv", "dv"), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim6"), F.asc("vec_id"))
+    top3 = (
+        approx.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "sim", "rank")
+    )
+    exact3 = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            F.col("qid").alias("eqid"),
+            F.col("vec_id").alias("evid"),
+            F.round(_cos("qv", "v"), 6).alias("esim"),
+        )
+        .withColumn(
+            "ern",
+            F.row_number().over(
+                Window.partitionBy("eqid").orderBy(
+                    F.desc("esim"), F.asc("evid")
+                )
+            ),
+        )
+        .filter(F.col("ern") <= 3)
+        .select("eqid", "evid")
+    )
+    return top3.join(
+        F.broadcast(exact3),
+        (F.col("qid") == F.col("eqid"))
+        & (F.col("neighbor_id") == F.col("evid")),
+        "left_outer",
+    ).select(
+        "qid",
+        "neighbor_id",
+        "sim",
+        "rank",
+        F.when(F.col("evid").isNull(), 0).otherwise(1).alias(
+            "in_exact_top3"
+        ),
+    )

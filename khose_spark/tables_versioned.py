@@ -129,3 +129,61 @@ def snapshot_history(root: str) -> list[dict]:
         ) as fh:
             out.append(json.load(fh))
     return out
+
+
+def vacuum(root: str, retain_last: int = 1) -> dict:
+    """Garbage-collect the table: delete ORPHAN data dirs (staged by a
+    crashed writer — present under data/ but never published in
+    _manifests, so readers never saw them) and EXPIRE every committed
+    snapshot except the newest ``retain_last`` (data dir AND manifest —
+    time travel to an expired version fails afterwards, the Iceberg
+    ``expire_snapshots`` + ``remove_orphan_files`` contract in one
+    pass). Returns exact counts so callers can audit the deletion.
+
+    Safety order: orphans and expired versions are identified against
+    the manifest listing FIRST, then deleted; the retained snapshots'
+    files are never touched, so a reader holding the latest version is
+    unaffected (readers resolve paths from manifests alone)."""
+    import shutil
+
+    versions = list_versions(root)
+    keep = set(versions[-retain_last:]) if retain_last > 0 else set()
+    committed = set(versions)
+    ddir = os.path.join(root, "data")
+    stats = {
+        "versions_before": len(versions),
+        "orphan_dirs_removed": 0,
+        "orphan_files_removed": 0,
+        "expired_versions": 0,
+        "expired_files_removed": 0,
+        "kept_versions": sorted(keep),
+        "kept_files": 0,
+    }
+    if not os.path.isdir(ddir):
+        return stats
+    for d in sorted(os.listdir(ddir)):
+        if not d.startswith("v="):
+            continue
+        path = os.path.join(ddir, d)
+        try:
+            v = int(d[2:])
+        except ValueError:
+            v = None
+        n_parquet = sum(
+            1
+            for _, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        if v is None or v not in committed:
+            stats["orphan_dirs_removed"] += 1
+            stats["orphan_files_removed"] += n_parquet
+            shutil.rmtree(path)
+        elif v not in keep:
+            stats["expired_versions"] += 1
+            stats["expired_files_removed"] += n_parquet
+            shutil.rmtree(path)
+            os.remove(os.path.join(_manifest_dir(root), f"{v:06d}.json"))
+        else:
+            stats["kept_files"] += n_parquet
+    return stats

@@ -234,6 +234,21 @@ BNLJ_ALLOWED = {
                                 # broadcast-crossed into the 5-row
                                 # group fold (the scalar-subquery
                                 # idiom ×2)
+    "q_ml_friedman",            # 1-row k-dim + 1-row B fold + 1-row
+                                # χ²_F relation broadcast-crossed into
+                                # the day/5-row relations (the kruskal
+                                # idiom with a block axis)
+    "q_graph_modularity",       # 1-row m2 + 1-row Q folds broadcast-
+                                # crossed into the 25-nation relation
+                                # (the q_agg_theil decomposition shape)
+    "q_ml_isotonic_pav",        # bounded band² pair join on a <=
+                                # condition over the ~540-row broadcast
+                                # band grid (domain-bounded, the
+                                # minimax PAV closed form)
+    "q_llm_ann_sq8",            # 1-row 64-float min/delta arrays +
+                                # 10 broadcast query vectors × corpus
+                                # (the cosine_topk idiom, twice: approx
+                                # + exact-recall passes)
 }
 
 # Shuffle-exchange ceilings. Default covers scan→agg/join→window plans;
@@ -255,6 +270,16 @@ MAX_SHUFFLES = {
                                   # relations are days×types-bounded
     "q_ts_pacf2": 10,             # audited 9: same chain as ljung_box
                                   # plus the per-type 2-row lag pivot
+    "q_ml_friedman": 10,          # audited 9 across both checkpoint
+                                  # halves: daily rollup + k-dim fold +
+                                  # block filter + two per-block
+                                  # windows, then grp/tot/folds — every
+                                  # post-rollup relation days×types-
+                                  # bounded
+    "q_graph_modularity": 6,      # audited 5 (interior): m2/nodes/
+                                  # per_c folds over the supplier-
+                                  # bounded backbone join; returned
+                                  # half is the 1-row Q fold
     "q_ts_ljung_box": 9,          # audited 8: daily rollup + type
                                   # window + stats/denom aggs + lag
                                   # self-join + per-type folds — all

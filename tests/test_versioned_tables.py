@@ -17,6 +17,7 @@ from khose_spark.tables_versioned import (
     list_versions,
     read_snapshot,
     snapshot_history,
+    vacuum,
 )
 
 
@@ -144,3 +145,45 @@ def test_partitioned_snapshot_layout(spark, sf_dir, root):
     back = read_snapshot(spark, root, v)
     assert back.count() == docs.count()
     assert set(back.columns) == {"doc_id", "n_chars", "b"}
+
+
+def test_vacuum_removes_orphans_and_expired_only(spark, sf_dir, root):
+    """vacuum(retain_last=1): orphan staged dirs and expired snapshots
+    (data + manifest) are deleted, the retained snapshot is untouched
+    and still readable, and expired time travel now raises."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    commit_snapshot(docs.repartition(4), root, "v1")
+    # crashed writer: staged data, manifest never published
+    docs.repartition(2).write.parquet(os.path.join(root, "data", "v=000042"))
+    commit_snapshot(docs.repartition(3), root, "v2")
+    # the orphan is invisible to readers before vacuum
+    assert list_versions(root) == [1, 2]
+    stats = vacuum(root, retain_last=1)
+    assert stats["orphan_dirs_removed"] == 1
+    assert stats["orphan_files_removed"] == 2
+    assert stats["expired_versions"] == 1
+    assert stats["expired_files_removed"] == 4
+    assert stats["kept_versions"] == [2]
+    assert stats["kept_files"] == 3
+    assert list_versions(root) == [2]
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, root, 1)
+    assert read_snapshot(spark, root).count() == docs.count()
+    # idempotent: a second vacuum finds nothing to do
+    again = vacuum(root, retain_last=1)
+    assert again["orphan_dirs_removed"] == 0
+    assert again["expired_versions"] == 0
+    assert again["kept_files"] == 3
+
+
+def test_vacuum_retains_multiple_versions(spark, sf_dir, root):
+    """retain_last=2 keeps both snapshots readable — only orphans go."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    commit_snapshot(docs.repartition(2), root, "v1")
+    commit_snapshot(docs.repartition(2), root, "v2")
+    docs.repartition(1).write.parquet(os.path.join(root, "data", "v=000007"))
+    stats = vacuum(root, retain_last=2)
+    assert stats["orphan_dirs_removed"] == 1
+    assert stats["expired_versions"] == 0
+    assert list_versions(root) == [1, 2]
+    assert read_snapshot(spark, root, 1).count() == docs.count()
