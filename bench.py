@@ -157,6 +157,12 @@ HEADLINE = [
     "q_agg_cm_join_estimate",
     "q_join_asof_tolerance",
     "q_ts_stl_strength",
+    # Round-11 wave: the three new keys with corpus-scale work (the
+    # bounded-rollup analytics — friedman, modularity, isotonic — cost
+    # their fact scan only and ride the flagship's timing family).
+    "q_llm_paragraph_dedup",
+    "q_llm_ann_sq8",
+    "q_fn_jaro_winkler",
 ]
 
 
@@ -250,6 +256,9 @@ SCALING_KEYS = [
     "q_llm_ann_pq_probed_scaled",
     "q_llm_semdedup_fixedk",
     "q_llm_neardup_jaccard_banded",
+    # Round-11: paragraph-granularity dedup — the new corpus-scale
+    # shuffle key; ratio should track the chunk-stream volume.
+    "q_llm_paragraph_dedup",
     "q_graph_triangles",
     "q_graph_adamic_adar",
     "q_graph_labelprop",

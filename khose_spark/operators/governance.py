@@ -1070,3 +1070,135 @@ def q_priv_randomized_response(
             "abs_err_permille"
         ),
     )
+
+
+@query(
+    "q_priv_dp_topk",
+    oracle=f"""
+    WITH true_counts AS (
+      SELECT source, lang, count(*) AS true_n
+      FROM documents GROUP BY 1, 2
+    ), seeded AS (
+      SELECT source, lang, true_n,
+             ({" + ".join(
+                 f"(instr('0123456789abcdef', substr(md5(concat('dptopk:', source, ':', lang)), {j}, 1)) - 1)"
+                 f" * {16 ** (6 - j)}"
+                 for j in range(1, 7)
+             )}) % {_DP_M} AS u
+      FROM true_counts
+    ), noised AS (
+      SELECT source, lang, true_n,
+             CASE {" ".join(
+                 f"WHEN u < {hi} THEN {noise}"
+                 for hi, noise in _dp_ladder()
+             )} ELSE 0 END AS noise
+      FROM seeded
+    ), ranked AS (
+      SELECT source, lang, true_n, noise,
+             greatest(true_n + noise, 0) AS noisy_n,
+             row_number() OVER (ORDER BY true_n + noise DESC,
+                                source ASC, lang ASC) AS rnk
+      FROM noised
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN NOT (rnk <= 10 AND noisy_n >= 25)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed
+      FROM ranked
+    )
+    SELECT r.rnk AS rank, r.source, r.lang,
+           CAST(r.true_n AS BIGINT) AS true_n,
+           CAST(r.noise AS BIGINT) AS noise,
+           CAST(r.noisy_n AS BIGINT) AS released_n,
+           t.n_groups, t.n_suppressed
+    FROM ranked r CROSS JOIN tot t
+    WHERE r.rnk <= 10 AND r.noisy_n >= 25
+    """,
+)
+def q_priv_dp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private TOP-K selection with a stability
+    threshold — the SELECTION member of the privacy family
+    (dp_histogram releases every cell, dp_mean one scalar, randomized
+    response per-row bits; nothing answered \"WHICH categories are safe
+    to name\"): (source, lang) document counts get discrete-Laplace
+    noise from the house exact integer inverse-CDF ladder (md5-seeded,
+    salt 'dptopk:' — deterministic by design so the mechanism is
+    hash-checkable; production swaps the uniform source for a CSPRNG),
+    the top-10 by NOISY count are selected, and a suppression floor
+    (noisy ≥ 25) drops unstable small groups — the peeling-mechanism /
+    SVT shape: rank on noise, never on the raw counts, so the released
+    ORDER itself leaks only noised information. True counts ride along
+    because this key is the release AUDIT, not the release.
+
+    Plan: one corpus-scale (source, lang) aggregation (map-side
+    combined — the only fact shuffle), the noise ladder as a literal
+    CASE chain in the projection, one window over the
+    dimension-bounded group relation, and a 1-row totals fold
+    broadcast-crossed into the ≤10-row release."""
+    true_counts = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("dptopk:"),
+                        F.col("source"),
+                        F.lit(":"),
+                        F.col("lang"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _DP_M
+    )
+    noise = None
+    for hi, nz in _dp_ladder():
+        cond = F.col("u") < hi
+        noise = F.when(cond, nz) if noise is None else noise.when(cond, nz)
+    noised = true_counts.withColumn("u", u).select(
+        "source",
+        "lang",
+        "true_n",
+        noise.otherwise(0).cast("long").alias("noise"),
+    )
+    w = Window.orderBy(
+        (F.col("true_n") + F.col("noise")).desc(),
+        F.asc("source"),
+        F.asc("lang"),
+    )
+    ranked = noised.select(
+        "source",
+        "lang",
+        "true_n",
+        "noise",
+        F.greatest(F.col("true_n") + F.col("noise"), F.lit(0))
+        .cast("long")
+        .alias("noisy_n"),
+        F.row_number().over(w).alias("rank"),
+    ).localCheckpoint()  # feeds the totals fold AND the release filter
+    sel = (F.col("rank") <= 10) & (F.col("noisy_n") >= 25)
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((~sel).cast("long")).cast("long").alias("n_suppressed"),
+    )
+    return (
+        ranked.filter(sel)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "source",
+            "lang",
+            "true_n",
+            "noise",
+            F.col("noisy_n").alias("released_n"),
+            "n_groups",
+            "n_suppressed",
+        )
+    )

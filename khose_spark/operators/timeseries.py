@@ -4186,3 +4186,214 @@ def q_ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_alarm_i",
         )
     )
+
+
+@query(
+    "q_ts_hurst",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2)) * 100)
+                  AS DECIMAL(18,0)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY d ASC) AS i,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ), wdim AS (
+      SELECT unnest([4, 8, 16]) AS w
+    ), chunked AS (
+      SELECT x.event_type, x.n, v.w, x.cents,
+             (x.i - 1) // v.w AS ck,
+             x.i - ((x.i - 1) // v.w) * v.w AS ti
+      FROM idx x CROSS JOIN wdim v
+      WHERE x.n >= 16 AND x.i <= v.w * (x.n // v.w)
+    ), walked AS (
+      SELECT event_type, n, w, ck, ti, cents,
+             sum(cents) OVER (PARTITION BY event_type, w, ck
+                              ORDER BY ti ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+             sum(cents) OVER (PARTITION BY event_type, w, ck) AS sw,
+             sum(CAST(cents AS HUGEINT) * cents)
+               OVER (PARTITION BY event_type, w, ck) AS ssq
+      FROM chunked
+    ), chunks AS (
+      SELECT event_type, n, w, ck,
+             max(w * cum - ti * sw) - min(w * cum - ti * sw) AS rprime,
+             max(CAST(w AS HUGEINT) * ssq
+                 - CAST(sw AS HUGEINT) * sw) AS radicand
+      FROM walked GROUP BY 1, 2, 3, 4
+    ), rs AS (
+      SELECT event_type, max(n) AS n_days, w,
+             avg(CASE WHEN radicand > 0
+                      THEN rprime / sqrt(CAST(radicand AS DOUBLE))
+                 END) AS avg_rs
+      FROM chunks GROUP BY event_type, w
+    ), fitted AS (
+      SELECT event_type,
+             CASE WHEN count(CASE WHEN avg_rs > 0 THEN 1 END) = 3
+                  THEN (count(*) * sum(ln(w) * ln(avg_rs))
+                        - sum(ln(w)) * sum(ln(avg_rs)))
+                       / (count(*) * sum(ln(w) * ln(w))
+                          - sum(ln(w)) * sum(ln(w)))
+             END AS h
+      FROM rs WHERE avg_rs IS NOT NULL GROUP BY event_type
+    )
+    SELECT r.event_type, CAST(max(r.n_days) AS BIGINT) AS n_days,
+           round(max(CASE WHEN r.w = 4 THEN r.avg_rs END), 4) AS rs_w4,
+           round(max(CASE WHEN r.w = 8 THEN r.avg_rs END), 4) AS rs_w8,
+           round(max(CASE WHEN r.w = 16 THEN r.avg_rs END), 4) AS rs_w16,
+           round(max(f.h), 4) AS hurst
+    FROM rs r JOIN fitted f ON f.event_type = r.event_type
+    GROUP BY r.event_type
+    """,
+)
+def q_ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescaled-range (R/S) Hurst exponent per event type — the
+    LONG-RANGE-DEPENDENCE member of the series-diagnostics family (ACF
+    measures fixed-lag correlation, Ljung-Box tests it jointly, DFT
+    finds periodicity; Hurst asks whether deviations PERSIST across
+    scales: H≈0.5 random walk, H>0.5 trending, H<0.5 mean-reverting —
+    Hurst 1951, Mandelbrot's rescaled-range form): the daily spend
+    series splits into full windows of w ∈ {4,8,16}, each window's
+    range-to-std ratio folds, and H is the 3-point log-log least-squares
+    slope of avg R/S on w.
+
+    Exactness (the granger carrier discipline, applied at
+    registration): the mean-adjusted cumulative walk stays on the
+    integer lattice via w·Z_t = w·cum_t − t·S_w (LINEAR in volume —
+    int64 with ~6 decades at 10000×), so R' = max − min is exact and
+    Z_w = 0 means the conventional 0 anchor is always included; the
+    quadratic radicand w·Σx² − S_w² folds in DECIMAL(38,0)/HUGEINT
+    (daily cents² crosses int64 near 300× — widened NOW, not at the
+    decade that breaks it); R/S = R'/√radicand is then ONE sqrt + ONE
+    division of exact carriers, identical doubles both engines; avg
+    over ≤7 chunk doubles and the 3-point slope are the only float
+    folds (round-4, the kruskal sterm precedent). Types shorter than
+    16 observed days drop by contract; a constant series zeroes the
+    radicand and NULLs out (guarded).
+
+    Plan: one (type, day) fact rollup (the only corpus-scale shuffle),
+    a 3-row broadcast window dimension crossed into the days×types-
+    bounded rollup (the q_ts_acf lag-dim idiom), per-chunk windows over
+    ≤16-row partitions, then 15-row/5-row folds."""
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+            .cast("long")
+            .alias("d"),
+        )
+        .agg(
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .alias("cents")
+        )
+    )
+    w_idx = Window.partitionBy("event_type").orderBy(F.asc("d"))
+    w_n = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w_idx).alias("i"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    wdim = spark.range(1).select(
+        F.explode(F.array(F.lit(4), F.lit(8), F.lit(16))).alias("w")
+    )
+    chunked = (
+        idx.crossJoin(F.broadcast(wdim))
+        .filter(
+            (F.col("n") >= 16)
+            & (F.col("i") <= F.col("w") * F.expr("n DIV w"))
+        )
+        .select(
+            "event_type",
+            "n",
+            "w",
+            "cents",
+            F.expr("(i - 1) DIV w").alias("ck"),
+            F.expr("i - ((i - 1) DIV w) * w").alias("ti"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("event_type", "w", "ck")
+        .orderBy(F.asc("ti"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_ckall = Window.partitionBy("event_type", "w", "ck")
+    cw = F.col("cents").cast("decimal(38,0)")
+    walked = chunked.select(
+        "event_type",
+        "n",
+        "w",
+        "ck",
+        "ti",
+        F.sum("cents").over(w_cum).alias("cum"),
+        F.sum("cents").over(w_ckall).alias("sw"),
+        F.sum(cw * F.col("cents")).over(w_ckall).alias("ssq"),
+    )
+    chunks = walked.groupBy("event_type", "n", "w", "ck").agg(
+        (
+            F.max(F.col("w") * F.col("cum") - F.col("ti") * F.col("sw"))
+            - F.min(F.col("w") * F.col("cum") - F.col("ti") * F.col("sw"))
+        ).alias("rprime"),
+        F.max(
+            F.col("w").cast("decimal(38,0)") * F.col("ssq")
+            - F.col("sw").cast("decimal(38,0)") * F.col("sw")
+        ).alias("radicand"),
+    )
+    rs = (
+        chunks.groupBy("event_type", "w")
+        .agg(
+            F.max("n").alias("n_days"),
+            F.avg(
+                F.when(
+                    F.col("radicand") > 0,
+                    F.col("rprime")
+                    / F.sqrt(F.col("radicand").cast("double")),
+                )
+            ).alias("avg_rs"),
+        )
+        .localCheckpoint()  # feeds the slope fold AND the pivot
+    )
+    lw = F.log(F.col("w").cast("double"))
+    lr = F.log("avg_rs")
+    fitted = (
+        rs.filter(F.col("avg_rs").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.when(
+                F.sum(F.when(F.col("avg_rs") > 0, 1).otherwise(0)) == 3,
+                (
+                    F.count(F.lit(1)) * F.sum(lw * lr)
+                    - F.sum(lw) * F.sum(lr)
+                )
+                / (
+                    F.count(F.lit(1)) * F.sum(lw * lw)
+                    - F.sum(lw) * F.sum(lw)
+                ),
+            ).alias("h")
+        )
+    )
+    return (
+        rs.join(fitted, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_days").cast("long").alias("n_days"),
+            F.round(
+                F.max(F.when(F.col("w") == 4, F.col("avg_rs"))), 4
+            ).alias("rs_w4"),
+            F.round(
+                F.max(F.when(F.col("w") == 8, F.col("avg_rs"))), 4
+            ).alias("rs_w8"),
+            F.round(
+                F.max(F.when(F.col("w") == 16, F.col("avg_rs"))), 4
+            ).alias("rs_w16"),
+            F.round(F.max("h"), 4).alias("hurst"),
+        )
+    )

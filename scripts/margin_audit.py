@@ -65,7 +65,42 @@ _DAILY = """
 
 # Each law: the docstring's carrier claim made executable. `sql` must
 # return ONE row with one DOUBLE column `measured` = max |intermediate|.
+from khose_spark.operators.graph import (  # noqa: E402 — law SQL prefix
+    _BACKBONE_CTES,
+)
+
 LAWS: dict[str, dict] = {
+    "modularity_numerator_decimal38": {
+        "keys": ["q_graph_modularity"],
+        "carrier": DEC38,
+        "law": "per-community numerator products intra_dir·m2 and D_c²"
+        " and the 2000·num permille fold all carry DECIMAL(38,0)/"
+        "HUGEINT (widened AT REGISTRATION, r11): D_c² is supplier-"
+        "count-quadratic and the permille product crosses int64 around"
+        " 1e8 suppliers; measured = 2000·max(intra·m2, D_c²) + m2²,"
+        " the largest value the fold forms",
+        "sql": f"""
+        WITH {_BACKBONE_CTES}, lab AS (
+          SELECT s_suppkey AS node, CAST(s_nationkey AS BIGINT) AS com
+          FROM supplier
+        ), labeled AS (
+          SELECT la.com AS ca, lb.com AS cb
+          FROM adj JOIN lab la ON la.node = adj.node
+                   JOIN lab lb ON lb.node = adj.nbr
+        ), m2t AS (
+          SELECT CAST(count(*) AS HUGEINT) AS m2 FROM labeled
+        ), per_c AS (
+          SELECT ca, CAST(count(*) AS HUGEINT) AS deg,
+                 CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END)
+                      AS HUGEINT) AS intra
+          FROM labeled GROUP BY ca
+        )
+        SELECT 2 * 1000 * greatest(max(p.intra * t.m2),
+                                   max(p.deg * p.deg))
+               + t.m2 * t.m2 AS measured
+        FROM per_c p CROSS JOIN m2t t GROUP BY t.m2
+        """,
+    },
     "granger_suffstats_decimal38": {
         "keys": ["q_ts_granger_lag1"],
         "carrier": DEC38,
@@ -352,6 +387,10 @@ LINEITEM_FAMILY_LAWS = {
     "linreg_syy_decimal38",
     "cm_inner_product_int64",
     "target_encoding_sums_int64",
+    # r11: the backbone numerator law reads lineitem⋈orders (through
+    # the degree-capped co-occurrence graph), so the lineitem decade
+    # probe measures it at fact scale too.
+    "modularity_numerator_decimal38",
 }
 
 

@@ -249,6 +249,13 @@ BNLJ_ALLOWED = {
                                 # 10 broadcast query vectors × corpus
                                 # (the cosine_topk idiom, twice: approx
                                 # + exact-recall passes)
+    "q_priv_dp_topk",           # 1-row totals fold broadcast-crossed
+                                # into the <=10-row thresholded release
+                                # (the scalar-subquery idiom)
+    "q_ts_hurst",               # 3-row broadcast window dimension
+                                # crossed into the days×types-bounded
+                                # daily rollup (the q_ts_acf lag-dim
+                                # idiom)
 }
 
 # Shuffle-exchange ceilings. Default covers scan→agg/join→window plans;
