@@ -114,6 +114,7 @@ MEMO_CREATORS = {
     "q_graph_degree_dist",
     "q_graph_two_hop",
     "q_graph_modularity",
+    "q_graph_louvain_round",
 }
 
 # Total sanctioned session-wide SQL-cache entries: the memo above is

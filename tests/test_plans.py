@@ -256,6 +256,10 @@ BNLJ_ALLOWED = {
                                 # crossed into the days×types-bounded
                                 # daily rollup (the q_ts_acf lag-dim
                                 # idiom)
+    "q_graph_louvain_round",    # 1-row m2/Q-before/Q-after/n_moved
+                                # folds broadcast-crossed into the
+                                # community-bounded audit (the
+                                # modularity shape, twice)
 }
 
 # Shuffle-exchange ceilings. Default covers scan→agg/join→window plans;
@@ -287,6 +291,12 @@ MAX_SHUFFLES = {
                                   # per_c folds over the supplier-
                                   # bounded backbone join; returned
                                   # half is the 1-row Q fold
+    "q_graph_louvain_round": 10,  # audited 9 across the checkpoint
+                                  # halves: deg/sigma/k_ic/candidate/
+                                  # argmax folds + two partition
+                                  # re-scorings — every relation past
+                                  # the backbone is node- or
+                                  # community-bounded
     "q_ts_ljung_box": 9,          # audited 8: daily rollup + type
                                   # window + stats/denom aggs + lag
                                   # self-join + per-type folds — all
