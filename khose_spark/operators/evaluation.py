@@ -2393,3 +2393,412 @@ def q_ml_isotonic_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("emp_permille"),
         F.round("f", 4).alias("iso_rate"),
     )
+
+
+@query(
+    "q_ml_bh_fdr",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+                 AS cents
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a.cents - b.cents) AS BIGINT) AS sd,
+             sum(CAST(a.cents - b.cents AS HUGEINT)
+                 * (a.cents - b.cents)) AS sdd
+      FROM daily a JOIN daily b
+        ON a.d = b.d AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ), zed AS (
+      SELECT type_a, type_b, n,
+             CAST(sd AS DOUBLE) * sqrt((n - 1)
+               / (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                  - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))) AS z
+      FROM pairs
+    ), pv AS (
+      SELECT type_a, type_b, n, z,
+             CAST(floor(2.0 * (0.3989422804014327
+                 * exp(-abs(z) * abs(z) / 2.0)
+                 * ((1.0 / (1.0 + 0.2316419 * abs(z)))
+                    * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                    * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                    * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                    * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                       * 1.330274429))))))
+                 * 1000000) AS BIGINT) AS p_micro
+      FROM zed
+    ), ranked AS (
+      SELECT type_a, type_b, n, z, p_micro,
+             CAST(row_number() OVER (ORDER BY p_micro, type_a, type_b)
+                  AS BIGINT) AS p_rank
+      FROM pv
+    ), cut AS (
+      SELECT *,
+             max(CASE WHEN p_micro <= 5000 * p_rank THEN p_rank
+                      ELSE 0 END) OVER () AS cutoff
+      FROM ranked
+    )
+    SELECT type_a, type_b, n AS n_days, round(z, 4) AS z_r4,
+           p_micro, p_rank,
+           CAST(CASE WHEN p_rank <= cutoff THEN 1 ELSE 0 END AS BIGINT)
+               AS rejected
+    FROM cut
+    """,
+)
+def q_ml_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate control over the family
+    of 10 unordered event-type-pair tests - the multiple-testing
+    correction every metrics platform needs once it runs more than one
+    comparison per release: each pair (a < b) gets a paired z on its
+    common-day revenue deltas, and BH's step-up rule rejects the
+    hypotheses ranked 1..i* where i* = max{i : p_(i) <= q*i/m} at
+    q = 5%, m = 10 - controlling the EXPECTED fraction of false
+    discoveries instead of Bonferroni's family-wise rate.
+
+    Determinism/exactness: per-pair sufficient statistics n, Sum(d),
+    Sum(d^2) are exact (the quadratic folds in DECIMAL(38,0)/HUGEINT
+    with the cast INSIDE the product - daily cents ~1e10 at the 3000x
+    decade make d^2 ~ 1e20, two decades over int64); the paired
+    statistic z = Sd * sqrt((n-1)/(n*Sdd - Sd^2)) and the two-sided
+    normal tail p = 2*(1 - Phi(|z|)) via the Abramowitz-Stegun 26.2.17
+    five-term polynomial evaluate as IDENTICAL double expression trees
+    in both engines (the approximation IS the contract - both engines
+    compute the same closed form, so the comparison is exact), then p
+    QUANTIZES to integer micro-units (floor(p*1e6)) before any
+    comparison: the BH threshold test p_(i) <= 0.005*i becomes the
+    pure-integer predicate p_micro <= 5000*i and the step-up cutoff a
+    window max over the 10-row family - no float ever crosses the
+    reject/accept boundary. z reports round-4.
+
+    Plan: one (type, day) rollup shuffle (map-side combined), a
+    day-keyed self-join bounded by |types|^2/2 = 10 pairs per day, a
+    10-row aggregate, and rank/cutoff windows over those 10 rows. At
+    100 TB the only data-sized stage is the first rollup."""
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.to_date("ts").alias("d")
+        )
+        .agg(
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .alias("cents")
+        )
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    dd = F.col("a.cents") - F.col("b.cents")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(dd).cast("long").alias("sd"),
+            F.sum(dd.cast("decimal(38,0)") * dd).alias("sdd"),
+        )
+    )
+    z = F.col("sd").cast("double") * F.sqrt(
+        (F.col("n") - 1).cast("double")
+        / (
+            F.col("n").cast("double") * F.col("sdd").cast("double")
+            - F.col("sd").cast("double") * F.col("sd").cast("double")
+        )
+    )
+    zed = pairs.select("type_a", "type_b", "n", z.alias("z"))
+    az = F.abs(F.col("z"))
+    k = 1.0 / (1.0 + 0.2316419 * az)
+    poly = k * (
+        0.319381530
+        + k
+        * (
+            -0.356563782
+            + k * (1.781477937 + k * (-1.821255978 + k * 1.330274429))
+        )
+    )
+    p2 = 2.0 * (0.3989422804014327 * F.exp(-az * az / 2.0) * poly)
+    pv = zed.select(
+        "type_a",
+        "type_b",
+        "n",
+        "z",
+        F.floor(p2 * 1000000.0).cast("long").alias("p_micro"),
+    )
+    w_rank = Window.orderBy("p_micro", "type_a", "type_b")
+    ranked = pv.select(
+        "type_a",
+        "type_b",
+        "n",
+        "z",
+        "p_micro",
+        F.row_number().over(w_rank).cast("long").alias("p_rank"),
+    )
+    w_all = Window.partitionBy()
+    cut = ranked.select(
+        "*",
+        F.max(
+            F.when(
+                F.col("p_micro") <= 5000 * F.col("p_rank"), F.col("p_rank")
+            ).otherwise(0)
+        )
+        .over(w_all)
+        .alias("cutoff"),
+    )
+    return cut.select(
+        "type_a",
+        "type_b",
+        F.col("n").alias("n_days"),
+        F.round("z", 4).alias("z_r4"),
+        "p_micro",
+        "p_rank",
+        F.when(F.col("p_rank") <= F.col("cutoff"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("rejected"),
+    )
+
+
+@query(
+    "q_ml_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type,
+             (CAST(ts AS DATE) - DATE '2024-01-01') % 7 AS dow7,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), deco AS (
+      SELECT n,
+             sum(n) OVER (PARTITION BY event_type) AS r,
+             sum(n) OVER (PARTITION BY dow7) AS c
+      FROM cells
+    ), fold AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_obs,
+             (SELECT count(DISTINCT event_type) FROM cells) AS r_cnt,
+             (SELECT count(DISTINCT dow7) FROM cells) AS c_cnt,
+             sum(CAST(n AS DOUBLE) * n
+                 / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))) AS s
+      FROM deco
+    )
+    SELECT n_obs,
+           CAST(r_cnt AS BIGINT) AS n_rows,
+           CAST(c_cnt AS BIGINT) AS n_cols,
+           round(n_obs * (s - 1.0), 4) AS chi2_r4,
+           round(sqrt((s - 1.0)
+                      / (least(r_cnt, c_cnt) - 1)), 6) AS v_r6,
+           round(sqrt(
+             greatest(0.0, (s - 1.0)
+                      - CAST((r_cnt - 1) * (c_cnt - 1) AS DOUBLE)
+                        / (n_obs - 1))
+             / (least(r_cnt - CAST((r_cnt - 1) * (r_cnt - 1) AS DOUBLE)
+                              / (n_obs - 1),
+                      c_cnt - CAST((c_cnt - 1) * (c_cnt - 1) AS DOUBLE)
+                              / (n_obs - 1)) - 1)), 6) AS v_corr_r6
+    FROM fold
+    """,
+)
+def q_ml_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V association between two CATEGORICAL axes - event type
+    x day-of-week - with Bergsma's bias correction: chi2_ab answers
+    "did the 2x2 A/B move", this answers "how strongly are two full
+    categorical dimensions associated" on a 0..1 scale comparable
+    across table shapes (the feature-screening / drift-triage number
+    for categorical features). V = sqrt(phi2/(min(r,c)-1)); the
+    bias-corrected variant subtracts the E[phi2|independence] =
+    (r-1)(c-1)/(N-1) inflation that makes raw V overstate association
+    in small samples.
+
+    Determinism/exactness: day-of-week is the portable integer
+    (date - Monday-anchored epoch) % 7 (the q_fn_dow_portable lesson -
+    no locale-dependent dayofweek call crosses an engine); all r x c
+    cell counts and marginals are exact int64; chi2 uses the marginal
+    identity chi2 = N*(Sum_ij n_ij^2/(r_i*c_j) - 1) so the double fold
+    consumes only exact-integer inputs (<= 35 identical terms in both
+    engines - the KL-fold precedent), round-4; V and corrected V are
+    identical double trees, round-6.
+
+    Plan: one (type, dow) aggregate over the events scan (map-side
+    combined - the only corpus shuffle), then marginal windows and a
+    1-row fold over the <= |types| x 7 cell relation. At 100 TB the
+    cell relation is still 35 rows."""
+    ev = t(spark, sf_dir, "events")
+    cells = (
+        ev.groupBy(
+            "event_type",
+            (
+                F.datediff(F.to_date("ts"), F.lit("2024-01-01")) % 7
+            ).alias("dow7"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()  # <=35 rows; feeds marginals AND the fold
+    )
+    w_r = Window.partitionBy("event_type")
+    w_c = Window.partitionBy("dow7")
+    deco = cells.select(
+        "n",
+        F.sum("n").over(w_r).alias("r"),
+        F.sum("n").over(w_c).alias("c"),
+    )
+    dims = cells.agg(
+        F.countDistinct("event_type").cast("long").alias("r_cnt"),
+        F.countDistinct("dow7").cast("long").alias("c_cnt"),
+    )
+    fold = (
+        deco.agg(
+            F.sum("n").cast("long").alias("n_obs"),
+            F.sum(
+                F.col("n").cast("double")
+                * F.col("n")
+                / (F.col("r").cast("double") * F.col("c").cast("double"))
+            ).alias("s"),
+        )
+        .crossJoin(F.broadcast(dims))
+    )
+    nd = F.col("n_obs").cast("double")
+    rd = F.col("r_cnt").cast("double")
+    cd = F.col("c_cnt").cast("double")
+    phi2 = F.col("s") - 1.0
+    phi2c = F.greatest(
+        F.lit(0.0), phi2 - (rd - 1) * (cd - 1) / (nd - 1)
+    )
+    rc = rd - (rd - 1) * (rd - 1) / (nd - 1)
+    cc = cd - (cd - 1) * (cd - 1) / (nd - 1)
+    return fold.select(
+        "n_obs",
+        F.col("r_cnt").alias("n_rows"),
+        F.col("c_cnt").alias("n_cols"),
+        F.round(nd * phi2, 4).alias("chi2_r4"),
+        F.round(F.sqrt(phi2 / (F.least(rd, cd) - 1)), 6).alias("v_r6"),
+        F.round(F.sqrt(phi2c / (F.least(rc, cc) - 1)), 6).alias(
+            "v_corr_r6"
+        ),
+    )
+
+
+@query(
+    "q_ml_iptw_ate",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT o_orderpriority AS stratum,
+             CASE WHEN {_sql_hash_bucket('o_custkey')} < 50
+                  THEN 1 ELSE 0 END AS tr,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents
+      FROM orders
+    ), strata AS (
+      SELECT stratum,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(tr) AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN tr = 1 THEN cents ELSE 0 END) AS BIGINT)
+                 AS s_t,
+             CAST(sum(CASE WHEN tr = 0 THEN cents ELSE 0 END) AS BIGINT)
+                 AS s_c
+      FROM assigned GROUP BY stratum
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_all,
+             sum((CAST(s_t AS DOUBLE) / n_t
+                  - CAST(s_c AS DOUBLE) / (n - n_t))
+                 * n) AS ate_num
+      FROM strata WHERE n_t > 0 AND n - n_t > 0
+    )
+    SELECT s.stratum, s.n, s.n_t,
+           CAST((2 * 1000 * s.n_t + s.n) // (2 * s.n) AS BIGINT)
+               AS e_permille,
+           round(CAST(s.s_t AS DOUBLE) / s.n_t / 100.0, 4) AS mean_t_r4,
+           round(CAST(s.s_c AS DOUBLE) / (s.n - s.n_t) / 100.0, 4)
+               AS mean_c_r4,
+           round(t.ate_num / t.n_all / 100.0, 4) AS ate_r4
+    FROM strata s CROSS JOIN tot t ORDER BY s.stratum
+    """,
+)
+def q_ml_iptw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified average-treatment-effect with inverse-propensity
+    weighting - the causal-inference member of the evaluation family
+    (chi2_ab asks IS there an effect on a rate; this ESTIMATES the
+    effect size on a continuous outcome while adjusting for a
+    confounder): treatment = content-stable md5 bucket of the customer
+    (the split_assign law), outcome = order value, confounder = order
+    priority as discrete strata. Within-stratum propensity
+    e_s = nT_s/n_s makes the IPTW estimator collapse to the exact
+    stratified form ATE = Sum_s (n_s/N)(meanT_s - meanC_s) - computed
+    that way so no per-row weight division ever happens (discrete
+    strata make the two estimators algebraically identical; the
+    docstring IS the proof: Sum w_i y_i over stratum s with
+    w = 1/e_s is exactly n_s * meanT_s).
+
+    Determinism/exactness: per-stratum counts and cent sums are exact
+    int64; propensity reports as exact half-up permille; means and the
+    ATE are identical double trees over those integers (round-4
+    dollars). Strata with an empty arm drop from the ATE fold (the
+    positivity guard) but still report their rows.
+
+    Plan: one stratum-keyed conditional aggregate over the orders scan
+    (map-side combined, the only corpus shuffle), a 1-row ATE fold
+    broadcast-crossed into the 5-row strata relation."""
+    o = t(spark, sf_dir, "orders")
+    assigned = o.select(
+        F.col("o_orderpriority").alias("stratum"),
+        F.when(hash_bucket(F.col("o_custkey")) < 50, 1)
+        .otherwise(0)
+        .alias("tr"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    strata = (
+        assigned.groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("tr").cast("long").alias("n_t"),
+            F.sum(F.when(F.col("tr") == 1, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("s_t"),
+            F.sum(F.when(F.col("tr") == 0, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("s_c"),
+        )
+        .localCheckpoint()  # 5 rows; feeds the ATE fold AND the output
+    )
+    tot = strata.filter(
+        (F.col("n_t") > 0) & (F.col("n") - F.col("n_t") > 0)
+    ).agg(
+        F.sum("n").cast("long").alias("n_all"),
+        F.sum(
+            (
+                F.col("s_t").cast("double") / F.col("n_t")
+                - F.col("s_c").cast("double") / (F.col("n") - F.col("n_t"))
+            )
+            * F.col("n")
+        ).alias("ate_num"),
+    )
+    return (
+        strata.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n",
+            "n_t",
+            F.expr(
+                "CAST((2 * 1000 * n_t + n) DIV (2 * n) AS BIGINT)"
+            ).alias("e_permille"),
+            F.round(
+                F.col("s_t").cast("double") / F.col("n_t") / 100.0, 4
+            ).alias("mean_t_r4"),
+            F.round(
+                F.col("s_c").cast("double")
+                / (F.col("n") - F.col("n_t"))
+                / 100.0,
+                4,
+            ).alias("mean_c_r4"),
+            F.round(
+                F.col("ate_num") / F.col("n_all") / 100.0, 4
+            ).alias("ate_r4"),
+        )
+        .orderBy("stratum")
+    )

@@ -968,3 +968,245 @@ def q_evt_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_last"),
         F.sum("credit").cast("long").alias("credit_permille"),
     )
+
+
+@query(
+    "q_ts_entropy_rate",
+    oracle="""
+    WITH stamped AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id
+      FROM events
+    ), hops AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY es, event_id) AS dst
+      FROM stamped
+    ), counted AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM hops
+      WHERE dst IS NOT NULL GROUP BY src, dst
+    ), rows_ AS (
+      SELECT src, CAST(sum(n) AS BIGINT) AS n_trans,
+             sum(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE))) AS sxl
+      FROM counted GROUP BY src
+    ), tot AS (
+      SELECT CAST(sum(n_trans) AS BIGINT) AS n_all FROM rows_
+    ), h AS (
+      SELECT r.src, r.n_trans,
+             CAST((2 * 1000 * r.n_trans + t.n_all)
+                  // (2 * t.n_all) AS BIGINT) AS pi_permille,
+             log2(CAST(r.n_trans AS DOUBLE)) - r.sxl / r.n_trans
+                 AS h_bits,
+             t.n_all
+      FROM rows_ r CROSS JOIN tot t
+    ), rate AS (
+      SELECT sum(CAST(n_trans AS DOUBLE) / n_all * h_bits) AS er FROM h
+    )
+    SELECT h.src, h.n_trans, h.pi_permille,
+           round(h.h_bits, 6) AS h_bits_r6,
+           round(rate.er, 6) AS entropy_rate_r6
+    FROM h CROSS JOIN rate
+    """,
+)
+def q_ts_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain entropy rate of the per-user event stream - the
+    information-theoretic summary ON TOP of q_ts_transition_matrix's
+    raw probabilities: per-source-state conditional entropy
+    H_i = -Sum_j P_ij log2 P_ij (how unpredictable the next action is
+    GIVEN the current one) and the chain's entropy rate
+    H = Sum_i pi_i H_i under the empirical occupancy pi_i =
+    n_i / N - the single bits-per-step number that trends session
+    predictability over releases and flags bot traffic (near-zero
+    rate = deterministic loops) or UI chaos (rate near log2(k)).
+
+    Determinism/exactness: all transition counts are exact int64 from
+    the same (epoch, event_id)-ordered lead window as the transition
+    matrix (the sessionize tie law); the row entropies use the
+    factored identity H_i = log2(n_i) - (Sum_j n_ij*log2(n_ij))/n_i so
+    every log argument is an exact INTEGER count (not a float ratio -
+    the cross-engine-identical-input discipline), folded as one double
+    sum over <= k = 5 terms and rounded at 6 dp (the KL-divergence
+    double-fold precedent: both engines add the same <= 25 doubles).
+    Occupancy reports as exact half-up permille.
+
+    Plan: one user-keyed lead window (the only data-sized shuffle,
+    shared shape with the transition matrix), a <= k^2 = 25-cell
+    aggregate, then k-row folds and one 1-row rate fold broadcast
+    back. At 100 TB: one shuffle, then constant-size arithmetic."""
+    stamped = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("es"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    hops = stamped.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counted = hops.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rows_ = (
+        counted.groupBy("src")
+        .agg(
+            F.sum("n").cast("long").alias("n_trans"),
+            F.sum(
+                F.col("n").cast("double") * F.log2(F.col("n").cast("double"))
+            ).alias("sxl"),
+        )
+        .localCheckpoint()  # k rows; feeds tot, h, and the rate fold
+    )
+    tot = rows_.agg(F.sum("n_trans").cast("long").alias("n_all"))
+    h = rows_.crossJoin(F.broadcast(tot)).select(
+        "src",
+        "n_trans",
+        F.expr(
+            "CAST((2 * 1000 * n_trans + n_all) DIV (2 * n_all) AS BIGINT)"
+        ).alias("pi_permille"),
+        (
+            F.log2(F.col("n_trans").cast("double"))
+            - F.col("sxl") / F.col("n_trans")
+        ).alias("h_bits"),
+        "n_all",
+    ).localCheckpoint()  # k rows; feeds the rate fold AND the output
+    rate = h.agg(
+        F.sum(
+            F.col("n_trans").cast("double") / F.col("n_all") * F.col("h_bits")
+        ).alias("er")
+    )
+    return h.crossJoin(F.broadcast(rate)).select(
+        "src",
+        "n_trans",
+        "pi_permille",
+        F.round("h_bits", 6).alias("h_bits_r6"),
+        F.round("er", 6).alias("entropy_rate_r6"),
+    )
+
+
+@query(
+    "q_ts_event_study",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+                 AS cents
+      FROM events
+      WHERE CAST(ts AS DATE) < DATE '2024-01-16'
+         OR (CAST(ts AS DATE) >= DATE '2024-01-18'
+             AND CAST(ts AS DATE) <= DATE '2024-01-22')
+      GROUP BY 1, 2
+    ), per_type AS (
+      SELECT event_type,
+             CAST(count(CASE WHEN d < DATE '2024-01-16' THEN 1 END)
+                  AS BIGINT) AS n_pre,
+             CAST(count(CASE WHEN d >= DATE '2024-01-18' THEN 1 END)
+                  AS BIGINT) AS n_evt,
+             CAST(coalesce(sum(CASE WHEN d < DATE '2024-01-16'
+                                    THEN cents END), 0) AS BIGINT)
+                 AS s_pre,
+             coalesce(sum(CASE WHEN d < DATE '2024-01-16'
+                          THEN CAST(cents AS HUGEINT) * cents END), 0)
+                 AS ssq_pre,
+             CAST(coalesce(sum(CASE WHEN d >= DATE '2024-01-18'
+                                    THEN cents END), 0) AS BIGINT)
+                 AS s_evt
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_pre, n_evt,
+           CAST((2 * 1000 * CAST(s_pre AS HUGEINT) + n_pre)
+                // (2 * n_pre) AS BIGINT) AS mu_milli,
+           CAST(n_pre * s_evt - n_evt * s_pre AS BIGINT) AS car_scaled,
+           round(CAST(n_pre * s_evt - n_evt * s_pre AS DOUBLE) / n_pre, 4)
+               AS car_cents_r4,
+           round(CAST(n_pre * s_evt - n_evt * s_pre AS DOUBLE)
+                 / (n_pre * sqrt((CAST(n_pre AS DOUBLE)
+                                  * CAST(ssq_pre AS DOUBLE)
+                                  - CAST(s_pre AS DOUBLE) * CAST(s_pre AS DOUBLE))
+                                 / (CAST(n_pre AS DOUBLE) * (n_pre - 1)))
+                          * sqrt(CAST(n_evt AS DOUBLE))), 4) AS t_r4
+    FROM per_type ORDER BY event_type
+    """,
+)
+def q_ts_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study cumulative abnormal revenue (CAR) per event type -
+    the before/after causal readout every launch review runs: a pinned
+    event date (2024-01-20) with an estimation window (days 1-15, the
+    baseline) and a +/-2-day event window (Jan 18-22); abnormal
+    revenue = actual daily cents minus the baseline mean, cumulated
+    over the event window, with the classical event-study t
+    CAR / (sigma_pre * sqrt(window)) against the estimation-window
+    daily volatility. Positive CAR with |t| > 2 = the launch moved
+    revenue beyond its normal daily noise.
+
+    Determinism/exactness: CAR never divides early - the scaled
+    integer car_scaled = n_pre * S_evt - n_evt * S_pre is EXACT
+    (clearing the baseline-mean denominator; ~15 * 5 * daily-cents,
+    int64 through the 3000x decade with >4 decades spare); the
+    estimation-window second moment folds in DECIMAL(38,0)/HUGEINT
+    (daily cents ~5e10 at 3000x make cents^2 ~ 2.5e21); the CAR in
+    cents and the t-statistic evaluate as IDENTICAL double trees from
+    those integers (round-4); the baseline mean reports as exact
+    half-up milli-cents. The gap days (16-17) are excluded from BOTH
+    windows so the estimation never leaks the event.
+
+    Plan: one (type, day) rollup with the two-window date predicate
+    PUSHED to the parquet scan, then a |types|-bounded conditional
+    fold. At 100 TB: one map-side-combined shuffle, 5-row tail."""
+    ev = t(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    pre_hi = F.lit("2024-01-16").cast("date")
+    ev_lo = F.lit("2024-01-18").cast("date")
+    ev_hi = F.lit("2024-01-22").cast("date")
+    daily = (
+        ev.filter((d < pre_hi) | ((d >= ev_lo) & (d <= ev_hi)))
+        .groupBy("event_type", d.alias("d"))
+        .agg(
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .alias("cents")
+        )
+    )
+    is_pre = F.col("d") < pre_hi
+    per_type = daily.groupBy("event_type").agg(
+        F.count(F.when(is_pre, 1)).cast("long").alias("n_pre"),
+        F.count(F.when(~is_pre, 1)).cast("long").alias("n_evt"),
+        F.coalesce(F.sum(F.when(is_pre, F.col("cents"))), F.lit(0))
+        .cast("long")
+        .alias("s_pre"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    is_pre, F.col("cents").cast("decimal(38,0)") * F.col("cents")
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("ssq_pre"),
+        F.coalesce(F.sum(F.when(~is_pre, F.col("cents"))), F.lit(0))
+        .cast("long")
+        .alias("s_evt"),
+    )
+    car = F.col("n_pre") * F.col("s_evt") - F.col("n_evt") * F.col("s_pre")
+    np_d = F.col("n_pre").cast("double")
+    sigma = F.sqrt(
+        (
+            np_d * F.col("ssq_pre").cast("double")
+            - F.col("s_pre").cast("double") * F.col("s_pre").cast("double")
+        )
+        / (np_d * (F.col("n_pre") - 1))
+    )
+    return per_type.select(
+        "event_type",
+        "n_pre",
+        "n_evt",
+        F.expr(
+            "CAST((2 * 1000 * CAST(s_pre AS DECIMAL(38,0)) + n_pre)"
+            " DIV (2 * n_pre) AS BIGINT)"
+        ).alias("mu_milli"),
+        car.cast("long").alias("car_scaled"),
+        F.round(car.cast("double") / np_d, 4).alias("car_cents_r4"),
+        F.round(
+            car.cast("double")
+            / (np_d * sigma * F.sqrt(F.col("n_evt").cast("double"))),
+            4,
+        ).alias("t_r4"),
+    ).orderBy("event_type")

@@ -3176,3 +3176,574 @@ def q_ml_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         "chi2_f",
     )
+
+
+@query(
+    "q_ml_cuped",
+    oracle="""
+    WITH arm AS (
+      SELECT user_id,
+             CASE WHEN ((
+               (instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 4096
+             + (instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 256
+             + (instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 4, 1)) - 1)
+             ) % 100) < 50 THEN 'A' ELSE 'B' END AS arm,
+             CAST(coalesce(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0)
+                  AS BIGINT) AS x,
+             CAST(coalesce(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0)
+                  AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM arm
+    ), folds AS (
+      SELECT n, sx, sy,
+             n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS den,
+             n * syy - sy * sy AS deny
+      FROM g
+    ), per_arm AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(x) AS BIGINT) AS sxa,
+             CAST(sum(y) AS BIGINT) AS sya
+      FROM arm GROUP BY arm
+    )
+    SELECT a.arm, a.n_users, a.sya AS sum_y_cents,
+           CAST((2 * 1000 * CAST(a.sya AS HUGEINT) + a.n_users)
+                // (2 * a.n_users) AS BIGINT) AS mean_y_milli,
+           round(CAST(f.num AS DOUBLE) / CAST(f.den AS DOUBLE), 6)
+               AS theta_r6,
+           round(CAST(a.sya AS DOUBLE) / a.n_users
+                 - (CAST(f.num AS DOUBLE) / CAST(f.den AS DOUBLE))
+                   * (CAST(a.sxa AS DOUBLE) / a.n_users
+                      - CAST(f.sx AS DOUBLE) / CAST(f.n AS DOUBLE)), 4)
+               AS mean_adj_r4,
+           round(CAST(f.num AS DOUBLE) * CAST(f.num AS DOUBLE)
+                 / (CAST(f.den AS DOUBLE) * CAST(f.deny AS DOUBLE)), 4)
+               AS rho2_r4
+    FROM per_arm a CROSS JOIN folds f
+    """,
+)
+def q_ml_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data) variance
+    reduction for the A/B readout every experimentation platform runs:
+    the 30-day event horizon splits into a pre-period (days 1-15 -> the
+    covariate X = per-user pre-period revenue cents) and an experiment
+    period (days 16-30 -> the metric Y), users are assigned to arms by
+    the content-stable md5 bucket of user_id (the q_llm_split_assign
+    law: resharding-invariant, RNG-free), and the adjusted metric is
+    Y' = Y - theta * (X - mean(X)) with theta = cov(X,Y)/var(X) POOLED
+    across arms (the standard CUPED estimator - pooling keeps theta
+    treatment-independent).
+
+    Determinism/exactness: per-user X,Y are exact int64 cents; the five
+    pooled sufficient statistics (Sx, Sy and the quadratics Sxx, Sxy,
+    Syy) fold with the quadratic product cast to DECIMAL(38,0)/HUGEINT
+    INSIDE the multiply (the granger 10000x lesson: per-user cents
+    reach ~1e6 so x*y ~ 1e12 and the n-scaled fold products n*Sxy reach
+    ~1e20 at the 3000x decade - two decades over int64, five under
+    DECIMAL(38)). theta, the adjusted mean, and the variance-reduction
+    ratio rho^2 = num^2/(den*deny) evaluate as IDENTICAL double
+    expression trees in both engines from those exact integers (round-6
+    / round-4); the unadjusted mean reports as exact half-up
+    milli-cents. num^2 would overflow DECIMAL(38) at ~1e20 which is WHY
+    rho^2 is a double tree, not a wider integer (the ttest_paired d^2
+    precedent).
+
+    Plan: one user-keyed conditional aggregate over the events scan
+    (map-side combined - the only corpus-scale shuffle), then a 1-row
+    global fold and a 2-row arm fold broadcast-crossed. At 100 TB: one
+    shuffle keyed on user_id, then constant-size folds."""
+    from khose_spark.operators.curation import hash_bucket
+
+    ev = t(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    pre = F.to_date("ts") < F.lit("2024-01-16")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(pre, cents)), F.lit(0))
+        .cast("long")
+        .alias("x"),
+        F.coalesce(F.sum(F.when(~pre, cents)), F.lit(0))
+        .cast("long")
+        .alias("y"),
+    ).select(
+        F.when(hash_bucket(F.col("user_id")) < 50, "A")
+        .otherwise("B")
+        .alias("arm"),
+        "x",
+        "y",
+    )
+    d38 = "decimal(38,0)"
+    g = per_user.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+    )
+    folds = g.select(
+        "n",
+        "sx",
+        "sy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("deny"),
+    )
+    per_arm = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("sxa"),
+        F.sum("y").cast("long").alias("sya"),
+    )
+    theta = F.col("num").cast("double") / F.col("den").cast("double")
+    return per_arm.crossJoin(F.broadcast(folds)).select(
+        "arm",
+        "n_users",
+        F.col("sya").alias("sum_y_cents"),
+        F.expr(
+            "CAST((2 * 1000 * CAST(sya AS DECIMAL(38,0)) + n_users)"
+            " DIV (2 * n_users) AS BIGINT)"
+        ).alias("mean_y_milli"),
+        F.round(theta, 6).alias("theta_r6"),
+        F.round(
+            F.col("sya").cast("double") / F.col("n_users")
+            - theta
+            * (
+                F.col("sxa").cast("double") / F.col("n_users")
+                - F.col("sx").cast("double") / F.col("n").cast("double")
+            ),
+            4,
+        ).alias("mean_adj_r4"),
+        F.round(
+            F.col("num").cast("double")
+            * F.col("num").cast("double")
+            / (F.col("den").cast("double") * F.col("deny").cast("double")),
+            4,
+        ).alias("rho2_r4"),
+    )
+
+
+@query(
+    "q_ml_wilcoxon_signed",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CASE WHEN event_type = 'click'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  END) AS BIGINT) AS c_click,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  END) AS BIGINT) AS c_purch
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+      HAVING count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+         AND count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+    ), diffs AS (
+      SELECT c_click - c_purch AS dv, abs(c_click - c_purch) AS ad
+      FROM daily WHERE c_click <> c_purch
+    ), ranked AS (
+      SELECT dv,
+             2 * rank() OVER (ORDER BY ad ASC)
+               + count(*) OVER (PARTITION BY ad) - 1 AS mid2,
+             count(*) OVER (PARTITION BY ad) AS tsz
+      FROM diffs
+    ), folds AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN dv > 0 THEN mid2 ELSE 0 END) AS BIGINT)
+                 AS w2p,
+             CAST(sum(CASE WHEN dv < 0 THEN mid2 ELSE 0 END) AS BIGINT)
+                 AS w2m,
+             CAST(sum(tsz * tsz - 1) AS BIGINT) AS tie_cube
+      FROM ranked
+    )
+    SELECT n AS n_pairs, w2p AS w2_plus, w2m AS w2_minus, tie_cube,
+           round((2 * w2p - n * (n + 1))
+                 / (2 * sqrt((2.0 * n * (n + 1) * (2 * n + 1) - tie_cube)
+                             / 12.0)), 4) AS z_r4
+    FROM folds
+    """,
+)
+def q_ml_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on the paired daily (click, purchase)
+    revenue series - the nonparametric member of the PAIRED family
+    (q_ml_ttest_paired assumes normal deltas; this ranks them), closing
+    the 2x2 test lattice: independent/parametric = welch_t,
+    independent/rank = mann_whitney, paired/parametric = ttest_paired,
+    paired/rank = THIS. Days observing both types pair; zero deltas
+    drop (classical Wilcoxon zero-handling).
+
+    Determinism/exactness: |delta| midranks use the DOUBLED-rank lattice
+    (mid2 = 2*rank + ties - 1, the spearman/friedman trick) so the
+    positive- and negative-rank sums W2+/W2- are exact int64; the tie
+    correction folds Sum_g(t^3 - t) = Sum_rows(t^2 - 1) exactly (each
+    row of a tie group of size t contributes t^2 - 1 - the rowwise
+    identity that avoids a second grouping); the normal-approximation
+    z = (W2+ - n(n+1)/2) / sqrt(Var[W2+]) with
+    Var[W2+] = (2n(n+1)(2n+1) - tie_cube)/12 evaluates as ONE identical
+    double expression (round-4) from those integers, doubled through
+    2*W2+ - n(n+1) to stay integer-exact in the numerator. All carriers
+    are horizon-bounded (n = days <= ~30 at the fixture, ~3650 at a
+    10-year horizon -> mid2 <= 2n, W2 <= 2n^2 ~ 2.7e7: >11 int64
+    decades at any factor, because the day spine does not scale with
+    corpus size).
+
+    Plan: one (type-filtered, pushed) day rollup shuffle with map-side
+    combine, then windows and folds over the days-bounded relation
+    (<= 31 rows at the fixture; bounded by the calendar at any SF)."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", cents))
+            .cast("long")
+            .alias("c_click"),
+            F.sum(F.when(F.col("event_type") == "purchase", cents))
+            .cast("long")
+            .alias("c_purch"),
+        )
+        .filter(
+            F.col("c_click").isNotNull() & F.col("c_purch").isNotNull()
+        )
+    )
+    diffs = daily.select(
+        (F.col("c_click") - F.col("c_purch")).alias("dv"),
+        F.abs(F.col("c_click") - F.col("c_purch")).alias("ad"),
+    ).filter(F.col("dv") != 0)
+    w_rank = Window.orderBy(F.asc("ad"))
+    w_tie = Window.partitionBy("ad")
+    ranked = diffs.select(
+        "dv",
+        (
+            2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1
+        ).cast("long").alias("mid2"),
+        F.count(F.lit(1)).over(w_tie).cast("long").alias("tsz"),
+    )
+    folds = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("dv") > 0, F.col("mid2")).otherwise(0))
+        .cast("long")
+        .alias("w2p"),
+        F.sum(F.when(F.col("dv") < 0, F.col("mid2")).otherwise(0))
+        .cast("long")
+        .alias("w2m"),
+        F.sum(F.col("tsz") * F.col("tsz") - 1).cast("long").alias("tie_cube"),
+    )
+    n = F.col("n")
+    return folds.select(
+        n.alias("n_pairs"),
+        F.col("w2p").alias("w2_plus"),
+        F.col("w2m").alias("w2_minus"),
+        "tie_cube",
+        F.round(
+            (2 * F.col("w2p") - n * (n + 1)).cast("double")
+            / (
+                2.0
+                * F.sqrt(
+                    (
+                        2.0 * n.cast("double") * (n + 1) * (2 * n + 1)
+                        - F.col("tie_cube")
+                    )
+                    / 12.0
+                )
+            ),
+            4,
+        ).alias("z_r4"),
+    )
+
+
+@query(
+    "q_ml_power_mde",
+    oracle="""
+    WITH arm AS (
+      SELECT CASE WHEN ((
+               (instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 4096
+             + (instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 256
+             + (instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 4, 1)) - 1)
+             ) % 100) < 50 THEN 0 ELSE 1 END AS grp,
+             CAST(coalesce(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0)
+                  AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM arm GROUP BY grp
+    ), fold AS (
+      SELECT
+        max(CASE WHEN grp = 0 THEN n END) AS n_a,
+        max(CASE WHEN grp = 1 THEN n END) AS n_b,
+        max(CASE WHEN grp = 0 THEN sy END) AS sy_a,
+        (sum(CAST(syy AS DOUBLE))
+         - sum(CAST(sy AS DOUBLE) * sy / n)) AS ss_pool
+      FROM g
+    ), stats AS (
+      SELECT n_a, n_b, sy_a,
+             ss_pool / (n_a + n_b - 2) AS s2
+      FROM fold
+    )
+    SELECT n_a, n_b,
+           CAST((2 * 1000 * CAST(sy_a AS HUGEINT) + n_a)
+                // (2 * n_a) AS BIGINT) AS mean_a_milli,
+           round(s2, 2) AS sigma2_r2,
+           round((1.959963984540054e0 + 0.8416212335729143e0)
+                 * sqrt(s2 * (1.0 / n_a + 1.0 / n_b)), 4) AS mde_cents_r4,
+           round(1000.0 * (1.959963984540054e0 + 0.8416212335729143e0)
+                 * sqrt(s2 * (1.0 / n_a + 1.0 / n_b))
+                 / (CAST(sy_a AS DOUBLE) / n_a), 4) AS mde_rel_permille_r4,
+           CAST(ceil(2.0 * s2
+                 * (1.959963984540054e0 + 0.8416212335729143e0)
+                 * (1.959963984540054e0 + 0.8416212335729143e0)
+                 / ((0.05 * CAST(sy_a AS DOUBLE) / n_a)
+                    * (0.05 * CAST(sy_a AS DOUBLE) / n_a)))
+                AS BIGINT) AS n_req_5pct
+    FROM stats
+    """,
+)
+def q_ml_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power analysis / minimum-detectable-effect for the two-arm
+    experiment q_ml_cuped reads out - the OTHER side of the
+    experimentation loop: BEFORE peeking at lift, what effect size
+    could this traffic even detect? At alpha = 5% two-sided and 80%
+    power the classical two-sample formula gives
+    MDE = (z_0.975 + z_0.8) * sqrt(s2*(1/nA + 1/nB)) and the required
+    per-arm n for a 5%-of-control-mean effect
+    n = 2*s2*(z_a+z_b)^2 / delta^2 - the dashboard numbers that stop
+    teams shipping underpowered tests.
+
+    Determinism/exactness: the metric is the CUPED experiment-period
+    per-user revenue (same arm assignment law - content-stable md5
+    buckets); per-arm n, Sum(y), Sum(y^2) are exact (quadratic folded
+    DECIMAL(38,0)/HUGEINT, cast inside the product - the cuped
+    carrier); the pooled variance s2 = (SS_A + SS_B)/(n_A + n_B - 2)
+    and both MDE forms evaluate as IDENTICAL double trees from those
+    integers with the z constants pinned as 17-digit literals
+    (1.959963984540054, 0.8416212335729143 - both engines parse the
+    same IEEE double, so the tree is bit-identical); control mean
+    reports as exact half-up milli-cents; n_req applies ceil to the
+    identical double (no boundary float ever differs).
+
+    Plan: one user-keyed conditional aggregate (the only corpus
+    shuffle), a 2-row arm fold, a 1-row pivot. Constant-size past the
+    first shuffle at any SF."""
+    from khose_spark.operators.curation import hash_bucket
+
+    ev = t(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    post = F.to_date("ts") >= F.lit("2024-01-16")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(post, cents)), F.lit(0))
+        .cast("long")
+        .alias("y"),
+    ).select(
+        F.when(hash_bucket(F.col("user_id")) < 50, 0).otherwise(1).alias("grp"),
+        "y",
+    )
+    g = per_user.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    fold = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == 0, F.col("sy"))).alias("sy_a"),
+        (
+            F.sum(F.col("syy").cast("double"))
+            - F.sum(F.col("sy").cast("double") * F.col("sy") / F.col("n"))
+        ).alias("ss_pool"),
+    )
+    s2 = F.col("ss_pool") / (F.col("n_a") + F.col("n_b") - 2)
+    zz = 1.959963984540054 + 0.8416212335729143
+    mean_a = F.col("sy_a").cast("double") / F.col("n_a")
+    mde = zz * F.sqrt(
+        s2 * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return fold.select(
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST((2 * 1000 * CAST(sy_a AS DECIMAL(38,0)) + n_a)"
+            " DIV (2 * n_a) AS BIGINT)"
+        ).alias("mean_a_milli"),
+        F.round(s2, 2).alias("sigma2_r2"),
+        F.round(mde, 4).alias("mde_cents_r4"),
+        F.round(1000.0 * mde / mean_a, 4).alias("mde_rel_permille_r4"),
+        F.ceil(2.0 * s2 * zz * zz / ((0.05 * mean_a) * (0.05 * mean_a)))
+        .cast("long")
+        .alias("n_req_5pct"),
+    )
+
+
+@query(
+    "q_ts_engle_granger",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CASE WHEN event_type = 'click'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  END) AS BIGINT) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+      HAVING count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+         AND count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+    ), ols AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy
+      FROM daily
+    ), coef AS (
+      SELECT n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS beta,
+             (CAST(sy AS DOUBLE)
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS alpha
+      FROM ols
+    ), resid AS (
+      SELECT d.d,
+             CAST(d.y AS DOUBLE) - c.alpha - c.beta * d.x AS e
+      FROM daily d CROSS JOIN coef c
+    ), lagged AS (
+      SELECT e,
+             lag(e) OVER (ORDER BY d) AS e0
+      FROM resid
+    ), df AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             sum(e0 * e0) AS s_ee,
+             sum(e0 * (e - e0)) AS s_ed,
+             sum((e - e0) * (e - e0)) AS s_dd
+      FROM lagged WHERE e0 IS NOT NULL
+    )
+    SELECT CAST(c.n AS BIGINT) AS n_days,
+           round(c.beta, 6) AS beta_r6,
+           round(c.alpha, 4) AS alpha_r4,
+           round(df.s_ed / df.s_ee, 6) AS rho_r6,
+           round((df.s_ed / df.s_ee)
+                 / (sqrt((df.s_dd - df.s_ed * df.s_ed / df.s_ee)
+                         / (df.m - 1)) / sqrt(df.s_ee)), 4) AS t_df_r4,
+           CAST(CASE WHEN (df.s_ed / df.s_ee)
+                 / (sqrt((df.s_dd - df.s_ed * df.s_ed / df.s_ee)
+                         / (df.m - 1)) / sqrt(df.s_ee)) < -3.37e0
+                THEN 1 ELSE 0 END AS BIGINT) AS coint_5pct
+    FROM coef c CROSS JOIN df
+    """,
+)
+def q_ts_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger two-step cointegration test between the click and
+    purchase daily-revenue series - the do-these-series-share-a-trend
+    question that correlation (q_ts_cross_correlation) cannot answer:
+    step 1 fits the long-run OLS relation y = alpha + beta*x in closed
+    form; step 2 runs the Dickey-Fuller regression
+    delta_e_t = rho * e_{t-1} on the residuals - if rho pulls
+    deviations back (t_DF below the -3.37 Engle-Granger 5% critical
+    value), the pair is cointegrated (prices co-move; a spread
+    monitor / pairs signal is stable). Granger-lag1 asks who LEADS;
+    this asks whether a LONG-RUN equilibrium ties the levels.
+
+    Determinism/exactness: OLS sufficient statistics are exact
+    (quadratics folded DECIMAL(38,0)/HUGEINT, cast inside the product
+    - the cuped carrier; n*Sxy ~ 1e24 at the 3000x decade, 14 decades
+    inside DECIMAL(38)); alpha/beta and the residuals
+    e_t = y_t - alpha - beta*x_t are IDENTICAL double trees from
+    those integers (a residual INTEGER carrier n*den*e_t would cross
+    DECIMAL(38) at the events-10000x decade - measured ~1e38 - which
+    is WHY the residual stage is double by design, not a wider
+    integer); the DF sums fold <= 30 identical doubles (the KL-fold
+    precedent) and rho/t_DF round at 6/4. The 5% flag compares the
+    identical unrounded tree against the -3.37 literal in both
+    engines.
+
+    Plan: one pushed type-filtered (day) rollup - the only corpus
+    shuffle - then 1-row OLS fold broadcast-crossed back, a lag window
+    over the days-bounded residual relation, and a 1-row DF fold."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", cents))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", cents))
+            .cast("long")
+            .alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .localCheckpoint()  # days-bounded; feeds OLS fold AND residuals
+    )
+    d38 = "decimal(38,0)"
+    ols = daily.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    coef = ols.select(
+        "n",
+        beta.alias("beta"),
+        (
+            (F.col("sy").cast("double") - beta * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("alpha"),
+    ).localCheckpoint()  # 1 row; feeds residuals AND the output
+    resid = daily.crossJoin(F.broadcast(coef)).select(
+        "d",
+        (
+            F.col("y").cast("double")
+            - F.col("alpha")
+            - F.col("beta") * F.col("x")
+        ).alias("e"),
+    )
+    w = Window.orderBy("d")
+    lagged = resid.select(
+        "e", F.lag("e").over(w).alias("e0")
+    ).filter(F.col("e0").isNotNull())
+    df = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.col("e0") * F.col("e0")).alias("s_ee"),
+        F.sum(F.col("e0") * (F.col("e") - F.col("e0"))).alias("s_ed"),
+        F.sum(
+            (F.col("e") - F.col("e0")) * (F.col("e") - F.col("e0"))
+        ).alias("s_dd"),
+    )
+    rho = F.col("s_ed") / F.col("s_ee")
+    t_df = rho / (
+        F.sqrt(
+            (F.col("s_dd") - F.col("s_ed") * F.col("s_ed") / F.col("s_ee"))
+            / (F.col("m") - 1)
+        )
+        / F.sqrt(F.col("s_ee"))
+    )
+    return coef.crossJoin(F.broadcast(df)).select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round("beta", 6).alias("beta_r6"),
+        F.round("alpha", 4).alias("alpha_r4"),
+        F.round(rho, 6).alias("rho_r6"),
+        F.round(t_df, 4).alias("t_df_r4"),
+        F.when(t_df < -3.37, 1).otherwise(0).cast("long").alias("coint_5pct"),
+    )

@@ -14,9 +14,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from khose_spark.operators.curation import _sql_hash_bucket
 from khose_spark.operators.llm import shingle_array
 from khose_spark.registry import query
 from khose_spark.tables import t
+
+# DuckDB lambda-body twin of hash_bucket(token, 4) for the watermark
+# green-list test: the list_filter variable is `w`.
+_sql_hash_bucket_w4 = _sql_hash_bucket("w", 4)
 
 # Rule thresholds (contract constants, not tuned): word count bounds,
 # mean-word-length bounds (expressed as integer cross-multiplications so
@@ -709,4 +714,104 @@ def q_llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("char_bigram_entropy"),
         )
         .orderBy("lang")
+    )
+
+
+@query(
+    "q_llm_watermark_detect",
+    oracle=f"""
+    WITH perdoc AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS t_tok,
+             CAST(len(list_filter(string_split(text, ' '),
+                  w -> {_sql_hash_bucket_w4} = 0)) AS BIGINT) AS g_tok
+      FROM documents
+    ), scored AS (
+      SELECT source, t_tok, g_tok,
+             4 * g_tok - t_tok AS g4
+      FROM perdoc
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN g4 > 0 AND g4 * g4 >= 12 * t_tok
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST((2 * 1000 * sum(g_tok) + sum(t_tok))
+                // (2 * sum(t_tok)) AS BIGINT) AS green_permille,
+           round(max(g4 / sqrt(3.0 * t_tok)), 4) AS max_z_r4
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def q_llm_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-watermark detection (Kirchenbauer-style green-list test) over
+    the corpus: a public gamma = 1/4 scheme marks a token "green" when
+    the md5 bucket of the token string falls in the first quarter of
+    hash space; a watermarked generator over-samples green tokens, so a
+    document's green count G among T tokens drifts above the gamma*T
+    null. The per-document one-proportion z-statistic
+    z = (G - T/4) / sqrt(T * (1/4) * (3/4)) = (4G - T) / sqrt(3T)
+    flags machine-generated (or hash-correlated) text; per-source
+    totals give the contamination dashboard every pretraining-data
+    audit wants (which crawl slices are full of LLM output?).
+
+    Determinism/exactness: tokens are the whitespace split (the
+    q_llm_token_count tokenizer law); greenness is the content-stable
+    md5 bucket (the q_llm_split_assign law - bit-identical across
+    engines, resharding-invariant, RNG-free). The flag threshold z >= 2
+    NEVER evaluates a float: it is the exact integer predicate
+    g4 > 0 AND g4^2 >= 12*T (squaring the definition - g4 = 4G - T and
+    g4^2 <= (3T)^2 ~ 1e10 at a 30k-token doc, >8 int64 decades). The
+    green share reports as exact half-up permille; only max_z is a
+    double (identical tree from exact integers, round-4).
+
+    Plan: pure map-side per-document flags (split + list-filter inside
+    the row - no explode, no shuffle of token rows) followed by one
+    |sources|-bounded aggregate. At 100 TB: one tiny shuffle; the text
+    column never moves."""
+    from khose_spark.operators.curation import hash_bucket  # noqa: F401
+
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    green = F.filter(
+        toks,
+        lambda w: (
+            F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("int") % 4
+        )
+        == 0,
+    )
+    perdoc = d.select(
+        "source",
+        F.size(toks).cast("long").alias("t_tok"),
+        F.size(green).cast("long").alias("g_tok"),
+    ).select(
+        "source",
+        "t_tok",
+        "g_tok",
+        (4 * F.col("g_tok") - F.col("t_tok")).alias("g4"),
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("g4") > 0)
+                    & (F.col("g4") * F.col("g4") >= 12 * F.col("t_tok")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_flagged"),
+            F.expr(
+                "CAST((2 * 1000 * sum(g_tok) + sum(t_tok))"
+                " DIV (2 * sum(t_tok)) AS BIGINT)"
+            ).alias("green_permille"),
+            F.round(
+                F.max(
+                    F.col("g4").cast("double")
+                    / F.sqrt(3.0 * F.col("t_tok").cast("double"))
+                ),
+                4,
+            ).alias("max_z_r4"),
+        )
+        .orderBy("source")
     )

@@ -260,6 +260,19 @@ BNLJ_ALLOWED = {
                                 # folds broadcast-crossed into the
                                 # community-bounded audit (the
                                 # modularity shape, twice)
+    "q_ml_cuped",               # 1-row pooled-moment fold broadcast-
+                                # crossed into the 2-row arm fold (the
+                                # scalar-subquery idiom)
+    "q_ts_entropy_rate",        # 1-row N fold + 1-row rate fold
+                                # broadcast-crossed into the k-row
+                                # per-state entropy relation
+    "q_ml_cramers_v",           # 1-row chi2 fold broadcast-crossed
+                                # with the 1-row r/c dimension fold
+    "q_ml_iptw_ate",            # 1-row ATE fold broadcast-crossed
+                                # into the 5-row strata relation
+    "q_ts_engle_granger",       # 1-row OLS-coef fold broadcast-crossed
+                                # into the days-bounded residual
+                                # relation + 1-row DF fold
 }
 
 # Shuffle-exchange ceilings. Default covers scan→agg/join→window plans;
@@ -267,6 +280,12 @@ BNLJ_ALLOWED = {
 # jaccard=7, simhash=4, scan_count=10 — ceilings leave AQE headroom).
 DEFAULT_MAX_SHUFFLES = 4
 MAX_SHUFFLES = {
+    "q_ml_cramers_v": 7,          # audited 6: corpus cell rollup (pre-
+                                  # checkpoint), then two marginal
+                                  # windows on different keys + the
+                                  # r/c countDistinct fold + 1-row
+                                  # chi2 fold — every post-checkpoint
+                                  # relation is ≤35 cells
     "q_dq_sequence_gaps": 6,      # audited 5: key distinct + shifted
                                   # re-exchange + anti-join + 1-row
                                   # bounds agg + final fold
