@@ -163,6 +163,17 @@ HEADLINE = [
     "q_llm_paragraph_dedup",
     "q_llm_ann_sq8",
     "q_fn_jaro_winkler",
+    # Round-11 waves 4-7: the keys with corpus-scale work (user-keyed
+    # CUPED fold, vocab-join JSD, per-source cap window, user-window
+    # disorder audit, fact-to-fact temporal FK join, backbone
+    # conductance, token-lambda watermark scan).
+    "q_ml_cuped",
+    "q_llm_jsd_sources",
+    "q_llm_domain_cap",
+    "q_stream_disorder_batchsem",
+    "q_dq_temporal_fk",
+    "q_graph_conductance",
+    "q_llm_watermark_detect",
 ]
 
 

@@ -1327,3 +1327,76 @@ def q_llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + count(*)) DIV (2 * count(*)) AS BIGINT)"
         ).alias("dup_permille"),
     )
+
+
+@query(
+    "q_llm_domain_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn <= 40 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN rn > 40 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           CAST(sum(CASE WHEN rn <= 40 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars,
+           CAST((2 * 1000 * sum(CASE WHEN rn <= 40 THEN 1 ELSE 0 END)
+                 + count(*)) // (2 * count(*)) AS BIGINT)
+               AS kept_permille
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+)
+def q_llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain frequency capping - the anti-head-domain step every
+    pretraining mix applies after dedup (C4 capped patents.google.com;
+    RefinedWeb caps per-domain share): each source keeps at most 40
+    documents and the rest drop, so no single crawl feed dominates the
+    mixture. Selection is the content-stable md5 order (the
+    reservoir-sample law at curation.py:336): which docs survive
+    depends only on their ids, never on partitioning, resharding, or
+    arrival order - re-running the cap on a re-sharded 100 TB corpus
+    keeps EXACTLY the same documents.
+
+    Determinism/exactness: ranks come from the total order
+    (md5(doc_id), doc_id) - collision-proof because the id breaks
+    ties; all outputs are exact int64 counts/sums and the kept share
+    is exact half-up permille.
+
+    Plan: one source-keyed shuffle feeding a window rank and the
+    aggregate (same partitioning, one exchange). Per-source partitions
+    are the natural unit; a pathological mega-domain would salt the
+    rank via the q_sort_multikey_dist range-offset idiom - the cap
+    itself (keep-first-40) needs only each partition's local prefix."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+    )
+    kept = F.when(F.col("rn") <= 40, 1).otherwise(0)
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.sum(1 - kept).cast("long").alias("n_dropped"),
+            F.sum(F.when(F.col("rn") <= 40, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+            F.expr(
+                "CAST((2 * 1000 * sum(CASE WHEN rn <= 40 THEN 1 ELSE 0 END)"
+                " + count(*)) DIV (2 * count(*)) AS BIGINT)"
+            ).alias("kept_permille"),
+        )
+        .orderBy("source")
+    )

@@ -723,3 +723,71 @@ def q_dq_functional_dep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@query(
+    "q_dq_temporal_fk",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_before_order,
+           CAST(sum(CASE WHEN CAST(l.l_shipdate AS DATE)
+                         - CAST(o.o_orderdate AS DATE) > 90
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sla_breach,
+           CAST((2 * 1000 * sum(CASE WHEN l.l_shipdate < o.o_orderdate
+                                THEN 1 ELSE 0 END) + count(*))
+                // (2 * count(*)) AS BIGINT) AS viol_permille,
+           CAST(min(CAST(l.l_shipdate AS DATE)
+                    - CAST(o.o_orderdate AS DATE)) AS BIGINT)
+               AS min_lead_days,
+           CAST(max(CAST(l.l_shipdate AS DATE)
+                    - CAST(o.o_orderdate AS DATE)) AS BIGINT)
+               AS max_lead_days
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_dq_temporal_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal referential-integrity audit across the FK join - the
+    cross-TABLE data-quality member (q_dq_referential checks the keys
+    EXIST; this checks the DATES make causal sense): a lineitem
+    shipped before its order was placed is a pipeline bug (clock skew,
+    backdated loads, join corruption), and one shipped more than 90
+    days after is an SLA breach. Per order priority: exact violation
+    counts, half-up violation permille, and the min/max lead-day
+    envelope - the dashboard that catches a bad backfill the day it
+    lands.
+
+    Determinism/exactness: all-integer - date subtraction in days,
+    counts, exact half-up permille; no floats anywhere.
+
+    Plan: one orderkey-keyed join (co-partitioned fact-to-fact - the
+    natural bucketing key both tables share; AQE picks shuffle-hash
+    at fixture scale, a bucketed sort-merge at 100 TB) + a 5-row
+    priority aggregate with map-side combine."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    lead = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    viol = F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+    return (
+        j.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(viol).cast("long").alias("n_before_order"),
+            F.sum(F.when(lead > 90, 1).otherwise(0))
+            .cast("long")
+            .alias("n_sla_breach"),
+            F.expr(
+                "CAST((2 * 1000 * sum(CASE WHEN l_shipdate < o_orderdate"
+                " THEN 1 ELSE 0 END) + count(*)) DIV (2 * count(*))"
+                " AS BIGINT)"
+            ).alias("viol_permille"),
+            F.min(lead).cast("long").alias("min_lead_days"),
+            F.max(lead).cast("long").alias("max_lead_days"),
+        )
+        .orderBy("priority")
+    )

@@ -2802,3 +2802,215 @@ def q_ml_iptw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+@query(
+    "q_ml_bayes_ab",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT {_sql_hash_bucket('o_custkey', 2)} AS bucket,
+             CASE WHEN {_POS_SQL} THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ), counts AS (
+      SELECT
+        CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN bucket = 0 AND pos = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS s_a,
+        CAST(sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN bucket = 1 AND pos = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS s_b
+      FROM assigned
+    ), post AS (
+      SELECT n_a, s_a, n_b, s_b,
+             (s_a + 1.0) / (n_a + 2.0) AS mu_a,
+             (s_b + 1.0) / (n_b + 2.0) AS mu_b,
+             (s_a + 1.0) * (n_a - s_a + 1.0)
+               / ((n_a + 2.0) * (n_a + 2.0) * (n_a + 3.0)) AS var_a,
+             (s_b + 1.0) * (n_b - s_b + 1.0)
+               / ((n_b + 2.0) * (n_b + 2.0) * (n_b + 3.0)) AS var_b
+      FROM counts
+    ), zed AS (
+      SELECT n_a, s_a, n_b, s_b, mu_a, mu_b,
+             (mu_b - mu_a) / sqrt(var_a + var_b) AS z
+      FROM post
+    )
+    SELECT n_a, s_a, n_b, s_b,
+           round(mu_a, 6) AS post_mean_a_r6,
+           round(mu_b, 6) AS post_mean_b_r6,
+           round(z, 4) AS z_r4,
+           CAST(floor(1000000.0 * (CASE WHEN z < 0 THEN (0.3989422804014327
+             * exp(-abs(z) * abs(z) / 2.0)
+             * ((1.0 / (1.0 + 0.2316419 * abs(z)))
+                * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                   * 1.330274429)))))) ELSE 1.0 - (0.3989422804014327
+             * exp(-abs(z) * abs(z) / 2.0)
+             * ((1.0 / (1.0 + 0.2316419 * abs(z)))
+                * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                   * 1.330274429)))))) END))
+                AS BIGINT) AS p_b_beats_a_micro
+    FROM zed
+    """,
+)
+def q_ml_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B readout on the urgent-order conversion rate - the
+    posterior companion of q_ml_chi2_ab's frequentist test: with
+    uniform Beta(1,1) priors the arm posteriors are
+    Beta(s+1, n-s+1), and the decision number every Bayesian dashboard
+    prints is P(B > A) - approximated by the normal difference of the
+    two posteriors, z = (mu_B - mu_A)/sqrt(var_A + var_B), the
+    standard large-n Beta-normal approximation (documented AS the
+    contract - both engines compute the identical closed form).
+
+    Determinism/exactness: the four cell counts are exact int64 (same
+    content-stable assignment and positive-class law as chi2_ab);
+    posterior means/variances and z are identical double trees from
+    those integers (round-6/4); P(B > A) = Phi(z) uses the same
+    Abramowitz-Stegun 26.2.17 polynomial as q_ml_bh_fdr with the
+    negative-z branch folded via symmetry, then QUANTIZES to integer
+    micro-units before comparison (the bh_fdr no-float-boundary law).
+
+    Plan: one conditional aggregate over the orders scan (map-side
+    combined, the only corpus shuffle), then 1-row folds."""
+    o = t(spark, sf_dir, "orders")
+    pos = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    assigned = o.select(
+        hash_bucket(F.col("o_custkey"), 2).alias("bucket"),
+        F.when(pos, 1).otherwise(0).alias("pos"),
+    )
+    counts = assigned.agg(
+        F.sum(F.when(F.col("bucket") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when((F.col("bucket") == 0) & (F.col("pos") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("s_a"),
+        F.sum(F.when(F.col("bucket") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when((F.col("bucket") == 1) & (F.col("pos") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("s_b"),
+    )
+    mu_a = (F.col("s_a") + 1.0) / (F.col("n_a") + 2.0)
+    mu_b = (F.col("s_b") + 1.0) / (F.col("n_b") + 2.0)
+    var_a = (
+        (F.col("s_a") + 1.0)
+        * (F.col("n_a") - F.col("s_a") + 1.0)
+        / ((F.col("n_a") + 2.0) * (F.col("n_a") + 2.0) * (F.col("n_a") + 3.0))
+    )
+    var_b = (
+        (F.col("s_b") + 1.0)
+        * (F.col("n_b") - F.col("s_b") + 1.0)
+        / ((F.col("n_b") + 2.0) * (F.col("n_b") + 2.0) * (F.col("n_b") + 3.0))
+    )
+    z = (mu_b - mu_a) / F.sqrt(var_a + var_b)
+    az = F.abs(z)
+    k = 1.0 / (1.0 + 0.2316419 * az)
+    poly = k * (
+        0.319381530
+        + k
+        * (
+            -0.356563782
+            + k * (1.781477937 + k * (-1.821255978 + k * 1.330274429))
+        )
+    )
+    tail = 0.3989422804014327 * F.exp(-az * az / 2.0) * poly
+    phi_z = F.when(z < 0, 1.0 - (1.0 - tail)).otherwise(1.0 - tail)
+    return counts.select(
+        "n_a",
+        "s_a",
+        "n_b",
+        "s_b",
+        F.round(mu_a, 6).alias("post_mean_a_r6"),
+        F.round(mu_b, 6).alias("post_mean_b_r6"),
+        F.round(z, 4).alias("z_r4"),
+        F.floor(1000000.0 * phi_z).cast("long").alias("p_b_beats_a_micro"),
+    )
+
+
+@query(
+    "q_ml_ab_srm",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), armed AS (
+      SELECT d,
+             CASE WHEN ((
+               (instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 4096
+             + (instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 256
+             + (instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 4, 1)) - 1)
+             ) % 100) < 50 THEN 1 ELSE 0 END AS in_a
+      FROM ud
+    ), daily AS (
+      SELECT strftime(d, '%Y-%m-%d') AS day,
+             CAST(sum(in_a) AS BIGINT) AS n_a,
+             CAST(sum(1 - in_a) AS BIGINT) AS n_b
+      FROM armed GROUP BY d
+    )
+    SELECT day, n_a, n_b,
+           round(CAST((n_a - n_b) AS DOUBLE) * (n_a - n_b)
+                 / (n_a + n_b), 4) AS chi2_r4,
+           CAST(CASE WHEN CAST((n_a - n_b) AS DOUBLE) * (n_a - n_b)
+                          / (n_a + n_b) > 3.841e0
+                THEN 1 ELSE 0 END AS BIGINT) AS srm_alarm
+    FROM daily ORDER BY day
+    """,
+)
+def q_ml_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) guardrail for the 50/50 experiment -
+    the FIRST check every experimentation platform runs before reading
+    any metric: if daily ACTIVE users per arm drift from the designed
+    ratio (a redirect bug, a bot filter hitting one arm, a crash in
+    one variant), every downstream readout (cuped/power_mde/tost/
+    chi2_ab - this completes that family's guardrail) is invalid. Per
+    day: active-user counts per arm and the one-degree chi-square
+    (n_A - n_B)^2/(n_A + n_B) against the 5% critical value 3.841 -
+    the per-day breakdown localizes WHEN the imbalance started, which
+    the pooled test hides.
+
+    Determinism/exactness: same content-stable md5 arm law as the rest
+    of the family; daily distinct-user counts are exact int64; the
+    chi-square is one double ratio from those integers (round-4) and
+    the alarm compares the identical unrounded tree to the 3.841e0
+    literal in both engines.
+
+    Plan: one distinct (user, day) shuffle + a days-bounded aggregate.
+    At 100 TB: one shuffle, 30-row tail."""
+    from khose_spark.operators.curation import hash_bucket
+
+    ud = (
+        t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    armed = ud.select(
+        "d",
+        F.when(hash_bucket(F.col("user_id")) < 50, 1).otherwise(0).alias(
+            "in_a"
+        ),
+    )
+    daily = armed.groupBy(
+        F.date_format("d", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("n_b"),
+    )
+    chi2 = (
+        (F.col("n_a") - F.col("n_b")).cast("double")
+        * (F.col("n_a") - F.col("n_b"))
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    return daily.select(
+        "day",
+        "n_a",
+        "n_b",
+        F.round(chi2, 4).alias("chi2_r4"),
+        F.when(chi2 > 3.841, 1).otherwise(0).cast("long").alias("srm_alarm"),
+    ).orderBy("day")

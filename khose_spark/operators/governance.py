@@ -1202,3 +1202,124 @@ def q_priv_dp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_suppressed",
         )
     )
+
+
+@query(
+    "q_priv_dp_quantile",
+    oracle="""
+    WITH binned AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             // 1000000 AS bin,
+             count(*) AS n_b
+      FROM orders GROUP BY 1
+    ), cum AS (
+      SELECT bin, CAST(n_b AS BIGINT) AS bin_n,
+             CAST(sum(n_b) OVER (ORDER BY bin) AS BIGINT) AS cum_n,
+             CAST(sum(n_b) OVER () AS BIGINT) AS n_tot
+      FROM binned
+    ), util AS (
+      SELECT bin, bin_n, cum_n, n_tot,
+             -abs(2 * cum_n - n_tot) AS u2
+      FROM cum
+    ), jittered AS (
+      SELECT bin, bin_n, cum_n, u2,
+             1000 * u2 + (
+               (instr('0123456789abcdef', substr(md5(concat('dpq:', CAST(bin AS VARCHAR))), 1, 1)) - 1) * 64
+             + (instr('0123456789abcdef', substr(md5(concat('dpq:', CAST(bin AS VARCHAR))), 2, 1)) - 1) * 4
+             + (instr('0123456789abcdef', substr(md5(concat('dpq:', CAST(bin AS VARCHAR))), 3, 1)) - 1) % 4
+             ) AS score
+      FROM util
+    ), ranked AS (
+      SELECT bin, bin_n, cum_n, u2, score,
+             CAST(row_number() OVER (ORDER BY score DESC, bin ASC)
+                  AS BIGINT) AS rnk
+      FROM jittered
+    )
+    SELECT rnk AS rank, bin, bin_n, cum_n,
+           CAST(u2 AS BIGINT) AS utility2,
+           CAST(CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS BIGINT)
+               AS released
+    FROM ranked WHERE rnk <= 5 ORDER BY rnk
+    """,
+)
+def q_priv_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private QUANTILE release audit via the
+    exponential mechanism - the fifth privacy member (histogram
+    releases cells, dp_mean a scalar, dp_topk a selection, randomized
+    response per-row bits; nothing released an ORDER STATISTIC, the
+    thing median-salary / median-spend dashboards publish): candidate
+    bins are $10k order-value buckets, the classical median utility
+    u(b) = -|rank(b) - n/2| is carried DOUBLED
+    (u2 = -|2*cum - n|, exact int64 - no halves), and the mechanism's
+    weight exp(eps*u/2) is audited in its deterministic eps -> inf
+    limit: the released bin is the utility argmax, with an md5-seeded
+    sub-unit jitter (scale 1000 per utility unit, jitter < 1000 -
+    provably reorders only exact ties, the dp_topk seeded-mechanism
+    law) standing in for the sampler so the release is hash-checkable.
+    True counts ride along because this key is the release AUDIT.
+
+    Determinism/exactness: all-integer - bin counts, running ranks,
+    doubled utilities, seeded jitter; the top-5 utility ladder shows
+    the mechanism's alternatives (what a finite eps would trade).
+
+    Plan: one corpus-scale bin aggregate (map-side combined), running
+    windows over the ~60-row bin relation, top-5. One fact shuffle at
+    any SF."""
+    o = t(spark, sf_dir, "orders")
+    binned = (
+        o.select(
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " DIV 1000000"
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = binned.select(
+        "bin",
+        F.col("n_b").cast("long").alias("bin_n"),
+        F.sum("n_b").over(w_cum).cast("long").alias("cum_n"),
+        F.sum("n_b").over(w_all).cast("long").alias("n_tot"),
+    )
+    u2 = -F.abs(2 * F.col("cum_n") - F.col("n_tot"))
+    seed = F.md5(F.concat(F.lit("dpq:"), F.col("bin").cast("string")))
+    # conv() of one hex char == the oracle's instr()-1 nibble lookup
+    jitter = (
+        (F.conv(F.substring(seed, 1, 1), 16, 10).cast("long")) * 64
+        + (F.conv(F.substring(seed, 2, 1), 16, 10).cast("long")) * 4
+        + (F.conv(F.substring(seed, 3, 1), 16, 10).cast("long")) % 4
+    )
+    jittered = cum.select(
+        "bin",
+        "bin_n",
+        "cum_n",
+        u2.alias("u2"),
+        (1000 * u2 + jitter).alias("score"),
+    )
+    w_rank = Window.orderBy(F.desc("score"), F.asc("bin"))
+    ranked = jittered.select(
+        "bin",
+        "bin_n",
+        "cum_n",
+        "u2",
+        F.row_number().over(w_rank).cast("long").alias("rnk"),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 5)
+        .select(
+            F.col("rnk").alias("rank"),
+            "bin",
+            "bin_n",
+            "cum_n",
+            F.col("u2").cast("long").alias("utility2"),
+            F.when(F.col("rnk") == 1, 1).otherwise(0).cast("long").alias(
+                "released"
+            ),
+        )
+        .orderBy("rank")
+    )

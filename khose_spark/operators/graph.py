@@ -2060,3 +2060,107 @@ def q_graph_louvain_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_after",
         )
     )
+
+
+@query(
+    "q_graph_conductance",
+    oracle=f"""
+    WITH {_BACKBONE_CTES}, lab AS (
+      SELECT s_suppkey AS node, CAST(s_nationkey AS BIGINT) AS com
+      FROM supplier
+    ), labeled AS (
+      SELECT la.com AS ca, lb.com AS cb
+      FROM adj JOIN lab la ON la.node = adj.node
+               JOIN lab lb ON lb.node = adj.nbr
+    ), m2t AS (
+      SELECT CAST(count(*) AS BIGINT) AS m2 FROM labeled
+    ), nodes AS (
+      SELECT la.com, CAST(count(DISTINCT a.node) AS BIGINT) AS n_nodes
+      FROM (SELECT DISTINCT node FROM adj) a
+      JOIN lab la ON la.node = a.node GROUP BY la.com
+    ), per_c AS (
+      SELECT ca AS com,
+             CAST(count(*) AS BIGINT) AS vol,
+             CAST(sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END) AS BIGINT)
+               AS cut
+      FROM labeled GROUP BY ca
+    )
+    SELECT p.com AS community, n.n_nodes, p.vol, p.cut,
+           CASE WHEN least(p.vol, t.m2 - p.vol) > 0
+                THEN CAST((2 * 1000 * p.cut + least(p.vol, t.m2 - p.vol))
+                          // (2 * least(p.vol, t.m2 - p.vol)) AS BIGINT)
+                ELSE NULL END AS phi_permille
+    FROM per_c p JOIN nodes n ON n.com = p.com CROSS JOIN m2t t
+    ORDER BY community
+    """,
+)
+def q_graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community conductance over the shared 3-NN supplier backbone -
+    the SECOND partition-quality metric (modularity scores global
+    cohesion against a null model; conductance phi(c) = cut(c) /
+    min(vol(c), vol(rest)) scores each community's BOUNDARY - the
+    probability a random step from inside leaves - which is the number
+    spectral partitioners (Cheeger) bound and community-QA dashboards
+    alarm on: a community can carry positive modularity contribution
+    while leaking half its edges). Communities are the nation
+    partition, as in q_graph_modularity/q_graph_louvain_round, so the
+    three keys form a score -> climb -> boundary-QA loop over ONE
+    graph.
+
+    Determinism/exactness: all-integer - directed-edge volumes and
+    cuts counted over the deterministic backbone (degree-capped,
+    rank-tied-broken 3-NN, the _knn_backbone contract), conductance as
+    exact half-up permille with the empty-side NULL guard; counts are
+    nation-bounded (25 rows) after one edge-labeled aggregate.
+
+    Plan: the memoized backbone (one pair join per session) + two
+    broadcast label joins + a 25-row conditional aggregate + a 1-row
+    m2 fold broadcast-crossed back. At 100 TB the backbone build is
+    the only fact-scale stage, shared with the whole graph family."""
+    adj = _knn_backbone(spark, sf_dir)
+    lab = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("lnode"),
+        F.col("s_nationkey").cast("long").alias("com"),
+    )
+    labeled = (
+        adj.join(F.broadcast(lab), F.col("node") == F.col("lnode"))
+        .select(F.col("com").alias("ca"), "nbr")
+        .join(F.broadcast(lab), F.col("nbr") == F.col("lnode"))
+        .select("ca", F.col("com").alias("cb"))
+        .localCheckpoint()  # k-NN-bounded edges; feeds m2t AND per_c
+    )
+    m2t = labeled.agg(F.count(F.lit(1)).cast("long").alias("m2"))
+    nodes = (
+        adj.select("node")
+        .distinct()
+        .join(F.broadcast(lab), F.col("node") == F.col("lnode"))
+        .groupBy("com")
+        .agg(F.countDistinct("node").cast("long").alias("n_nodes"))
+    )
+    per_c = labeled.groupBy(F.col("ca").alias("com")).agg(
+        F.count(F.lit(1)).cast("long").alias("vol"),
+        F.sum((F.col("ca") != F.col("cb")).cast("long"))
+        .cast("long")
+        .alias("cut"),
+    )
+    side = F.least(F.col("vol"), F.col("m2") - F.col("vol"))
+    return (
+        per_c.join(nodes, "com")
+        .crossJoin(F.broadcast(m2t))
+        .select(
+            F.col("com").alias("community"),
+            "n_nodes",
+            "vol",
+            "cut",
+            F.when(
+                side > 0,
+                F.expr(
+                    "CAST((2 * 1000 * cut + least(vol, m2 - vol))"
+                    " DIV (2 * least(vol, m2 - vol)) AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(None).cast("long"))
+            .alias("phi_permille"),
+        )
+        .orderBy("community")
+    )

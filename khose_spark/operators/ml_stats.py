@@ -3747,3 +3747,128 @@ def q_ts_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t_df, 4).alias("t_df_r4"),
         F.when(t_df < -3.37, 1).otherwise(0).cast("long").alias("coint_5pct"),
     )
+
+
+@query(
+    "q_ml_tost",
+    oracle="""
+    WITH arm AS (
+      SELECT CASE WHEN ((
+               (instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 4096
+             + (instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 256
+             + (instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 4, 1)) - 1)
+             ) % 100) < 50 THEN 0 ELSE 1 END AS grp,
+             CAST(coalesce(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0)
+                  AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM arm GROUP BY grp
+    ), fold AS (
+      SELECT
+        max(CASE WHEN grp = 0 THEN n END) AS n_a,
+        max(CASE WHEN grp = 1 THEN n END) AS n_b,
+        max(CASE WHEN grp = 0 THEN sy END) AS sy_a,
+        max(CASE WHEN grp = 1 THEN sy END) AS sy_b,
+        (sum(CAST(syy AS DOUBLE))
+         - sum(CAST(sy AS DOUBLE) * sy / n)) AS ss_pool
+      FROM g
+    ), stats AS (
+      SELECT n_a, n_b, sy_a, sy_b,
+             CAST(sy_b AS DOUBLE) / n_b - CAST(sy_a AS DOUBLE) / n_a
+               AS diff,
+             0.05 * CAST(sy_a AS DOUBLE) / n_a AS delta,
+             sqrt((ss_pool / (n_a + n_b - 2))
+                  * (1.0 / n_a + 1.0 / n_b)) AS se
+      FROM fold
+    )
+    SELECT n_a, n_b,
+           round(diff, 4) AS diff_cents_r4,
+           round(delta, 4) AS delta_cents_r4,
+           round((diff + delta) / se, 4) AS t_lower_r4,
+           round((delta - diff) / se, 4) AS t_upper_r4,
+           CAST(CASE WHEN (diff + delta) / se > 1.6448536269514722e0
+                      AND (delta - diff) / se > 1.6448536269514722e0
+                THEN 1 ELSE 0 END AS BIGINT) AS equivalent_05
+    FROM stats
+    """,
+)
+def q_ml_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests) on the experiment
+    arms - the third leg of the A/B family: chi2/welch DETECT an
+    effect, power_mde asks what is detectable, TOST PROVES ABSENCE -
+    "the arms are equivalent within +/-delta" (the claim every
+    no-regression launch review actually needs; a non-significant
+    t-test is NOT evidence of equivalence). Margin delta = 5% of the
+    control mean; equivalence at alpha = 5% iff BOTH one-sided
+    statistics (diff + delta)/se and (delta - diff)/se exceed
+    z_0.95.
+
+    Determinism/exactness: same metric and arm law as
+    q_ml_cuped/q_ml_power_mde (content-stable md5 buckets, exact
+    int64 cent sums, quadratics in DECIMAL(38,0)/HUGEINT with the
+    cast inside the product - the shared cuped_quadratic margin law);
+    diff, delta, the pooled se and both t's evaluate as IDENTICAL
+    double trees with z_0.95 pinned as the 17-digit literal
+    1.6448536269514722 (e0-suffixed in the oracle - the power_mde
+    DECIMAL-folding lesson); the flag compares the identical trees in
+    both engines.
+
+    Plan: one user-keyed conditional aggregate (the only corpus
+    shuffle), a 2-row arm fold, a 1-row pivot - the power_mde plan."""
+    from khose_spark.operators.curation import hash_bucket
+
+    ev = t(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    post = F.to_date("ts") >= F.lit("2024-01-16")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(post, cents)), F.lit(0))
+        .cast("long")
+        .alias("y"),
+    ).select(
+        F.when(hash_bucket(F.col("user_id")) < 50, 0).otherwise(1).alias("grp"),
+        "y",
+    )
+    g = per_user.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    fold = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == 0, F.col("sy"))).alias("sy_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("sy"))).alias("sy_b"),
+        (
+            F.sum(F.col("syy").cast("double"))
+            - F.sum(F.col("sy").cast("double") * F.col("sy") / F.col("n"))
+        ).alias("ss_pool"),
+    )
+    diff = (
+        F.col("sy_b").cast("double") / F.col("n_b")
+        - F.col("sy_a").cast("double") / F.col("n_a")
+    )
+    delta = 0.05 * F.col("sy_a").cast("double") / F.col("n_a")
+    se = F.sqrt(
+        (F.col("ss_pool") / (F.col("n_a") + F.col("n_b") - 2))
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    z95 = 1.6448536269514722
+    return fold.select(
+        "n_a",
+        "n_b",
+        F.round(diff, 4).alias("diff_cents_r4"),
+        F.round(delta, 4).alias("delta_cents_r4"),
+        F.round((diff + delta) / se, 4).alias("t_lower_r4"),
+        F.round((delta - diff) / se, 4).alias("t_upper_r4"),
+        F.when(
+            ((diff + delta) / se > z95) & ((delta - diff) / se > z95), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("equivalent_05"),
+    )

@@ -606,3 +606,295 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
     return map_resize(d)
+
+
+_PATCH = 6   # ViT-style patch edge; 16 % 6 != 0 forces boundary padding
+_PGRID = (_TILE + _PATCH - 1) // _PATCH  # ceil(16/6) = 3
+
+
+def fake_patchify(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in for the ViT patchify kernel: the same
+    16x16 sha-derived pixel tile as :func:`fake_resize_pool`, cut into
+    a ceil(16/6) x ceil(16/6) = 3x3 grid of 6x6 patches with ZERO
+    padding past the right/bottom edge (the exact boundary arithmetic
+    a real patch embedder does on a non-divisible image), returning
+    (patch_min, patch_max, flatten_checksum, total). The checksum
+    weights each patch sum by its row-major flatten position + 1 - the
+    order the transformer sees patches - so a transposed or re-ordered
+    patchify cannot hash-match. Bit-identical to the SQL oracle's
+    instr() recomputation."""
+    h = hashlib.sha256(payload).hexdigest()
+
+    def px(i: int, j: int) -> int:
+        return _HEX.index(h[(i * _TILE + j) % 64])
+
+    sums = []
+    for pi in range(_PGRID):
+        for pj in range(_PGRID):
+            s = 0
+            for di in range(_PATCH):
+                for dj in range(_PATCH):
+                    i, j = _PATCH * pi + di, _PATCH * pj + dj
+                    if i < _TILE and j < _TILE:
+                        s += px(i, j)
+            sums.append(s)
+    checksum = sum(s * (k + 1) for k, s in enumerate(sums))
+    return min(sums), max(sums), checksum, sum(sums)
+
+
+_PATCHIFY_SCHEMA = (
+    "doc_id long, src_w int, src_h int, patch int, grid int, "
+    "n_patches int, pad_x int, pad_y int, patch_min long, "
+    "patch_max long, flatten_checksum long, pixel_total long"
+)
+
+
+def map_patchify(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Partition-local patchify stage: Arrow batches of (id, payload)
+    in, typed patch-grid metadata out, payloads dropped on output -
+    the same never-shuffle-blobs shape as map_decode/map_resize."""
+
+    def patch_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                w, hgt, _nf, _feats = fake_decode(payload)
+                pmin, pmax, ck, tot = fake_patchify(payload)
+                rows.append(
+                    (
+                        doc_id, w, hgt, _PATCH, _PGRID,
+                        _PGRID * _PGRID,
+                        _PGRID * _PATCH - _TILE,
+                        _PGRID * _PATCH - _TILE,
+                        pmin, pmax, ck, tot,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "src_w", "src_h", "patch", "grid",
+                    "n_patches", "pad_x", "pad_y", "patch_min",
+                    "patch_max", "flatten_checksum", "pixel_total",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        patch_batches, _PATCHIFY_SCHEMA
+    )
+
+
+@query(
+    "q_mm_patchify",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, sha256(text) AS sha
+      FROM documents WHERE doc_id < 200
+    ), cells AS (
+      SELECT doc_id, sha,
+             CAST(g.pi AS BIGINT) AS pi, CAST(g2.pj AS BIGINT) AS pj,
+             CAST(sum({_px_sql("d.di + " + str(_PATCH) + " * g.pi",
+                               "d2.dj + " + str(_PATCH) + " * g2.pj")})
+                  AS BIGINT) AS s
+      FROM p,
+           (SELECT unnest(range(0, {_PGRID})) AS pi) g,
+           (SELECT unnest(range(0, {_PGRID})) AS pj) g2,
+           (SELECT unnest(range(0, {_PATCH})) AS di) d,
+           (SELECT unnest(range(0, {_PATCH})) AS dj) d2
+      WHERE d.di + {_PATCH} * g.pi < {_TILE}
+        AND d2.dj + {_PATCH} * g2.pj < {_TILE}
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_id,
+           CAST(16 + {_hexval(1)} * 16 + {_hexval(2)} AS INT) AS src_w,
+           CAST(16 + {_hexval(3)} * 16 + {_hexval(4)} AS INT) AS src_h,
+           CAST({_PATCH} AS INT) AS patch,
+           CAST({_PGRID} AS INT) AS grid,
+           CAST({_PGRID * _PGRID} AS INT) AS n_patches,
+           CAST({_PGRID * _PATCH - _TILE} AS INT) AS pad_x,
+           CAST({_PGRID * _PATCH - _TILE} AS INT) AS pad_y,
+           CAST(min(s) AS BIGINT) AS patch_min,
+           CAST(max(s) AS BIGINT) AS patch_max,
+           CAST(sum(s * (pi * {_PGRID} + pj + 1)) AS BIGINT)
+               AS flatten_checksum,
+           CAST(sum(s) AS BIGINT) AS pixel_total
+    FROM cells GROUP BY doc_id, sha
+    """,
+)
+def q_mm_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal PATCHIFY stage - the ViT front door completing the
+    decode / feature / resize / frame-sample / patchify pipeline: cut
+    each decoded image into fixed 6x6 patches on a ceil-grid with
+    zero padding past the right/bottom edge (16 % 6 != 0 by
+    construction, so the boundary arithmetic is actually exercised),
+    and certify the per-patch sums AND the row-major flatten order
+    (the checksum weights patch k by k+1, so a transposed grid cannot
+    hash-match) - the patch count x (patch^2 x channels) shape is
+    exactly what a vision-transformer embedding layer consumes, and
+    the pad columns are the attention-mask budget.
+
+    Determinism/exactness: the deterministic sha256 pixel tile (the
+    fake_decode contract) makes every patch sum an exact integer both
+    engines recompute independently - Spark inside the Arrow-batched
+    ``mapInPandas`` kernel, DuckDB via instr() hex arithmetic over an
+    unnested bounded grid; no floats anywhere. Real codec path stays
+    the documented env-gated stub (multimodal.py:51-60).
+
+    Plan: one map-side mapInPandas stage over the payload scan -
+    payloads never shuffle, 12 scalar columns come back. At 100 TB
+    each executor patchifies its own partition's blobs."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    return map_patchify(d)
+
+
+_SHOT_FRAMES = 8   # fixed fake-frame count for the shot detector
+_SHOT_NIBBLES = 8  # hex nibbles summed per frame signature
+_SHOT_THRESH = 16  # |sig_k - sig_{k-1}| >= 16 -> shot boundary
+
+
+def fake_shot_signatures(payload: bytes) -> list:
+    """Deterministic stand-in for per-frame video signatures: frame k
+    (k = 0..7) gets the sum of 8 hex nibbles at sha positions
+    8k+1..8k+8 - the same sha-stream arithmetic as the decode/resize
+    fakes, so the whole multimodal family shares one certification
+    contract. Bit-identical to the SQL oracle's instr() recomputation."""
+    h = hashlib.sha256(payload).hexdigest()
+    return [
+        sum(
+            _HEX.index(h[(k * _SHOT_NIBBLES + j) % 64])
+            for j in range(_SHOT_NIBBLES)
+        )
+        for k in range(_SHOT_FRAMES)
+    ]
+
+
+_SHOT_SCHEMA = (
+    "doc_id long, n_frames int, n_shots int, max_delta long, "
+    "boundary_mask long, sig_first long, sig_last long"
+)
+
+
+def map_shot_detect(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Partition-local shot detection: Arrow batches of (id, payload)
+    in, per-video shot metadata out - payloads never shuffle."""
+
+    def shot_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                sigs = fake_shot_signatures(bytes(payload))
+                deltas = [
+                    abs(b - a) for a, b in zip(sigs, sigs[1:])
+                ]
+                mask = sum(
+                    1 << k
+                    for k, d in enumerate(deltas)
+                    if d >= _SHOT_THRESH
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        _SHOT_FRAMES,
+                        1 + sum(d >= _SHOT_THRESH for d in deltas),
+                        max(deltas),
+                        mask,
+                        sigs[0],
+                        sigs[-1],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_shots", "max_delta",
+                    "boundary_mask", "sig_first", "sig_last",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        shot_batches, _SHOT_SCHEMA
+    )
+
+
+def _sig_sql(frame_expr: str) -> str:
+    """Oracle frame signature: sum of 8 hex nibbles at sha positions
+    (8k+j) mod 64 + 1, j = 0..7."""
+    return "(" + " + ".join(
+        f"(instr('{_HEX}', substr(sha, (({frame_expr}) * {_SHOT_NIBBLES}"
+        f" + {j}) % 64 + 1, 1)) - 1)"
+        for j in range(_SHOT_NIBBLES)
+    ) + ")"
+
+
+@query(
+    "q_mm_shot_detect",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, sha256(text) AS sha
+      FROM documents WHERE doc_id < 200
+    ), sigs AS (
+      SELECT doc_id, CAST(k.k AS BIGINT) AS k,
+             CAST({_sig_sql("k.k")} AS BIGINT) AS sig
+      FROM p, (SELECT unnest(range(0, {_SHOT_FRAMES})) AS k) k
+    ), deltas AS (
+      SELECT doc_id, k, sig,
+             abs(sig - lag(sig) OVER (PARTITION BY doc_id ORDER BY k))
+               AS d
+      FROM sigs
+    )
+    SELECT doc_id,
+           CAST({_SHOT_FRAMES} AS INT) AS n_frames,
+           CAST(1 + sum(CASE WHEN d >= {_SHOT_THRESH} THEN 1 ELSE 0 END)
+                AS INT) AS n_shots,
+           CAST(max(d) AS BIGINT) AS max_delta,
+           CAST(sum(CASE WHEN d >= {_SHOT_THRESH}
+                    THEN power(2, k - 1) ELSE 0 END) AS BIGINT)
+               AS boundary_mask,
+           CAST(max(CASE WHEN k = 0 THEN sig END) AS BIGINT) AS sig_first,
+           CAST(max(CASE WHEN k = {_SHOT_FRAMES - 1} THEN sig END)
+                AS BIGINT) AS sig_last
+    FROM deltas GROUP BY doc_id
+    """,
+)
+def q_mm_shot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal SHOT-BOUNDARY detection - the video-temporal member
+    of the family (frame_sample proves the 1:N fan-out; this key runs
+    the actual frame-DIFFERENCING kernel every video-ingest pipeline
+    applies before sampling: consecutive-frame signature deltas above
+    a threshold mark cuts, and clips are then sampled per-shot rather
+    than per-frame so a 2-hour single-shot lecture does not get 7000
+    redundant keyframes). Each "video" yields 8 deterministic frame
+    signatures from the sha stream; |sig_k - sig_{k-1}| >= 16 is a
+    boundary; the bitmask pins WHICH transitions cut (an off-by-one
+    frame index cannot hash-match).
+
+    Determinism/exactness: all-integer sha-nibble arithmetic (the
+    fake_decode contract) - Spark computes it inside the Arrow-batched
+    ``mapInPandas`` kernel, DuckDB via instr() over an unnested frame
+    grid with a per-doc lag window; boundary mask folds as
+    Sum 2^(k-1) exact. Real codec path remains the documented
+    env-gated stub (multimodal.py:51-60).
+
+    Plan: one map-side mapInPandas stage over the payload scan -
+    payloads never shuffle, 7 scalars per video come back."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    return map_shot_detect(d)

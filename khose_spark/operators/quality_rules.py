@@ -815,3 +815,101 @@ def q_llm_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_llm_code_detect",
+    oracle="""
+    WITH flags AS (
+      SELECT lang, n_chars,
+             CAST(len(text) - len(replace(text, ';', '')) AS BIGINT)
+               AS n_semi,
+             CAST(len(text) - len(replace(text, '{', ''))
+                  + len(text) - len(replace(text, '}', '')) AS BIGINT)
+               AS n_brace,
+             CAST(len(text) - len(replace(text, '=', '')) AS BIGINT)
+               AS n_eq,
+             CASE WHEN instr(text, 'def ') > 0
+                    OR instr(text, '#include') > 0
+                    OR instr(text, 'void ') > 0 THEN 1 ELSE 0 END
+               AS kw
+      FROM documents
+    ), scored AS (
+      SELECT lang, n_chars, n_semi + n_brace + n_eq AS n_sym,
+             CASE WHEN 50 * (n_semi + n_brace + n_eq) >= n_chars
+                    OR kw = 1 THEN 1 ELSE 0 END AS is_code
+      FROM flags
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_code) AS BIGINT) AS n_code,
+           CAST((2 * 1000 * sum(is_code) + count(*))
+                // (2 * count(*)) AS BIGINT) AS code_permille,
+           CAST((2 * 1000 * sum(n_sym) + sum(n_chars))
+                // (2 * sum(n_chars)) AS BIGINT) AS sym_permille
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+)
+def q_llm_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-likeness detection over the corpus - the natural-language /
+    source-code router every pretraining mix needs (code goes to the
+    code pipeline with its own dedup and quality rules; prose goes to
+    Gopher/C4 filters; MISROUTED code destroys prose perplexity
+    filters and vice versa): a document flags as code when its
+    symbol density (';' + braces + '=') reaches 2% of characters -
+    expressed as the integer cross-multiplication
+    50 * n_sym >= n_chars, the Gopher-rules no-float idiom - OR a
+    hard keyword ('def ', '#include', 'void ') appears.
+
+    Determinism/exactness: symbol counts are the exact
+    len - len(replace) difference (bit-identical in both engines; no
+    regex engine semantics cross the boundary - the instr() substring
+    tests are similarly exact); all outputs are int64 counts and
+    half-up permille shares. No float anywhere in the key.
+
+    Plan: pure map-side per-document counters followed by one
+    |langs|-bounded aggregate; the text column never shuffles. The
+    same plan at 100 TB."""
+    d = t(spark, sf_dir, "documents")
+    n_semi = (
+        F.length("text") - F.length(F.regexp_replace("text", ";", ""))
+    ).cast("long")
+    n_brace = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", r"\{", ""))
+        + F.length("text")
+        - F.length(F.regexp_replace("text", r"\}", ""))
+    ).cast("long")
+    n_eq = (
+        F.length("text") - F.length(F.regexp_replace("text", "=", ""))
+    ).cast("long")
+    kw = (
+        (F.instr("text", "def ") > 0)
+        | (F.instr("text", "#include") > 0)
+        | (F.instr("text", "void ") > 0)
+    )
+    n_sym = (n_semi + n_brace + n_eq).alias("n_sym")
+    scored = d.select(
+        "lang",
+        "n_chars",
+        n_sym,
+        F.when((50 * (n_semi + n_brace + n_eq) >= F.col("n_chars")) | kw, 1)
+        .otherwise(0)
+        .alias("is_code"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_code").cast("long").alias("n_code"),
+            F.expr(
+                "CAST((2 * 1000 * sum(is_code) + count(*))"
+                " DIV (2 * count(*)) AS BIGINT)"
+            ).alias("code_permille"),
+            F.expr(
+                "CAST((2 * 1000 * sum(n_sym) + sum(n_chars))"
+                " DIV (2 * sum(n_chars)) AS BIGINT)"
+            ).alias("sym_permille"),
+        )
+        .orderBy("lang")
+    )

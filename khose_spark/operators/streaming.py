@@ -391,3 +391,90 @@ def q_stream_enrich_batchsem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         dec_sum(F.col("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "q_stream_disorder_batchsem",
+    oracle="""
+    WITH arrivals AS (
+      SELECT event_type, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             max(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS wm
+      FROM events
+    ), scored AS (
+      SELECT event_type,
+             CASE WHEN wm IS NULL THEN 0 ELSE greatest(wm - es, 0) END
+               AS lag_s
+      FROM arrivals
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN lag_s > 600 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           CAST((2 * 1000 * sum(CASE WHEN lag_s > 600 THEN 1 ELSE 0 END)
+                 + count(*)) // (2 * count(*)) AS BIGINT)
+               AS late_permille,
+           CAST(max(lag_s) AS BIGINT) AS max_lag_s
+    FROM scored GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_stream_disorder_batchsem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time DISORDER audit in batch semantics - the
+    watermark-sizing question every Structured Streaming deployment
+    must answer BEFORE picking ``withWatermark``: per user stream (the
+    state key all the stateful ops partition by), how far does event
+    time run backwards relative to what already arrived? An event is
+    late-by-L when the running max event-time of the user's EARLIER
+    arrivals (arrival order = event_id, the ingest sequence) exceeds
+    its own event time by L; the per-type share of events later than a
+    600 s watermark IS the data-loss rate that watermark would cause,
+    and max_lag_s is the delay bound a zero-loss watermark needs.
+    Composes with the keyless engine tests (tests/test_streaming.py
+    watermark suite): they prove the ENGINE drops late rows; this key
+    measures HOW MUCH of the real corpus would drop.
+
+    Determinism/exactness: all integer arithmetic - epoch seconds,
+    a ROWS-frame running max over the (event_id) total order, exact
+    counts and half-up permille. No floats.
+
+    Plan: ONE user-keyed window shuffle (the exact partitioning the
+    streaming state store uses) + a |types|-bounded aggregate. At
+    100 TB: one shuffle, per-user partitions, no skew beyond the
+    per-user stream length."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_timestamp("ts").alias("es"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = ev.select(
+        "event_type",
+        F.when(
+            F.max("es").over(w).isNull(), F.lit(0).cast("long")
+        )
+        .otherwise(F.greatest(F.max("es").over(w) - F.col("es"), F.lit(0)))
+        .cast("long")
+        .alias("lag_s"),
+    )
+    late = F.when(F.col("lag_s") > 600, 1).otherwise(0)
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(late).cast("long").alias("n_late"),
+            F.expr(
+                "CAST((2 * 1000 * sum(CASE WHEN lag_s > 600 THEN 1 ELSE 0 END)"
+                " + count(*)) DIV (2 * count(*)) AS BIGINT)"
+            ).alias("late_permille"),
+            F.max("lag_s").cast("long").alias("max_lag_s"),
+        )
+        .orderBy("event_type")
+    )

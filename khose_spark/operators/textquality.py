@@ -564,3 +564,102 @@ def q_llm_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()  # per-lang rows; release the ranked cache
     ranked.unpersist()
     return out
+
+
+@query(
+    "q_llm_jsd_sources",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), st AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS c_st
+      FROM toks GROUP BY 1, 2
+    ), ct AS (
+      SELECT term, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1
+    ), ns AS (
+      SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1
+    ), n AS (
+      SELECT CAST(sum(c_st) AS BIGINT) AS n_tot FROM st
+    ), folds AS (
+      SELECT st.source,
+             CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(any_value(ns.n_s) AS BIGINT) AS n_tokens,
+             sum((CAST(st.c_st AS DOUBLE) / ns.n_s)
+                 * log2(2.0 * (CAST(st.c_st AS DOUBLE) / ns.n_s)
+                        / (CAST(st.c_st AS DOUBLE) / ns.n_s
+                           + CAST(ct.c_t AS DOUBLE) / n.n_tot))
+                 + (CAST(ct.c_t AS DOUBLE) / n.n_tot)
+                 * log2(2.0 * (CAST(ct.c_t AS DOUBLE) / n.n_tot)
+                        / (CAST(st.c_st AS DOUBLE) / ns.n_s
+                           + CAST(ct.c_t AS DOUBLE) / n.n_tot))) AS s_in,
+             sum(CAST(ct.c_t AS DOUBLE) / n.n_tot) AS q_in
+      FROM st
+      JOIN ct ON ct.term = st.term
+      JOIN ns ON ns.source = st.source
+      CROSS JOIN n
+      GROUP BY st.source
+    )
+    SELECT source, n_terms, n_tokens,
+           round(0.5 * s_in + 0.5 * (1.0 - q_in), 6) AS jsd_r6,
+           round(sqrt(0.5 * s_in + 0.5 * (1.0 - q_in)), 6)
+               AS js_dist_r6
+    FROM folds ORDER BY source
+    """,
+)
+def q_llm_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    against the whole corpus - the SYMMETRIC, bounded [0,1] partner of
+    q_llm_kl_divergence (KL is infinite when the corpus has terms the
+    source lacks and depends on argument order; JSD is the metric the
+    dataset-mixture dashboards actually want because sqrt(JSD) is a
+    true distance). Per source: JSD(P_s || P_corpus) in bits and the
+    JS distance.
+
+    Determinism/exactness: all term counts are exact int64; the key
+    evaluates ONLY over terms present in the source using the absent-
+    term identity - a term with p=0 contributes q*log2(2q/(0+q)) =
+    q bits to the Q-side KL, so
+    JSD = 1/2*Sum_{t in s}[p*log2(2p/(p+q)) + q*log2(2q/(p+q))]
+        + 1/2*(1 - Sum_{t in s} q)
+    and the join relation never has to materialize the corpus-minus-
+    source vocabulary (the closed form IS the completeness argument).
+    Both engines fold the identical per-term doubles (the KL-fold
+    precedent), round-6.
+
+    Plan: map-side tokenize -> one (source, term) count shuffle -> a
+    term-keyed join against the corpus counts -> per-source fold. The
+    same linear shape as the KL key at any SF."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    st = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c_st")
+    )
+    ct = st.groupBy("term").agg(F.sum("c_st").cast("long").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("c_st").cast("long").alias("n_s"))
+    n = st.agg(F.sum("c_st").cast("long").alias("n_tot"))
+    p = F.col("c_st").cast("double") / F.col("n_s")
+    q = F.col("c_t").cast("double") / F.col("n_tot")
+    joined = (
+        st.join(ct, "term")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    folds = joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.any_value("n_s").cast("long").alias("n_tokens"),
+        F.sum(
+            p * F.log2(2.0 * p / (p + q)) + q * F.log2(2.0 * q / (p + q))
+        ).alias("s_in"),
+        F.sum(q).alias("q_in"),
+    )
+    jsd = 0.5 * F.col("s_in") + 0.5 * (1.0 - F.col("q_in"))
+    return folds.select(
+        "source",
+        "n_terms",
+        "n_tokens",
+        F.round(jsd, 6).alias("jsd_r6"),
+        F.round(F.sqrt(jsd), 6).alias("js_dist_r6"),
+    ).orderBy("source")

@@ -4397,3 +4397,140 @@ def q_ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("h"), 4).alias("hurst"),
         )
     )
+
+
+@query(
+    "q_ts_croston",
+    oracle="""
+    WITH RECURSIVE purch AS (
+      SELECT user_id,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS dx,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100 ) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ), users AS (
+      SELECT user_id FROM purch GROUP BY user_id
+    ), grid AS (
+      SELECT u.user_id, CAST(g.dx AS BIGINT) AS dx
+      FROM users u CROSS JOIN (SELECT unnest(range(0, 30)) AS dx) g
+    ), spine AS (
+      SELECT grid.user_id, grid.dx, coalesce(p.cents, 0) AS d
+      FROM grid LEFT JOIN purch p
+        ON p.user_id = grid.user_id AND p.dx = grid.dx
+    ), first_d AS (
+      SELECT user_id, min(dx) AS f_dx FROM spine WHERE d > 0
+      GROUP BY user_id
+    ), init AS (
+      SELECT s.user_id, s.dx AS rn,
+             s.d AS z, f.f_dx + 1 AS p, CAST(1 AS BIGINT) AS q,
+             CAST(1 AS BIGINT) AS n_demands
+      FROM spine s JOIN first_d f
+        ON f.user_id = s.user_id AND s.dx = f.f_dx
+    ), cro AS (
+      SELECT user_id, rn, z, p, q, n_demands FROM init
+      UNION ALL
+      SELECT c.user_id, c.rn + 1,
+             CASE WHEN s.d > 0 THEN c.z + (s.d - c.z) // 2 ELSE c.z END,
+             CASE WHEN s.d > 0 THEN c.p + (c.q - c.p) // 2 ELSE c.p END,
+             CASE WHEN s.d > 0 THEN 1 ELSE c.q + 1 END,
+             c.n_demands + CASE WHEN s.d > 0 THEN 1 ELSE 0 END
+      FROM cro c JOIN spine s
+        ON s.user_id = c.user_id AND s.dx = c.rn + 1
+      WHERE c.rn < 29
+    )
+    SELECT user_id,
+           CAST(n_demands AS BIGINT) AS n_demands,
+           CAST(z AS BIGINT) AS z_cents,
+           CAST(p AS BIGINT) AS p_interval,
+           CAST((2 * 1000 * z + p) // (2 * p) AS BIGINT) AS fc_milli
+    FROM cro WHERE rn = 29 ORDER BY user_id
+    """,
+)
+def q_ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for INTERMITTENT demand - the forecasting
+    member Holt/Holt-Winters cannot serve: per-user daily purchase
+    series are mostly zeros, and exponential smoothing of such a
+    series collapses toward zero between demands then jumps (the
+    classic Croston 1972 critique). Croston smooths TWO series
+    instead - nonzero demand sizes z and inter-demand intervals p -
+    and forecasts z/p demand per period, the number an inventory /
+    capacity planner actually provisions.
+
+    Determinism/exactness: alpha = 1/2 with TRUNCATING-division
+    updates z += tdiv2(d - z), p += tdiv2(q - p) (DuckDB's integer //
+    truncates toward zero on negatives while Python's floors - the
+    holt/holt_winters tdiv law, re-learned here), so the whole
+    recursion is exact integer; the final forecast reports as exact
+    half-up milli-cents-per-day. The spine is the fixed 30-day
+    horizon, so state is (z, p, q) per user - three ints.
+
+    Plan: one pushed purchase-filtered (user, day) rollup shuffle,
+    then ``applyInPandas`` per user over <= 30-row partitions (the
+    LTTB/DTW sequential-kernel precedent - the recursion is
+    irreducible, Croston IS a recurrence); the oracle replays it as a
+    recursive CTE over the same zero-filled spine. At 100 TB: one
+    user-keyed shuffle, per-user state is O(1)."""
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    purch = ev.groupBy(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+        .cast("long")
+        .alias("dx"),
+    ).agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .alias("cents")
+    )
+
+    def croston(pdf: pd.DataFrame) -> pd.DataFrame:
+        def tdiv2(a: int) -> int:
+            # DuckDB's integer // TRUNCATES toward zero on negatives
+            # (the holt/holt_winters tdiv law); Python's // floors.
+            return -((-a) // 2) if a < 0 else a // 2
+
+        by_day = dict(zip(pdf["dx"], pdf["cents"]))
+        z = p = q = None
+        n_dem = 0
+        for dx in range(30):
+            d = int(by_day.get(dx, 0))
+            if z is None:
+                if d > 0:
+                    z, p, q, n_dem = d, dx + 1, 1, 1
+                continue
+            if d > 0:
+                z = z + tdiv2(d - z)
+                p = p + tdiv2(q - p)
+                q = 1
+                n_dem += 1
+            else:
+                q += 1
+        if z is None:
+            return pd.DataFrame(
+                columns=[
+                    "user_id", "n_demands", "z_cents", "p_interval",
+                    "fc_milli",
+                ]
+            )
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_demands": [n_dem],
+                "z_cents": [z],
+                "p_interval": [p],
+                "fc_milli": [(2 * 1000 * z + p) // (2 * p)],
+            }
+        )
+
+    return (
+        purch.groupBy("user_id")
+        .applyInPandas(
+            croston,
+            "user_id long, n_demands long, z_cents long, "
+            "p_interval long, fc_milli long",
+        )
+        .orderBy("user_id")
+    )

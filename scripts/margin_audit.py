@@ -358,6 +358,134 @@ LAWS: dict[str, dict] = {
         FROM toks
         """,
     },
+    "cuped_quadratic_decimal38": {
+        "keys": ["q_ml_cuped", "q_ml_power_mde"],
+        "carrier": DEC38,
+        "law": "pooled CUPED fold products n·Sxx / n·Sxy / n·Syy over"
+        " per-user pre/post cents carry DECIMAL(38,0)/HUGEINT (widened"
+        " AT REGISTRATION, r11): per-user cents ~1e6 at 1× make the"
+        " n-scaled quadratics ~1e16 and they gain TWO decades per data"
+        " decade (users × per-user²), crossing int64 before 100×",
+        "sql": """
+        WITH pu AS (
+          SELECT user_id,
+                 CAST(coalesce(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0)
+                      AS BIGINT) AS x,
+                 CAST(coalesce(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0)
+                      AS BIGINT) AS y
+          FROM events GROUP BY user_id
+        ), g AS (
+          SELECT CAST(count(*) AS HUGEINT) AS n,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy,
+                 sum(CAST(y AS HUGEINT) * y) AS syy
+          FROM pu
+        )
+        SELECT CAST(n AS DOUBLE) * greatest(
+                 CAST(sxx AS DOUBLE), CAST(sxy AS DOUBLE),
+                 CAST(syy AS DOUBLE)) AS measured
+        FROM g
+        """,
+    },
+    "bh_fdr_pairdelta_decimal38": {
+        "keys": ["q_ml_bh_fdr"],
+        "carrier": DEC38,
+        "law": "per-pair n·Sdd over daily-cents deltas carries"
+        " DECIMAL(38,0)/HUGEINT (widened AT REGISTRATION, r11): daily"
+        " cents scale linearly with the factor so d² is quadratic —"
+        " ~1e20 at 3000×, two decades over int64",
+        "sql": """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+                     AS cents
+          FROM events GROUP BY 1, 2
+        ), pairs AS (
+          SELECT a.event_type AS ta, b.event_type AS tb,
+                 CAST(count(*) AS HUGEINT) AS n,
+                 sum(CAST(a.cents - b.cents AS HUGEINT)
+                     * (a.cents - b.cents)) AS sdd
+          FROM daily a JOIN daily b
+            ON a.d = b.d AND a.event_type < b.event_type
+          GROUP BY 1, 2
+        )
+        SELECT max(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)) AS measured
+        FROM pairs
+        """,
+    },
+    "eventstudy_car_int64": {
+        "keys": ["q_ts_event_study"],
+        "carrier": INT64,
+        "law": "car_scaled = n_pre·S_evt − n_evt·S_pre stays exact"
+        " int64 (linear per decade: window sums are day-bounded so the"
+        " product is ~15·5·daily-cents ~ 4e12 at 3000×, >6 decades"
+        " spare); the second moment Σcents² rides the shared"
+        " DECIMAL(38) daily-quadratic family",
+        "sql": """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+                     AS cents
+          FROM events
+          WHERE CAST(ts AS DATE) < DATE '2024-01-16'
+             OR (CAST(ts AS DATE) >= DATE '2024-01-18'
+                 AND CAST(ts AS DATE) <= DATE '2024-01-22')
+          GROUP BY 1, 2
+        ), pt AS (
+          SELECT event_type,
+                 CAST(count(CASE WHEN d < DATE '2024-01-16' THEN 1 END)
+                      AS HUGEINT) AS n_pre,
+                 CAST(count(CASE WHEN d >= DATE '2024-01-18' THEN 1 END)
+                      AS HUGEINT) AS n_evt,
+                 CAST(coalesce(sum(CASE WHEN d < DATE '2024-01-16'
+                                        THEN cents END), 0) AS HUGEINT)
+                     AS s_pre,
+                 CAST(coalesce(sum(CASE WHEN d >= DATE '2024-01-18'
+                                        THEN cents END), 0) AS HUGEINT)
+                     AS s_evt
+          FROM daily GROUP BY event_type
+        )
+        SELECT max(abs(CAST(n_pre * s_evt - n_evt * s_pre AS DOUBLE)))
+               AS measured
+        FROM pt
+        """,
+    },
+    "engle_granger_ols_decimal38": {
+        "keys": ["q_ts_engle_granger"],
+        "carrier": DEC38,
+        "law": "OLS fold products n·Sxx / n·Sxy over the click/purchase"
+        " daily pivot carry DECIMAL(38,0)/HUGEINT (widened AT"
+        " REGISTRATION, r11); the RESIDUAL stage is double BY DESIGN —"
+        " the integer carrier n·den·e_t would measure ~1e38 at the"
+        " events-10000× decade, zero headroom, so no integer residual"
+        " is ever materialized",
+        "sql": """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 CAST(sum(CASE WHEN event_type = 'click'
+                      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      END) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      END) AS BIGINT) AS y
+          FROM events WHERE event_type IN ('click', 'purchase')
+          GROUP BY 1
+          HAVING count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+             AND count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+        ), g AS (
+          SELECT CAST(count(*) AS HUGEINT) AS n,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy
+          FROM daily
+        )
+        SELECT CAST(n AS DOUBLE)
+               * greatest(CAST(sxx AS DOUBLE), CAST(sxy AS DOUBLE))
+               AS measured
+        FROM g
+        """,
+    },
 }
 
 
@@ -372,6 +500,12 @@ EVENTS_ONLY_LAWS = {
     "ar1_cramer_decimal38",
     "bollinger_quadform_decimal38",
     "stl_quadsum_decimal38",
+    # r11 waves 4-5: the experimentation family's quadratic carriers
+    # (all events-only reads).
+    "cuped_quadratic_decimal38",
+    "bh_fdr_pairdelta_decimal38",
+    "eventstudy_car_int64",
+    "engle_granger_ols_decimal38",
 }
 
 # Laws that read ONLY lineitem/orders — the other carrier class the
@@ -418,7 +552,14 @@ def ensure_table_scale(
         f"{k} + c.i * 1000000000 AS {k}" for k in key_cols
     )
     con = duckdb.connect()
-    con.sql("SET memory_limit='24GB'")
+    # 64 GB of the 128 GiB host (override via KHOSE_DUCKDB_MEM): the
+    # 3000x shapley/modularity laws spill tens of GB under a 24 GB cap
+    # (two disk-full casualties in r11) but fit mostly in memory here.
+    con.sql(
+        "SET memory_limit='"
+        + os.environ.get("KHOSE_DUCKDB_MEM", "64GB")
+        + "'"
+    )
     con.sql("SET temp_directory='/tmp/khose_duckdb_spill'")
     # Without this, COPY preserves insertion order by BUFFERING the
     # whole replicated relation (600M lineitem rows spilled >60 GB and
@@ -464,7 +605,14 @@ def run(
     import duckdb
 
     con = duckdb.connect()
-    con.sql("SET memory_limit='24GB'")
+    # 64 GB of the 128 GiB host (override via KHOSE_DUCKDB_MEM): the
+    # 3000x shapley/modularity laws spill tens of GB under a 24 GB cap
+    # (two disk-full casualties in r11) but fit mostly in memory here.
+    con.sql(
+        "SET memory_limit='"
+        + os.environ.get("KHOSE_DUCKDB_MEM", "64GB")
+        + "'"
+    )
     con.sql("SET temp_directory='/tmp/khose_duckdb_spill'")
     overrides = overrides or {}
     for tname in TABLES:
@@ -545,6 +693,20 @@ def main() -> int:
             overrides.update(ensure_lineitem_scale(sf_dir, f))
             law_subset = LINEITEM_FAMILY_LAWS
             tag = f"{sf_dir} [lineitem x{f}]"
+    for a in sys.argv[1:]:
+        if a.startswith("--laws="):
+            # Re-run a named subset (e.g. laws that ERRORed on a
+            # transient disk-full) and MERGE into the dir's existing
+            # entry instead of replacing it — the other laws' measured
+            # rows survive.
+            named = set(a.split("=", 1)[1].split(","))
+            unknown = named - set(LAWS)
+            if unknown:
+                print(f"unknown laws: {sorted(unknown)}", file=sys.stderr)
+                return 2
+            law_subset = named if law_subset is None else (
+                law_subset & named
+            ) or named
     report = run(sf_dir, overrides=overrides, law_subset=law_subset)
     if tag:
         report["dir"] = tag
@@ -556,6 +718,16 @@ def main() -> int:
             merged = json.load(open(path))
         except (OSError, ValueError):
             merged = {}
+    prior = merged.get(sf_dir)
+    if prior and isinstance(prior.get("laws"), dict):
+        # Per-law merge: a subset re-run refreshes only the laws it
+        # measured; green is recomputed over the merged set.
+        prior["laws"].update(report["laws"])
+        prior["green"] = all(
+            v.get("status") == "ok" for v in prior["laws"].values()
+        )
+        prior["dir"] = report["dir"]
+        report = prior
     merged[sf_dir] = report
     with open(path, "w") as f:
         json.dump(merged, f, indent=1, sort_keys=True)

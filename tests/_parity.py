@@ -115,6 +115,7 @@ MEMO_CREATORS = {
     "q_graph_two_hop",
     "q_graph_modularity",
     "q_graph_louvain_round",
+    "q_graph_conductance",
 }
 
 # Total sanctioned session-wide SQL-cache entries: the memo above is

@@ -157,6 +157,9 @@ BNLJ_ALLOWED = {
                                 # (the kmeans map-side collapse idiom)
     "q_llm_kl_divergence",      # 1-row corpus-total aggregate broadcast-
                                 # crossed into the per-source term stats
+    "q_llm_jsd_sources",        # same shape: 1-row corpus-total
+                                # aggregate broadcast-crossed into the
+                                # per-source term stats
     "q_llm_bloom_prefilter",    # 1-row filter-saturation stats broadcast-
                                 # crossed into the 1-row FP audit
     "q_graph_triangles",        # 1-row grand-total aggregate broadcast-
@@ -260,6 +263,9 @@ BNLJ_ALLOWED = {
                                 # folds broadcast-crossed into the
                                 # community-bounded audit (the
                                 # modularity shape, twice)
+    "q_graph_conductance",      # 1-row m2 fold broadcast-crossed into
+                                # the 25-nation vol/cut relation (the
+                                # modularity shape)
     "q_ml_cuped",               # 1-row pooled-moment fold broadcast-
                                 # crossed into the 2-row arm fold (the
                                 # scalar-subquery idiom)
@@ -306,6 +312,10 @@ MAX_SHUFFLES = {
                                   # windows, then grp/tot/folds — every
                                   # post-rollup relation days×types-
                                   # bounded
+    "q_graph_conductance": 7,     # audited 6: backbone label joins +
+                                  # m2/nodes/per_c folds over the
+                                  # nation-bounded relation (the
+                                  # modularity shape + the nodes join)
     "q_graph_modularity": 6,      # audited 5 (interior): m2/nodes/
                                   # per_c folds over the supplier-
                                   # bounded backbone join; returned
@@ -483,6 +493,9 @@ MAX_SHUFFLES = {
                                   # term join (AQE decides broadcast) +
                                   # totals; persisted term stats embedded
                                   # 4x in the string (audited: 8)
+    "q_llm_jsd_sources": 10,      # the KL shape: (source,term) agg +
+                                  # ct/ns/n re-aggs over it + term join
+                                  # + per-source fold (audited: 8)
     "q_llm_heaps": 7,             # first-occurrence agg + novel re-agg +
                                   # rank/cumsum windows + regression agg;
                                   # persisted ranked relation embedded 2x
