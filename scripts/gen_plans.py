@@ -102,6 +102,17 @@ SHOWCASE = [
     "q_llm_dsir",
     "q_ml_kruskal_wallis",
     "q_ts_holt_winters",
+    # Round-11 families: pooled-moment CUPED fold, per-source cap
+    # window, absent-term-identity JSD join, user-window disorder
+    # audit, patch-grid mapInPandas kernel, per-user Croston
+    # recursion, backbone conductance folds.
+    "q_ml_cuped",
+    "q_llm_domain_cap",
+    "q_llm_jsd_sources",
+    "q_stream_disorder_batchsem",
+    "q_mm_patchify",
+    "q_ts_croston",
+    "q_graph_conductance",
 ]
 
 LAYOUT_NOTES = """\
