@@ -343,11 +343,21 @@ def _session():
 
     # Hostile session on purpose: non-UTC tz proves prep_session repairs
     # the driver's session rather than relying on a friendly default.
+    # Heap/partition overrides for the decade probes: 8g/32 is right
+    # for the graded scales, but a 1.8B-row (3000×) digest run OOMs the
+    # single local JVM — the 3000× retry runs with
+    # SPARK_GRAFT_DRIVER_MEM=48g SPARK_GRAFT_SHUFFLE=128.
     return (
         SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+        )
         .config("spark.sql.session.timeZone", "America/New_York")
-        .config("spark.driver.memory", "8g")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .appName("khose-verify-sweep")
         .getOrCreate()
     )
