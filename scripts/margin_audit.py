@@ -547,6 +547,23 @@ def ensure_table_scale(
     out = os.path.join(dest, f"{table}.parquet")
     if os.path.exists(marker):
         return out
+    # Disk pre-flight (r11: two mid-COPY/mid-law ENOSPC casualties):
+    # projected size = factor x the base parquet (replication does not
+    # compress better — measured 32 GB for lineitem x3000 from 10.8 MB),
+    # plus a 20 GB working margin for DuckDB spill during the laws.
+    # Refuse UP FRONT with the budget math instead of dying mid-write.
+    base_bytes = os.path.getsize(f"{base_dir}/{table}.parquet")
+    projected = base_bytes * factor
+    free = os.statvfs("/tmp").f_bavail * os.statvfs("/tmp").f_frsize
+    margin = 20 * 1024**3
+    if projected + margin > free:
+        raise SystemExit(
+            f"refusing to materialize {table} x{factor}: projected "
+            f"{projected / 1e9:.1f} GB + {margin / 1e9:.0f} GB working "
+            f"margin > {free / 1e9:.1f} GB free on /tmp — pick a "
+            f"smaller factor (the r10 verdict sanctions falling back, "
+            f"e.g. 3000x instead of 10000x for lineitem)"
+        )
     os.makedirs(dest, exist_ok=True)
     repl = ", ".join(
         f"{k} + c.i * 1000000000 AS {k}" for k in key_cols
