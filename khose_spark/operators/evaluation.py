@@ -2921,7 +2921,10 @@ def q_ml_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tail = 0.3989422804014327 * F.exp(-az * az / 2.0) * poly
-    phi_z = F.when(z < 0, 1.0 - (1.0 - tail)).otherwise(1.0 - tail)
+    # Mirror the oracle's CASE exactly: z<0 -> tail directly (NOT
+    # 1-(1-tail), whose double rounding can differ by 1 ulp and flip
+    # the floor(1e6*phi_z) quantization across engines).
+    phi_z = F.when(z < 0, tail).otherwise(1.0 - tail)
     return counts.select(
         "n_a",
         "s_a",

@@ -1253,9 +1253,14 @@ def q_priv_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (u2 = -|2*cum - n|, exact int64 - no halves), and the mechanism's
     weight exp(eps*u/2) is audited in its deterministic eps -> inf
     limit: the released bin is the utility argmax, with an md5-seeded
-    sub-unit jitter (scale 1000 per utility unit, jitter < 1000 -
-    provably reorders only exact ties, the dp_topk seeded-mechanism
-    law) standing in for the sampler so the release is hash-checkable.
+    jitter (scale 1000 per utility unit; the nibble arithmetic
+    15*64 + 15*4 + 15%4 maxes at 1023, i.e. the jitter may exceed one
+    scale unit) standing in for the sampler so the release is
+    hash-checkable. The argmax invariant survives NOT because the
+    jitter is sub-unit but because the DOUBLED utility u2 makes the
+    minimum nonzero score gap 2*1000 = 2000 > 1023 — any edit that
+    un-doubles the utility or reuses this jitter against a unit-step
+    score must first re-check jitter_max < score_gap.
     True counts ride along because this key is the release AUDIT.
 
     Determinism/exactness: all-integer - bin counts, running ranks,

@@ -3580,8 +3580,23 @@ def q_ml_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_a_milli"),
         F.round(s2, 2).alias("sigma2_r2"),
         F.round(mde, 4).alias("mde_cents_r4"),
-        F.round(1000.0 * mde / mean_a, 4).alias("mde_rel_permille_r4"),
-        F.ceil(2.0 * s2 * zz * zz / ((0.05 * mean_a) * (0.05 * mean_a)))
+        # Mirror the oracle's left-associative trees exactly:
+        # (1000.0*zz)*sqrt(...)/mean_a and delta=(0.05*sy_a)/n_a —
+        # NOT 1000.0*(zz*sqrt) / 0.05*(sy_a/n_a), which can differ by
+        # 1 ulp and flip the round()/ceil() boundary across engines.
+        F.round(
+            (1000.0 * zz)
+            * F.sqrt(s2 * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+            / mean_a,
+            4,
+        ).alias("mde_rel_permille_r4"),
+        F.ceil(
+            2.0 * s2 * zz * zz
+            / (
+                (0.05 * F.col("sy_a").cast("double") / F.col("n_a"))
+                * (0.05 * F.col("sy_a").cast("double") / F.col("n_a"))
+            )
+        )
         .cast("long")
         .alias("n_req_5pct"),
     )

@@ -542,7 +542,14 @@ def ensure_table_scale(
     instead of a full fixture materialization."""
     import duckdb
 
-    dest = f"/tmp/khose_margin_{table}_x{factor}"
+    scratch = os.environ.get(
+        "KHOSE_MARGIN_SCRATCH",
+        os.path.dirname(
+            os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/khose_scale")
+        )
+        or "/tmp",
+    )
+    dest = os.path.join(scratch, f"khose_margin_{table}_x{factor}")
     marker = os.path.join(dest, f"_{table.upper()}_x{factor}_OK")
     out = os.path.join(dest, f"{table}.parquet")
     if os.path.exists(marker):
@@ -554,13 +561,16 @@ def ensure_table_scale(
     # Refuse UP FRONT with the budget math instead of dying mid-write.
     base_bytes = os.path.getsize(f"{base_dir}/{table}.parquet")
     projected = base_bytes * factor
-    free = os.statvfs("/tmp").f_bavail * os.statvfs("/tmp").f_frsize
+    # statvfs the filesystem we actually write to (scratch may be on
+    # a different mount than /tmp when SPARK_GRAFT_SCALE_DIR is set).
+    st = os.statvfs(scratch if os.path.isdir(scratch) else "/tmp")
+    free = st.f_bavail * st.f_frsize
     margin = 20 * 1024**3
     if projected + margin > free:
         raise SystemExit(
             f"refusing to materialize {table} x{factor}: projected "
             f"{projected / 1e9:.1f} GB + {margin / 1e9:.0f} GB working "
-            f"margin > {free / 1e9:.1f} GB free on /tmp — pick a "
+            f"margin > {free / 1e9:.1f} GB free on {scratch} — pick a "
             f"smaller factor (the r10 verdict sanctions falling back, "
             f"e.g. 3000x instead of 10000x for lineitem)"
         )
@@ -721,9 +731,24 @@ def main() -> int:
             if unknown:
                 print(f"unknown laws: {sorted(unknown)}", file=sys.stderr)
                 return 2
-            law_subset = named if law_subset is None else (
-                law_subset & named
-            ) or named
+            if law_subset is None:
+                law_subset = named
+            else:
+                # Decade probes restrict to a family subset; a --laws
+                # list entirely outside that family would previously
+                # fall back to the full named set and run out-of-family
+                # laws against a dir where only one table is scaled,
+                # merging misleading "measured" margins. Error instead.
+                inter = law_subset & named
+                if not inter:
+                    print(
+                        "--laws does not intersect the active family "
+                        f"subset: {sorted(named)} vs "
+                        f"{sorted(law_subset)}",
+                        file=sys.stderr,
+                    )
+                    return 2
+                law_subset = inter
     report = run(sf_dir, overrides=overrides, law_subset=law_subset)
     if tag:
         report["dir"] = tag
