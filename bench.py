@@ -174,6 +174,9 @@ HEADLINE = [
     "q_dq_temporal_fk",
     "q_graph_conductance",
     "q_llm_watermark_detect",
+    # Round-12: the composed 6-stage curation funnel (two corpus scans
+    # + the chunk-dedup exchange — the heaviest honest curation key).
+    "q_llm_curation_pipeline",
 ]
 
 
@@ -840,6 +843,57 @@ def ingest_gate_10x(spark, ten_x_dir: str, ing10, sf=None) -> tuple[dict, dict]:
     return gate, best
 
 
+# Indexed-ANN lifecycle: build step -> the registered SEARCH keys that
+# read its tables (VERDICT r11 item 2). Builds are timed first-touch and
+# separately; the per-key headline numbers then measure search only.
+ANN_LIFECYCLE = [
+    (
+        "pq_sampled",
+        "khose_spark.operators.similarity",
+        "build_pq_index",
+        ["q_llm_ann_pq_indexed", "q_llm_ann_pq_rerank"],
+    ),
+    (
+        "pq_fixedk",
+        "khose_spark.operators.similarity_fixedk",
+        "build_pq_index_fixedk",
+        [
+            "q_llm_ann_pq_indexed_fixedk",
+            "q_llm_ann_pq_rerank_fixedk",
+            "q_llm_ann_pq_rerank_scaled",
+        ],
+    ),
+    (
+        "ivfpq_fixedk",
+        "khose_spark.operators.similarity_fixedk",
+        "build_ivfpq_index_fixedk",
+        ["q_llm_ann_pq_probed_scaled"],
+    ),
+]
+
+
+def run_ann_lifecycle(spark, sf_dir: str, names: list[str]) -> dict:
+    """Time each index build once (first touch populates the session
+    cache keyed on (applicationId, sf_dir)); return per-build seconds
+    plus the search keys whose headline timings are therefore
+    search-only. Builds whose search keys aren't in this run are
+    skipped — no wasted writes on --all subsets or dev key lists."""
+    import importlib
+
+    out: dict[str, dict] = {}
+    wanted = set(names)
+    for label, mod_name, fn_name, search_keys in ANN_LIFECYCLE:
+        if not wanted & set(search_keys):
+            continue
+        fn = getattr(importlib.import_module(mod_name), fn_name)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir)
+        dt = round(time.perf_counter() - t0, 3)
+        out[label] = {"build_sec": dt, "search_keys": search_keys}
+        print(f"# ann build {label}: {dt:.3f}s", file=sys.stderr)
+    return out
+
+
 def _family(name: str) -> str:
     """Bucket a query key into its operator family (q_<fam>_...)."""
     parts = name.split("_")
@@ -913,6 +967,14 @@ def main() -> None:
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # plan, not session startup.
     registry.QUERIES[names[0]](spark, sf_dir).count()
+
+    # VERDICT r11 item 2: run the one-time ANN index BUILDS up front and
+    # time them separately, so the headline timings for the indexed-ANN
+    # keys measure the SEARCH path only (their session index cache is
+    # hot by the time the loop reaches them) and the regression gate
+    # gates the search number — a genuine search regression can no
+    # longer hide inside build noise, and the build cost is recorded.
+    ann_lifecycle = run_ann_lifecycle(spark, sf_dir, names)
 
     total = 0.0
     for name in names:
@@ -989,6 +1051,14 @@ def main() -> None:
         "ingest": ing,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if ann_lifecycle:
+        # Attach the measured search-only seconds next to each build so
+        # the lifecycle reads as one block: build once, search many.
+        for blk in ann_lifecycle.values():
+            blk["search_sec"] = {
+                k: timings[k] for k in blk["search_keys"] if k in timings
+            }
+        payload["ann_lifecycle"] = ann_lifecycle
     if ing10 is not None:
         payload["ingest_10x"] = ing10
     if scaling is not None:
@@ -1012,7 +1082,18 @@ def main() -> None:
     # guaranteed to fit — per-query timings at 1 decimal for every query
     # above an adaptive threshold, the noise-floor rest as one subtotal.
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
+    # Preserve side-channel blocks other tools merged into the sidecar
+    # (scripts/ab_bench.py writes interleaved A/B results as ab_vs_*) —
+    # a bench rewrite must not erase that evidence.
+    try:
+        prior_detail = json.load(open(detail_path))
+        for k, v in prior_detail.items():
+            if k.startswith("ab_vs_") and k not in payload:
+                payload[k] = v
+    except (OSError, ValueError):
+        pass
+    with open(detail_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
     print(json.dumps(_compact_line(payload), separators=(",", ":")))
     spark.stop()

@@ -1,0 +1,339 @@
+"""Round-12 series-representation operators (SURVEY.md §2 ts family):
+exact dyadic EWMA, the SAD matrix profile (discord discovery), and
+PAA + SAX symbolization — the time-series REPRESENTATION block that
+the smoothing/forecasting keys (Holt, Holt-Winters, Croston, LTTB, M4)
+don't cover: a recursive filter made closed-form, a similarity
+self-profile, and a symbolic compression.
+
+All three run over the daily purchase-revenue series (the shared
+zero-float carrier: whole cents from the DECIMAL(18,2) cast law) and
+are exact-integer end to end — even the EWMA, whose λ=1/2 recursion is
+carried as a dyadic integer (see q_ts_ewma).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from khose_spark.registry import query
+from khose_spark.tables import t
+
+_DAILY_CENTS_SQL = """
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+"""
+
+
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared daily purchase-revenue relation (exact whole cents)."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return (
+        ev.select(
+            F.to_date("ts").alias("d"),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+
+
+@query(
+    "q_ts_ewma_exact",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}
+    ), numbered AS (
+      SELECT d, cents,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS day_no
+      FROM daily
+    ), carrier AS (
+      SELECT d, day_no, cents,
+             sum(CAST(cents AS DECIMAL(38,0))
+                 * (CAST(1 AS BIGINT)
+                    << CAST(greatest(day_no - 2, 0) AS INT)))
+               OVER (ORDER BY day_no ROWS UNBOUNDED PRECEDING)
+               AS e_carrier
+      FROM numbered
+    )
+    SELECT CAST(d AS VARCHAR) AS day, day_no, cents,
+           CAST((2 * 1000 * CAST(e_carrier AS HUGEINT)
+                 + (CAST(1 AS BIGINT) << CAST(day_no - 1 AS INT)))
+                // (2 * (CAST(1 AS BIGINT) << CAST(day_no - 1 AS INT)))
+                AS BIGINT) AS ewma_milli
+    FROM carrier ORDER BY day_no
+    """,
+)
+def q_ts_ewma_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA of daily revenue with λ=1/2, computed EXACTLY — the
+    integer-carrier twin of the float q_ts_ewma (timeseries.py) — no float
+    recursion and no recursive CTE: e_t = (x_t + e_{t-1})/2 with
+    e_1 = x_1 unrolls to the closed form
+    E_t := 2^(t-1)·e_t = x_1 + Σ_{i=2..t} 2^(i-2)·x_i — a dyadic
+    integer CARRIER that is just a weighted running sum. The smoothed
+    value returns as exact half-up milli-cents via the house doubled
+    division against the 2^(t-1) denominator. The λ=1/2 dyadic trick is
+    what lets a recursive filter join the hash-checked board exactly
+    (Holt/Croston pay a recursive-CTE oracle for arbitrary λ; this is
+    the closed-form member).
+
+    Carrier magnitude: day T≈31 ⇒ weight 2^29; daily cents ~5e8 at
+    sf0.1 ⇒ terms ~2.7e17 and E_T ~5.4e17 — inside int64 at the graded
+    scales, but ×3000 at the events decade crosses 9.2e18, so the fold
+    runs in DECIMAL(38,0) from registration (the linreg precedent; 20
+    decades of headroom).
+
+    Plan: one pushed (day) rollup (the only fact-scale work) + one
+    ordered running-sum window over the ~31-row day spine. At 100 TB
+    the day relation stays days-bounded; nothing else moves."""
+    daily = _daily_cents(spark, sf_dir)
+    w_no = Window.orderBy("d")
+    numbered = daily.select(
+        "d",
+        "cents",
+        F.row_number().over(w_no).cast("long").alias("day_no"),
+    )
+    w_run = Window.orderBy("day_no").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    weight = F.expr(
+        "shiftleft(CAST(1 AS BIGINT),"
+        " CAST(greatest(day_no - 2, 0) AS INT))"
+    )
+    carrier = numbered.select(
+        "d",
+        "day_no",
+        "cents",
+        F.sum(F.col("cents").cast("decimal(38,0)") * weight)
+        .over(w_run)
+        .alias("e_carrier"),
+    )
+    return carrier.select(
+        F.col("d").cast("string").alias("day"),
+        "day_no",
+        "cents",
+        F.expr(
+            "CAST((2 * 1000 * e_carrier"
+            " + shiftleft(CAST(1 AS BIGINT), CAST(day_no - 1 AS INT)))"
+            " DIV (2 * shiftleft(CAST(1 AS BIGINT),"
+            " CAST(day_no - 1 AS INT))) AS BIGINT)"
+        ).alias("ewma_milli"),
+    ).orderBy("day_no")
+
+
+_MP_W = 5  # matrix-profile subsequence length (days)
+_MP_EXCL = 3  # trivial-match exclusion zone: |a - b| >= 3 (> w/2)
+
+
+@query(
+    "q_ts_sad_profile",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}
+    ), numbered AS (
+      SELECT cents,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS day_no
+      FROM daily
+    ), win AS (
+      SELECT day_no AS a,
+             cents AS v0,
+             lead(cents, 1) OVER (ORDER BY day_no) AS v1,
+             lead(cents, 2) OVER (ORDER BY day_no) AS v2,
+             lead(cents, 3) OVER (ORDER BY day_no) AS v3,
+             lead(cents, 4) OVER (ORDER BY day_no) AS v4
+      FROM numbered
+      QUALIFY lead(cents, {_MP_W - 1}) OVER (ORDER BY day_no)
+              IS NOT NULL
+    ), sad AS (
+      SELECT x.a, y.a AS b,
+             abs(x.v0 - y.v0) + abs(x.v1 - y.v1) + abs(x.v2 - y.v2)
+             + abs(x.v3 - y.v3) + abs(x.v4 - y.v4) AS sad
+      FROM win x JOIN win y
+        ON abs(x.a - y.a) >= {_MP_EXCL}
+    ), ranked AS (
+      SELECT a, b, sad,
+             row_number() OVER (PARTITION BY a ORDER BY sad, b) AS rn
+      FROM sad
+    )
+    SELECT a AS start_day_no, b AS nn_start_day_no,
+           CAST(sad AS BIGINT) AS sad_min
+    FROM ranked WHERE rn = 1 ORDER BY start_day_no
+    """,
+)
+def q_ts_sad_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile of the daily-revenue series under the SAD (sum of
+    absolute differences) distance: for every {_MP_W}-day subsequence,
+    the distance to its nearest non-trivial neighbor (exclusion zone
+    |a−b| ≥ {_MP_EXCL} > w/2, the standard trivial-match rule). The
+    profile's argmax is the series DISCORD (most anomalous week-shape)
+    and its argmin the dominant motif — the similarity-self-join member
+    of the ts family (DTW compares two series; this profiles one
+    against itself). SAD instead of z-normalized Euclidean keeps every
+    distance an exact int64 (the house no-float rule); nearest-neighbor
+    ties break on the smaller start index, a total order.
+
+    Plan: one pushed (day) rollup, lead-window subsequence extraction
+    over the ~31-row spine, a days-bounded (~27×27) self-join, one rank
+    window. All post-rollup relations are days-bounded — at 100 TB only
+    the day rollup touches the fact table; the profile itself is
+    constant work."""
+    daily = _daily_cents(spark, sf_dir)
+    w_no = Window.orderBy("d")
+    numbered = daily.select(
+        "cents",
+        F.row_number().over(w_no).cast("long").alias("day_no"),
+    )
+    w_lead = Window.orderBy("day_no")
+    win = (
+        numbered.select(
+            F.col("day_no").alias("a"),
+            F.col("cents").alias("v0"),
+            F.lead("cents", 1).over(w_lead).alias("v1"),
+            F.lead("cents", 2).over(w_lead).alias("v2"),
+            F.lead("cents", 3).over(w_lead).alias("v3"),
+            F.lead("cents", 4).over(w_lead).alias("v4"),
+        )
+        .filter(F.col("v4").isNotNull())
+    )
+    x, y = win.alias("x"), win.alias("y")
+    sad = x.join(
+        y,
+        F.abs(F.col("x.a") - F.col("y.a")) >= _MP_EXCL,
+    ).select(
+        F.col("x.a").alias("a"),
+        F.col("y.a").alias("b"),
+        (
+            F.abs(F.col("x.v0") - F.col("y.v0"))
+            + F.abs(F.col("x.v1") - F.col("y.v1"))
+            + F.abs(F.col("x.v2") - F.col("y.v2"))
+            + F.abs(F.col("x.v3") - F.col("y.v3"))
+            + F.abs(F.col("x.v4") - F.col("y.v4"))
+        ).alias("sad"),
+    )
+    w_rank = Window.partitionBy("a").orderBy("sad", "b")
+    return (
+        sad.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("a").alias("start_day_no"),
+            F.col("b").alias("nn_start_day_no"),
+            F.col("sad").cast("long").alias("sad_min"),
+        )
+        .orderBy("start_day_no")
+    )
+
+
+_PAA_SEG_DAYS = 5  # days per PAA segment
+_PAA_SEGS = 6  # segments (first 30 observed days)
+
+
+@query(
+    "q_ts_paa_sax",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}
+    ), numbered AS (
+      SELECT cents,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS day_no
+      FROM daily
+    ), seg AS (
+      SELECT 1 + (day_no - 1) // {_PAA_SEG_DAYS} AS segment_no,
+             CAST(min(day_no) AS BIGINT) AS start_day_no,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM numbered
+      WHERE day_no <= {_PAA_SEGS * _PAA_SEG_DAYS}
+      GROUP BY 1
+    ), bp AS (
+      SELECT max(CASE WHEN rnk = 2 THEN sum_cents END) AS q1,
+             max(CASE WHEN rnk = 3 THEN sum_cents END) AS q2,
+             max(CASE WHEN rnk = 5 THEN sum_cents END) AS q3
+      FROM (SELECT sum_cents,
+                   row_number() OVER (ORDER BY sum_cents, segment_no)
+                     AS rnk
+            FROM seg)
+    )
+    SELECT segment_no, start_day_no, sum_cents,
+           CAST((2 * 1000 * sum_cents + {_PAA_SEG_DAYS})
+                // (2 * {_PAA_SEG_DAYS}) AS BIGINT) AS mean_milli,
+           CASE WHEN sum_cents < q1 THEN 'a'
+                WHEN sum_cents < q2 THEN 'b'
+                WHEN sum_cents < q3 THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM seg CROSS JOIN bp ORDER BY segment_no
+    """,
+)
+def q_ts_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAA + SAX symbolization of the first 30 observed revenue days:
+    Piecewise Aggregate Approximation collapses the series into
+    {_PAA_SEGS} five-day segments (segment mean as exact half-up
+    milli-cents — the constant denominator makes the PAA itself
+    integer-exact), and each segment gets a SAX symbol a-d by its sum
+    against the EXACT rank-based quartiles of the six segment sums
+    (2nd, 3rd, 5th order statistics — actual data values, so the
+    breakpoints and the comparisons are all int64; classic SAX
+    z-normalizes against Gaussian breakpoints, which would put floats
+    in the symbol decision). The a-d word is the series' symbolic
+    index key — the representation SAX-based indexers bucket on.
+
+    Plan: one pushed (day) rollup + two windows over the ≤30-row spine
+    + a 1-row breakpoint fold crossed into 6 segment rows. Constant
+    work past the rollup at any scale."""
+    daily = _daily_cents(spark, sf_dir)
+    w_no = Window.orderBy("d")
+    numbered = daily.select(
+        "cents",
+        F.row_number().over(w_no).cast("long").alias("day_no"),
+    )
+    seg = (
+        numbered.filter(
+            F.col("day_no") <= _PAA_SEGS * _PAA_SEG_DAYS
+        )
+        .groupBy(
+            (1 + F.expr(f"(day_no - 1) DIV {_PAA_SEG_DAYS}")).alias(
+                "segment_no"
+            )
+        )
+        .agg(
+            F.min("day_no").cast("long").alias("start_day_no"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+    w_rnk = Window.orderBy("sum_cents", "segment_no")
+    bp = (
+        seg.select(
+            "sum_cents", F.row_number().over(w_rnk).alias("rnk")
+        )
+        .agg(
+            F.max(F.when(F.col("rnk") == 2, F.col("sum_cents"))).alias(
+                "q1"
+            ),
+            F.max(F.when(F.col("rnk") == 3, F.col("sum_cents"))).alias(
+                "q2"
+            ),
+            F.max(F.when(F.col("rnk") == 5, F.col("sum_cents"))).alias(
+                "q3"
+            ),
+        )
+    )
+    return (
+        seg.crossJoin(F.broadcast(bp))
+        .select(
+            "segment_no",
+            "start_day_no",
+            "sum_cents",
+            F.expr(
+                f"CAST((2 * 1000 * sum_cents + {_PAA_SEG_DAYS})"
+                f" DIV (2 * {_PAA_SEG_DAYS}) AS BIGINT)"
+            ).alias("mean_milli"),
+            F.when(F.col("sum_cents") < F.col("q1"), "a")
+            .when(F.col("sum_cents") < F.col("q2"), "b")
+            .when(F.col("sum_cents") < F.col("q3"), "c")
+            .otherwise("d")
+            .alias("symbol"),
+        )
+        .orderBy("segment_no")
+    )

@@ -478,3 +478,82 @@ def q_stream_disorder_batchsem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_stream_state_budget_batchsem",
+    oracle="""
+    WITH snap AS (
+      SELECT max(epoch_us(ts)) AS t_max FROM events
+    ), scored AS (
+      SELECT e.event_type, e.user_id,
+             CASE WHEN epoch_us(e.ts) > s.t_max - 600 * 1000000
+                  THEN 1 ELSE 0 END AS live
+      FROM events e CROSS JOIN snap s
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(live) AS BIGINT) AS live_rows,
+           CAST(count(DISTINCT CASE WHEN live = 1 THEN user_id END)
+                AS BIGINT) AS live_keys,
+           CAST(sum(live) * 24
+                + count(DISTINCT CASE WHEN live = 1 THEN user_id END)
+                  * 16 AS BIGINT) AS est_state_bytes,
+           CAST((2 * 1000 * sum(live) + count(*)) // (2 * count(*))
+                AS BIGINT) AS live_permille
+    FROM scored GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_stream_state_budget_batchsem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """State-store sizing audit for a 600 s-watermark streaming job —
+    the capacity-planning question every applyInPandasWithState /
+    dropDuplicatesWithinWatermark deployment must answer BEFORE going
+    to production: at the stream's current frontier (max event time),
+    how many rows and distinct keys per event type are still inside the
+    watermark horizon (i.e., must be held in state), and what does that
+    cost in bytes (documented constants: 24 B/buffered row + 16 B/key —
+    the audit's unit price, not a JVM measurement)? The live share per
+    type is the half-up permille a state-store eviction dashboard would
+    chart. Composes with q_stream_disorder_batchsem (which sizes the
+    WATERMARK from the disorder) — disorder picks the horizon, this key
+    prices it.
+
+    Exactness: event-time arithmetic in exact integer MICROSECONDS
+    (epoch_us / unix_micros — no float epoch), counts and the byte
+    model all int64, half-up permille.
+
+    Plan: 1-row frontier aggregate broadcast-crossed into the scan,
+    one (type)-keyed conditional agg with a distinct-count expansion.
+    At 100 TB: one fact pass + the |types|-bounded rollup."""
+    ev = t(spark, sf_dir, "events")
+    snap = ev.agg(F.max(F.unix_micros("ts")).alias("t_max"))
+    scored = ev.crossJoin(F.broadcast(snap)).select(
+        "event_type",
+        "user_id",
+        F.when(
+            F.unix_micros("ts") > F.col("t_max") - 600 * 1000000, 1
+        )
+        .otherwise(0)
+        .alias("live"),
+    )
+    live_user = F.when(F.col("live") == 1, F.col("user_id"))
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("live").cast("long").alias("live_rows"),
+            F.countDistinct(live_user).cast("long").alias("live_keys"),
+            (
+                F.sum("live") * 24 + F.countDistinct(live_user) * 16
+            )
+            .cast("long")
+            .alias("est_state_bytes"),
+            F.expr(
+                "CAST((2 * 1000 * sum(live) + count(*))"
+                " DIV (2 * count(*)) AS BIGINT)"
+            ).alias("live_permille"),
+        )
+        .orderBy("event_type")
+    )

@@ -20,6 +20,24 @@ registry.load_all()
 # cartesian over a broadcast side (tiny-by-construction), which is the
 # correct physical plan for these semantics.
 BNLJ_ALLOWED = {
+    "q_stream_state_budget_batchsem",  # 1-row stream-frontier (max ts)
+                               # aggregate broadcast-crossed into the
+                               # fact scan (the live-horizon predicate)
+    "q_llm_pack_efficiency",   # broadcast 3-row window-size dim
+                               # crossed with the 8-row bucket totals
+    "q_ts_sad_profile",        # days-bounded (~27x27) subsequence
+                               # self-join on the non-equi exclusion
+                               # |a-b| >= 3 (matrix-profile rule)
+    "q_ts_paa_sax",            # 1-row exact-quartile breakpoint fold
+                               # broadcast-crossed into 6 segment rows
+    "q_ml_levene_bf",          # 1-row F-statistic fold broadcast-
+                               # crossed back into the 5 group rows
+    "q_ml_cochran_q",          # 1-row corpus-totals aggregate
+                               # broadcast-crossed into the per-user
+                               # counts (the integer mean threshold)
+    "q_ml_page_trend",         # broadcast 4-row week dim crossed with
+                               # the distinct purchasing users (the
+                               # zero-fill grid, constant 4x)
     "q_join_cross",            # declared cartesian (region × nation)
     "q_dq_sequence_gaps",      # 1-row key-space bounds aggregate
                                # broadcast-crossed into the gap-start
@@ -286,6 +304,25 @@ BNLJ_ALLOWED = {
 # jaccard=7, simhash=4, scan_count=10 — ceilings leave AQE headroom).
 DEFAULT_MAX_SHUFFLES = 4
 MAX_SHUFFLES = {
+    "q_ml_levene_bf": 7,          # audited 7: exact-median rank window
+                                  # over the fact + the deviation pass's
+                                  # 5-row moment agg re-shuffle (two
+                                  # fact passes are inherent to an
+                                  # exact-median statistic), 1-row F
+                                  # fold, broadcast joins back, final
+                                  # 5-row sort
+    "q_llm_curation_pipeline": 11,  # audited 10: the COMPOSED 6-stage
+                                  # curation funnel — md5(text) dedup
+                                  # window, paragraph-chunk first-
+                                  # occurrence window + per-doc token
+                                  # re-agg + doc_id join-back (2), the
+                                  # source-cap and pack-bucket windows,
+                                  # the ~5-row lang rollup + 1-row fold,
+                                  # final sort. Each exchange is one
+                                  # stage's inherent key; the audit
+                                  # itself adds ZERO passes (single
+                                  # inline generator over one row)
+
     "q_ml_cramers_v": 7,          # audited 6: corpus cell rollup (pre-
                                   # checkpoint), then two marginal
                                   # windows on different keys + the
