@@ -486,6 +486,106 @@ LAWS: dict[str, dict] = {
         FROM g
         """,
     },
+    "ewma_carrier_decimal38": {
+        "keys": ["q_ts_ewma_exact"],
+        "carrier": DEC38,
+        "law": "dyadic EWMA carrier E_T = Σ 2^(i-2)·cents_i folds in"
+        " DECIMAL(38,0)/HUGEINT (widened AT REGISTRATION, r12): the"
+        " 2^29 day-31 weight times ~5e8 daily cents is ~2.7e17 at"
+        " sf0.1 and the carrier scales linearly with data volume —"
+        " crosses int64 inside the events decade ladder; the 2000·E"
+        " permille product in the output division is the largest"
+        " value formed",
+        "sql": """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ), numbered AS (
+          SELECT cents,
+                 CAST(row_number() OVER (ORDER BY d) AS BIGINT)
+                   AS day_no
+          FROM daily
+        )
+        SELECT 2000.0 * sum(CAST(cents AS DOUBLE)
+               * (CAST(1 AS BIGINT)
+                  << CAST(greatest(day_no - 2, 0) AS INT)))
+          AS measured
+        FROM numbered
+        """,
+    },
+    "levene_absdev_q_decimal38": {
+        "keys": ["q_ml_levene_bf"],
+        "carrier": DEC38,
+        "law": "per-priority Σz² over |cents − group median| folds in"
+        " DECIMAL(38,0)/HUGEINT (widened AT REGISTRATION, r12): z ≈"
+        " 5e7 cents ⇒ z² ≈ 2.5e15 per row, crossing int64 at ~4e3"
+        " rows/group — already past it at sf0.01",
+        "sql": """
+        WITH x AS (
+          SELECT o_orderpriority AS grp,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT) AS cents,
+                 o_orderkey
+          FROM orders
+        ), ranked AS (
+          SELECT grp, cents,
+                 row_number() OVER (PARTITION BY grp
+                                    ORDER BY cents, o_orderkey) AS rn,
+                 count(*) OVER (PARTITION BY grp) AS n_g
+          FROM x
+        ), med AS (
+          SELECT grp, cents AS m FROM ranked
+          WHERE rn = (n_g + 1) // 2
+        )
+        SELECT max(q) AS measured FROM (
+          SELECT x.grp,
+                 sum(CAST(abs(x.cents - med.m) AS DOUBLE)
+                     * abs(x.cents - med.m)) AS q
+          FROM x JOIN med ON med.grp = x.grp GROUP BY 1)
+        """,
+    },
+    "cochran_colsq_int64": {
+        "keys": ["q_ml_cochran_q"],
+        "carrier": INT64,
+        "law": "3·ΣC_j² in the Q numerator stays exact int64: C_j ≤"
+        " n_users (replication-invariant binary — the above-corpus-"
+        "mean flag multiplies both cross-multiplication sides"
+        " equally), so the term is ≤ 3·n_users² ≈ 7e12 at sf0.1 and"
+        " users do NOT scale under events replication; measured ="
+        " the numerator magnitude 2·|3ΣC² − N²|",
+        "sql": """
+        WITH cnt AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                      ELSE 0 END) AS BIGINT) AS nc,
+                 CAST(sum(CASE WHEN event_type = 'view' THEN 1
+                      ELSE 0 END) AS BIGINT) AS nv,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                      ELSE 0 END) AS BIGINT) AS np
+          FROM events
+          WHERE event_type IN ('click', 'view', 'purchase')
+          GROUP BY user_id
+        ), tots AS (
+          SELECT CAST(count(*) AS BIGINT) AS nu,
+                 CAST(sum(nc) AS BIGINT) AS tc,
+                 CAST(sum(nv) AS BIGINT) AS tv,
+                 CAST(sum(np) AS BIGINT) AS tp
+          FROM cnt
+        ), flags AS (
+          SELECT CASE WHEN c.nc * t.nu > t.tc THEN 1 ELSE 0 END AS xc,
+                 CASE WHEN c.nv * t.nu > t.tv THEN 1 ELSE 0 END AS xv,
+                 CASE WHEN c.np * t.nu > t.tp THEN 1 ELSE 0 END AS xp
+          FROM cnt c CROSS JOIN tots t
+        )
+        SELECT 2.0 * abs(3.0 * (sum(xc) * sum(xc) + sum(xv) * sum(xv)
+                                + sum(xp) * sum(xp))
+                         - (sum(xc + xv + xp))
+                           * (sum(xc + xv + xp))) AS measured
+        FROM flags
+        """,
+    },
 }
 
 
@@ -506,6 +606,10 @@ EVENTS_ONLY_LAWS = {
     "bh_fdr_pairdelta_decimal38",
     "eventstudy_car_int64",
     "engle_granger_ols_decimal38",
+    # r12: the dyadic-EWMA carrier and the replication-invariant
+    # Cochran numerator (both events-only reads).
+    "ewma_carrier_decimal38",
+    "cochran_colsq_int64",
 }
 
 # Laws that read ONLY lineitem/orders — the other carrier class the
@@ -525,6 +629,9 @@ LINEITEM_FAMILY_LAWS = {
     # the degree-capped co-occurrence graph), so the lineitem decade
     # probe measures it at fact scale too.
     "modularity_numerator_decimal38",
+    # r12: the Brown-Forsythe Σz² quadratic (orders-only read — rides
+    # the lineitem/orders decade since that materializer scales orders).
+    "levene_absdev_q_decimal38",
 }
 
 
