@@ -337,3 +337,155 @@ def q_ts_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment_no")
     )
+
+
+@query(
+    "q_ts_theta_forecast",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}
+    ), numbered AS (
+      SELECT cents,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS day_no
+      FROM daily
+    ), ols AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(day_no) AS BIGINT) AS st,
+             CAST(sum(cents) AS BIGINT) AS sx,
+             CAST(sum(day_no * day_no) AS BIGINT) AS stt,
+             CAST(sum(day_no * cents) AS BIGINT) AS stx
+      FROM numbered
+    ), coef AS (
+      SELECT n,
+             n * stt - st * st AS dd,
+             CAST(sx AS HUGEINT) * stt - CAST(st AS HUGEINT) * stx
+               AS ad,
+             n * stx - st * sx AS bd
+      FROM ols
+    ), u AS (
+      SELECT x.day_no, c.n, c.dd, c.ad, c.bd,
+             2 * c.dd * CAST(x.cents AS HUGEINT)
+               - (c.ad + c.bd * x.day_no) AS ut
+      FROM numbered x CROSS JOIN coef c
+    ), carrier AS (
+      SELECT day_no, n, dd, ad, bd,
+             sum(ut * (CAST(1 AS BIGINT)
+                       << CAST(greatest(day_no - 2, 0) AS INT)))
+               OVER (ORDER BY day_no ROWS UNBOUNDED PRECEDING) AS et
+      FROM u
+    ), last AS (
+      SELECT n, dd, ad, bd, et,
+             CAST(1 AS HUGEINT) << CAST(n - 1 AS INT) AS p2
+      FROM carrier WHERE day_no = n
+    )
+    SELECT n AS n_days,
+           round(CAST(bd AS DOUBLE) / dd, 6) AS slope_r6,
+           CAST((2 * 1000 * (ad + bd * (n + 1)) + dd) // (2 * dd)
+                AS BIGINT) AS trend_next_milli,
+           CAST((2 * 1000 * et + dd * p2) // (2 * dd * p2) AS BIGINT)
+             AS ses_next_milli,
+           CAST((2 * 1000 * ((ad + bd * (n + 1)) * p2 + et)
+                 + 2 * dd * p2) // (2 * 2 * dd * p2) AS BIGINT)
+             AS theta_forecast_milli
+    FROM last
+    """,
+)
+def q_ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method one-step revenue forecast (the M3-competition
+    winner: average the linear-trend extrapolation — the theta=0 line —
+    with an SES forecast of the theta=2 line), computed EXACTLY: the
+    classical form is float-recursive twice over (OLS then SES), but
+    scaling by the OLS determinant D = n·Σt² − (Σt)² makes the theta=2
+    series an integer (u_t = 2·D·x_t − (aD + bD·t), where aD/bD are the
+    integer Cramer numerators), and the λ=1/2 SES folds over u with the
+    q_ts_ewma_exact dyadic carrier E_T = Σ 2^(i-2)·u_i. The three
+    forecasts return as exact half-up milli-cents against their integer
+    denominators (D, D·2^(T-1), 2D·2^(T-1)); only the reported slope is
+    a double (identical tree, round-6).
+
+    Carrier magnitudes: u_t ≈ 2D·x_t ≈ 2.7e17 at the 3000× events
+    decade (D ≈ 9e4 is T-bounded, x scales with volume), E_T adds the
+    2^29 weight ⇒ ~1.4e26 — DECIMAL(38,0)/HUGEINT holds 12 more
+    decades. Negative u_t are fine: both engines' integer division
+    truncates toward zero identically (the tdiv law), and the combined
+    numerators stay positive at revenue scale.
+
+    Plan: one pushed day rollup + 1-row OLS fold broadcast-crossed
+    back + the running dyadic window over the ~31-row spine + the
+    day_no = n cut. Constant work past the rollup at any scale."""
+    daily = _daily_cents(spark, sf_dir)
+    w_no = Window.orderBy("d")
+    numbered = daily.select(
+        "cents",
+        F.row_number().over(w_no).cast("long").alias("day_no"),
+    )
+    ols = numbered.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("day_no").cast("long").alias("st"),
+        F.sum("cents").cast("long").alias("sx"),
+        F.sum(F.col("day_no") * F.col("day_no")).cast("long").alias("stt"),
+        F.sum(F.col("day_no") * F.col("cents")).cast("long").alias("stx"),
+    )
+    coef = ols.select(
+        "n",
+        (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).alias("dd"),
+        (
+            F.col("sx").cast("decimal(38,0)") * F.col("stt")
+            - F.col("st").cast("decimal(38,0)") * F.col("stx")
+        ).cast("decimal(38,0)").alias("ad"),
+        (F.col("n") * F.col("stx") - F.col("st") * F.col("sx")).alias("bd"),
+    )
+    u = numbered.crossJoin(F.broadcast(coef)).select(
+        "day_no",
+        "n",
+        "dd",
+        "ad",
+        "bd",
+        (
+            2 * F.col("dd") * F.col("cents").cast("decimal(38,0)")
+            - (F.col("ad") + F.col("bd") * F.col("day_no"))
+        ).cast("decimal(38,0)").alias("ut"),
+    )
+    w_run = Window.orderBy("day_no").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    weight = F.expr(
+        "shiftleft(CAST(1 AS BIGINT),"
+        " CAST(greatest(day_no - 2, 0) AS INT))"
+    )
+    carrier = u.select(
+        "day_no",
+        "n",
+        "dd",
+        "ad",
+        "bd",
+        F.sum(F.col("ut") * weight).over(w_run).alias("et"),
+    )
+    last = carrier.filter(F.col("day_no") == F.col("n")).select(
+        "n",
+        "dd",
+        "ad",
+        "bd",
+        "et",
+        F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), CAST(n - 1 AS INT))"
+            " AS DECIMAL(38,0))"
+        ).alias("p2"),
+    )
+    return last.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("bd").cast("double") / F.col("dd"), 6).alias(
+            "slope_r6"
+        ),
+        F.expr(
+            "CAST((2 * 1000 * (ad + bd * (n + 1)) + dd)"
+            " DIV (2 * dd) AS BIGINT)"
+        ).alias("trend_next_milli"),
+        F.expr(
+            "CAST((2 * 1000 * et + dd * p2) DIV (2 * dd * p2)"
+            " AS BIGINT)"
+        ).alias("ses_next_milli"),
+        F.expr(
+            "CAST((2 * 1000 * ((ad + bd * (n + 1)) * p2 + et)"
+            " + 2 * dd * p2) DIV (2 * 2 * dd * p2) AS BIGINT)"
+        ).alias("theta_forecast_milli"),
+    )

@@ -25,6 +25,9 @@ BNLJ_ALLOWED = {
                                # fact scan (the live-horizon predicate)
     "q_llm_pack_efficiency",   # broadcast 3-row window-size dim
                                # crossed with the 8-row bucket totals
+    "q_ts_theta_forecast",     # 1-row OLS Cramer fold broadcast-
+                               # crossed into the ~31-row day spine
+                               # (the D-scaled theta series)
     "q_ts_sad_profile",        # days-bounded (~27x27) subsequence
                                # self-join on the non-equi exclusion
                                # |a-b| >= 3 (matrix-profile rule)
