@@ -180,6 +180,12 @@ def oracle_connection(sf_dir: str):
     mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "48GB")
     con.sql(f"SET memory_limit='{mem}'")
     con.sql("SET temp_directory='/tmp/khose_duckdb_spill'")
+    # Row order never matters to the compare (both the pandas and the
+    # digest harness canonicalize by sorting), so let DuckDB drop
+    # insertion-order preservation: the 3000x linreg/shapley oracles'
+    # 450M-group hash aggregates spill ~40% less without it (r12: both
+    # keys ENOSPC'd the 80 GB disk with it on).
+    con.sql("SET preserve_insertion_order=false")
     for tname in TABLES:
         path = f"{sf_dir}/{tname}.parquet"
         if os.path.isdir(path):
