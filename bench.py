@@ -201,6 +201,28 @@ def run_ingest(spark, sf_dir: str) -> dict:
 
     chunks = stage_event_chunks(spark, sf_dir, n_chunks=8, tag="bench_ingest")
     base = tempfile.mkdtemp(prefix="khose_bench_ingest_")
+    # Warm the STREAMING code path before the clocked drain (r12): the
+    # first streaming query in a session pays one-time codegen/state-
+    # store init that measured 2x-4x the whole steady-state drain
+    # (quiet-host triple: 18.6k warming vs 42.1k/37.1k warm, recorded
+    # in BENCH_DETAIL ingest_quiet_rerun). The gate tracks the DRAIN
+    # path, so the warmup runs on its own 1-chunk staging + throwaway
+    # sink and stays off the clock — same discipline as the headline
+    # loop's first-query warmup.
+    warm_chunks = stage_event_chunks(
+        spark, "/root/testdata/sf0.001", n_chunks=1, tag="bench_ingest_warm"
+    )
+    warm_base = tempfile.mkdtemp(prefix="khose_bench_ingest_warm_")
+    warm_out, warm_ckpt = checkpoint_dirs(warm_base)
+    ingest_to_parquet(
+        parse_envelope(kinesis_stream(spark, warm_chunks, files_per_trigger=1)),
+        warm_out,
+        warm_ckpt,
+        partition_granularity="month",
+        coalesce_to=1,
+    )
+    shutil.rmtree(warm_base, ignore_errors=True)
+    shutil.rmtree(warm_chunks, ignore_errors=True)
     out, ckpt = checkpoint_dirs(base)
     t0 = time.perf_counter()
     # Fixture events span ~1 month, so "month" is the rate-matched
@@ -1089,7 +1111,10 @@ def main() -> None:
     try:
         prior_detail = json.load(open(detail_path))
         for k, v in prior_detail.items():
-            if k.startswith("ab_vs_") and k not in payload:
+            if (
+                k.startswith(("ab_vs_", "evidence_"))
+                and k not in payload
+            ):
                 payload[k] = v
     except (OSError, ValueError):
         pass
