@@ -489,3 +489,103 @@ def q_ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + 2 * dd * p2) DIV (2 * 2 * dd * p2) AS BIGINT)"
         ).alias("theta_forecast_milli"),
     )
+
+
+@query(
+    "q_ts_mase_eval",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}
+    ), numbered AS (
+      SELECT cents,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS day_no
+      FROM daily
+    ), lagged AS (
+      SELECT day_no, cents,
+             lag(cents, 1) OVER (ORDER BY day_no) AS l1,
+             lag(cents, 7) OVER (ORDER BY day_no) AS l7
+      FROM numbered
+    ), folds AS (
+      SELECT CAST(count(l1) AS BIGINT) AS n1,
+             CAST(sum(abs(cents - l1)) AS BIGINT) AS e1,
+             CAST(count(l7) AS BIGINT) AS n7,
+             CAST(sum(abs(cents - l7)) AS BIGINT) AS e7
+      FROM lagged
+    )
+    SELECT method, n_terms, mae_milli, mase_permille FROM (
+      SELECT 'naive1' AS method, n1 AS n_terms,
+             CAST((2 * 1000 * e1 + n1) // (2 * n1) AS BIGINT)
+               AS mae_milli,
+             CAST((2 * 1000 * (CAST(e1 AS HUGEINT) * n7)
+                   + CAST(n1 AS HUGEINT) * e7)
+                  // (2 * CAST(n1 AS HUGEINT) * e7) AS BIGINT)
+               AS mase_permille
+      FROM folds
+      UNION ALL
+      SELECT 'snaive7', n7,
+             CAST((2 * 1000 * e7 + n7) // (2 * n7) AS BIGINT),
+             CAST(1000 AS BIGINT)
+      FROM folds
+    ) ORDER BY method
+    """,
+)
+def q_ts_mase_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE forecast evaluation over the daily-revenue series — the
+    metric that closes the forecasting block (Holt / Holt-Winters /
+    Croston / Theta PRODUCE forecasts; MASE is how production picks
+    between them): each method's MAE scaled by the in-sample
+    seasonal-naive (m=7) MAE, so the score is unit-free and
+    cross-series comparable (Hyndman-Koehler). Methods evaluated
+    in-sample here: naive-1 (x_{{t-1}}) vs the seasonal-naive
+    benchmark itself (whose MASE is exactly 1000 permille by
+    definition — pinned as a literal, which doubles as a harness
+    self-check).
+
+    Exactness: absolute errors are integer cents; the differing term
+    counts (n−1 vs n−7) cross-multiply into one integer ratio —
+    mase = 1000·Σ|e₁|·n₇ / (n₁·Σ|d₇|) folded half-up in HUGEINT/
+    DECIMAL(38) (e·n ≈ 1e10·31 at sf0.1, linear per decade, but the
+    doubled-permille product deserves the wide lane); MAE as exact
+    half-up milli-cents.
+
+    Plan: one pushed day rollup + two lag windows over the ~31-row
+    spine + a 1-row fold exploded to method rows. Constant work past
+    the rollup."""
+    daily = _daily_cents(spark, sf_dir)
+    w_no = Window.orderBy("d")
+    numbered = daily.select(
+        "cents",
+        F.row_number().over(w_no).cast("long").alias("day_no"),
+    )
+    w_lag = Window.orderBy("day_no")
+    lagged = numbered.select(
+        "cents",
+        F.lag("cents", 1).over(w_lag).alias("l1"),
+        F.lag("cents", 7).over(w_lag).alias("l7"),
+    )
+    folds = lagged.agg(
+        F.count("l1").cast("long").alias("n1"),
+        F.sum(F.abs(F.col("cents") - F.col("l1")))
+        .cast("long")
+        .alias("e1"),
+        F.count("l7").cast("long").alias("n7"),
+        F.sum(F.abs(F.col("cents") - F.col("l7")))
+        .cast("long")
+        .alias("e7"),
+    )
+    return folds.selectExpr(
+        """inline(array(
+          named_struct(
+            'method', 'naive1', 'n_terms', n1,
+            'mae_milli',
+            CAST((2 * 1000 * e1 + n1) DIV (2 * n1) AS BIGINT),
+            'mase_permille',
+            CAST((2 * 1000 * (CAST(e1 AS DECIMAL(38,0)) * n7)
+                  + CAST(n1 AS DECIMAL(38,0)) * e7)
+                 DIV (2 * CAST(n1 AS DECIMAL(38,0)) * e7) AS BIGINT)),
+          named_struct(
+            'method', 'snaive7', 'n_terms', n7,
+            'mae_milli',
+            CAST((2 * 1000 * e7 + n7) DIV (2 * n7) AS BIGINT),
+            'mase_permille', CAST(1000 AS BIGINT))
+        ))"""
+    ).orderBy("method")
