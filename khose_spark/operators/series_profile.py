@@ -8,7 +8,8 @@ self-profile, and a symbolic compression.
 All three run over the daily purchase-revenue series (the shared
 zero-float carrier: whole cents from the DECIMAL(18,2) cast law) and
 are exact-integer end to end — even the EWMA, whose λ=1/2 recursion is
-carried as a dyadic integer (see q_ts_ewma).
+carried as a dyadic integer (see q_ts_ewma_exact; the float-pow
+q_ts_ewma in timeseries.py remains the general-λ member).
 """
 
 from __future__ import annotations
