@@ -46,6 +46,31 @@ def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The dyadic-carrier keys shift a BIGINT 1 left by (day_no - 1) and the
+# house half-up doubling multiplies the denominator by 2 again, so the
+# int64 lane is exact only while the observed-day count stays <= 62
+# (2 * 2^61 < 2^63). The fixture spans ~31 days at every decade (the
+# scale ladder replicates VOLUME, not the calendar), but past the bound
+# Spark's shiftleft would WRAP silently while DuckDB's HUGEINT path
+# diverges (ADVICE r12) — so the bound is asserted in-plan: assert_true
+# raises loudly on the first >62-day series instead of hash-mismatching.
+_MAX_DYADIC_DAYS = 62
+
+
+def _dyadic_bound_ok(key: str):
+    """NULL when day_no is in the exact int64 dyadic range; raises
+    otherwise. Use as ``F.when(_dyadic_bound_ok(k), value)`` so the
+    guard rides the projection without changing the output schema."""
+    return F.assert_true(
+        F.col("day_no") <= F.lit(_MAX_DYADIC_DAYS),
+        F.lit(
+            f"{key}: dyadic int64 carrier bound exceeded "
+            f"(series > {_MAX_DYADIC_DAYS} observed days — widen the "
+            "carrier to DECIMAL(38,0) shifts or re-window the series)"
+        ),
+    ).isNull()
+
+
 @query(
     "q_ts_ewma_exact",
     oracle=f"""
@@ -119,11 +144,14 @@ def q_ts_ewma_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("string").alias("day"),
         "day_no",
         "cents",
-        F.expr(
-            "CAST((2 * 1000 * e_carrier"
-            " + shiftleft(CAST(1 AS BIGINT), CAST(day_no - 1 AS INT)))"
-            " DIV (2 * shiftleft(CAST(1 AS BIGINT),"
-            " CAST(day_no - 1 AS INT))) AS BIGINT)"
+        F.when(
+            _dyadic_bound_ok("q_ts_ewma_exact"),
+            F.expr(
+                "CAST((2 * 1000 * e_carrier"
+                " + shiftleft(CAST(1 AS BIGINT), CAST(day_no - 1 AS INT)))"
+                " DIV (2 * shiftleft(CAST(1 AS BIGINT),"
+                " CAST(day_no - 1 AS INT))) AS BIGINT)"
+            ),
         ).alias("ewma_milli"),
     ).orderBy("day_no")
 
@@ -467,9 +495,12 @@ def q_ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ad",
         "bd",
         "et",
-        F.expr(
-            "CAST(shiftleft(CAST(1 AS BIGINT), CAST(n - 1 AS INT))"
-            " AS DECIMAL(38,0))"
+        F.when(
+            _dyadic_bound_ok("q_ts_theta_forecast"),
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), CAST(n - 1 AS INT))"
+                " AS DECIMAL(38,0))"
+            ),
         ).alias("p2"),
     )
     return last.select(
@@ -518,7 +549,7 @@ def q_ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS mae_milli,
              CAST((2 * 1000 * (CAST(e1 AS HUGEINT) * n7)
                    + CAST(n1 AS HUGEINT) * e7)
-                  // (2 * CAST(n1 AS HUGEINT) * e7) AS BIGINT)
+                  // nullif(2 * CAST(n1 AS HUGEINT) * e7, 0) AS BIGINT)
                AS mase_permille
       FROM folds
       UNION ALL
@@ -582,7 +613,8 @@ def q_ts_mase_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             'mase_permille',
             CAST((2 * 1000 * (CAST(e1 AS DECIMAL(38,0)) * n7)
                   + CAST(n1 AS DECIMAL(38,0)) * e7)
-                 DIV (2 * CAST(n1 AS DECIMAL(38,0)) * e7) AS BIGINT)),
+                 DIV nullif(2 * CAST(n1 AS DECIMAL(38,0)) * e7, 0)
+                 AS BIGINT)),
           named_struct(
             'method', 'snaive7', 'n_terms', n7,
             'mae_milli',

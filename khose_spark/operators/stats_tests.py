@@ -220,7 +220,7 @@ def q_ml_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(2 * (3 * (c_click * c_click + c_view * c_view
                             + c_purchase * c_purchase) - nr * nr)
                   AS DOUBLE)
-               / (3 * nr - r2) AS qstat
+               / nullif(3 * nr - r2, 0) AS qstat
       FROM sums
     )
     SELECT n_users, c_click, c_view, c_purchase,
@@ -304,7 +304,14 @@ def q_ml_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             - F.col("nr") * F.col("nr")
         )
-    ).cast("double") / (3 * F.col("nr") - F.col("r2"))
+    ).cast("double") / F.nullif(
+        # Degenerate-fixture guard (ADVICE r12): k·N − ΣR_i² is zero
+        # when every user's three flags are identical (all 0 or all 3);
+        # nullif in BOTH engines makes Q (and the decision) NULL there
+        # instead of DuckDB erroring while Spark returned NULL.
+        (3 * F.col("nr") - F.col("r2")).cast("long"),
+        F.lit(0).cast("long"),
+    )
     return sums.select(
         "n_users",
         "c_click",

@@ -64,8 +64,12 @@ def main() -> int:
     if not b_tree or not os.path.isdir(b_tree):
         print("--b=<prior tree> required", file=sys.stderr)
         return 2
+    # Same filter as ab_pass.py: skip blanks AND '#' comment lines
+    # (ADVICE r12: a commented keys file raised KeyError in the min()).
     keys = [
-        line.strip() for line in open(keys_file) if line.strip()
+        line.strip()
+        for line in open(keys_file)
+        if line.strip() and not line.strip().startswith("#")
     ]
     a_passes: list[dict] = []
     b_passes: list[dict] = []

@@ -495,6 +495,33 @@ def run_scale10(
         with open(path, "w") as f:
             json.dump(report, f, indent=1, sort_keys=True)
         print(f"wrote {path} (partial)", file=sys.stderr)
+    # Ledger-completeness enforcement (VERDICT r12 what's-wrong #1): at
+    # the full-board decades every registry key must appear EITHER in
+    # the factor board OR in the reasoned skip ledger — 13 r11 keys sat
+    # in neither for a whole round and nothing flagged it. The gap list
+    # is recorded in the artifact (tests/test_survey_sync.py re-asserts
+    # it from pytest) and fails the sweep. Higher factors (the 1000×+
+    # dir_override probes) are intentionally partial and exempt.
+    if factor in (10, 100):
+        registry_keys = set(E.queries())
+        unledgered = sorted(
+            registry_keys
+            - set(report.get(label, {}))
+            - set(report.get("skipped", {}))
+        )
+        report["unledgered"] = unledgered
+        report["partial"] = bool(unledgered)
+        if unledgered:
+            report["green"] = False
+            bad += len(unledgered)
+            print(
+                f"LEDGER HOLE: {len(unledgered)} registry keys have "
+                f"neither a {label} row nor a reasoned skip: "
+                f"{unledgered[:8]}{'…' if len(unledgered) > 8 else ''}",
+                file=sys.stderr,
+            )
+        with open(path, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
     print(json.dumps({"green": report["green"], **report["summary"]}))
     spark.stop()
     return 1 if bad else 0

@@ -59,3 +59,41 @@ def test_key_ages_cover_registry():
     )
     bad = {k: v for k, v in ages.items() if not isinstance(v, int) or v < 1}
     assert not bad, f"non-positive/non-int ages: {bad}"
+
+
+def test_scale_ledgers_cover_registry():
+    """The 10×/100× scale boards must account for EVERY registry key:
+    either a digest/pass row on the board or a reasoned entry in the
+    skip ledger (VERDICT r12 what's-wrong #1 — 13 r11 keys were in
+    neither for a round and nothing flagged it). verify_sweep now
+    enforces this at sweep time and records the gap as `unledgered`;
+    this guard re-derives the invariant from the committed artifacts so
+    a stale or hand-edited ledger fails CI, and makes registering a new
+    key without same-day scale certification a visible red."""
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for factor in (10, 100):
+        path = os.path.join(here, f"LOCAL_CORRECTNESS_{factor}x.json")
+        art = json.load(open(path))
+        label = f"scale{factor}"
+        board = set(art[label])
+        skips = set(art.get("skipped", {}))
+        assert not board & skips, (
+            f"{factor}x: keys both on the board and skipped: "
+            f"{sorted(board & skips)[:5]}"
+        )
+        unledgered = sorted(set(registry.QUERIES) - board - skips)
+        assert not unledgered, (
+            f"{factor}x ledger hole: {len(unledgered)} registry keys "
+            f"have neither a board row nor a reasoned skip — run "
+            f"scripts/verify_sweep.py --scale10 --factor={factor} "
+            f"--digest on them: {unledgered[:10]}"
+        )
+        bad = {
+            k: v["status"]
+            for k, v in art[label].items()
+            if v["status"] not in ("pass", "rows-only")
+        }
+        assert not bad, f"{factor}x non-green board rows: {bad}"
