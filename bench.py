@@ -177,6 +177,10 @@ HEADLINE = [
     # Round-12: the composed 6-stage curation funnel (two corpus scans
     # + the chunk-dedup exchange — the heaviest honest curation key).
     "q_llm_curation_pipeline",
+    # Round-13: the stream-composed corpus refresh — a REAL availableNow
+    # envelope drain + compaction + the funnel over the landed table;
+    # its timing is ingest + curation end to end, the production job.
+    "q_stream_curation_e2e_batchsem",
 ]
 
 

@@ -83,8 +83,11 @@ _STOP_SQL = " + ".join(
     for w in _STOPWORDS
 )
 
-_PIPELINE_ORACLE = f"""
-    WITH feats AS (
+# The funnel's oracle, split into reusable pieces (round 13): the CTE
+# chain and the stage branches compose into _PIPELINE_ORACLE here and
+# into the stream-composed q_stream_curation_e2e_batchsem oracle
+# (operators/stream_curation.py), which prepends a stage-0 ingest row.
+_FUNNEL_CTES = f"""feats AS (
       SELECT doc_id, source, lang,
              len(string_split(text, ' ')) AS n_words,
              CASE WHEN len(string_split(text, ' '))
@@ -184,8 +187,9 @@ _PIPELINE_ORACLE = f"""
              CAST(sum(t4) AS BIGINT) AS t4,
              CAST(sum(t5) AS BIGINT) AS t5
       FROM langagg
-    )
-    SELECT * FROM (
+    )"""
+
+_FUNNEL_BRANCHES = """
       SELECT CAST(1 AS BIGINT) AS stage_no, 'quality_filter' AS stage,
              '*' AS lang, n_all AS n_in, s1n AS n_out,
              n_all - s1n AS n_dropped, t1 AS tokens_out,
@@ -203,18 +207,21 @@ _PIPELINE_ORACLE = f"""
       UNION ALL
       SELECT 6, 'seq_pack_train', lang, s5n, s5n, 0, t5, windows
       FROM langagg WHERE s5n > 0
+"""
+
+_PIPELINE_ORACLE = f"""
+    WITH {_FUNNEL_CTES}
+    SELECT * FROM ({_FUNNEL_BRANCHES}
     ) ORDER BY stage_no, lang
     """
 
 
-@query("q_llm_curation_pipeline", oracle=_PIPELINE_ORACLE)
-def q_llm_curation_pipeline(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """See module docstring — the composed 6-stage curation funnel,
-    single-pass via monotone survival flags, audited per stage with
-    the final packed train stream per language."""
-    d = t(spark, sf_dir, "documents")
+def funnel_one_row(d: DataFrame) -> DataFrame:
+    """The 6-stage funnel folded to ONE row (global stage sums + the
+    per-language pack structs) over any documents-shaped relation
+    (doc_id, source, lang, text) — shared by the batch flagship below
+    and the stream-composed q_stream_curation_e2e_batchsem, which runs
+    it over the stream-landed table instead of the fixture scan."""
     words = F.split("text", " ")
     padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
     stop_hits = None
@@ -370,6 +377,12 @@ def q_llm_curation_pipeline(
             )
         ).alias("langs"),
     )
+    return one
+
+
+def funnel_audit_rows(one: DataFrame) -> DataFrame:
+    """Explode the one-row funnel fold into the per-stage audit rows
+    (unordered — callers order by stage_no, lang after any unions)."""
     return (
         one.selectExpr(
             """inline(concat(
@@ -407,5 +420,16 @@ def q_llm_curation_pipeline(
             'windows_out', x.windows))
         ))"""
         )
-        .orderBy("stage_no", "lang")
     )
+
+
+@query("q_llm_curation_pipeline", oracle=_PIPELINE_ORACLE)
+def q_llm_curation_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """See module docstring — the composed 6-stage curation funnel,
+    single-pass via monotone survival flags, audited per stage with
+    the final packed train stream per language."""
+    return funnel_audit_rows(
+        funnel_one_row(t(spark, sf_dir, "documents"))
+    ).orderBy("stage_no", "lang")

@@ -142,6 +142,7 @@ def ensure_clustered_dir(
     base_dir: str,
     dest: str,
     n_clusters: int = 32,
+    noise: float = 0.03,
 ) -> str:
     """Materialize (once) a twin of ``base_dir`` whose embeddings have
     REAL cluster structure — the fixture VERDICT r07 asked for to make
@@ -161,8 +162,15 @@ def ensure_clustered_dir(
     neighbors" is a stable, quantizer-resolvable notion, exactly the
     local-manifold shape real embeddings have. centroid_c and dir_c are
     md5 unit vectors (random directions are near-orthogonal in d=64, so
-    clusters are well-separated at perturbation radius ≲ 0.6)."""
-    marker = os.path.join(dest, f"_CLUSTERED_k{n_clusters}_OK")
+    clusters are well-separated at perturbation radius ≲ 0.6).
+
+    ``noise`` scales the isotropic perturbation (default 0.03 — the
+    original easy twin). Raising it blurs cluster boundaries so lossy
+    routing starts to MISS occasionally: the round-13 hard twin uses a
+    level tuned to put composed-probed-search recall in a non-saturated
+    band (a 1000‰ gate has no drift signal — VERDICT r12 item 6)."""
+    ntag = "" if noise == 0.03 else f"_n{int(round(noise * 1000))}"
+    marker = os.path.join(dest, f"_CLUSTERED_k{n_clusters}{ntag}_OK")
     if os.path.exists(marker):
         return dest
     os.makedirs(dest, exist_ok=True)
@@ -213,7 +221,7 @@ def ensure_clustered_dir(
     mixed = F.zip_with(
         F.zip_with(F.col("cent"), F.col("dir"), lambda c, d: c + scale * d),
         F.col("noise"),
-        lambda cd, nz: cd + F.lit(0.03) * nz,
+        lambda cd, nz: cd + F.lit(float(noise)) * nz,
     )
     out = (
         staged.withColumn("mixed", mixed)

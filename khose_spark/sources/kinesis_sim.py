@@ -45,30 +45,18 @@ _N_SHARDS = 4
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
-def stage_event_chunks(
-    spark: SparkSession, sf_dir: str, n_chunks: int = 8, tag: str = ""
-) -> str:
-    """Write fixture events as ``n_chunks`` ordered parquet files — the
-    replayable 'stream history'. Chunked by event_id range so replay
-    order is deterministic."""
-    # Scope staging per PROCESS: two concurrent test/bench runs with the
-    # same (sf_dir, tag) must not overwrite each other's chunk files or
-    # race the mtime rewrite below against an active file-stream reader.
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "khose_stream",
-        f"pid{os.getpid()}",
-        f"chunks_{hashlib.md5((sf_dir + tag).encode()).hexdigest()[:8]}",
-    )
+def _stage_chunks(df, key_col: str, out: str, n_chunks: int) -> str:
+    """Write ``df`` as ``n_chunks`` key-ranged parquet files with
+    mtimes following the part index — the shared staging core of the
+    event and document stream histories."""
     (
-        t(spark, sf_dir, "events")
-        .repartitionByRange(n_chunks, "event_id")
+        df.repartitionByRange(n_chunks, key_col)
         .write.mode("overwrite")
         .parquet(out)
     )
     # Spark's file-stream source replays in MODIFICATION-TIME order, and
     # fresh part files carry task-completion order — random. Rewrite
-    # mtimes to follow the part index (= event_id = ts order) so replay
+    # mtimes to follow the part index (= key = arrival order) so replay
     # is deterministic and arrival-ordered, like a real stream. Without
     # this, a late-listed early chunk can arrive behind an advanced
     # watermark and be dropped, making convergence tests flaky.
@@ -80,6 +68,46 @@ def stage_event_chunks(
         p = os.path.join(out, fname)
         os.utime(p, (base_mtime + i, base_mtime + i))
     return out
+
+
+def _chunk_dir(sf_dir: str, tag: str) -> str:
+    # Scope staging per PROCESS: two concurrent test/bench runs with the
+    # same (sf_dir, tag) must not overwrite each other's chunk files or
+    # race the mtime rewrite against an active file-stream reader.
+    return os.path.join(
+        tempfile.gettempdir(),
+        "khose_stream",
+        f"pid{os.getpid()}",
+        f"chunks_{hashlib.md5((sf_dir + tag).encode()).hexdigest()[:8]}",
+    )
+
+
+def stage_event_chunks(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 8, tag: str = ""
+) -> str:
+    """Write fixture events as ``n_chunks`` ordered parquet files — the
+    replayable 'stream history'. Chunked by event_id range so replay
+    order is deterministic."""
+    return _stage_chunks(
+        t(spark, sf_dir, "events"),
+        "event_id",
+        _chunk_dir(sf_dir, tag),
+        n_chunks,
+    )
+
+
+def stage_document_chunks(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4, tag: str = "docs"
+) -> str:
+    """Documents as a replayable stream history — the corpus-refresh
+    ingest shape (q_stream_curation_e2e_batchsem): each chunk is one
+    doc_id range, arriving in id order like a crawler's upload batches."""
+    return _stage_chunks(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        _chunk_dir(sf_dir, "documents" + tag),
+        n_chunks,
+    )
 
 
 def file_stream(spark: SparkSession, chunk_dir: str, files_per_trigger: int = 1) -> DataFrame:
@@ -125,6 +153,55 @@ def parse_envelope(envelope: DataFrame) -> DataFrame:
         {"timestampFormat": _TS_FMT},
     )
     return envelope.select(parsed.alias("e")).select("e.*")
+
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def document_kinesis_stream(
+    spark: SparkSession, chunk_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """Documents in the SAME Kinesis record envelope as events — a
+    corpus-refresh producer uploads document records exactly like an
+    event producer does (shard by key, JSON payload, sequence = id).
+    Arrival timestamp is a deterministic function of doc_id so replay
+    is reproducible (documents carry no event time of their own)."""
+    raw = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(chunk_dir)
+    )
+    payload = F.to_json(
+        F.struct("doc_id", "text", "lang", "source", "n_chars")
+    )
+    return raw.select(
+        F.concat(
+            F.lit("shardId-"),
+            F.lpad((F.col("doc_id") % _N_SHARDS).cast("string"), 12, "0"),
+        ).alias("shardId"),
+        F.col("doc_id").cast("string").alias("sequenceNumber"),
+        F.encode(payload, "utf-8").alias("data"),
+        F.timestamp_seconds(F.col("doc_id")).alias(
+            "approximateArrivalTimestamp"
+        ),
+    )
+
+
+def parse_document_envelope(envelope: DataFrame) -> DataFrame:
+    """Decode a Kinesis-envelope DOCUMENT stream back into typed rows —
+    the deserialize stage of the corpus-refresh pipeline. JSON escaping
+    makes the text roundtrip byte-exact (no newlines/quotes lost), which
+    the e2e key's hash check asserts end to end."""
+    parsed = F.from_json(F.decode("data", "utf-8"), DOCS_SCHEMA)
+    return envelope.select(parsed.alias("d")).select("d.*")
 
 
 def kafka_stream(spark: SparkSession, bootstrap: str, topic: str) -> DataFrame:

@@ -23,6 +23,9 @@ BNLJ_ALLOWED = {
     "q_stream_state_budget_batchsem",  # 1-row stream-frontier (max ts)
                                # aggregate broadcast-crossed into the
                                # fact scan (the live-horizon predicate)
+    "q_stream_curation_e2e_batchsem",  # stage-0 ingest audit: 1-row
+                               # landing-count aggregate broadcast-
+                               # crossed with the 1-row compacted fold
     "q_llm_pack_efficiency",   # broadcast 3-row window-size dim
                                # crossed with the 8-row bucket totals
     "q_ts_theta_forecast",     # 1-row OLS Cramer fold broadcast-

@@ -994,3 +994,46 @@ def _soak_body(
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_corpus_refresh_layout_and_idempotence(spark, sf_dir):
+    """q_stream_curation_e2e_batchsem's ingest half, asserted at the
+    FILE level (the hash-checked relation covers the row/token
+    semantics; this covers the layout contract it encodes):
+
+    - landing zone holds every fixture document exactly once
+      (manifest-governed read — the exactly-once drain);
+    - compaction emits exactly ONE parquet file per lang partition
+      (the small-files contract the key pins via its
+      ``_metadata.file_path`` count);
+    - a re-run from wiped zones reproduces the same counts
+      (corpus-refresh idempotence — the production re-run shape)."""
+    from khose_spark.operators.stream_curation import run_corpus_refresh
+
+    n_src = t(spark, sf_dir, "documents").count()
+    langs = {
+        r[0]
+        for r in t(spark, sf_dir, "documents").select("lang").distinct().collect()
+    }
+    land, compacted = run_corpus_refresh(spark, sf_dir)
+    try:
+        assert spark.read.parquet(land).count() == n_src
+        lang_dirs = [
+            d for d in os.listdir(compacted) if d.startswith("lang=")
+        ]
+        assert {d.split("=", 1)[1] for d in lang_dirs} == langs
+        for d in lang_dirs:
+            files = [
+                f
+                for f in os.listdir(os.path.join(compacted, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, f"{d}: {len(files)} files after compaction"
+        assert spark.read.parquet(compacted).count() == n_src
+        # Idempotent re-run: wiped zones, same landed corpus.
+        land2, compacted2 = run_corpus_refresh(spark, sf_dir)
+        assert spark.read.parquet(land2).count() == n_src
+        assert spark.read.parquet(compacted2).count() == n_src
+    finally:
+        for d in (land, compacted):
+            shutil.rmtree(d, ignore_errors=True)
