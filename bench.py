@@ -437,6 +437,42 @@ def run_scaling(spark, sf_dir: str) -> dict:
             out["recall_clustered_10x"] = {
                 "error": f"{type(exc).__name__}: {exc}"
             }
+        # Round 13 (VERDICT r12 item 6): the saturated 1000-permille
+        # clustered-10x gate has no drift signal, so the routed search
+        # is ALSO gated on a HARD clustered twin — same manifold
+        # geometry, isotropic noise raised 0.03 -> 0.33, tuned so the
+        # composed probed+scaled search sits mid-band (933 permille
+        # measured at registration; the transition is steep: 0.32 ->
+        # 967, 0.35 -> 900, 0.45 -> 633). The fixture is md5-determined
+        # and the engine deterministic, so any movement in this number
+        # is an engine change, not flake.
+        try:
+            from khose_spark.scaling import ensure_clustered_dir
+
+            cdir10h = ensure_clustered_dir(
+                spark,
+                big,
+                base + "_clustered_hard_x10",
+                noise=HARD_TWIN_NOISE,
+            )
+            out["recall_clustered_hard_10x"] = run_ann_recall(
+                spark,
+                cdir10h,
+                only={
+                    "q_llm_ann_ivf_probed",
+                    "q_llm_ann_pq_rerank_scaled",
+                    "q_llm_ann_pq_probed_scaled",
+                },
+            )
+            print(
+                "# recall clustered hard 10x: "
+                f"{out['recall_clustered_hard_10x']}",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            out["recall_clustered_hard_10x"] = {
+                "error": f"{type(exc).__name__}: {exc}"
+            }
     except Exception as exc:  # noqa: BLE001 — recall is evidence, not a gate
         out["recall_error"] = f"{type(exc).__name__}: {exc}"
     if os.environ.get("SPARK_GRAFT_SCALE_KEEP", "1") != "1":
@@ -444,6 +480,7 @@ def run_scaling(spark, sf_dir: str) -> dict:
         shutil.rmtree(base + f"_x{SCALING_FACTOR}", ignore_errors=True)
         shutil.rmtree(base + "_clustered", ignore_errors=True)
         shutil.rmtree(base + "_clustered_x10", ignore_errors=True)
+        shutil.rmtree(base + "_clustered_hard_x10", ignore_errors=True)
     return out
 
 
@@ -727,6 +764,50 @@ def recall_gate(scaling) -> dict:
     }
     if not gate["ok"]:
         print("# RECALL GATE FAILED: " + json.dumps(gate), file=sys.stderr)
+    return gate
+
+
+HARD_TWIN_NOISE = 0.33  # the round-13 hard clustered twin's isotropic
+# noise level — tuned (see run_scaling) so the routed search's recall
+# is NON-SATURATED: 933 permille at registration, mid the 900-970 band
+# VERDICT r12 item 6 asked for, where drift is visible per-neighbor.
+
+HARD_ROUTED_RECALL_FLOOR_PERMILLE = 866  # = registration 933 minus two
+# ground-truth neighbors (30 pairs -> 33 permille each): one lost
+# neighbor is VISIBLE in the recorded number but tolerated, two fail
+# the bench. Deterministic fixture + engine => a move is a real
+# routing/rerank change, never flake.
+
+
+def recall_gate_routed_hard(scaling) -> dict:
+    """Third recall gate (round 13, VERDICT r12 item 6): the composed
+    probed+scaled search on the HARD clustered 10x twin (noise 0.33)
+    must hold >=866 permille top-3 recall. Unlike the saturated
+    clustered gate (1000 permille — no drift signal), this fixture is
+    tuned so the measurement sits mid-band (933 at registration) and
+    every lost neighbor moves it by 33."""
+    if not scaling:
+        return {"ok": True, "reason": "scaling report skipped"}
+    rec = scaling.get("recall_clustered_hard_10x") or {}
+    val = rec.get("ann_pq_probed_scaled_r3_permille")
+    if not isinstance(val, int):
+        return {
+            "ok": True,
+            "reason": "no hard-clustered-10x recall measurement in this run",
+        }
+    gate = {
+        "ok": val >= HARD_ROUTED_RECALL_FLOOR_PERMILLE,
+        "floor_permille": HARD_ROUTED_RECALL_FLOOR_PERMILLE,
+        "measured_permille": val,
+        "registration_permille": 933,
+        "key": "q_llm_ann_pq_probed_scaled",
+        "fixture": f"clustered_hard_10x (noise={HARD_TWIN_NOISE})",
+    }
+    if not gate["ok"]:
+        print(
+            "# HARD ROUTED RECALL GATE FAILED: " + json.dumps(gate),
+            file=sys.stderr,
+        )
     return gate
 
 
@@ -1104,6 +1185,8 @@ def main() -> None:
     payload["recall_gate"] = rec_gate
     routed_gate = recall_gate_routed(scaling)
     payload["recall_gate_routed"] = routed_gate
+    routed_hard_gate = recall_gate_routed_hard(scaling)
+    payload["recall_gate_routed_hard"] = routed_hard_gate
     common = common_with_prev(timings)
     if common is not None:
         payload["common_with_prev"] = common
@@ -1139,6 +1222,7 @@ def main() -> None:
         or not (ing10_gate or {}).get("ok", True)
         or not rec_gate.get("ok", True)
         or not routed_gate.get("ok", True)
+        or not routed_hard_gate.get("ok", True)
     ):
         sys.exit(3)  # gate breach (offenders on stderr)
 
@@ -1172,6 +1256,9 @@ def _compact_line(payload: dict, budget: int = 1900) -> dict:
         rec10c = payload["scaling"].get("recall_clustered_10x")
         if rec10c and "error" not in rec10c:
             out["scaling"]["recall_clustered_10x"] = rec10c
+        rec10h = payload["scaling"].get("recall_clustered_hard_10x")
+        if rec10h and "error" not in rec10h:
+            out["scaling"]["recall_clustered_hard_10x"] = rec10h
     if not payload.get("regression_gate", {}).get("ok", True):
         out["regression_gate"] = "FAILED"
     if not payload.get("ingest_gate", {}).get("ok", True):
@@ -1182,6 +1269,8 @@ def _compact_line(payload: dict, budget: int = 1900) -> dict:
         out["recall_gate"] = "FAILED"
     if not payload.get("recall_gate_routed", {}).get("ok", True):
         out["recall_gate_routed"] = "FAILED"
+    if not payload.get("recall_gate_routed_hard", {}).get("ok", True):
+        out["recall_gate_routed_hard"] = "FAILED"
     if "common_with_prev" in payload:
         out["common_with_prev"] = payload["common_with_prev"]
     for threshold in (0.5, 1.0, 2.0, 5.0, 1e9):

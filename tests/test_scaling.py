@@ -185,3 +185,69 @@ def test_srp_band_width_law(spark):
         f"band-width law violated: cand(b=4)={c4} cand(b=8)={c8} "
         f"ratio={ratio:.1f}, expected ~32"
     )
+
+
+def test_hard_twin_gate_logic():
+    """recall_gate_routed_hard (round 13, VERDICT r12 item 6): the
+    pure gate function's contract — pass at the registration value,
+    pass (visibly) one lost neighbor down, FAIL two down, and stay
+    permissive when the measurement is absent (scaling skipped)."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    bench = importlib.import_module("bench")
+
+    def gate(v):
+        return bench.recall_gate_routed_hard(
+            {"recall_clustered_hard_10x": {
+                "ann_pq_probed_scaled_r3_permille": v}}
+        )
+
+    assert gate(933)["ok"], "registration value must pass"
+    assert gate(900)["ok"], "one lost neighbor is visible but tolerated"
+    assert not gate(833)["ok"], "two lost neighbors must fail the bench"
+    assert bench.recall_gate_routed_hard(None)["ok"]
+    assert bench.recall_gate_routed_hard({})["ok"]
+    assert bench.HARD_ROUTED_RECALL_FLOOR_PERMILLE == 866
+
+
+def test_hard_twin_geometry(spark, sf_dir):
+    """The hard clustered twin (noise=0.33) keeps REAL cluster signal
+    (within-cluster cosine above cross-cluster) while blurring the
+    boundary enough that the signal is no longer the easy twin's —
+    the property that makes its routed-recall gate non-saturated."""
+    import numpy as np
+
+    from khose_spark.scaling import ensure_clustered_dir
+
+    dest = tempfile.mkdtemp(prefix="khose_hardtwintest_")
+    try:
+        out = ensure_clustered_dir(
+            spark, sf_dir, dest, n_clusters=8, noise=0.33
+        )
+        emb = spark.read.parquet(f"{out}/embeddings.parquet")
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        assert np.abs(norms - 1.0).max() < 1e-5
+        sel = ids < 400
+        sids, smat = ids[sel], mat[sel]
+        cos = smat @ smat.T
+        same = (sids[:, None] % 8) == (sids[None, :] % 8)
+        off = ~np.eye(len(sids), dtype=bool)
+        within = cos[same & off].mean()
+        across = cos[~same].mean()
+        # still clustered ...
+        assert within - across > 0.15, (
+            f"hard twin lost its cluster signal: within={within:.3f} "
+            f"across={across:.3f}"
+        )
+        # ... but materially blurred vs the easy twin's >0.8 / <0.4 gap
+        assert within < 0.7, (
+            f"hard twin not actually hard: within={within:.3f} "
+            "(easy-twin territory — noise knob had no effect?)"
+        )
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
