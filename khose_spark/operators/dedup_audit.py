@@ -882,43 +882,16 @@ def q_er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query(
-    "q_llm_incremental_dedup",
-    oracle=f"""
-    WITH {_SQL_SHINGLES}, {_SQL_SIG}, flagged AS (
-      SELECT DISTINCT a.doc_id AS delta_id
-      FROM sig a JOIN sig b
-        ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
-      WHERE ({_SQL_AGREE}) >= {_MIN_AGREE}
-    )
-    SELECT d.lang, count(*) AS n_delta,
-           CAST(sum(CASE WHEN f.delta_id IS NOT NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_flagged,
-           CAST((2 * 1000 * sum(CASE WHEN f.delta_id IS NOT NULL
-                                     THEN 1 ELSE 0 END) + count(*))
-                // (2 * count(*)) AS BIGINT) AS flagged_permille
-    FROM documents d LEFT JOIN flagged f ON f.delta_id = d.doc_id
-    WHERE d.doc_id % 5 = 0
-    GROUP BY d.lang ORDER BY d.lang
-    """,
-)
-def q_llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental (delta-vs-base) near-dup screening — THE production
-    ingest shape: the new batch (doc_id % 5 = 0 stands in for today's
-    delta) is checked against the existing corpus (the base), never
-    against itself, and per-language flag rates are reported. Uses the
-    portable md5-MinHash signatures with the certified-lossless 8x2
-    banding (>= 10/16 agreement => some band fully agrees, pigeonhole),
-    so the oracle's all-pairs delta x base form hash-matches the
-    banded plan exactly.
-
-    Scale shape: the base signature table is the persisted artifact an
-    incremental pipeline maintains; each delta batch costs one band
-    equi-join (delta bands x base bands — linear in delta, never
-    base x base) + agreement verification on candidates only. Here
-    both sides derive from one signature aggregation (single doc_id
-    shuffle) split by the delta predicate."""
-    sig = _det_signatures(spark, sf_dir).localCheckpoint()
+def banded_delta_flags(sig: DataFrame) -> DataFrame:
+    """Delta-vs-base near-dup flags off a (checkpointed) signature
+    relation: returns the distinct ``delta_id`` column of delta docs
+    (doc_id % 5 = 0 — the shared delta law) with >= {10}/16 signature
+    agreement against ANY base doc, via the certified-lossless 8x2
+    banding (some band fully agrees by pigeonhole). Shared by
+    q_llm_incremental_dedup and the round-13 composed
+    q_llm_corpus_refresh_incremental — both hash-match the oracle's
+    all-pairs delta x base form because the banding is lossless at
+    the >=10/16 threshold."""
     delta_sig = sig.filter(F.col("doc_id") % 5 == 0)
     base_sig = sig.filter(F.col("doc_id") % 5 != 0)
 
@@ -964,7 +937,7 @@ def q_llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col(f"da.s{i}") == F.col(f"ba.s{i}")).cast("int")
         for i in range(_N_HASHES)
     )
-    flagged = (
+    return (
         cand.join(
             delta_sig.alias("da"),
             F.col("delta_id") == F.col("da.doc_id"),
@@ -976,6 +949,46 @@ def q_llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("delta_id")
         .distinct()
     )
+
+
+@query(
+    "q_llm_incremental_dedup",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_SIG}, flagged AS (
+      SELECT DISTINCT a.doc_id AS delta_id
+      FROM sig a JOIN sig b
+        ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      WHERE ({_SQL_AGREE}) >= {_MIN_AGREE}
+    )
+    SELECT d.lang, count(*) AS n_delta,
+           CAST(sum(CASE WHEN f.delta_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST((2 * 1000 * sum(CASE WHEN f.delta_id IS NOT NULL
+                                     THEN 1 ELSE 0 END) + count(*))
+                // (2 * count(*)) AS BIGINT) AS flagged_permille
+    FROM documents d LEFT JOIN flagged f ON f.delta_id = d.doc_id
+    WHERE d.doc_id % 5 = 0
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def q_llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-base) near-dup screening — THE production
+    ingest shape: the new batch (doc_id % 5 = 0 stands in for today's
+    delta) is checked against the existing corpus (the base), never
+    against itself, and per-language flag rates are reported. Uses the
+    portable md5-MinHash signatures with the certified-lossless 8x2
+    banding (>= 10/16 agreement => some band fully agrees, pigeonhole),
+    so the oracle's all-pairs delta x base form hash-matches the
+    banded plan exactly.
+
+    Scale shape: the base signature table is the persisted artifact an
+    incremental pipeline maintains; each delta batch costs one band
+    equi-join (delta bands x base bands — linear in delta, never
+    base x base) + agreement verification on candidates only. Here
+    both sides derive from one signature aggregation (single doc_id
+    shuffle) split by the delta predicate."""
+    sig = _det_signatures(spark, sf_dir).localCheckpoint()
+    flagged = banded_delta_flags(sig)
     delta_docs = (
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 == 0)

@@ -1210,3 +1210,95 @@ def q_ts_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("t_r4"),
     ).orderBy("event_type")
+
+
+@query(
+    "q_evt_path_topk",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+      SELECT event_type || '>' || e2 || '>' || e3 AS path,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM seq WHERE e3 IS NOT NULL
+      GROUP BY 1
+    ), ranked AS (
+      SELECT path, n_occurrences, n_users,
+             row_number() OVER (ORDER BY n_occurrences DESC, path)
+               AS rnk,
+             CAST(sum(n_occurrences) OVER () AS BIGINT) AS total
+      FROM paths
+    )
+    SELECT rnk, path, n_occurrences, n_users,
+           CAST((2 * 1000 * n_occurrences + total) // (2 * total)
+                AS BIGINT) AS share_milli
+    FROM ranked WHERE rnk <= 10 ORDER BY rnk
+    """,
+)
+def q_evt_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step event paths — the clickstream path-mining
+    query behind "what do users do next?" dashboards, one step past
+    q_ts_transition_matrix's single-hop Markov counts: per user,
+    consecutive event triples (ordered by ts with the event_id
+    tiebreak), counted globally with the per-path distinct-user reach
+    and an exact half-up per-mille share.
+
+    Determinism: the sequence order is total (ts, event_id); counts
+    are exact int64; the share uses the half-up integer idiom —
+    all-positive, so // vs DIV never diverges.
+
+    Plan shape for 100 TB: ONE user-keyed window (lead x2 over the
+    user partition — events co-partition by user, no global sort),
+    one (path) agg over at most |event_types|^3 = 125 groups with the
+    distinct-user count riding the same shuffle, and the global top-10
+    window runs over that bounded 125-row relation (the
+    post-aggregate-small-relation exemption the global-window police
+    allows). The corpus is read once."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    paths = (
+        seq.filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path"),
+            "user_id",
+        )
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+    w_rank = Window.orderBy(F.desc("n_occurrences"), F.asc("path"))
+    w_all = Window.partitionBy()
+    ranked = paths.select(
+        F.row_number().over(w_rank).alias("rnk"),
+        "path",
+        "n_occurrences",
+        "n_users",
+        F.sum("n_occurrences").over(w_all).cast("long").alias("total"),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 10)
+        .select(
+            "rnk",
+            "path",
+            "n_occurrences",
+            "n_users",
+            F.expr(
+                "CAST((2 * 1000 * n_occurrences + total)"
+                " DIV (2 * total) AS BIGINT)"
+            ).alias("share_milli"),
+        )
+        .orderBy("rnk")
+    )

@@ -3887,3 +3887,211 @@ def q_ml_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("equivalent_05"),
     )
+
+
+@query(
+    "q_ml_ridge_2f",
+    oracle="""
+    WITH feats AS (
+      SELECT l.l_orderkey AS k,
+             count(*) AS x1,
+             CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 // 100
+                  ) AS BIGINT) AS x2
+      FROM lineitem l GROUP BY 1
+    ), xy AS (
+      SELECT f.x1, f.x2,
+             CAST(round(CAST(o.o_totalprice AS DECIMAL(18,2)), 0)
+                  AS BIGINT) AS y
+      FROM feats f JOIN orders o ON o.o_orderkey = f.k
+    ), sums AS (
+      SELECT count(*) AS n,
+             CAST(sum(x1) AS BIGINT) AS s1,
+             CAST(sum(x2) AS BIGINT) AS s2,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x1 * x1) AS BIGINT) AS s11,
+             CAST(sum(x2 * x2) AS BIGINT) AS s22,
+             CAST(sum(x1 * x2) AS BIGINT) AS s12,
+             CAST(sum(x1 * y) AS BIGINT) AS s1y,
+             CAST(sum(CAST(x2 * y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS s2y,
+             CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS syy
+      FROM xy
+    ), alg AS (
+      SELECT n,
+             CAST(s1 AS DOUBLE) / n AS m1, CAST(s2 AS DOUBLE) / n AS m2,
+             CAST(sy AS DOUBLE) / n AS my,
+             CAST(s11 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+               * (CAST(s1 AS DOUBLE) / n) AS c11,
+             CAST(s22 AS DOUBLE) / n - (CAST(s2 AS DOUBLE) / n)
+               * (CAST(s2 AS DOUBLE) / n) AS c22,
+             CAST(s12 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+               * (CAST(s2 AS DOUBLE) / n) AS c12,
+             CAST(s1y AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+               * (CAST(sy AS DOUBLE) / n) AS c1y,
+             CAST(s2y AS DOUBLE) / n - (CAST(s2 AS DOUBLE) / n)
+               * (CAST(sy AS DOUBLE) / n) AS c2y,
+             CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n)
+               * (CAST(sy AS DOUBLE) / n) AS cyy
+      FROM sums
+    ), corr AS (
+      SELECT n, m1, m2, my, c11, c22, cyy,
+             c12 / sqrt(c11 * c22) AS r12,
+             c1y / sqrt(c11 * cyy) AS r1y,
+             c2y / sqrt(c22 * cyy) AS r2y
+      FROM alg
+    ), std AS (
+      SELECT n, m1, m2, my, c11, c22, cyy, r12, r1y, r2y,
+             ((1.0 + 0.1) * r1y - r12 * r2y)
+               / ((1.0 + 0.1) * (1.0 + 0.1) - r12 * r12) AS b1s,
+             ((1.0 + 0.1) * r2y - r12 * r1y)
+               / ((1.0 + 0.1) * (1.0 + 0.1) - r12 * r12) AS b2s,
+             (r1y - r12 * r2y) / (1.0 - r12 * r12) AS b1s_ols,
+             (r2y - r12 * r1y) / (1.0 - r12 * r12) AS b2s_ols
+      FROM corr
+    ), unstd AS (
+      SELECT n, m1, m2, my, b1s, b2s, b1s_ols, b2s_ols,
+             b1s * sqrt(cyy / c11) AS b1,
+             b2s * sqrt(cyy / c22) AS b2
+      FROM std
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(my - b1 * m1 - b2 * m2, 6) AS b0,
+           round(b1, 6) AS b1,
+           round(b2, 6) AS b2,
+           round(b1s / b1s_ols, 6) AS shrink1_r6,
+           round(b2s / b2s_ols, 6) AS shrink2_r6
+    FROM unstd
+    """,
+)
+def q_ml_ridge_2f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature ridge regression in closed form — the regularized
+    sibling of q_ml_linreg_2f on the SAME nine exact sufficient
+    statistics (line count and total quantity predicting the order's
+    whole-dollar total). Solved in the STANDARDIZED (correlation)
+    basis, where the penalty is unit-free and replication-invariant:
+    b_std = ((1+L)I + offdiag(r12))^-1 [r1y r2y] with the pinned
+    L = 0.1, then unstandardized via sqrt(cyy/cjj). The shrink ratios
+    b_ridge_std / b_ols_std report what the penalty bought — the
+    number a feature-stability readout actually wants.
+
+    Exactness: identical integer/DECIMAL(38,0) sufficient-statistic
+    carriers as q_ml_linreg_2f (same CTE prefix, same widened s2y/syy
+    — the 1000x overflow lesson inherited at registration); the
+    correlation/ridge algebra folds ~15 identical double terms in both
+    engines, round-6.
+
+    Plan: identical to linreg_2f — one per-order feature agg (the only
+    fact-scale shuffle), one join to orders, one 1-row reduce; the
+    ridge solve is scalar algebra on the 1-row relation. No iteration,
+    no driver-side solver, any corpus size."""
+    li = t(spark, sf_dir, "lineitem")
+    feats = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("x1"),
+        F.expr(
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * 100 DIV 100)"
+            " AS BIGINT)"
+        ).alias("x2"),
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 0) AS BIGINT)"
+        ).alias("y"),
+    )
+    xy = feats.join(orders, "k")
+    sums = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum((F.col("x2") * F.col("y")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s2y"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    alg = sums.select(
+        "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("m1"),
+        (F.col("s2").cast("double") / F.col("n")).alias("m2"),
+        (F.col("sy").cast("double") / F.col("n")).alias("my"),
+        (
+            F.col("s11").cast("double") / F.col("n")
+            - (F.col("s1").cast("double") / F.col("n"))
+            * (F.col("s1").cast("double") / F.col("n"))
+        ).alias("c11"),
+        (
+            F.col("s22").cast("double") / F.col("n")
+            - (F.col("s2").cast("double") / F.col("n"))
+            * (F.col("s2").cast("double") / F.col("n"))
+        ).alias("c22"),
+        (
+            F.col("s12").cast("double") / F.col("n")
+            - (F.col("s1").cast("double") / F.col("n"))
+            * (F.col("s2").cast("double") / F.col("n"))
+        ).alias("c12"),
+        (
+            F.col("s1y").cast("double") / F.col("n")
+            - (F.col("s1").cast("double") / F.col("n"))
+            * (F.col("sy").cast("double") / F.col("n"))
+        ).alias("c1y"),
+        (
+            F.col("s2y").cast("double") / F.col("n")
+            - (F.col("s2").cast("double") / F.col("n"))
+            * (F.col("sy").cast("double") / F.col("n"))
+        ).alias("c2y"),
+        (
+            F.col("syy").cast("double") / F.col("n")
+            - (F.col("sy").cast("double") / F.col("n"))
+            * (F.col("sy").cast("double") / F.col("n"))
+        ).alias("cyy"),
+    )
+    corr = alg.select(
+        "n", "m1", "m2", "my", "c11", "c22", "cyy",
+        (F.col("c12") / F.sqrt(F.col("c11") * F.col("c22"))).alias("r12"),
+        (F.col("c1y") / F.sqrt(F.col("c11") * F.col("cyy"))).alias("r1y"),
+        (F.col("c2y") / F.sqrt(F.col("c22") * F.col("cyy"))).alias("r2y"),
+    )
+    lam = F.lit(1.0) + F.lit(0.1)
+    rdet = lam * lam - F.col("r12") * F.col("r12")
+    std = corr.select(
+        "n", "m1", "m2", "my", "c11", "c22", "cyy", "r12", "r1y", "r2y",
+        ((lam * F.col("r1y") - F.col("r12") * F.col("r2y")) / rdet).alias(
+            "b1s"
+        ),
+        ((lam * F.col("r2y") - F.col("r12") * F.col("r1y")) / rdet).alias(
+            "b2s"
+        ),
+        (
+            (F.col("r1y") - F.col("r12") * F.col("r2y"))
+            / (F.lit(1.0) - F.col("r12") * F.col("r12"))
+        ).alias("b1s_ols"),
+        (
+            (F.col("r2y") - F.col("r12") * F.col("r1y"))
+            / (F.lit(1.0) - F.col("r12") * F.col("r12"))
+        ).alias("b2s_ols"),
+    )
+    unstd = std.select(
+        "n", "m1", "m2", "my", "b1s", "b2s", "b1s_ols", "b2s_ols",
+        (F.col("b1s") * F.sqrt(F.col("cyy") / F.col("c11"))).alias("b1"),
+        (F.col("b2s") * F.sqrt(F.col("cyy") / F.col("c22"))).alias("b2"),
+    )
+    return unstd.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("my")
+            - F.col("b1") * F.col("m1")
+            - F.col("b2") * F.col("m2"),
+            6,
+        ).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round("b2", 6).alias("b2"),
+        F.round(F.col("b1s") / F.col("b1s_ols"), 6).alias("shrink1_r6"),
+        F.round(F.col("b2s") / F.col("b2s_ols"), 6).alias("shrink2_r6"),
+    )

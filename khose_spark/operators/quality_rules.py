@@ -913,3 +913,119 @@ def q_llm_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_FT_BUCKETS = 1024  # hashed-feature dimension of the linear scorer
+# DuckDB twins of the two md5-hex stages (the hash_bucket idiom):
+_FT_TOK_BUCKET = _sql_hash_bucket("term", _FT_BUCKETS)
+_FT_WEIGHT = (
+    f"(({_sql_hash_bucket('''('w|' || CAST(bucket AS VARCHAR))''', 2001)})"
+    " - 1000)"
+)
+
+
+@query(
+    "q_llm_fasttext_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, lang, {_FT_TOK_BUCKET} AS bucket
+      FROM tok
+    ), weighted AS (
+      SELECT doc_id, lang,
+             CAST({_FT_WEIGHT} AS BIGINT) AS w
+      FROM hashed
+    ), doc AS (
+      SELECT doc_id, lang,
+             CAST(sum(w) AS BIGINT) AS sum_w,
+             CAST(count(*) AS BIGINT) AS n_tok
+      FROM weighted GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN sum_w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST((2 * 1000 * sum(CASE WHEN sum_w > 0 THEN 1 ELSE 0 END)
+                 + count(*)) // (2 * count(*)) AS BIGINT)
+             AS keep_permille,
+           round(avg(CAST(sum_w AS DOUBLE) / n_tok), 4)
+             AS avg_score_r4
+    FROM doc GROUP BY lang ORDER BY lang
+    """,
+)
+def q_llm_fasttext_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality-classifier INFERENCE over the
+    corpus — the scoring pass a model-based quality filter (CCNet's
+    LM filter, fastText lang/quality heads) runs at ingest: each token
+    hashes into a 1024-bucket feature space (the q_llm_hash_features
+    trick), each bucket carries a fixed integer weight in
+    [-1000, 1000] (md5-derived — a deterministic stand-in for trained
+    weights; swapping in a real weight table is a broadcast join on
+    `bucket`), a document's score is its mean token weight, and the
+    keep decision is score > 0 — which over integer weights is the
+    EXACT integer predicate sum_w > 0, no float threshold anywhere.
+
+    Per-lang report: docs, kept, exact half-up keep-permille, and the
+    round-4 mean per-token score (the one double fold, avg over docs
+    of sum_w/n_tok — the q_llm_surprisal corpus-avg precedent).
+
+    Plan shape for 100 TB: tokenize + hash + weight are ONE map-side
+    codegen stage (md5 hex arithmetic, zero Python, zero lookup
+    table materialized — the weight is computed from the bucket id);
+    the only shuffles are the (doc_id, lang) partial-agg and the
+    5-row lang rollup. Corpus read once, nothing corpus-sized ever
+    shuffles except the per-doc partial sums."""
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10).cast("int")
+        % _FT_BUCKETS
+    )
+    w = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w|"), F.col("bucket").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2001
+        - 1000
+    ).cast("long")
+    doc = (
+        tok.select("doc_id", "lang", bucket.alias("bucket"))
+        .select("doc_id", "lang", w.alias("w"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("w").cast("long").alias("sum_w"),
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+        )
+    )
+    return (
+        doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("sum_w") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.round(
+                F.avg(F.col("sum_w").cast("double") / F.col("n_tok")), 4
+            ).alias("avg_score_r4"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_kept",
+            F.expr(
+                "CAST((2 * 1000 * n_kept + n_docs) DIV (2 * n_docs)"
+                " AS BIGINT)"
+            ).alias("keep_permille"),
+            "avg_score_r4",
+        )
+        .orderBy("lang")
+    )

@@ -1346,3 +1346,120 @@ def q_llm_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "in_exact_top3"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 13: routing read-fraction audit — the sublinear-read CLAIM of the
+# probed index as an oracle-checked relation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_llm_ann_probe_audit",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent AS (
+{_FK_CENT_SQL}
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT b.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY round(list_cosine_similarity(b.v, c.cv), 6) DESC, c.cid ASC
+               ) AS rn
+        FROM base b CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), probe AS (
+      SELECT vec_id AS qid, cid FROM (
+        SELECT b.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY round(list_cosine_similarity(b.v, c.cv), 6) DESC, c.cid ASC
+               ) AS rn
+        FROM base b CROSS JOIN cent c
+        WHERE b.vec_id < 10
+      ) WHERE rn <= {_IVF_PROBES}
+    ), occ AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_codes
+      FROM assign GROUP BY cid
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS corpus_n FROM base
+    )
+    SELECT p.qid,
+           CAST(count(*) AS BIGINT) AS n_cells_probed,
+           CAST(sum(o.n_codes) AS BIGINT) AS codes_scanned,
+           t.corpus_n,
+           CAST((2 * 1000 * sum(o.n_codes) + t.corpus_n)
+                // (2 * t.corpus_n) AS BIGINT) AS read_permille
+    FROM probe p JOIN occ o ON o.cid = p.cid CROSS JOIN tot t
+    GROUP BY p.qid, t.corpus_n
+    ORDER BY p.qid
+    """,
+)
+def q_llm_ann_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing read-fraction audit for the composed probed search
+    (q_llm_ann_pq_probed_scaled): per query, how many of the index's
+    PQ codes does probe-8 routing actually scan, as an
+    exact half-up permille of the corpus — the "touch ~8/64 of the
+    corpus" sublinear-read claim turned into an oracle-checked
+    relation the driver grades every round, instead of a docstring
+    assertion. Cell occupancy is counted off the REAL persisted index
+    artifact (build_ivfpq_index_fixedk's cid-partitioned codes table),
+    so a routing or build regression that silently inflates the read
+    set fails the hash, not just a bench number.
+
+    Exactness: occupancy/total are exact int64 row counts; routing is
+    the verbatim q_llm_ann_ivf_probed contract (round-6 cosine, cid
+    tiebreak); the permille is the all-positive half-up integer idiom.
+
+    Plan: the one-time index build amortizes across the ANN family
+    (memoized per dir); the audit itself is one 64-row occupancy agg
+    off the codes scan + the 80-row broadcast probe relation joined
+    and folded per query — nothing corpus-sized shuffles."""
+    codes_tbl, _cb_tbl = build_ivfpq_index_fixedk(spark, sf_dir)
+    codes = spark.table(codes_tbl)
+    # The codes table holds 8 subvector rows per vector (PQ M=8);
+    # occupancy counts VECTORS, so fold the sub_id=0 stripe only.
+    occ = (
+        codes.filter(F.col("sub_id") == 0)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_codes"))
+    )
+    e = t(spark, sf_dir, "embeddings")
+    base = _dbl_base(e)
+    cent = fixed_seeds(base)
+    w_rank = Window.partitionBy("vec_id").orderBy(
+        F.desc("asim"), F.asc("cid")
+    )
+    cellprobe = (
+        base.filter(F.col("vec_id") < 10)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "cid", F.round(_cos("v", "cv"), 6).alias("asim")
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _IVF_PROBES)
+        .select(F.col("vec_id").alias("qid"), "cid")
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("corpus_n"))
+    return (
+        cellprobe.join(F.broadcast(occ), "cid")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells_probed"),
+            F.sum("n_codes").cast("long").alias("codes_scanned"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "qid",
+            "n_cells_probed",
+            "codes_scanned",
+            "corpus_n",
+            F.expr(
+                "CAST((2 * 1000 * codes_scanned + corpus_n)"
+                " DIV (2 * corpus_n) AS BIGINT)"
+            ).alias("read_permille"),
+        )
+        .orderBy("qid")
+    )

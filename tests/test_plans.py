@@ -38,6 +38,22 @@ BNLJ_ALLOWED = {
                                # broadcast-crossed into 6 segment rows
     "q_ml_levene_bf",          # 1-row F-statistic fold broadcast-
                                # crossed back into the 5 group rows
+    "q_ml_dunn_posthoc",       # 5-row group fold self-joined on the
+                               # non-equi grp_i < grp_j (10 pairs) +
+                               # 1-row variance fold crossed back
+    "q_ml_gamma_concordance",  # declared <=50-cell contingency table
+                               # crossed with itself (<=2500 pairs) +
+                               # 1-row totals cross
+    "q_ml_theil_u",            # broadcast crosses of the 1-row total
+                               # into the <=15-cell marginals and the
+                               # three 1-row entropy folds
+    "q_llm_ann_probe_audit",   # 64-row broadcast seed cross into the
+                               # 10-row query block (the shared ivf
+                               # routing idiom) + 1-row corpus-total
+                               # cross into the 10-row audit
+    "q_llm_corpus_refresh_incremental",  # 1-row merged-total aggregate
+                               # broadcast-crossed into the ~5-row
+                               # per-lang mixture relation
     "q_ml_cochran_q",          # 1-row corpus-totals aggregate
                                # broadcast-crossed into the per-user
                                # counts (the integer mean threshold)
@@ -507,6 +523,30 @@ MAX_SHUFFLES = {
                                   # fold + Σr²/n fold; the checkpointed
                                   # grid's window subplan embeds 2-3x
                                   # in the string (audited: 10)
+    "q_ml_dunn_posthoc": 13,      # the kruskal grid lifecycle plus the
+                                  # 10-pair contrast fold: marginal +
+                                  # midrank window + group/tie/variance
+                                  # folds + pair sort — everything past
+                                  # the checkpointed (band,grp) grid is
+                                  # domain-bounded <=5001 rows
+                                  # (audited: 13)
+    "q_ml_theil_u": 10,           # three entropy folds + marginal aggs
+                                  # + 1-row total off the checkpointed
+                                  # <=15-cell grid — every exchange
+                                  # past the grid moves <=15 rows
+                                  # (audited: 10)
+    "q_llm_ann_probe_audit": 5,   # 64-row occupancy agg off the index
+                                  # scan + 80-row probe window + per-
+                                  # query fold + 1-row total + sort —
+                                  # nothing corpus-sized moves
+                                  # (audited: 5)
+    "q_llm_corpus_refresh_incremental": 7,  # the documented stage
+                                  # exchanges: base digest distinct +
+                                  # delta flag window + base chunk
+                                  # distinct + chunk cover agg + two
+                                  # lang rollups + merge sort — each
+                                  # either delta-sized or the inherent
+                                  # dedup hash partition (audited: 7)
     "q_llm_minhash_det": 6,       # sig agg + band self-join + distinct +
                                   # 2 sig-lookup joins (audited: 5)
     "q_graph_cooccurrence": 10,   # distinct edges + degree agg + semi
