@@ -301,7 +301,7 @@ LAWS: dict[str, dict] = {
         " AS measured FROM orders",
     },
     "linreg_syy_decimal38": {
-        "keys": ["q_ml_linreg_2f"],
+        "keys": ["q_ml_linreg_2f", "q_ml_ridge_2f"],
         "carrier": DEC38,
         "law": "Σy² (whole-dollar response squared) folds in"
         " DECIMAL(38,0) since r10 — the 1000× digest probe hit Spark's"
@@ -586,6 +586,88 @@ LAWS: dict[str, dict] = {
         FROM flags
         """,
     },
+    "gamma_pair_mass_decimal38": {
+        "keys": ["q_ml_gamma_concordance"],
+        "carrier": DEC38,
+        "law": "concordant/discordant pair mass Σ n_a·n_b over the"
+        " ≤50-cell contingency folds in DECIMAL(38,0) (widened AT"
+        " REGISTRATION, r13): mass ~ n²/4 gains TWO decades per data"
+        " decade and the per-pair product alone crosses int64 at ~3e9"
+        " rows/cell; the reported int64 cast stays exact through"
+        " ~4.3e9 orders rows — measured = max(conc, disc)",
+        "sql": """
+        WITH cell AS (
+          SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS x,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT) // 5000000 AS y,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT greatest(
+                 sum(CASE WHEN b.x > a.x AND b.y > a.y
+                     THEN CAST(a.n AS DOUBLE) * b.n ELSE 0 END),
+                 sum(CASE WHEN b.x > a.x AND b.y < a.y
+                     THEN CAST(a.n AS DOUBLE) * b.n ELSE 0 END))
+               AS measured
+        FROM cell a CROSS JOIN cell b
+        """,
+    },
+    "effect_sizes_q_decimal38": {
+        "keys": ["q_ml_effect_sizes"],
+        "carrier": DEC38,
+        "law": "per-group Σcents² folds in DECIMAL(38,0) (widened AT"
+        " REGISTRATION, r13 — the levene_bf precedent): cents² ≈"
+        " 2.4e9 per row crosses int64 at ~4e9 rows/group, inside the"
+        " events replication ladder; Σcents stays int64 (linear)",
+        "sql": """
+        SELECT max(q) AS measured FROM (
+          SELECT event_type,
+                 sum(CAST(cents AS DOUBLE) * cents) AS q
+          FROM (
+            SELECT event_type,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     AS cents
+            FROM events WHERE event_type IN ('click', 'view'))
+          GROUP BY event_type)
+        """,
+    },
+    "dunn_rank_carriers_decimal38": {
+        "keys": ["q_ml_dunn_posthoc"],
+        "carrier": DEC38,
+        "law": "the two DECIMAL(38,0) midrank carriers (widened AT"
+        " REGISTRATION, r13 — the kruskal_wallis/cochran precedent):"
+        " per-group doubled-rank sum Σ c·mid2 ~ 2n²/5 (two decades"
+        " per data decade) and band tie mass Σ(t³−t) with t ~ n/5000"
+        " (THREE decades per data decade — ≈3.6e18, past int64, at"
+        " orders-3000×); measured = max of the two",
+        "sql": """
+        WITH x AS (
+          SELECT o_orderpriority AS grp,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT) // 10000 AS band
+          FROM orders
+        ), joint AS (
+          SELECT band, grp, CAST(count(*) AS BIGINT) AS c
+          FROM x GROUP BY 1, 2
+        ), marg AS (
+          SELECT band, CAST(sum(c) AS BIGINT) AS t
+          FROM joint GROUP BY band
+        ), mid AS (
+          SELECT band, t,
+                 CAST(2 * coalesce(sum(t) OVER (ORDER BY band
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) + t + 1 AS BIGINT) AS mid2
+          FROM marg
+        ), g AS (
+          SELECT j.grp, sum(CAST(j.c AS DOUBLE) * m.mid2) AS dr
+          FROM joint j JOIN mid m ON m.band = j.band GROUP BY 1
+        ), ties AS (
+          SELECT sum(CAST(t AS DOUBLE) * t * t - t) AS t3t FROM marg
+        )
+        SELECT greatest((SELECT max(dr) FROM g),
+                        (SELECT t3t FROM ties)) AS measured
+        """,
+    },
 }
 
 
@@ -610,6 +692,8 @@ EVENTS_ONLY_LAWS = {
     # Cochran numerator (both events-only reads).
     "ewma_carrier_decimal38",
     "cochran_colsq_int64",
+    # r13: the click/view effect-size quadratic (events-only read).
+    "effect_sizes_q_decimal38",
 }
 
 # Laws that read ONLY lineitem/orders — the other carrier class the
@@ -632,6 +716,10 @@ LINEITEM_FAMILY_LAWS = {
     # r12: the Brown-Forsythe Σz² quadratic (orders-only read — rides
     # the lineitem/orders decade since that materializer scales orders).
     "levene_absdev_q_decimal38",
+    # r13: the gamma pair-mass quadratic and the Dunn midrank carriers
+    # (both orders-only reads — same ladder as levene).
+    "gamma_pair_mass_decimal38",
+    "dunn_rank_carriers_decimal38",
 }
 
 
