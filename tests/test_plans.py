@@ -41,6 +41,19 @@ BNLJ_ALLOWED = {
     "q_ml_dunn_posthoc",       # 5-row group fold self-joined on the
                                # non-equi grp_i < grp_j (10 pairs) +
                                # 1-row variance fold crossed back
+    "q_ml_cliffs_delta",       # declared <=491-band-per-group grid
+                               # crossed (<=241k pairs) + 1-row totals
+                               # cross (the gamma discipline)
+    "q_ml_hodges_lehmann",     # same banded grid cross; the weighted-
+                               # median fold + 1-row totals cross
+    "q_ml_runs_test",          # 1-row median broadcast-crossed into
+                               # the ~31-row day spine
+    "q_ml_chisq_gof",          # 1-row total/fold crosses into the
+                               # 5-row priority grid
+    "q_ml_mood_median",        # 1-row medband/median broadcast-crossed
+                               # into the fact scan (the banded two-
+                               # phase quantile) + 1-row folds into
+                               # the 5-row contingency
     "q_ml_gamma_concordance",  # declared <=50-cell contingency table
                                # crossed with itself (<=2500 pairs) +
                                # 1-row totals cross
@@ -535,6 +548,22 @@ MAX_SHUFFLES = {
                                   # <=15-cell grid — every exchange
                                   # past the grid moves <=15 rows
                                   # (audited: 10)
+    "q_ml_mood_median": 10,       # banded two-phase median lifecycle:
+                                  # band marginal + cumulative window +
+                                  # within-band rank window + 2x5
+                                  # contingency agg + bounded folds;
+                                  # the checkpointed marg/cum/counts
+                                  # interiors audit alongside
+                                  # (audited: 9) — only the marginal
+                                  # and the two counts passes touch
+                                  # fact rows
+    "q_ml_chisq_gof": 6,          # 5-row priority agg + total fold +
+                                  # deviation fold + ordered output;
+                                  # checkpoint interior audits
+                                  # alongside (audited: 5)
+    "q_llm_mattr": 6,             # token (doc,win) agg with partial
+                                  # count-distinct + doc rollup + lang
+                                  # rollup + sort (audited: 5)
     "q_llm_ann_probe_audit": 5,   # 64-row occupancy agg off the index
                                   # scan + 80-row probe window + per-
                                   # query fold + 1-row total + sort —
