@@ -668,6 +668,60 @@ LAWS: dict[str, dict] = {
                         (SELECT t3t FROM ties)) AS measured
         """,
     },
+    "cliffs_hl_pair_mass_decimal38": {
+        "keys": ["q_ml_cliffs_delta", "q_ml_hodges_lehmann"],
+        "carrier": DEC38,
+        "law": "dominance/difference pair mass over the dollar-band"
+        " grid folds in DECIMAL(38,0) (widened AT REGISTRATION, r13 —"
+        " the gamma precedent): total mass n1*n2 gains TWO decades per"
+        " data decade; the HL weighted sum |Σ db*mass| adds the <=981"
+        " band-diff factor on top — measured = max of the two",
+        "sql": """
+        WITH cell AS (
+          SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 2 END
+                   AS grp,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   // 100 AS b,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events WHERE event_type IN ('click', 'view')
+          GROUP BY 1, 2
+        ), x AS (
+          SELECT sum(CASE WHEN grp = 1 THEN CAST(n AS DOUBLE) END)
+                   AS n1,
+                 sum(CASE WHEN grp = 2 THEN CAST(n AS DOUBLE) END)
+                   AS n2
+          FROM cell
+        ), w AS (
+          SELECT abs(sum(CAST(a.b - v.b AS DOUBLE)
+                         * a.n * v.n)) AS wsum
+          FROM (SELECT b, n FROM cell WHERE grp = 1) a
+          CROSS JOIN (SELECT b, n FROM cell WHERE grp = 2) v
+        )
+        SELECT greatest(x.n1 * x.n2, w.wsum) AS measured
+        FROM x CROSS JOIN w
+        """,
+    },
+    "chisq_gof_dev5sq_decimal38": {
+        "keys": ["q_ml_chisq_gof"],
+        "carrier": DEC38,
+        "law": "Σ dev5² with dev5 = 5·obs − n folds in DECIMAL(38,0)"
+        " (widened AT REGISTRATION, r13): |dev5| <= 4n so the square"
+        " crosses int64 at ~7.6e8 orders — inside the orders decade"
+        " ladder; the fixture's near-uniform priorities keep the"
+        " MEASURED value far below the worst case, which is the point"
+        " of measuring",
+        "sql": """
+        WITH g AS (
+          SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS obs
+          FROM orders GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(obs) AS BIGINT) AS n FROM g
+        )
+        SELECT sum(CAST(5 * obs - n AS DOUBLE)
+                   * (5 * obs - n)) AS measured
+        FROM g CROSS JOIN tot
+        """,
+    },
 }
 
 
@@ -694,6 +748,8 @@ EVENTS_ONLY_LAWS = {
     "cochran_colsq_int64",
     # r13: the click/view effect-size quadratic (events-only read).
     "effect_sizes_q_decimal38",
+    # r13 wave 2: the cliffs/HL dominance pair mass (events-only read).
+    "cliffs_hl_pair_mass_decimal38",
 }
 
 # Laws that read ONLY lineitem/orders — the other carrier class the
@@ -720,6 +776,8 @@ LINEITEM_FAMILY_LAWS = {
     # (both orders-only reads — same ladder as levene).
     "gamma_pair_mass_decimal38",
     "dunn_rank_carriers_decimal38",
+    # r13 wave 2: the GOF squared-deviation fold (orders-only read).
+    "chisq_gof_dev5sq_decimal38",
 }
 
 
