@@ -181,6 +181,13 @@ HEADLINE = [
     # envelope drain + compaction + the funnel over the landed table;
     # its timing is ingest + curation end to end, the production job.
     "q_stream_curation_e2e_batchsem",
+    # Round-13 wave 1/2 perf-relevant keys: the composed day-2
+    # incremental refresh (two heavy reads per side), the banded
+    # two-phase exact grand median (three fact passes by contract),
+    # and the token-explode MATTR (the heaviest wave-2 key at 100x).
+    "q_llm_corpus_refresh_incremental",
+    "q_ml_mood_median",
+    "q_llm_mattr",
 ]
 
 
