@@ -1039,3 +1039,280 @@ def q_llm_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---- wave 3: remaining classical-test completions ----
+
+_CHI2_4_5PCT_B = "9.488"  # chi-square(4) upper 5% — Bartlett k=5
+_Z_1SIDED_5PCT = "1.6449"  # one-sided normal 5% — JT ordered alternative
+
+
+@query(
+    "q_ml_bartlett_test",
+    oracle=f"""
+    WITH x AS (
+      SELECT o_orderpriority AS grp,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS cents
+      FROM orders
+    ), g AS (
+      SELECT grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents)
+                  AS DECIMAL(38,0)) AS q
+      FROM x GROUP BY grp
+    ), v AS (
+      SELECT grp, n,
+             CAST(n * q - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS vi
+      FROM g
+    ), fold AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS nn,
+             sum((n - 1) * ln(vi)) AS sum_lnv,
+             sum((n - 1) * vi) AS ss_total,
+             sum(1.0 / (n - 1)) AS sum_inv
+      FROM v
+    ), alg AS (
+      SELECT k, nn,
+             ((nn - k) * ln(ss_total / (nn - k)) - sum_lnv)
+               / (1.0 + (sum_inv - 1.0 / (nn - k))
+                  / (3.0 * (k - 1))) AS t,
+             1.0 + (sum_inv - 1.0 / (nn - k)) / (3.0 * (k - 1)) AS c
+      FROM fold
+    )
+    SELECT k, nn AS n, round(t, 4) AS bartlett_t_r4,
+           round(c, 6) AS c_r6,
+           CAST(CASE WHEN t > {_CHI2_4_5PCT_B} THEN 1 ELSE 0 END
+                AS BIGINT) AS reject_5pct
+    FROM alg
+    """,
+)
+def q_ml_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of equal variances across the five order
+    priorities — the PARAMETRIC sibling of q_ml_levene_bf on the same
+    domain: maximally powerful under normality, fragile off it, which
+    is exactly why a readout runs BOTH (Bartlett rejecting while
+    Brown-Forsythe doesn't flags non-normality rather than variance
+    drift). T = [(N-k) ln(s_p^2) - Sum (n_i-1) ln(s_i^2)] / C with the
+    standard Box correction C, df = 4, pinned 9.488.
+
+    Exactness: per-group (n, Sum cents, Sum cents^2-as-DECIMAL(38,0))
+    from one aggregation; each group's centered carrier
+    n_i*q_i - s_i^2 is EXACT DECIMAL(38,0) (the welch_t idiom widened
+    — the product reaches ~2e28 at 100x, far past int64 but 10
+    decades inside DECIMAL(38)); variances, logs, and the T/C algebra
+    are identical double trees in both engines, round-4/round-6 once.
+
+    Plan: one map-side-combined 5-row aggregation + 1-row folds. One
+    fact pass at any scale."""
+    o = t(spark, sf_dir, "orders")
+    g = (
+        o.select(
+            F.col("o_orderpriority").alias("grp"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+            .cast("decimal(38,0)")
+            .alias("q"),
+        )
+    )
+    v = g.select(
+        "grp",
+        "n",
+        (
+            (
+                F.col("n") * F.col("q")
+                - F.col("s").cast("decimal(38,0)") * F.col("s")
+            ).cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+        ).alias("vi"),
+    )
+    fold = v.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum((F.col("n") - 1) * F.log("vi")).alias("sum_lnv"),
+        F.sum((F.col("n") - 1) * F.col("vi")).alias("ss_total"),
+        F.sum(1.0 / (F.col("n") - 1)).alias("sum_inv"),
+    )
+    c = 1.0 + (
+        F.col("sum_inv") - 1.0 / (F.col("nn") - F.col("k"))
+    ) / (3.0 * (F.col("k") - 1))
+    tstat = (
+        (F.col("nn") - F.col("k"))
+        * F.log(F.col("ss_total") / (F.col("nn") - F.col("k")))
+        - F.col("sum_lnv")
+    ) / c
+    return fold.select(
+        "k",
+        F.col("nn").alias("n"),
+        F.round(tstat, 4).alias("bartlett_t_r4"),
+        F.round(c, 6).alias("c_r6"),
+        F.when(tstat > float(_CHI2_4_5PCT_B), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("reject_5pct"),
+    )
+
+
+@query(
+    "q_ml_jonckheere",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) // 10000 AS b
+      FROM orders
+    ), grid AS MATERIALIZED (
+      SELECT b, g, CAST(count(*) AS BIGINT) AS c
+      FROM x GROUP BY 1, 2
+    ), dense AS (
+      SELECT bands.b, grps.g, CAST(coalesce(grid.c, 0) AS BIGINT) AS c0
+      FROM (SELECT DISTINCT b FROM grid) bands
+      CROSS JOIN (SELECT DISTINCT g FROM grid) grps
+      LEFT JOIN grid ON grid.b = bands.b AND grid.g = grps.g
+    ), mat AS MATERIALIZED (
+      SELECT b, g, c0,
+             CAST(coalesce(sum(c0) OVER (PARTITION BY g ORDER BY b
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS BIGINT) AS below
+      FROM dense
+    ), jt AS (
+      SELECT CAST(sum(CAST(j.c0 AS DECIMAL(38,0))
+                      * (2 * i.below + i.c0)) AS DECIMAL(38,0)) AS jt2
+      FROM mat i JOIN mat j ON j.b = i.b AND i.g < j.g
+    ), sizes AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(ng * ng) AS DECIMAL(38,0)) AS sn2,
+             sum(CAST(ng AS DOUBLE) * ng * (2.0 * ng + 3)) AS sn23
+      FROM (SELECT g, CAST(sum(c) AS BIGINT) AS ng, CAST(sum(c) AS BIGINT) AS c
+            FROM grid GROUP BY g)
+    )
+    SELECT s.n,
+           CAST(j.jt2 AS BIGINT) AS jt2,
+           round((CAST(s.n AS DOUBLE) * s.n - CAST(s.sn2 AS DOUBLE))
+                 / 4.0, 4) AS mean_jt_r4,
+           round((CAST(j.jt2 AS DOUBLE) / 2
+                  - (CAST(s.n AS DOUBLE) * s.n
+                     - CAST(s.sn2 AS DOUBLE)) / 4.0)
+                 / sqrt(nullif((CAST(s.n AS DOUBLE) * s.n
+                                * (2.0 * s.n + 3) - s.sn23) / 72.0, 0)),
+                 4) AS z_r4,
+           CAST(CASE WHEN (CAST(j.jt2 AS DOUBLE) / 2
+                  - (CAST(s.n AS DOUBLE) * s.n
+                     - CAST(s.sn2 AS DOUBLE)) / 4.0)
+                 / sqrt(nullif((CAST(s.n AS DOUBLE) * s.n
+                                * (2.0 * s.n + 3) - s.sn23) / 72.0, 0))
+                     > {_Z_1SIDED_5PCT} THEN 1 ELSE 0 END AS BIGINT)
+             AS reject_1sided_5pct
+    FROM jt j CROSS JOIN sizes s
+    """,
+)
+def q_ml_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative test across the five
+    order priorities (ordinal 1-5): do order totals trend MONOTONICALLY
+    with priority? The k-sample ORDERED completion of the trend family
+    — q_ml_kruskal_wallis tests ANY difference (unordered),
+    q_ml_page_trend tests per-subject orderings; JT pools the 10
+    ordered pairwise Mann-Whitney U's: JT = Sum_{{i<j}} U_ij, tested
+    one-sided against the pinned 1.6449 literal with the standard
+    large-sample no-tie moments (the page_trend formula contract).
+
+    Scale design: the DOUBLED integer carrier
+    2*U_ij = Sum_b c_j(b)*(2*below_i(b) + c_i(b)) folds over the
+    zero-filled $100-band x group matrix (<=5001 x 5 rows — the
+    kruskal banding grid densified so cumulative-below counts align
+    across groups), joined band-to-band with g_i < g_j — O(bands x
+    k^2), never O(n^2). 2JT and Sum n_g^2 carry DECIMAL(38,0) (pair
+    mass ~ n^2/2 — the gamma law class); z is one identical double
+    tree (mu = (N^2 - Sum n_g^2)/4, sigma^2 = [N^2(2N+3) -
+    Sum n_g^2(2n_g+3)]/72), nullif-guarded, round-4 once.
+
+    Plan: one (band, grp) fact agg (the only fact-scale shuffle), a
+    bounded densify cross + per-group cumulative window, one
+    band-equi self-join of the <=25005-row matrix, 1-row folds."""
+    o = t(spark, sf_dir, "orders")
+    x = o.select(
+        F.expr(
+            "CAST(substring(o_orderpriority, 1, 1) AS BIGINT)"
+        ).alias("g"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " DIV 10000"
+        ).alias("b"),
+    )
+    grid = (
+        x.groupBy("b", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # the <=25005-cell grid feeds the densify, the matrix AND the
+        # group sizes — one fact pass
+        .localCheckpoint()
+    )
+    bands = grid.select("b").distinct()
+    grps = grid.select("g").distinct()
+    dense = (
+        bands.crossJoin(F.broadcast(grps))
+        .join(grid, ["b", "g"], "left")
+        .select(
+            "b", "g", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c0")
+        )
+    )
+    w_below = Window.partitionBy("g").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    mat = dense.select(
+        "b",
+        "g",
+        "c0",
+        F.coalesce(F.sum("c0").over(w_below), F.lit(0))
+        .cast("long")
+        .alias("below"),
+    ).localCheckpoint()
+    i = mat.alias("i")
+    j = mat.alias("j")
+    jt = i.join(
+        F.broadcast(j),
+        (F.col("j.b") == F.col("i.b")) & (F.col("i.g") < F.col("j.g")),
+    ).agg(
+        F.sum(
+            F.col("j.c0").cast("decimal(38,0)")
+            * (2 * F.col("i.below") + F.col("i.c0"))
+        )
+        .cast("decimal(38,0)")
+        .alias("jt2")
+    )
+    per_g = grid.groupBy("g").agg(F.sum("c").cast("long").alias("ng"))
+    sizes = per_g.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.sum(F.col("ng").cast("decimal(38,0)") * F.col("ng"))
+        .cast("decimal(38,0)")
+        .alias("sn2"),
+        F.sum(
+            F.col("ng").cast("double") * F.col("ng") * (2.0 * F.col("ng") + 3)
+        ).alias("sn23"),
+    )
+    mu = (
+        F.col("n").cast("double") * F.col("n") - F.col("sn2").cast("double")
+    ) / 4.0
+    var = F.expr(
+        "nullif((CAST(n AS DOUBLE) * n * (2.0 * n + 3) - sn23) / 72.0, 0)"
+    )
+    z = (F.col("jt2").cast("double") / 2 - mu) / F.sqrt(var)
+    return jt.crossJoin(F.broadcast(sizes)).select(
+        "n",
+        F.col("jt2").cast("long").alias("jt2"),
+        F.round(mu, 4).alias("mean_jt_r4"),
+        F.round(z, 4).alias("z_r4"),
+        F.when(z > float(_Z_1SIDED_5PCT), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("reject_1sided_5pct"),
+    )

@@ -622,3 +622,144 @@ def q_ts_mase_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             'mase_permille', CAST(1000 AS BIGINT))
         ))"""
     ).orderBy("method")
+
+
+_ADF_CRIT_5PCT = "-2.86"  # Dickey-Fuller 5% (constant, large n) —
+# pinned asymptotic literal (the house 3.841/9.488 precedent)
+
+
+@query(
+    "q_ts_adf_lag0",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}
+    ), lagged AS (
+      SELECT cents, lag(cents) OVER (ORDER BY d) AS z
+      FROM daily
+    ), pairs AS (
+      SELECT CAST(cents - z AS BIGINT) AS y, CAST(z AS BIGINT) AS z
+      FROM lagged WHERE z IS NOT NULL
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(z) AS BIGINT) AS sz,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(z AS DECIMAL(38,0)) * z) AS DECIMAL(38,0))
+               AS szz,
+             CAST(sum(CAST(z AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+               AS szy,
+             CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+               AS syy
+      FROM pairs
+    ), alg AS (
+      SELECT n, sz, sy, szy, syy,
+             (n * CAST(szy AS DOUBLE) - CAST(sz AS DOUBLE) * sy)
+               / nullif(n * CAST(szz AS DOUBLE)
+                        - CAST(sz AS DOUBLE) * sz, 0) AS beta,
+             n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz AS den
+      FROM s
+    ), alg2 AS (
+      SELECT n, beta,
+             (CAST(sy AS DOUBLE) - beta * sz) / n AS alpha,
+             (CAST(syy AS DOUBLE)
+              - ((CAST(sy AS DOUBLE) - beta * sz) / n) * sy
+              - beta * CAST(szy AS DOUBLE)) AS sse,
+             den
+      FROM alg
+    )
+    SELECT n AS n_obs,
+           round(beta, 6) AS beta_r6,
+           round(alpha, 4) AS alpha_r4,
+           round(beta / sqrt(nullif((sse / (n - 2)) * n / den, 0)), 4)
+             AS adf_t_r4,
+           CAST(CASE WHEN beta / sqrt(nullif((sse / (n - 2))
+                                             * n / den, 0))
+                     < {_ADF_CRIT_5PCT} THEN 1 ELSE 0 END AS BIGINT)
+             AS reject_unit_root_5pct
+    FROM alg2
+    """,
+)
+def q_ts_adf_lag0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test (lag-0, with constant) on the daily
+    purchase-revenue series: regress the day-over-day difference on the
+    lagged level — beta near 0 means a random walk (unit root), beta
+    significantly negative means mean reversion. The STATIONARITY
+    pre-check the forecasting keys assume and q_ts_engle_granger's
+    cointegration step applies to residuals; the DF t-statistic is
+    compared against the pinned -2.86 asymptotic 5% literal (Dickey-
+    Fuller distribution, NOT the normal — the house pinned-literal
+    precedent).
+
+    Exactness: daily cents exact int64; the five OLS sufficient
+    statistics fold with the quadratics (Sum z^2, Sum zy, Sum y^2) in
+    DECIMAL(38,0) at registration — z ~ 5e8 cents at sf0.1 makes
+    Sum z^2 ~ 7.3e18, ALREADY past int64's comfort at the base scale
+    (the engle_granger widening precedent); beta/alpha/SSE/se are one
+    identical double tree in both engines (SSE via the normal-equation
+    identity Syy - alpha*Sy - beta*Szy), nullif-guarded for the
+    degenerate constant-series case, round-4/round-6 once.
+
+    Plan: one fact pass (day rollup), a lag window + 1-row OLS fold
+    over the ~31-row spine. Identical cost at any corpus scale."""
+    daily = _daily_cents(spark, sf_dir)
+    lagged = daily.select(
+        "cents", F.lag("cents").over(Window.orderBy("d")).alias("z")
+    )
+    pairs = lagged.filter(F.col("z").isNotNull()).select(
+        (F.col("cents") - F.col("z")).cast("long").alias("y"),
+        F.col("z").cast("long").alias("z"),
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z"))
+        .cast("decimal(38,0)")
+        .alias("szz"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("szy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    den = F.col("n") * F.col("szz").cast("double") - F.col("sz").cast(
+        "double"
+    ) * F.col("sz")
+    beta = (
+        F.col("n") * F.col("szy").cast("double")
+        - F.col("sz").cast("double") * F.col("sy")
+    ) / F.expr(
+        "nullif(n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz, 0)"
+    )
+    alg = s.select(
+        "n", "sz", "sy", "szy", "syy",
+        beta.alias("beta"),
+        den.alias("den"),
+    )
+    alpha = (
+        F.col("sy").cast("double") - F.col("beta") * F.col("sz")
+    ) / F.col("n")
+    alg2 = alg.select(
+        "n",
+        "beta",
+        alpha.alias("alpha"),
+        (
+            F.col("syy").cast("double")
+            - alpha * F.col("sy")
+            - F.col("beta") * F.col("szy").cast("double")
+        ).alias("sse"),
+        "den",
+    )
+    se = F.sqrt(
+        F.expr("nullif((sse / (n - 2)) * n / den, 0)")
+    )
+    adf_t = F.col("beta") / se
+    return alg2.select(
+        F.col("n").alias("n_obs"),
+        F.round("beta", 6).alias("beta_r6"),
+        F.round("alpha", 4).alias("alpha_r4"),
+        F.round(adf_t, 4).alias("adf_t_r4"),
+        F.when(adf_t < float(_ADF_CRIT_5PCT), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("reject_unit_root_5pct"),
+    )

@@ -54,6 +54,9 @@ BNLJ_ALLOWED = {
                                # into the fact scan (the banded two-
                                # phase quantile) + 1-row folds into
                                # the 5-row contingency
+    "q_ml_jonckheere",         # bounded densify cross (<=5001 bands x
+                               # 5-row group dim) + 1-row sizes fold
+                               # crossed into the 1-row JT fold
     "q_ml_gamma_concordance",  # declared <=50-cell contingency table
                                # crossed with itself (<=2500 pairs) +
                                # 1-row totals cross
@@ -561,6 +564,13 @@ MAX_SHUFFLES = {
                                   # deviation fold + ordered output;
                                   # checkpoint interior audits
                                   # alongside (audited: 5)
+    "q_ml_jonckheere": 8,         # (band,grp) fact agg + bounded
+                                  # densify join + per-group cumulative
+                                  # window + band-equi matrix self-join
+                                  # + group-size folds; checkpointed
+                                  # grid/matrix interiors audit
+                                  # alongside (audited: 6) — only the
+                                  # grid agg touches fact rows
     "q_llm_mattr": 6,             # token (doc,win) agg with partial
                                   # count-distinct + doc rollup + lang
                                   # rollup + sort (audited: 5)
