@@ -722,6 +722,84 @@ LAWS: dict[str, dict] = {
         FROM g CROSS JOIN tot
         """,
     },
+    "bartlett_nq_decimal38": {
+        "keys": ["q_ml_bartlett_test"],
+        "carrier": DEC38,
+        "law": "per-group centered-variance product n·Σcents² folds"
+        " in DECIMAL(38,0) (widened AT REGISTRATION, r13): cents² ≈"
+        " 2.5e15 per row makes n·q ~ n²·2.5e15 — two decades per data"
+        " decade, past int64 well before sf0.1; measured = max n·q",
+        "sql": """
+        SELECT max(CAST(n AS DOUBLE) * q) AS measured FROM (
+          SELECT o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                          * 100 AS BIGINT) AS DOUBLE)
+                     * CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                            * 100 AS BIGINT)) AS q
+          FROM orders GROUP BY 1)
+        """,
+    },
+    "jt_pair_mass_decimal38": {
+        "keys": ["q_ml_jonckheere"],
+        "carrier": DEC38,
+        "law": "the doubled JT carrier 2JT = Σ c_j(2·below_i + c_i)"
+        " over the ordered group pairs is ≤ n² pair mass — folds in"
+        " DECIMAL(38,0) (widened AT REGISTRATION, r13, the gamma"
+        " class); measured = the actual 2JT value",
+        "sql": """
+        WITH x AS (
+          SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT)
+                   AS g,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT) // 10000 AS b
+          FROM orders
+        ), grid AS MATERIALIZED (
+          SELECT b, g, CAST(count(*) AS BIGINT) AS c
+          FROM x GROUP BY 1, 2
+        ), dense AS (
+          SELECT bands.b, grps.g,
+                 CAST(coalesce(grid.c, 0) AS BIGINT) AS c0
+          FROM (SELECT DISTINCT b FROM grid) bands
+          CROSS JOIN (SELECT DISTINCT g FROM grid) grps
+          LEFT JOIN grid ON grid.b = bands.b AND grid.g = grps.g
+        ), mat AS (
+          SELECT b, g, c0,
+                 CAST(coalesce(sum(c0) OVER (PARTITION BY g ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS BIGINT) AS below
+          FROM dense
+        )
+        SELECT sum(CAST(j.c0 AS DOUBLE) * (2 * i.below + i.c0))
+               AS measured
+        FROM mat i JOIN mat j ON j.b = i.b AND i.g < j.g
+        """,
+    },
+    "adf_suffstats_decimal38": {
+        "keys": ["q_ts_adf_lag0"],
+        "carrier": DEC38,
+        "law": "the lag-0 DF OLS quadratics Σz²/Σzy/Σy² over daily"
+        " cents fold in DECIMAL(38,0) (widened AT REGISTRATION, r13 —"
+        " the engle_granger precedent): Σz² ≈ 7.3e18 ALREADY at sf0.1"
+        " (past int64's comfort at the base scale) and grows two"
+        " decades per data decade; measured = max of the three",
+        "sql": """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ), lagged AS (
+          SELECT cents, lag(cents) OVER (ORDER BY d) AS z FROM daily
+        ), pairs AS (
+          SELECT CAST(cents - z AS DOUBLE) AS y, CAST(z AS DOUBLE) AS z
+          FROM lagged WHERE z IS NOT NULL
+        )
+        SELECT greatest(sum(z * z), abs(sum(z * y)), sum(y * y))
+               AS measured
+        FROM pairs
+        """,
+    },
 }
 
 
@@ -750,6 +828,8 @@ EVENTS_ONLY_LAWS = {
     "effect_sizes_q_decimal38",
     # r13 wave 2: the cliffs/HL dominance pair mass (events-only read).
     "cliffs_hl_pair_mass_decimal38",
+    # r13 wave 3: the lag-0 DF OLS quadratics (events-only read).
+    "adf_suffstats_decimal38",
 }
 
 # Laws that read ONLY lineitem/orders — the other carrier class the
@@ -778,6 +858,10 @@ LINEITEM_FAMILY_LAWS = {
     "dunn_rank_carriers_decimal38",
     # r13 wave 2: the GOF squared-deviation fold (orders-only read).
     "chisq_gof_dev5sq_decimal38",
+    # r13 wave 3: the Bartlett variance product and the JT doubled
+    # carrier (both orders-only reads).
+    "bartlett_nq_decimal38",
+    "jt_pair_mass_decimal38",
 }
 
 
