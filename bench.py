@@ -1206,6 +1206,25 @@ def main() -> None:
     # above an adaptive threshold, the noise-floor rest as one subtotal.
     here = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.path.join(here, "BENCH_DETAIL.json")
+    # Scale guard (r13): BENCH_DETAIL.json is the ROUND artifact — the
+    # trailing-record memory the sf-matched gates read next round
+    # (ingest_gate_10x lost r12's 72.8k-rows/s 10x record to two
+    # sf0.001 dev smokes that clobbered the sidecar before the real
+    # sf0.1 run). A run at any other sf keeps its full payload in a
+    # dev-scratch sidecar instead; the committed artifact only ever
+    # holds the graded scale.
+    committed_sf = None
+    try:
+        committed_sf = json.load(open(detail_path)).get("sf")
+    except (OSError, ValueError):
+        pass
+    if payload.get("sf") != 0.1 and committed_sf == 0.1:
+        detail_path = os.path.join(here, "BENCH_DETAIL_dev.json")
+        print(
+            f"# dev-sf run (sf={payload.get('sf')}): full payload -> "
+            "BENCH_DETAIL_dev.json (committed sf0.1 sidecar preserved)",
+            file=sys.stderr,
+        )
     # Preserve side-channel blocks other tools merged into the sidecar
     # (scripts/ab_bench.py writes interleaved A/B results as ab_vs_*) —
     # a bench rewrite must not erase that evidence.
