@@ -1070,13 +1070,14 @@ _Z_1SIDED_5PCT = "1.6449"  # one-sided normal 5% — JT ordered alternative
     ), fold AS (
       SELECT CAST(count(*) AS BIGINT) AS k,
              CAST(sum(n) AS BIGINT) AS nn,
-             sum((n - 1) * ln(vi)) AS sum_lnv,
+             sum((n - 1) * ln(nullif(vi, 0))) AS sum_lnv,
              sum((n - 1) * vi) AS ss_total,
              sum(1.0 / (n - 1)) AS sum_inv
       FROM v
     ), alg AS (
       SELECT k, nn,
-             ((nn - k) * ln(ss_total / (nn - k)) - sum_lnv)
+             ((nn - k) * ln(nullif(ss_total, 0) / (nn - k))
+                - sum_lnv)
                / (1.0 + (sum_inv - 1.0 / (nn - k))
                   / (3.0 * (k - 1))) AS t,
              1.0 + (sum_inv - 1.0 / (nn - k)) / (3.0 * (k - 1)) AS c
@@ -1139,7 +1140,14 @@ def q_ml_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold = v.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("n").cast("long").alias("nn"),
-        F.sum((F.col("n") - 1) * F.log("vi")).alias("sum_lnv"),
+        # ln(nullif(vi,0)): a constant-valued group has EXACTLY
+        # vi = 0 (the centered carrier is exact DECIMAL, never float-
+        # negative) and DuckDB's ln(0) hard-errors while Spark returns
+        # NULL — nullif makes both engines agree on NULL (the ADVICE
+        # r12 degenerate-denominator discipline).
+        F.sum(
+            (F.col("n") - 1) * F.log(F.expr("nullif(vi, 0)"))
+        ).alias("sum_lnv"),
         F.sum((F.col("n") - 1) * F.col("vi")).alias("ss_total"),
         F.sum(1.0 / (F.col("n") - 1)).alias("sum_inv"),
     )
@@ -1148,7 +1156,9 @@ def q_ml_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / (3.0 * (F.col("k") - 1))
     tstat = (
         (F.col("nn") - F.col("k"))
-        * F.log(F.col("ss_total") / (F.col("nn") - F.col("k")))
+        * F.log(
+            F.expr("nullif(ss_total, 0)") / (F.col("nn") - F.col("k"))
+        )
         - F.col("sum_lnv")
     ) / c
     return fold.select(

@@ -668,10 +668,11 @@ _ADF_CRIT_5PCT = "-2.86"  # Dickey-Fuller 5% (constant, large n) —
     SELECT n AS n_obs,
            round(beta, 6) AS beta_r6,
            round(alpha, 4) AS alpha_r4,
-           round(beta / sqrt(nullif((sse / (n - 2)) * n / den, 0)), 4)
+           round(beta / sqrt(nullif(greatest((sse / (n - 2))
+                                             * n / den, 0e0), 0)), 4)
              AS adf_t_r4,
-           CAST(CASE WHEN beta / sqrt(nullif((sse / (n - 2))
-                                             * n / den, 0))
+           CAST(CASE WHEN beta / sqrt(nullif(greatest((sse / (n - 2))
+                                             * n / den, 0e0), 0))
                      < {_ADF_CRIT_5PCT} THEN 1 ELSE 0 END AS BIGINT)
              AS reject_unit_root_5pct
     FROM alg2
@@ -749,8 +750,13 @@ def q_ts_adf_lag0(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sse"),
         "den",
     )
+    # greatest(..., 0e0) before nullif: a perfectly-linear degenerate
+    # series makes the exact SSE 0 but float evaluation can land at
+    # -1e-9 — Spark's sqrt(negative) returns NaN while DuckDB ERRORS
+    # (measured), so both engines must agree on NULL instead (the
+    # ADVICE r12 cochran nullif discipline, extended to sqrt domain).
     se = F.sqrt(
-        F.expr("nullif((sse / (n - 2)) * n / den, 0)")
+        F.expr("nullif(greatest((sse / (n - 2)) * n / den, 0e0), 0)")
     )
     adf_t = F.col("beta") / se
     return alg2.select(
