@@ -78,15 +78,16 @@ _MATTR_W = 25  # MATTR window length (tokens); full windows only
            CAST(lt AS BIGINT) AS lt_pairs,
            CAST(tie AS BIGINT) AS tie_pairs,
            round(CAST(gt - lt AS DOUBLE)
-                 / (CAST(n1 AS DOUBLE) * n2), 6) AS cliffs_delta_r6,
+                 / nullif(CAST(n1 AS DOUBLE) * n2, 0), 6)
+             AS cliffs_delta_r6,
            CASE WHEN abs(CAST(gt - lt AS DOUBLE)
-                         / (CAST(n1 AS DOUBLE) * n2))
+                         / nullif(CAST(n1 AS DOUBLE) * n2, 0))
                      >= {_CLIFF_LARGE} THEN 'large'
                 WHEN abs(CAST(gt - lt AS DOUBLE)
-                         / (CAST(n1 AS DOUBLE) * n2))
+                         / nullif(CAST(n1 AS DOUBLE) * n2, 0))
                      >= {_CLIFF_MEDIUM} THEN 'medium'
                 WHEN abs(CAST(gt - lt AS DOUBLE)
-                         / (CAST(n1 AS DOUBLE) * n2))
+                         / nullif(CAST(n1 AS DOUBLE) * n2, 0))
                      >= {_CLIFF_SMALL} THEN 'small'
                 ELSE 'negligible' END AS magnitude
     FROM pairs CROSS JOIN tots
@@ -152,8 +153,11 @@ def q_ml_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n2"),
     )
-    delta = (F.col("gt") - F.col("lt")).cast("double") / (
-        F.col("n1").cast("double") * F.col("n2")
+    # nullif(n1*n2, 0): an empty group makes the denominator an exact
+    # 0.0 double — ANSI Spark CRASHES on double division by zero while
+    # DuckDB returns NULL (measured r13); both must agree on NULL.
+    delta = (F.col("gt") - F.col("lt")).cast("double") / F.expr(
+        "nullif(CAST(n1 AS DOUBLE) * n2, 0)"
     )
     return pairs.crossJoin(F.broadcast(tots)).select(
         F.col("n1").alias("n_click"),
@@ -696,8 +700,10 @@ def q_ml_chisq_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM counts
     ), cells AS (
       SELECT c.grp, c.ab, c.bl, c.eq,
-             CAST(c.ab + c.bl AS DOUBLE) * t.ta / t.n2 AS ea,
-             CAST(c.ab + c.bl AS DOUBLE) * t.tb / t.n2 AS eb
+             CAST(c.ab + c.bl AS DOUBLE) * t.ta / nullif(t.n2, 0)
+               AS ea,
+             CAST(c.ab + c.bl AS DOUBLE) * t.tb / nullif(t.n2, 0)
+               AS eb
       FROM counts c CROSS JOIN ct t
     ), fold AS (
       SELECT sum((c.ab - c.ea) * (c.ab - c.ea) / nullif(c.ea, 0)
@@ -828,12 +834,12 @@ def q_ml_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.col("ab") + F.col("bl")).cast("double")
             * F.col("ta")
-            / F.col("n2")
+            / F.expr("nullif(n2, 0)")
         ).alias("ea"),
         (
             (F.col("ab") + F.col("bl")).cast("double")
             * F.col("tb")
-            / F.col("n2")
+            / F.expr("nullif(n2, 0)")
         ).alias("eb"),
     )
     fold = cells.agg(
@@ -1065,22 +1071,23 @@ _Z_1SIDED_5PCT = "1.6449"  # one-sided normal 5% — JT ordered alternative
     ), v AS (
       SELECT grp, n,
              CAST(n * q - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)
-               / (CAST(n AS DOUBLE) * (n - 1)) AS vi
+               / nullif(CAST(n AS DOUBLE) * (n - 1), 0) AS vi
       FROM g
     ), fold AS (
       SELECT CAST(count(*) AS BIGINT) AS k,
              CAST(sum(n) AS BIGINT) AS nn,
              sum((n - 1) * ln(nullif(vi, 0))) AS sum_lnv,
              sum((n - 1) * vi) AS ss_total,
-             sum(1.0 / (n - 1)) AS sum_inv
+             sum(1.0 / nullif(n - 1, 0)) AS sum_inv
       FROM v
     ), alg AS (
       SELECT k, nn,
-             ((nn - k) * ln(nullif(ss_total, 0) / (nn - k))
+             ((nn - k) * ln(nullif(ss_total, 0) / nullif(nn - k, 0))
                 - sum_lnv)
-               / (1.0 + (sum_inv - 1.0 / (nn - k))
+               / (1.0 + (sum_inv - 1.0 / nullif(nn - k, 0))
                   / (3.0 * (k - 1))) AS t,
-             1.0 + (sum_inv - 1.0 / (nn - k)) / (3.0 * (k - 1)) AS c
+             1.0 + (sum_inv - 1.0 / nullif(nn - k, 0))
+               / (3.0 * (k - 1)) AS c
       FROM fold
     )
     SELECT k, nn AS n, round(t, 4) AS bartlett_t_r4,
@@ -1134,7 +1141,7 @@ def q_ml_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n") * F.col("q")
                 - F.col("s").cast("decimal(38,0)") * F.col("s")
             ).cast("double")
-            / (F.col("n").cast("double") * (F.col("n") - 1))
+            / F.expr("nullif(CAST(n AS DOUBLE) * (n - 1), 0)")
         ).alias("vi"),
     )
     fold = v.agg(
@@ -1149,15 +1156,15 @@ def q_ml_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") - 1) * F.log(F.expr("nullif(vi, 0)"))
         ).alias("sum_lnv"),
         F.sum((F.col("n") - 1) * F.col("vi")).alias("ss_total"),
-        F.sum(1.0 / (F.col("n") - 1)).alias("sum_inv"),
+        F.sum(1.0 / F.expr("nullif(n - 1, 0)")).alias("sum_inv"),
     )
     c = 1.0 + (
-        F.col("sum_inv") - 1.0 / (F.col("nn") - F.col("k"))
+        F.col("sum_inv") - 1.0 / F.expr("nullif(nn - k, 0)")
     ) / (3.0 * (F.col("k") - 1))
     tstat = (
         (F.col("nn") - F.col("k"))
         * F.log(
-            F.expr("nullif(ss_total, 0)") / (F.col("nn") - F.col("k"))
+            F.expr("nullif(ss_total, 0)") / F.expr("nullif(nn - k, 0)")
         )
         - F.col("sum_lnv")
     ) / c

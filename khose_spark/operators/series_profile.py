@@ -658,9 +658,9 @@ _ADF_CRIT_5PCT = "-2.86"  # Dickey-Fuller 5% (constant, large n) —
       FROM s
     ), alg2 AS (
       SELECT n, beta,
-             (CAST(sy AS DOUBLE) - beta * sz) / n AS alpha,
+             (CAST(sy AS DOUBLE) - beta * sz) / nullif(n, 0) AS alpha,
              (CAST(syy AS DOUBLE)
-              - ((CAST(sy AS DOUBLE) - beta * sz) / n) * sy
+              - ((CAST(sy AS DOUBLE) - beta * sz) / nullif(n, 0)) * sy
               - beta * CAST(szy AS DOUBLE)) AS sse,
              den
       FROM alg
@@ -668,11 +668,15 @@ _ADF_CRIT_5PCT = "-2.86"  # Dickey-Fuller 5% (constant, large n) —
     SELECT n AS n_obs,
            round(beta, 6) AS beta_r6,
            round(alpha, 4) AS alpha_r4,
-           round(beta / sqrt(nullif(greatest((sse / (n - 2))
-                                             * n / den, 0e0), 0)), 4)
+           round(beta / sqrt(nullif(greatest((sse / nullif(n - 2, 0))
+                                             * n / nullif(den, 0),
+                                             0e0), 0)), 4)
              AS adf_t_r4,
-           CAST(CASE WHEN beta / sqrt(nullif(greatest((sse / (n - 2))
-                                             * n / den, 0e0), 0))
+           CAST(CASE WHEN beta
+                          / sqrt(nullif(greatest((sse
+                                                  / nullif(n - 2, 0))
+                                             * n / nullif(den, 0),
+                                             0e0), 0))
                      < {_ADF_CRIT_5PCT} THEN 1 ELSE 0 END AS BIGINT)
              AS reject_unit_root_5pct
     FROM alg2
@@ -736,9 +740,13 @@ def q_ts_adf_lag0(spark: SparkSession, sf_dir: str) -> DataFrame:
         beta.alias("beta"),
         den.alias("den"),
     )
+    # nullif guards throughout the OLS algebra: ANSI Spark CRASHES on
+    # double division by zero (measured r13) while DuckDB returns NULL
+    # — an empty/one-day/two-day degenerate series must read NULL in
+    # both engines, not crash one of them.
     alpha = (
         F.col("sy").cast("double") - F.col("beta") * F.col("sz")
-    ) / F.col("n")
+    ) / F.expr("nullif(n, 0)")
     alg2 = alg.select(
         "n",
         "beta",
@@ -756,7 +764,10 @@ def q_ts_adf_lag0(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured), so both engines must agree on NULL instead (the
     # ADVICE r12 cochran nullif discipline, extended to sqrt domain).
     se = F.sqrt(
-        F.expr("nullif(greatest((sse / (n - 2)) * n / den, 0e0), 0)")
+        F.expr(
+            "nullif(greatest((sse / nullif(n - 2, 0)) * n"
+            " / nullif(den, 0), 0e0), 0)"
+        )
     )
     adf_t = F.col("beta") / se
     return alg2.select(
