@@ -780,3 +780,102 @@ def q_ts_adf_lag0(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("reject_unit_root_5pct"),
     )
+
+
+_KPSS_CRIT_5PCT = "0.463"  # KPSS 5% (level stationarity) — pinned
+# asymptotic literal (the -2.86 DF precedent)
+
+
+@query(
+    "q_ts_kpss_lag0",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}
+    ), st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sx
+      FROM daily
+    ), u AS (
+      SELECT d, CAST(st.n * daily.cents - st.sx AS BIGINT) AS u
+      FROM daily CROSS JOIN st
+    ), v AS (
+      SELECT u,
+             CAST(sum(u) OVER (ORDER BY d
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS v
+      FROM u
+    ), f AS (
+      SELECT CAST(sum(CAST(u AS DECIMAL(38,0)) * u) AS DECIMAL(38,0))
+               AS su2,
+             CAST(sum(CAST(v AS DECIMAL(38,0)) * v) AS DECIMAL(38,0))
+               AS sv2
+      FROM v
+    )
+    SELECT st.n AS n_obs,
+           round(CAST(f.sv2 AS DOUBLE)
+                 / nullif(st.n * CAST(f.su2 AS DOUBLE), 0), 6)
+             AS kpss_r6,
+           CAST(CASE WHEN CAST(f.sv2 AS DOUBLE)
+                          / nullif(st.n * CAST(f.su2 AS DOUBLE), 0)
+                     > {_KPSS_CRIT_5PCT} THEN 1 ELSE 0 END AS BIGINT)
+             AS reject_stationarity_5pct
+    FROM f CROSS JOIN st
+    """,
+)
+def q_ts_kpss_lag0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS stationarity test (lag-0) on the daily purchase-revenue
+    series — the COMPLEMENT of q_ts_adf_lag0 with the opposite null
+    (KPSS: null = stationary; DF: null = unit root), which is why a
+    readout runs BOTH: agreement is evidence, disagreement means
+    near-integration. Tested against the pinned 0.463 level-
+    stationarity 5% literal (KPSS distribution, not the normal).
+
+    Exactness — the statistic reduces to ONE division of two exact
+    integer carriers: with u_t = n·x_t − Σx (the shared ljung_box/dft
+    u-carrier law, exact int64) and v_t = Σ_{{i<=t}} u_i (its prefix
+    sum, exact int64), KPSS = Σ S_t² / (n²·σ̂²) = Σv² / (n·Σu²) — the
+    n-powers cancel, no float intermediates exist at all. Σu² and Σv²
+    fold in DECIMAL(38,0) (v_t is n·cumsum-scaled: ~9.6e15 at
+    events-10000×, its square far past int64 — widened at
+    registration); the single double division is nullif-guarded (a
+    constant series has Σu² = 0 exactly — both engines read NULL, the
+    measured ANSI/DuckDB degenerate law), round-6 once.
+
+    Plan: one fact pass (day rollup), a 1-row stats cross, one prefix
+    window + 1-row fold over the ~31-row spine. Identical cost at any
+    corpus scale."""
+    daily = _daily_cents(spark, sf_dir)
+    st = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sx"),
+    )
+    u = daily.crossJoin(F.broadcast(st)).select(
+        "d",
+        "n",
+        (F.col("n") * F.col("cents") - F.col("sx"))
+        .cast("long")
+        .alias("u"),
+    )
+    w_cum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    v = u.select(
+        "u", F.sum("u").over(w_cum).cast("long").alias("v")
+    )
+    f = v.agg(
+        F.sum(F.col("u").cast("decimal(38,0)") * F.col("u"))
+        .cast("decimal(38,0)")
+        .alias("su2"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v"))
+        .cast("decimal(38,0)")
+        .alias("sv2"),
+    )
+    kpss = F.col("sv2").cast("double") / F.expr(
+        "nullif(n * CAST(su2 AS DOUBLE), 0)"
+    )
+    return f.crossJoin(F.broadcast(st)).select(
+        F.col("n").alias("n_obs"),
+        F.round(kpss, 6).alias("kpss_r6"),
+        F.when(kpss > float(_KPSS_CRIT_5PCT), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("reject_stationarity_5pct"),
+    )

@@ -800,6 +800,37 @@ LAWS: dict[str, dict] = {
         FROM pairs
         """,
     },
+    "kpss_carriers_decimal38": {
+        "keys": ["q_ts_kpss_lag0"],
+        "carrier": DEC38,
+        "law": "Σu² and Σv² (v = prefix sum of the u = n·x − Σx"
+        " carrier) fold in DECIMAL(38,0) (widened AT REGISTRATION,"
+        " r13): v ~ n·cumsum is ~9.6e15 at events-10000× so its"
+        " square is ~9e31 — far past int64, 6 decades inside"
+        " DECIMAL(38); measured = max(Σu², Σv²); per-row u and v"
+        " themselves stay exact int64 (the acf_u law bound times"
+        " the ≤62-day factor)",
+        "sql": """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ), st AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS sx
+          FROM daily
+        ), u AS (
+          SELECT d, CAST(st.n * daily.cents - st.sx AS DOUBLE) AS u
+          FROM daily CROSS JOIN st
+        ), v AS (
+          SELECT u, sum(u) OVER (ORDER BY d
+                 ROWS UNBOUNDED PRECEDING) AS v
+          FROM u
+        )
+        SELECT greatest(sum(u * u), sum(v * v)) AS measured FROM v
+        """,
+    },
 }
 
 
@@ -830,6 +861,8 @@ EVENTS_ONLY_LAWS = {
     "cliffs_hl_pair_mass_decimal38",
     # r13 wave 3: the lag-0 DF OLS quadratics (events-only read).
     "adf_suffstats_decimal38",
+    # r13 coda: the KPSS u/v quadratic carriers (events-only read).
+    "kpss_carriers_decimal38",
 }
 
 # Laws that read ONLY lineitem/orders — the other carrier class the

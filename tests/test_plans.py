@@ -48,6 +48,10 @@ BNLJ_ALLOWED = {
                                # median fold + 1-row totals cross
     "q_ml_runs_test",          # 1-row median broadcast-crossed into
                                # the ~31-row day spine
+    "q_ts_kpss_lag0",          # 1-row (n, Σx) stats fold broadcast-
+                               # crossed into the ~31-row day spine
+                               # (the u-carrier projection) and into
+                               # the 1-row quadratic fold
     "q_ml_chisq_gof",          # 1-row total/fold crosses into the
                                # 5-row priority grid
     "q_ml_mood_median",        # 1-row medband/median broadcast-crossed
@@ -571,6 +575,11 @@ MAX_SHUFFLES = {
                                   # grid/matrix interiors audit
                                   # alongside (audited: 6) — only the
                                   # grid agg touches fact rows
+    "q_ts_kpss_lag0": 6,          # day rollup + 1-row stats fold +
+                                  # ~31-row prefix window + 1-row
+                                  # quadratic fold + output cross —
+                                  # every exchange past the rollup
+                                  # moves <=31 rows (audited: 6)
     "q_llm_mattr": 6,             # token (doc,win) agg with partial
                                   # count-distinct + doc rollup + lang
                                   # rollup + sort (audited: 5)
