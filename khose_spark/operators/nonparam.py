@@ -1333,3 +1333,190 @@ def q_ml_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("reject_1sided_5pct"),
     )
+
+
+# ---- coda wave: likelihood-ratio test + lexical diversity ----
+
+_CHI2_8_5PCT = "15.507"  # chi-square(8) upper 5% — 5x3 grid df=(5-1)(3-1)
+
+
+@query(
+    "q_ml_g_test",
+    oracle=f"""
+    WITH cell AS (
+      SELECT o_orderpriority AS x, o_orderstatus AS y,
+             CAST(count(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2
+    ), rx AS (
+      SELECT x, CAST(sum(o) AS BIGINT) AS r FROM cell GROUP BY x
+    ), cy AS (
+      SELECT y, CAST(sum(o) AS BIGINT) AS c FROM cell GROUP BY y
+    ), tot AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n,
+             CAST(count(DISTINCT x) AS BIGINT) AS nx,
+             CAST(count(DISTINCT y) AS BIGINT) AS ny
+      FROM cell
+    ), g AS (
+      SELECT sum(CASE WHEN cell.o > 0
+                 THEN CAST(cell.o AS DOUBLE)
+                      * ln(CAST(cell.o AS DOUBLE)
+                           / (CAST(rx.r AS DOUBLE) * cy.c
+                              / nullif(t.n, 0)))
+                 ELSE 0 END) AS s
+      FROM cell
+      JOIN rx ON rx.x = cell.x
+      JOIN cy ON cy.y = cell.y
+      CROSS JOIN tot t
+    )
+    SELECT t.n,
+           CAST((t.nx - 1) * (t.ny - 1) AS BIGINT) AS df,
+           round(2 * g.s, 4) AS g_r4,
+           CAST(CASE WHEN 2 * g.s > {_CHI2_8_5PCT}
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
+    FROM g CROSS JOIN tot t
+    """,
+)
+def q_ml_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (likelihood-ratio chi-square) of independence between
+    order priority and status — the information-theoretic sibling of
+    q_ml_chi2_ab's Pearson form (G = 2·I(X;Y)·N in nats, so it IS the
+    mutual information q_ml_theil_u normalizes, recast as a test
+    statistic): G = 2 Σ O·ln(O/E), df = (5-1)(3-1) = 8, against the
+    pinned 15.507 literal. Pearson and G diverge exactly when some
+    cell is sparse — run both.
+
+    Exactness: the ≤15-cell grid, both margins and the total are exact
+    int64 from one aggregation; E = r·c/n and the O·ln(O/E) terms are
+    identical double trees in both engines, with empty cells
+    contributing EXACTLY 0 via the O > 0 CASE (the x·ln x → 0
+    convention made explicit, not left to NULL propagation) and the
+    total nullif-guarded (the measured ANSI degenerate law); round-4
+    once.
+
+    Plan: one map-side-combined 15-row agg (the only fact-scale
+    shuffle), broadcast margin joins on the tiny grid, 1-row folds."""
+    o = t(spark, sf_dir, "orders")
+    cell = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("x"),
+            F.col("o_orderstatus").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        # the <=15-cell grid feeds both margins, the total AND the fold
+        .localCheckpoint()
+    )
+    rx = cell.groupBy("x").agg(F.sum("o").cast("long").alias("r"))
+    cy = cell.groupBy("y").agg(F.sum("o").cast("long").alias("c"))
+    tot = cell.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("x").cast("long").alias("nx"),
+        F.countDistinct("y").cast("long").alias("ny"),
+    )
+    term = F.when(
+        F.col("o") > 0,
+        F.col("o").cast("double")
+        * F.log(
+            F.col("o").cast("double")
+            / (
+                F.col("r").cast("double")
+                * F.col("c")
+                / F.expr("nullif(n, 0)")
+            )
+        ),
+    ).otherwise(F.lit(0))
+    g = (
+        cell.join(F.broadcast(rx), "x")
+        .join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(term).alias("s"))
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "n",
+        ((F.col("nx") - 1) * (F.col("ny") - 1)).cast("long").alias("df"),
+        F.round(2 * F.col("s"), 4).alias("g_r4"),
+        F.when(2 * F.col("s") > float(_CHI2_8_5PCT), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("reject_5pct"),
+    )
+
+
+@query(
+    "q_llm_simpson_diversity",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), tf AS (
+      SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(CAST(sum(CAST(c AS DECIMAL(38,0)) * (c - 1))
+                      AS DOUBLE)
+                 / nullif(CAST(sum(c) AS DOUBLE)
+                          * (sum(c) - 1), 0), 6) AS repeat_prob_r6,
+           round(1 - CAST(sum(CAST(c AS DECIMAL(38,0)) * (c - 1))
+                          AS DOUBLE)
+                 / nullif(CAST(sum(c) AS DOUBLE)
+                          * (sum(c) - 1), 0), 6)
+             AS simpson_diversity_r6,
+           round(1 / nullif(CAST(sum(CAST(c AS DECIMAL(38,0))
+                                      * (c - 1)) AS DOUBLE)
+                 / nullif(CAST(sum(c) AS DOUBLE)
+                          * (sum(c) - 1), 0), 0), 4)
+             AS eff_vocab_r4
+    FROM tf GROUP BY lang ORDER BY lang
+    """,
+)
+def q_llm_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson lexical diversity per language — the unbiased
+    repeat-probability index completing the diversity block (zipf fits
+    the rank law, heaps the growth law, MATTR the windowed TTR;
+    Simpson's D = Σ n_i(n_i−1) / (N(N−1)) is the probability two
+    random tokens coincide, and 1/D is the effective vocabulary size a
+    sampling-based curation budget actually wants). Low diversity =
+    templated/repetitive text, same signal family as q_llm_repetition
+    but corpus-level.
+
+    Exactness: type frequencies exact int64 from one (lang, token)
+    aggregation; the collision mass Σ n_i(n_i−1) folds in
+    DECIMAL(38,0) (a degenerate single-token corpus makes it N² — the
+    gamma pair-mass class, widened at registration); D / 1−D / 1/D
+    are identical double trees with nullif guards on BOTH the N(N−1)
+    denominator and D itself (single-type and empty-lang degenerates
+    read NULL in both engines); round-6/round-4 once.
+
+    Plan: map-side split+explode (no text shuffle — tokens hash to the
+    (lang, w) agg), one ~5-row lang rollup. One corpus pass."""
+    d = t(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    coll = F.sum(
+        F.col("c").cast("decimal(38,0)") * (F.col("c") - 1)
+    ).cast("decimal(38,0)")
+    lang = tf.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        coll.alias("coll"),
+    )
+    dprob = F.col("coll").cast("double") / F.expr(
+        "nullif(CAST(n_tokens AS DOUBLE) * (n_tokens - 1), 0)"
+    )
+    return lang.select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        F.round(dprob, 6).alias("repeat_prob_r6"),
+        F.round(1 - dprob, 6).alias("simpson_diversity_r6"),
+        F.round(1 / F.expr(
+            "nullif(CAST(coll AS DOUBLE)"
+            " / nullif(CAST(n_tokens AS DOUBLE) * (n_tokens - 1), 0),"
+            " 0)"
+        ), 4).alias("eff_vocab_r4"),
+    ).orderBy("lang")

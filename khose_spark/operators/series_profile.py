@@ -879,3 +879,114 @@ def q_ts_kpss_lag0(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("reject_stationarity_5pct"),
     )
+
+
+@query(
+    "q_ts_variance_ratio",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}
+    ), lagged AS (
+      SELECT cents,
+             lag(cents, 1) OVER (ORDER BY d) AS z1,
+             lag(cents, 2) OVER (ORDER BY d) AS z2
+      FROM daily
+    ), d1 AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(cents - z1) AS BIGINT) AS s,
+             CAST(sum(CAST(cents - z1 AS DECIMAL(38,0))
+                      * (cents - z1)) AS DECIMAL(38,0)) AS q
+      FROM lagged WHERE z1 IS NOT NULL
+    ), d2 AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(cents - z2) AS BIGINT) AS s,
+             CAST(sum(CAST(cents - z2 AS DECIMAL(38,0))
+                      * (cents - z2)) AS DECIMAL(38,0)) AS q
+      FROM lagged WHERE z2 IS NOT NULL
+    ), vr AS (
+      SELECT d1.m AS m1,
+             ((CAST(d2.q AS DOUBLE)
+               - CAST(d2.s AS DOUBLE) * d2.s / nullif(d2.m, 0))
+              / nullif(d2.m, 0) / 2)
+             / nullif((CAST(d1.q AS DOUBLE)
+               - CAST(d1.s AS DOUBLE) * d1.s / nullif(d1.m, 0))
+              / nullif(d1.m, 0), 0) AS vr
+      FROM d1 CROSS JOIN d2
+    )
+    SELECT m1 AS n_diffs,
+           round(vr, 6) AS vr_r6,
+           round((vr - 1) * sqrt(CAST(m1 AS DOUBLE)), 4) AS z_r4,
+           CAST(CASE WHEN abs((vr - 1) * sqrt(CAST(m1 AS DOUBLE)))
+                     > 1.96 THEN 1 ELSE 0 END AS BIGINT)
+             AS reject_random_walk_5pct
+    FROM vr
+    """,
+)
+def q_ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test (q=2, homoskedastic form) on
+    daily purchase revenue — the third member of the random-walk
+    trio: q_ts_adf_lag0 tests a unit root, q_ts_kpss_lag0 tests
+    stationarity, and VR(2) = Var(2-day change)/(2·Var(1-day change))
+    asks directly whether variance scales linearly with horizon (the
+    random-walk signature): VR < 1 means mean reversion, VR > 1
+    momentum. z = (VR−1)·√T against the pinned 1.96 literal (the
+    q=2 asymptotic variance 2(2q−1)(q−1)/(3qT) reduces to exactly
+    1/T — the one q where the constant vanishes, which is why q=2 is
+    the pinned contract).
+
+    Exactness: 1-day and 2-day cents differences are exact int64 off
+    two lag windows; each horizon's (m, Σd, Σd²) folds with the
+    quadratic in DECIMAL(38,0) (the adf suffstats law class);
+    the mean-adjusted variances and the ratio are one identical
+    double tree, nullif-guarded at every possibly-zero denominator
+    (the measured ANSI degenerate law), round-6/round-4 once.
+
+    Plan: one fact pass (day rollup), one double-lag window + two
+    1-row folds over the ~31-row spine. Identical cost at any
+    corpus scale."""
+    daily = _daily_cents(spark, sf_dir)
+    lagged = daily.select(
+        "cents",
+        F.lag("cents", 1).over(Window.orderBy("d")).alias("z1"),
+        F.lag("cents", 2).over(Window.orderBy("d")).alias("z2"),
+    ).localCheckpoint()
+
+    def _fold(col: str):
+        diff = F.col("cents") - F.col(col)
+        return lagged.filter(F.col(col).isNotNull()).agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum(diff).cast("long").alias("s"),
+            F.sum(diff.cast("decimal(38,0)") * diff)
+            .cast("decimal(38,0)")
+            .alias("q"),
+        )
+
+    d1 = _fold("z1").select(
+        F.col("m").alias("m1"), F.col("s").alias("s1"), F.col("q").alias("q1")
+    )
+    d2 = _fold("z2").select(
+        F.col("m").alias("m2"), F.col("s").alias("s2"), F.col("q").alias("q2")
+    )
+    both = d1.crossJoin(F.broadcast(d2))
+    vr = (
+        (
+            F.col("q2").cast("double")
+            - F.col("s2").cast("double") * F.col("s2")
+            / F.expr("nullif(m2, 0)")
+        )
+        / F.expr("nullif(m2, 0)")
+        / 2
+    ) / F.expr(
+        "nullif((CAST(q1 AS DOUBLE)"
+        " - CAST(s1 AS DOUBLE) * s1 / nullif(m1, 0))"
+        " / nullif(m1, 0), 0)"
+    )
+    z = (vr - 1) * F.sqrt(F.col("m1").cast("double"))
+    return both.select(
+        F.col("m1").alias("n_diffs"),
+        F.round(vr, 6).alias("vr_r6"),
+        F.round(z, 4).alias("z_r4"),
+        F.when(F.abs(z) > 1.96, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("reject_random_walk_5pct"),
+    )

@@ -776,13 +776,15 @@ LAWS: dict[str, dict] = {
         """,
     },
     "adf_suffstats_decimal38": {
-        "keys": ["q_ts_adf_lag0"],
+        "keys": ["q_ts_adf_lag0", "q_ts_variance_ratio"],
         "carrier": DEC38,
         "law": "the lag-0 DF OLS quadratics Σz²/Σzy/Σy² over daily"
         " cents fold in DECIMAL(38,0) (widened AT REGISTRATION, r13 —"
         " the engle_granger precedent): Σz² ≈ 7.3e18 ALREADY at sf0.1"
         " (past int64's comfort at the base scale) and grows two"
-        " decades per data decade; measured = max of the three",
+        " decades per data decade; measured = max of the three —"
+        " variance_ratio's lag-1 sum-of-squares IS this law's sum-y2"
+        " and its lag-2 horizon is <=4x that mass (same class)",
         "sql": """
         WITH daily AS (
           SELECT CAST(ts AS DATE) AS d,
@@ -798,6 +800,27 @@ LAWS: dict[str, dict] = {
         SELECT greatest(sum(z * z), abs(sum(z * y)), sum(y * y))
                AS measured
         FROM pairs
+        """,
+    },
+    "simpson_collision_decimal38": {
+        "keys": ["q_llm_simpson_diversity"],
+        "carrier": DEC38,
+        "law": "per-lang collision mass Σ n_i(n_i-1) folds in"
+        " DECIMAL(38,0) (widened AT REGISTRATION, r13): a degenerate"
+        " single-token language makes it N² (the gamma pair-mass"
+        " class — two decades per data decade on a skewed vocab);"
+        " measured = max per-lang mass",
+        "sql": """
+        WITH tok AS (
+          SELECT lang, unnest(string_split(text, ' ')) AS w
+          FROM documents
+        ), tf AS (
+          SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+          FROM tok GROUP BY 1, 2
+        )
+        SELECT max(m) AS measured FROM (
+          SELECT lang, sum(CAST(c AS DOUBLE) * (c - 1)) AS m
+          FROM tf GROUP BY lang)
         """,
     },
     "kpss_carriers_decimal38": {

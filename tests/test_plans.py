@@ -52,6 +52,11 @@ BNLJ_ALLOWED = {
                                # crossed into the ~31-row day spine
                                # (the u-carrier projection) and into
                                # the 1-row quadratic fold
+    "q_ml_g_test",             # 1-row totals broadcast-crossed into
+                               # the <=15-cell grid fold and the
+                               # output row
+    "q_ts_variance_ratio",     # two 1-row horizon folds broadcast-
+                               # crossed (the VR ratio)
     "q_ml_chisq_gof",          # 1-row total/fold crosses into the
                                # 5-row priority grid
     "q_ml_mood_median",        # 1-row medband/median broadcast-crossed
@@ -575,6 +580,11 @@ MAX_SHUFFLES = {
                                   # grid/matrix interiors audit
                                   # alongside (audited: 6) — only the
                                   # grid agg touches fact rows
+    "q_ml_g_test": 8,             # 15-cell grid agg + two margin aggs
+                                  # + totals fold + G fold + output
+                                  # cross; checkpointed grid interior
+                                  # audits alongside (audited: 7) —
+                                  # only the grid agg touches fact rows
     "q_ts_kpss_lag0": 6,          # day rollup + 1-row stats fold +
                                   # ~31-row prefix window + 1-row
                                   # quadratic fold + output cross —
