@@ -58,6 +58,13 @@ from khose_spark.operators.similarity import (
 )
 from khose_spark.registry import query
 from khose_spark.tables import t
+from khose_spark.vecexec import (
+    map_arrow_vectors,
+    round_half_up,
+    seq_dot,
+    seq_l2sq,
+    seq_sq,
+)
 
 _FIXED_K = 64
 
@@ -97,6 +104,85 @@ def fixed_seeds(base: DataFrame, k: int = _FIXED_K) -> DataFrame:
 def _dbl_base(e: DataFrame) -> DataFrame:
     dbl = F.transform("embedding", lambda x: x.cast("double"))
     return e.select("vec_id", dbl.alias("v"))
+
+
+def _collect_cents(cent: DataFrame) -> list[tuple[int, list[float]]]:
+    """Materialize the fixed-k codebook to the driver, cid-ascending.
+    Bounded by the fixed-k CONTRACT (k = 64 rows, ~32 KB at any corpus
+    size) — the sanctioned bounded-collect class (the 10-row GEMM query
+    block in similarity.py is the precedent). Never call this for the
+    sampled (k = n/50) twins."""
+    rows = cent.collect()
+    rows.sort(key=lambda r: r["cid"])
+    return [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in rows]
+
+
+def _assign_min_l2_vec(e: DataFrame, cents) -> DataFrame:
+    """(vec_id, v, cid) nearest-centroid assignment as ONE Arrow batch
+    kernel instead of the interpreted broadcast argmin fold (r13
+    optimization, guide §4.2). Takes the RAW embeddings relation — the
+    float→double widening happens inside the kernel (exact cast, so it
+    is bit-identical to the _dbl_base transform HOF, which this skips).
+    Bit-identical by the vecexec exactness discipline: dim-sequential
+    L2² fold, half-up round(6), first-min tiebreak over the
+    cid-ascending codebook — the same contract as _lloyd's aggregate()
+    fold and the oracles' row_number ORDER BY (d2, cid)."""
+    import numpy as np
+
+    from khose_spark.vecexec import matrix_to_list_array
+
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    C = np.array([cv for _, cv in cents], dtype=np.float64)
+
+    def fn(mats, batch):
+        V = mats["embedding"]
+        d2 = round_half_up(seq_l2sq(V, C), 6)
+        return {
+            "vec_id": batch.column("vec_id"),
+            "v": matrix_to_list_array(V),
+            "cid": cids[d2.argmin(axis=1)],
+        }
+
+    return map_arrow_vectors(
+        e.select("vec_id", "embedding"),
+        "vec_id bigint, v array<double>, cid bigint",
+        fn,
+        {"embedding": 64},
+    )
+
+
+def _assign_max_cos_vec(e: DataFrame, cents) -> DataFrame:
+    """(vec_id, v, cid) nearest-cell assignment by COSINE via the Arrow
+    kernel — the vectorized form of the crossJoin + round(_cos, 6)
+    row_number(DESC sim, ASC cid) chain, fed by the RAW embeddings
+    (in-kernel exact widening). Exactness: seq dot fold /
+    (√seqΣv² · √seqΣc²) per pair, half-up round(6), first-max = the
+    smallest-cid tiebreak over the cid-ascending codebook."""
+    import numpy as np
+
+    from khose_spark.vecexec import matrix_to_list_array
+
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    C = np.array([cv for _, cv in cents], dtype=np.float64)
+    nc = np.sqrt(seq_sq(C))
+
+    def fn(mats, batch):
+        V = mats["embedding"]
+        sim = round_half_up(
+            seq_dot(V, C) / (np.sqrt(seq_sq(V))[:, None] * nc[None, :]), 6
+        )
+        return {
+            "vec_id": batch.column("vec_id"),
+            "v": matrix_to_list_array(V),
+            "cid": cids[sim.argmax(axis=1)],
+        }
+
+    return map_arrow_vectors(
+        e.select("vec_id", "embedding"),
+        "vec_id bigint, v array<double>, cid bigint",
+        fn,
+        {"embedding": 64},
+    )
 
 
 def _cos(a: str, b: str):
@@ -266,6 +352,78 @@ def _pq_fixed_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
     return _pq_assign(sub, cb)
 
 
+def _collect_pq_cb(cb: DataFrame):
+    """(8, 64, 8) fixed PQ codebook tensor on the driver — 512 rows,
+    bounded by the fixed-k contract (the _collect_cents class)."""
+    import numpy as np
+
+    from khose_spark.operators.similarity import _PQ_DIM, _PQ_M
+
+    CB = np.zeros((_PQ_M, _FIXED_K, _PQ_DIM))
+    for r in cb.collect():
+        CB[int(r["sub_id"]), int(r["code"])] = [float(x) for x in r["cv"]]
+    return CB
+
+
+def _pq_fixed_codes_vec(
+    e: DataFrame, CB, cell_cents=None
+) -> DataFrame:
+    """PQ-encode the corpus against the FIXED 64-entry codebook in one
+    Arrow pass (r13): per vector, 8 subspace argmins over the 64 codes
+    — the vectorized form of _pq_assign's exploded (corpus×codes) grid
+    + row_number window, whose window shuffle dominated the index
+    builds. Exactness: the unrolled t1+…+t8 term order of _pq_l2sq per
+    (slice, code), half-up round(6), first-min = code-ascending
+    tiebreak. With ``cell_cents`` the kernel ALSO emits each vector's
+    IVF cell id (the _assign_max_cos_vec contract), fusing the ivfpq
+    build's cell assignment + code join into the same pass."""
+    import numpy as np
+
+    from khose_spark.operators.similarity import _PQ_DIM, _PQ_M
+
+    if cell_cents is not None:
+        cell_cids = np.array([c for c, _ in cell_cents], dtype=np.int64)
+        C = np.array([cv for _, cv in cell_cents], dtype=np.float64)
+        nc = np.sqrt(seq_sq(C))
+
+    def fn(mats, batch):
+        import numpy as np
+
+        V = mats["embedding"]
+        n = V.shape[0]
+        codes = np.empty((n, _PQ_M), dtype=np.int64)
+        for s in range(_PQ_M):
+            sl = V[:, s * _PQ_DIM : (s + 1) * _PQ_DIM]
+            S = CB[s]
+            acc = None
+            for i in range(_PQ_DIM):
+                d = sl[:, i, None] - S[None, :, i]
+                tsq = d * d
+                acc = tsq if acc is None else acc + tsq
+            codes[:, s] = round_half_up(acc, 6).argmin(axis=1)
+        vec_id = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        out = {
+            "vec_id": np.repeat(vec_id, _PQ_M),
+            "sub_id": np.tile(np.arange(_PQ_M, dtype=np.int32), n),
+            "code": codes.reshape(-1),
+        }
+        if cell_cents is not None:
+            sim = round_half_up(
+                seq_dot(V, C)
+                / (np.sqrt(seq_sq(V))[:, None] * nc[None, :]),
+                6,
+            )
+            out["cid"] = np.repeat(cell_cids[sim.argmax(axis=1)], _PQ_M)
+        return out
+
+    schema = "vec_id bigint, sub_id int, code bigint"
+    if cell_cents is not None:
+        schema += ", cid bigint"
+    return map_arrow_vectors(
+        e.select("vec_id", "embedding"), schema, fn, {"embedding": 64}
+    )
+
+
 @query("q_llm_ann_pq_fixedk", oracle=_PQ_ORACLE_FIXEDK)
 def q_llm_ann_pq_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with the FIXED 64-code codebook — the
@@ -279,9 +437,14 @@ def q_llm_ann_pq_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: identical contracts to the sampled twin (round(L2²,6)
     + code tiebreak on assignment; round(ADC,4) + id tiebreak on
     ranking)."""
-    sub = _pq_subvectors(t(spark, sf_dir, "embeddings"))
+    e = t(spark, sf_dir, "embeddings")
+    sub = _pq_subvectors(e)
     cb = _pq_fixed_codebook(sub)
-    return _pq_search(_pq_fixed_assign(sub, cb), _pq_lut(sub, cb))
+    # r13: corpus encode via the Arrow kernel (one pass, no exploded
+    # grid window); the 10-query LUT stays on the expression path.
+    return _pq_search(
+        _pq_fixed_codes_vec(e, _collect_pq_cb(cb)), _pq_lut(sub, cb)
+    )
 
 
 _PQF_INDEX_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
@@ -302,12 +465,13 @@ def build_pq_index_fixedk(
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     codes_tbl, cb_tbl = f"pqf_codes_{tag}", f"pqf_codebook_{tag}"
     loc = tempfile.mkdtemp(prefix=f"khose_pqf_{tag}_")
-    sub = _pq_subvectors(t(spark, sf_dir, "embeddings"))
+    e = t(spark, sf_dir, "embeddings")
+    sub = _pq_subvectors(e)
     cb = _pq_fixed_codebook(sub)
     spark.sql(f"DROP TABLE IF EXISTS {codes_tbl}")
     spark.sql(f"DROP TABLE IF EXISTS {cb_tbl}")
     (
-        _pq_fixed_assign(sub, cb)
+        _pq_fixed_codes_vec(e, _collect_pq_cb(cb))
         .write.format("parquet")
         .bucketBy(_PQ_BUCKETS, "vec_id")
         .option("path", f"{loc}/codes")
@@ -404,8 +568,35 @@ def q_llm_ann_pq_rerank_fixedk(
 
 
 def _fixed_lloyd(spark: SparkSession, sf_dir: str):
-    base = _dbl_base(t(spark, sf_dir, "embeddings"))
-    return _lloyd(spark, sf_dir, cent=fixed_seeds(base))
+    """3 Lloyd iterations from the fixed 64 seeds, with the assignment
+    stage vectorized (r13): each iteration is one Arrow argmin kernel
+    over the corpus + the unchanged k-keyed Spark re-average (round(6)
+    per dimension — identical partial-aggregation layout, so the
+    averages are bit-identical to the HOF-fold build). The k-row
+    codebook round-trips through the driver per iteration (fixed-k
+    bounded-collect class) instead of a localCheckpoint — same job
+    count, no interpreted fold. Shares the determinism contract of
+    similarity._lloyd verbatim; the sampled twins stay on _lloyd."""
+    from khose_spark.operators.similarity import _KM_DIM
+
+    e = t(spark, sf_dir, "embeddings")
+    cents = _collect_cents(fixed_seeds(_dbl_base(e)))
+    assign = None
+    for _ in range(_KM_ITERS):
+        assign = _assign_min_l2_vec(e, cents)
+        cent_df = assign.groupBy("cid").agg(
+            F.array(
+                *[
+                    F.round(F.avg(F.element_at("v", i)), 6)
+                    for i in range(1, _KM_DIM + 1)
+                ]
+            ).alias("cv")
+        )
+        cents = _collect_cents(cent_df)
+    cent = assign.sparkSession.createDataFrame(
+        [(c, cv) for c, cv in cents], "cid bigint, cv array<double>"
+    )
+    return assign, cent
 
 
 @query("q_llm_kmeans_fixedk", oracle=_km_oracle(_FK_CENT_SQL))
@@ -420,16 +611,26 @@ def q_llm_kmeans_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract (argmin on round(L2²,6) with cid tiebreak, per-round
     round(6) centroid re-sync) via the SHARED _lloyd helper, so the
     only difference between the twins is the seed CTE."""
+    from khose_spark.vecexec import pair_metric
+
     assign, cent = _fixed_lloyd(spark, sf_dir)
     assign = assign.persist()
     cent = cent.persist()
-    stats = (
-        assign.join(F.broadcast(cent), "cid")
-        .groupBy("cid")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.round(F.avg(F.sqrt(_l2sq("v", "cv"))), 4).alias("avg_dist"),
-        )
+    # r13: the member→centroid distance runs through the Arrow l2
+    # kernel (√ of the dim-sequential fold, unrounded — the round(4)
+    # stays on the avg, exactly as before).
+    dist = pair_metric(
+        assign.join(F.broadcast(cent), "cid").select("cid", "v", "cv"),
+        ["cid"],
+        "v",
+        "cv",
+        "l2",
+        None,
+        "d",
+    )
+    stats = dist.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("d"), 4).alias("avg_dist"),
     )
     out = stats.join(F.broadcast(cent), "cid").select(
         F.col("cid").alias("cluster_id"),
@@ -453,27 +654,36 @@ def q_ml_silhouette_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
     round to 6 before the mean, one round(4) at the boundary). With
     constant k the whole audit is one map-side pass + one 64-row
     rollup at any corpus size."""
+    import numpy as np
+
     assign, cent = _fixed_lloyd(spark, sf_dir)
-    cents_row = cent.agg(
-        F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents")
-    )
-    scored = F.transform(
-        F.col("cents"),
-        lambda c: F.struct(
-            c["cid"].alias("cid"),
-            F.round(F.sqrt(_l2sq(F.col("v"), c["cv"])), 6).alias("d"),
-        ),
-    )
-    own = F.col("cid")
-    a = F.get(F.filter(scored, lambda x: x["cid"] == own), 0)["d"]
-    b = F.array_min(
-        F.transform(
-            F.filter(scored, lambda x: x["cid"] != own), lambda x: x["d"]
-        )
-    )
-    sil = assign.crossJoin(F.broadcast(cents_row)).select(
-        "cid",
-        F.round((b - a) / F.greatest(a, b), 6).alias("s"),
+    cents = _collect_cents(cent)
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    C = np.array([cv for _, cv in cents], dtype=np.float64)
+
+    # One Arrow pass computes the per-point a/b/s instead of the
+    # interpreted transform/filter/array_min chain (r13, guide §4.2).
+    # Exactness: per-centroid d = round(sqrt(seq L2² fold), 6) — sqrt
+    # is correctly-rounded IEEE in both engines — a = d[own], b =
+    # min(d[other]), s = round((b−a)/greatest(a,b), 6), all replicated
+    # by the vecexec kernels.
+    def fn(mats, batch):
+        d = round_half_up(np.sqrt(seq_l2sq(mats["v"], C)), 6)
+        own = batch.column("cid").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(cids, own)
+        rows = np.arange(d.shape[0])
+        a = d[rows, pos]
+        masked = d.copy()
+        masked[rows, pos] = np.inf
+        b = masked.min(axis=1)
+        s = round_half_up((b - a) / np.maximum(a, b), 6)
+        return {"cid": batch.column("cid"), "s": s}
+
+    sil = map_arrow_vectors(
+        assign.select("cid", "v"),
+        "cid bigint, s double",
+        fn,
+        {"v": 64},
     )
     return (
         sil.groupBy("cid")
@@ -592,63 +802,58 @@ def q_llm_semdedup_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign codes (16 broadcast hyperplanes), one (cid, band, code)
     equi-join for candidates, candidate-scoped verify, 64-row audit.
     Every stage is linear-modulo-collision at any corpus size."""
-    base = _dbl_base(t(spark, sf_dir, "embeddings"))
-    cent = fixed_seeds(base)
-    # Broadcast argmin fold (the _lloyd assignment pattern): one row of
-    # 64 (cid, cv) structs, array_sort → cid-ascending tie order.
-    cents_row = cent.agg(
-        F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents")
-    )
-    scored = F.transform(
-        F.col("cents"),
-        lambda c: F.struct(
-            F.round(_l2sq(F.col("v"), c["cv"]), 6).alias("d2"),
-            c["cid"].alias("cid"),
-        ),
-    )
-    init = F.struct(
-        F.lit(float("inf")).alias("d2"),
-        F.lit(-1).cast("long").alias("cid"),
-    )
-    assign = (
-        base.crossJoin(F.broadcast(cents_row))
-        .select(
-            "vec_id",
-            "v",
-            F.aggregate(
-                scored,
-                init,
-                lambda acc, x: F.when(x["d2"] < acc["d2"], x).otherwise(acc),
-                lambda acc: acc["cid"],
-            ).alias("cid"),
-        )
-        .persist()
-    )
-    planes = spark.createDataFrame(
-        [(p, hp) for p, hp in enumerate(_srp_planes())],
-        "p int, hp array<double>",
-    )
-    pdot = F.aggregate(
-        F.zip_with("v", "hp", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    bits = base.crossJoin(F.broadcast(planes)).select(
+    import numpy as np
+
+    e = t(spark, sf_dir, "embeddings")
+    base = _dbl_base(e)
+    cents = _collect_cents(fixed_seeds(base))
+    cids_arr = np.array([c for c, _ in cents], dtype=np.int64)
+    C = np.array([cv for _, cv in cents], dtype=np.float64)
+    HP = np.array(_srp_planes(), dtype=np.float64)  # 16 × 64
+
+    # ONE fused Arrow pass (r13, guide §4.2) replaces the broadcast
+    # argmin fold AND the 16-plane bits crossJoin + band groupBy: per
+    # batch, the kernel computes the nearest-cid assignment (dim-
+    # sequential L2² fold, round(6), first-min cid tiebreak) and both
+    # 8-bit SRP band codes (bit_p = round(seq dot(v, hp_p), 6) > 0,
+    # code = Σ bit·2^(p mod 8) — exact integers). This also deletes
+    # the (vec_id, band) shuffle the groupBy paid; band codes now
+    # travel as two int columns per vector.
+    def fn(mats, batch):
+        V = mats["embedding"]
+        d2 = round_half_up(seq_l2sq(V, C), 6)
+        cid = cids_arr[d2.argmin(axis=1)]
+        bits = (round_half_up(seq_dot(V, HP), 6) > 0).astype(np.int64)
+        w = 2 ** (np.arange(HP.shape[0], dtype=np.int64) % _SD_BAND_BITS)
+        code0 = (bits[:, :_SD_BAND_BITS] * w[:_SD_BAND_BITS]).sum(axis=1)
+        code1 = (bits[:, _SD_BAND_BITS:] * w[_SD_BAND_BITS:]).sum(axis=1)
+        return {
+            "vec_id": batch.column("vec_id"),
+            "cid": cid,
+            "code0": code0.astype(np.int32),
+            "code1": code1.astype(np.int32),
+        }
+
+    assign = map_arrow_vectors(
+        e.select("vec_id", "embedding"),
+        "vec_id bigint, cid bigint, code0 int, code1 int",
+        fn,
+        {"embedding": 64},
+    ).persist()
+    keyed = assign.select(
         "vec_id",
-        "p",
-        F.when(F.round(pdot, 6) > 0, 1).otherwise(0).alias("bit"),
-    )
-    bands = bits.groupBy(
-        "vec_id",
-        (F.col("p") / _SD_BAND_BITS).cast("int").alias("band"),
-    ).agg(
-        F.sum(
-            F.col("bit") * F.pow(2, F.col("p") % _SD_BAND_BITS).cast("int")
-        )
-        .cast("int")
-        .alias("code")
-    )
-    keyed = assign.select("vec_id", "cid").join(bands, "vec_id")
+        "cid",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"), F.col("code0").alias("code")
+                ),
+                F.struct(
+                    F.lit(1).alias("band"), F.col("code1").alias("code")
+                ),
+            )
+        ).alias("bc"),
+    ).select("vec_id", "cid", "bc.band", "bc.code")
     ka, kb = keyed.alias("ka"), keyed.alias("kb")
     cand = (
         ka.join(
@@ -665,13 +870,40 @@ def q_llm_semdedup_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    va = base.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    vb = base.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    pairs = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .filter(F.round(_cos("va", "vb"), 4) >= _SEMDEDUP_THRESH)
-        .select("cid", "id_a", "id_b")
+    va = e.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    vb = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+
+    # Candidate-scoped exact verify, vectorized (raw float vectors —
+    # the kernel widens exactly): round(cos, 4) ≥ θ on
+    # the joined pair vectors via the same sequential-fold kernels
+    # (dot, Σa², Σb² then dot/(√·√) — the _cos expression order).
+    def verify(mats, batch):
+        A, B = mats["va"], mats["vb"]
+        dot = np.zeros(A.shape[0])
+        for i in range(A.shape[1]):
+            dot = dot + A[:, i] * B[:, i]
+        r = round_half_up(dot / (np.sqrt(seq_sq(A)) * np.sqrt(seq_sq(B))), 4)
+        keep = r >= _SEMDEDUP_THRESH
+        import pyarrow as pa
+
+        mask = pa.array(keep)
+        return {
+            "cid": batch.column("cid").filter(mask),
+            "id_a": batch.column("id_a").filter(mask),
+            "id_b": batch.column("id_b").filter(mask),
+        }
+
+    pairs = map_arrow_vectors(
+        cand.join(va, "id_a").join(vb, "id_b").select(
+            "cid", "id_a", "id_b", "va", "vb"
+        ),
+        "cid bigint, id_a bigint, id_b bigint",
+        verify,
+        {"va": 64, "vb": 64},
     )
     members = assign.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members")
@@ -769,37 +1001,47 @@ def q_llm_ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side), per-query 64-row probe ranking, broadcast of the 80
     (qid, cell) probe rows against the member list, cell-scoped exact
     rerank. The corpus never shuffles; only (vec_id, cid) pairs do."""
-    base = _dbl_base(t(spark, sf_dir, "embeddings"))
+    from khose_spark.vecexec import pair_metric
+
+    e = t(spark, sf_dir, "embeddings")
+    base = _dbl_base(e)
     cent = fixed_seeds(base)
+    cents = _collect_cents(cent)
+    # Corpus-side cell assignment: the Arrow argmax kernel replaces the
+    # crossJoin cosine fold + full-corpus row_number window (r13 — the
+    # window shuffled corpus×64 scored rows; the kernel emits one row
+    # per vector, keeping v, so the old assign⋈base member join is
+    # gone too).
+    members = _assign_max_cos_vec(e, cents).select(
+        "cid", "vec_id", "v"
+    )
+    # Query-side probe ranking stays on the expression path: 10 query
+    # rows × 64 cells after scan pushdown — constant work.
     w_rank = Window.partitionBy("vec_id").orderBy(
         F.desc("asim"), F.asc("cid")
     )
-    scored = base.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "v",
-        "cid",
-        F.round(_cos("v", "cv"), 6).alias("asim"),
-    )
-    assign = (
-        scored.select("vec_id", "cid", "asim")
-        .withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
-    )
     probe = (
-        scored.filter(F.col("vec_id") < 10)
+        base.filter(F.col("vec_id") < 10)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "v", "cid", F.round(_cos("v", "cv"), 6).alias("asim")
+        )
         .withColumn("rn", F.row_number().over(w_rank))
         .filter(F.col("rn") <= _IVF_PROBES)
         .select(
             F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "cid"
         )
     )
-    members = assign.join(base, "vec_id").select("cid", "vec_id", "v")
-    cell_sims = (
+    cell_sims = pair_metric(
         F.broadcast(probe)
         .join(members, "cid")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", F.round(_cos("qv", "v"), 4).alias("sim"))
+        .filter(F.col("vec_id") != F.col("qid")),
+        ["qid", "vec_id"],
+        "qv",
+        "v",
+        "cos",
+        4,
+        "sim",
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
@@ -888,26 +1130,27 @@ def q_llm_ann_pq_rerank_scaled(
     qv = base.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_vec"), F.col("v").alias("qv")
     )
-    exact_dist = F.round(
-        F.aggregate(
-            F.zip_with("qv", "v", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
+    # r13: the corpus-scaled pool (R = 2n/25 rows per query) reranks
+    # through the Arrow l2sq kernel instead of the interpreted zip_with
+    # fold — same (x−y)² term order, half-up round(4).
+    from khose_spark.vecexec import pair_metric
+
+    scored = pair_metric(
+        base.join(F.broadcast(cand), F.col("vec_id") == F.col("cand_id"))
+        .join(F.broadcast(qv), F.col("qid") == F.col("q_vec"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "qv", "v"),
+        ["qid", "neighbor_id"],
+        "qv",
+        "v",
+        "l2sq",
         4,
+        "exact_dist",
     )
     w = Window.partitionBy("qid").orderBy(
         F.asc("exact_dist"), F.asc("neighbor_id")
     )
     return (
-        base.join(F.broadcast(cand), F.col("vec_id") == F.col("cand_id"))
-        .join(F.broadcast(qv), F.col("qid") == F.col("q_vec"))
-        .select(
-            "qid",
-            F.col("vec_id").alias("neighbor_id"),
-            exact_dist.alias("exact_dist"),
-        )
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .orderBy("qid", "rank")
     )
@@ -1019,22 +1262,14 @@ def build_ivfpq_index_fixedk(
     loc = tempfile.mkdtemp(prefix=f"khose_ivfpqf_{tag}_")
     e = t(spark, sf_dir, "embeddings")
     base = _dbl_base(e)
-    cent = fixed_seeds(base)
-    w_rank = Window.partitionBy("vec_id").orderBy(
-        F.desc("asim"), F.asc("cid")
-    )
-    cellassign = (
-        base.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id", "cid", F.round(_cos("v", "cv"), 6).alias("asim")
-        )
-        .withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
-    )
+    # r13: ONE fused Arrow pass PQ-encodes the corpus AND routes each
+    # vector to its IVF cell (cosine argmax over the 64 fixed seeds) —
+    # replacing the crossJoin fold + corpus row_number window + the
+    # codes⋈cellassign join with a single kernel scan.
+    cell_cents = _collect_cents(fixed_seeds(base))
     sub = _pq_subvectors(e)
     cb = _pq_fixed_codebook(sub)
-    codes = _pq_fixed_assign(sub, cb).join(cellassign, "vec_id")
+    codes = _pq_fixed_codes_vec(e, _collect_pq_cb(cb), cell_cents)
     spark.sql(f"DROP TABLE IF EXISTS {codes_tbl}")
     spark.sql(f"DROP TABLE IF EXISTS {cb_tbl}")
     (
@@ -1146,26 +1381,27 @@ def q_llm_ann_pq_probed_scaled(
     qv = base.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_vec"), F.col("v").alias("qv")
     )
-    exact_dist = F.round(
-        F.aggregate(
-            F.zip_with("qv", "v", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
+    # r13: the corpus-scaled pool (R = 2n/25 rows per query) reranks
+    # through the Arrow l2sq kernel instead of the interpreted zip_with
+    # fold — same (x−y)² term order, half-up round(4).
+    from khose_spark.vecexec import pair_metric
+
+    scored = pair_metric(
+        base.join(F.broadcast(cand), F.col("vec_id") == F.col("cand_id"))
+        .join(F.broadcast(qv), F.col("qid") == F.col("q_vec"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "qv", "v"),
+        ["qid", "neighbor_id"],
+        "qv",
+        "v",
+        "l2sq",
         4,
+        "exact_dist",
     )
     w = Window.partitionBy("qid").orderBy(
         F.asc("exact_dist"), F.asc("neighbor_id")
     )
     return (
-        base.join(F.broadcast(cand), F.col("vec_id") == F.col("cand_id"))
-        .join(F.broadcast(qv), F.col("qid") == F.col("q_vec"))
-        .select(
-            "qid",
-            F.col("vec_id").alias("neighbor_id"),
-            exact_dist.alias("exact_dist"),
-        )
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .orderBy("qid", "rank")
     )
