@@ -178,10 +178,9 @@ def q_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle set on the shingle key — one string-keyed shuffle; at
     100 TB the train side would first collapse into a bloom/HLL filter
     per shingle partition, same join key."""
-    from khose_spark.operators.llm import shingles
+    from khose_spark.operators.llm import doc_shingles
 
-    docs = t(spark, sf_dir, "documents")
-    sh = shingles(docs)
+    sh = doc_shingles(spark, sf_dir)
     train_sh = (
         sh.filter(F.col("doc_id") >= 50).select("shingle").distinct()
         .withColumn("in_train", F.lit(1))

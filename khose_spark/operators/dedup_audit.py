@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from khose_spark.operators.llm import shingle_array, shingles
+from khose_spark.operators.llm import doc_shingles, shingle_array, shingles
 from khose_spark.registry import query
 from khose_spark.tables import t
 
@@ -67,6 +67,9 @@ _SQL_AGREE = " + ".join(
 )
 
 
+_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _det_signatures(
     spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
 ) -> DataFrame:
@@ -78,23 +81,32 @@ def _det_signatures(
     4 md5 evaluations per shingle instead of 16 (see _SQL_SIG note) —
     measured 3.2s -> 0.9s for the signature stage at sf0.1.
 
-    ``sh`` lets a caller that already materialized the (doc_id,
-    shingle) relation pass it in EXPLICITLY — relying on the cache
-    manager to canonicalize a rebuilt plan onto the persisted one is
-    fragile, and the shingle scan is the dominant cost here."""
-    if sh is None:
-        sh = shingles(t(spark, sf_dir, "documents"))
+    r13: the relation is eagerly materialized and memoized per
+    (application, sf_dir) alongside the doc_shingles checkpoint it is
+    built from — five registered keys consume this identical relation
+    and each paid the 4-md5-per-shingle aggregation again. 16×8 hex
+    chars per doc, so the pinned footprint is ~n_docs·150 B. The
+    legacy ``sh`` parameter is accepted (the relation is the same for
+    any correctly-derived full-corpus shingle set) but the memoized
+    build always reads doc_shingles."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SIG_CACHE.get(key)
+    if hit is not None:
+        return hit
+    base = doc_shingles(spark, sf_dir)
     digests = [
         F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))) for s in range(4)
     ]
-    return sh.groupBy("doc_id").agg(
+    sig = base.groupBy("doc_id").agg(
         *[
             F.min(
                 F.substring(digests[i // 4], 8 * (i % 4) + 1, 8)
             ).alias(f"s{i}")
             for i in range(_N_HASHES)
         ]
-    )
+    ).localCheckpoint()
+    _SIG_CACHE[key] = sig
+    return sig
 
 
 def _band_candidates(sig: DataFrame) -> DataFrame:
@@ -163,7 +175,7 @@ def q_llm_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins the two signature rows per CANDIDATE pair only. At 100 TB the
     only skew risk is a degenerate band key shared by a huge cluster of
     true duplicates — exactly the rows you want to find."""
-    sig = _det_signatures(spark, sf_dir).persist()
+    sig = _det_signatures(spark, sf_dir)
     cand = _band_candidates(sig)
     a = sig.alias("a")
     b = sig.alias("b")
@@ -184,7 +196,6 @@ def q_llm_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         # in executor memory for the rest of the session.
         .localCheckpoint()
     )
-    sig.unpersist()
     return out
 
 
@@ -239,7 +250,7 @@ def q_llm_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the 8×2 band join — both linear-cost; the audit joins two pair
     lists and reduces to one row."""
     d = t(spark, sf_dir, "documents")
-    sh = shingles(d).persist()
+    sh = doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -262,7 +273,7 @@ def q_llm_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .persist()
     )
-    sig = _det_signatures(spark, sf_dir, sh=sh).persist()
+    sig = _det_signatures(spark, sf_dir)
     cand = _band_candidates(sig).persist()
     hit = exact.join(cand, ["id_a", "id_b"], "left_semi")
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -576,7 +587,7 @@ def q_llm_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-membership join exists ONLY because this is the audit —
     the production prefilter drops it (that being the point)."""
     docs = t(spark, sf_dir, "documents")
-    sh = shingles(docs)
+    sh = doc_shingles(spark, sf_dir)
     train_sh = (
         sh.filter(F.col("doc_id") >= _BLOOM_EVAL_MAX_ID)
         .select("shingle")
@@ -987,7 +998,7 @@ def q_llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base x base) + agreement verification on candidates only. Here
     both sides derive from one signature aggregation (single doc_id
     shuffle) split by the delta predicate."""
-    sig = _det_signatures(spark, sf_dir).localCheckpoint()
+    sig = _det_signatures(spark, sf_dir)
     flagged = banded_delta_flags(sig)
     delta_docs = (
         t(spark, sf_dir, "documents")
@@ -1278,7 +1289,7 @@ def q_llm_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     over (slot,value) groups), never n^2. The retired all-pairs form
     survives as SWEEP_ALL_PAIRS_SQL, certified equal to this oracle at
     fixture scale by tests/test_threshold_sweep.py."""
-    sig = _det_signatures(spark, sf_dir).localCheckpoint()
+    sig = _det_signatures(spark, sf_dir)
     slots = sig.select(
         "doc_id",
         F.explode(
@@ -1381,7 +1392,7 @@ def q_llm_minhash_estimator_audit(
     Fixture-scale shape: exact-Jaccard truth needs the shingle
     self-join (the recall-audit layout); at corpus scale the audit
     runs on a hash-sampled pair subset, same relation shapes."""
-    sh = shingles(t(spark, sf_dir, "documents")).localCheckpoint()
+    sh = doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -1396,7 +1407,7 @@ def q_llm_minhash_estimator_audit(
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sig = _det_signatures(spark, sf_dir, sh=sh).localCheckpoint()
+    sig = _det_signatures(spark, sf_dir)
     agree = sum(
         (F.col(f"sa.s{i}") == F.col(f"sb.s{i}")).cast("int")
         for i in range(_N_HASHES)
@@ -1585,7 +1596,7 @@ def q_llm_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-key explode -> (band, key) count -> 8-row rollup. Linear,
     occupancy-bounded, zero pair enumeration — the audit of the
     quadratic mass costs nothing quadratic itself."""
-    sig = _det_signatures(spark, sf_dir).localCheckpoint()
+    sig = _det_signatures(spark, sf_dir)
     n_bands = _N_HASHES // _BAND_ROWS
     bands = sig.select(
         "doc_id",
@@ -1827,8 +1838,8 @@ def q_llm_neardup_jaccard_banded(
     band join shuffles 8 short rows per doc; the verify join touches
     candidates only. The only skew is a degenerate band key shared by
     a true duplicate cluster — the rows being hunted."""
-    sh = shingles(t(spark, sf_dir, "documents")).persist()
-    sig = _det_signatures(spark, sf_dir, sh=sh)
+    sh = doc_shingles(spark, sf_dir)
+    sig = _det_signatures(spark, sf_dir)
     cand = _band_candidates(sig)
     inter, sizes = _candidate_intersections(cand, sh)
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
@@ -1841,7 +1852,6 @@ def q_llm_neardup_jaccard_banded(
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .localCheckpoint()
     )
-    sh.unpersist()
     return out
 
 
@@ -1875,8 +1885,8 @@ def q_llm_containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan identical to the banded-Jaccard twin: one signature shuffle,
     one band equi-join, candidate-scoped verify — linear at 100 TB."""
-    sh = shingles(t(spark, sf_dir, "documents")).persist()
-    sig = _det_signatures(spark, sf_dir, sh=sh)
+    sh = doc_shingles(spark, sf_dir)
+    sig = _det_signatures(spark, sf_dir)
     cand = _band_candidates(sig)
     inter, sizes = _candidate_intersections(cand, sh)
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
@@ -1898,7 +1908,6 @@ def q_llm_containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    sh.unpersist()
     return out
 
 
@@ -2049,7 +2058,7 @@ def q_llm_containment_recall_audit(
     one row. Caches released eagerly (the lsh_recall_audit lifecycle
     discipline)."""
     d = t(spark, sf_dir, "documents")
-    sh = shingles(d).persist()
+    sh = doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -2077,7 +2086,7 @@ def q_llm_containment_recall_audit(
         .select("id_a", "id_b")
         .persist()
     )
-    sig = _det_signatures(spark, sf_dir, sh=sh).persist()
+    sig = _det_signatures(spark, sf_dir)
     cand = _band_candidates(sig).persist()
     hit = exact.join(cand, ["id_a", "id_b"], "left_semi")
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))

@@ -1068,23 +1068,31 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     hubs = edges.select("c").distinct().select("c", F.lit(1.0).alias("h"))
     auth = None
     for _ in range(_HITS_ITERS):
+        # r13 (guide §2.4): checkpoint the RAW half-step aggregate, not
+        # the normalized projection — the normalization total and the
+        # next half-step's consumer both read it, and uncheckpointed
+        # each re-ran the edges⋈scores join+groupBy (the r12 verdict's
+        # double-compute). The normalized select over the materialized
+        # node-sized relation is trivial to re-execute.
         araw = (
-            edges.join(hubs, "c").groupBy("s").agg(F.sum("h").alias("a"))
+            edges.join(hubs, "c")
+            .groupBy("s")
+            .agg(F.sum("h").alias("a"))
+            .localCheckpoint()
         )
         atot = araw.agg(F.sum("a").alias("tot"))
-        auth = (
-            araw.crossJoin(F.broadcast(atot))
-            .select("s", F.round(F.col("a") / F.col("tot"), 10).alias("a"))
-            .localCheckpoint()
+        auth = araw.crossJoin(F.broadcast(atot)).select(
+            "s", F.round(F.col("a") / F.col("tot"), 10).alias("a")
         )
         hraw = (
-            edges.join(auth, "s").groupBy("c").agg(F.sum("a").alias("h"))
+            edges.join(auth, "s")
+            .groupBy("c")
+            .agg(F.sum("a").alias("h"))
+            .localCheckpoint()
         )
         htot = hraw.agg(F.sum("h").alias("tot"))
-        hubs = (
-            hraw.crossJoin(F.broadcast(htot))
-            .select("c", F.round(F.col("h") / F.col("tot"), 10).alias("h"))
-            .localCheckpoint()
+        hubs = hraw.crossJoin(F.broadcast(htot)).select(
+            "c", F.round(F.col("h") / F.col("tot"), 10).alias("h")
         )
     w_a = Window.orderBy(F.col("score").desc(), F.col("node").asc())
     out_a = auth.select(

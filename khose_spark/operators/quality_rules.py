@@ -15,7 +15,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from khose_spark.operators.curation import _sql_hash_bucket
-from khose_spark.operators.llm import shingle_array
 from khose_spark.registry import query
 from khose_spark.tables import t
 
@@ -231,15 +230,13 @@ def q_llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale posture as q_llm_neardup_jaccard; at 100 TB the shingle join
     would run over MinHash bands instead (q_llm_minhash_det), with this
     exact form as the per-candidate verifier."""
-    d = t(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    # sh feeds three consumers (sizes + both self-join sides) — persist
-    # so the shingle explode runs once (the q_llm_neardup_jaccard
-    # pattern), released after the eager checkpoint below.
-    sh = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingle_array(words, 3))).alias("shingle"),
-    ).persist()
+    from khose_spark.operators.llm import doc_shingles
+
+    # sh feeds three consumers (sizes + both self-join sides) — the
+    # session-memoized doc_shingles checkpoint (identical relation to
+    # the inline explode(array_distinct(shingle_array)) this used to
+    # build) serves all of them plus the whole dedup family.
+    sh = doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -277,7 +274,6 @@ def q_llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "n_common", "n_small", "containment_permille")
         .localCheckpoint()
     )
-    sh.unpersist()
     return out
 
 

@@ -22,7 +22,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from khose_spark.operators.llm import shingles
+from khose_spark.operators.llm import doc_shingles, shingles
 from khose_spark.registry import query
 from khose_spark.tables import t
 
@@ -32,7 +32,7 @@ _BAND_BITS = _N_BITS // _N_BANDS
 _MAX_HAMMING = 3
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
+def simhash_signatures(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """(doc_id, simhash) — 32-bit SimHash over distinct 3-word shingles.
 
     Each hex char j of md5(shingle)[0:8] carries bits 4(j-1)..4(j-1)+3.
@@ -40,7 +40,8 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     over shingles; the signature bit is 1 iff the vote is positive
     (ties → 0, deterministic). One explode + one groupBy(doc_id): the
     shuffle key is the dense doc_id, never the text."""
-    sh = shingles(docs)
+    if sh is None:
+        sh = shingles(docs)
     # One conv over the 8-char prefix, nibbles peeled arithmetically —
     # not 8× conv(substr(md5,...)): md5 is CSE'd but conv is not free,
     # and this runs once per shingle occurrence at corpus scale.
@@ -116,7 +117,11 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary — measured 4.1s -> 0.8s at sf0.1). The cached relation is
     (doc_id, simhash) = 16 bytes/doc — memory-trivial at any corpus
     size, spills to disk past memory either way."""
-    sig = simhash_signatures(t(spark, sf_dir, "documents")).persist()
+    # r13: the shingle base comes from the session-memoized
+    # doc_shingles checkpoint (shared with the Jaccard/MinHash family).
+    sig = simhash_signatures(
+        t(spark, sf_dir, "documents"), sh=doc_shingles(spark, sf_dir)
+    ).persist()
     bands = sig.select(
         "doc_id",
         "simhash",

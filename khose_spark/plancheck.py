@@ -72,12 +72,14 @@ def reset_plan_state(spark) -> None:
     persists inside the plan → InMemoryRelation; a reused memo after
     clearCache inlines the raw subtree), so both the lock generator and
     the drift gate reset them before every key."""
-    from khose_spark.operators import graph, similarity
+    from khose_spark.operators import dedup_audit, graph, llm, similarity
 
     spark.catalog.clearCache()
     graph._TRADE_EDGES_CACHE.clear()
     graph._BACKBONE_CACHE.clear()
     similarity._PQ_INDEX_CACHE.clear()
+    llm._DOC_SHINGLE_CACHE.clear()
+    dedup_audit._SIG_CACHE.clear()
 
 
 def skeleton_tokens(plan: str) -> list[str]:

@@ -20,6 +20,13 @@ registry.load_all()
 # cartesian over a broadcast side (tiny-by-construction), which is the
 # correct physical plan for these semantics.
 BNLJ_ALLOWED = {
+    "q_graph_hits",            # 1-row L1-normalization total broadcast-
+                               # crossed into the node-sized score
+                               # relation; visible in the returned plan
+                               # since r13 checkpoints the RAW half-step
+                               # aggregate instead of the normalized
+                               # projection (removing the double-
+                               # computed edges join per half-step)
     "q_stream_state_budget_batchsem",  # 1-row stream-frontier (max ts)
                                # aggregate broadcast-crossed into the
                                # fact scan (the live-horizon predicate)
