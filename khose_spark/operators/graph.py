@@ -772,26 +772,28 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation: hub customers carry ~zero AA signal by design."""
     edges = _trade_edges(spark, sf_dir)
     cdeg = edges.groupBy("custkey").agg(F.count(F.lit(1)).alias("deg"))
-    a = edges.alias("a")
-    b = edges.alias("b")
+    # r13 (guide §2.3/§3): the deg <= 50 cap commutes with the pair
+    # explosion (a pair from customer c survives iff deg(c) <= 50), so
+    # apply it to the EDGE list before the self-join instead of to the
+    # exploded pairs — hub customers no longer materialize deg^2 pair
+    # rows only to be dropped (sf0.1: pair mass 12.5M -> 7.5M; at open
+    # degree the difference is unbounded). The broadcast degree lookup
+    # rides on the same join, so the pair path loses one join too.
+    capped = edges.join(
+        F.broadcast(cdeg.filter(F.col("deg") <= 50)), "custkey"
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
     pairs = (
         a.join(
             b,
             (F.col("b.custkey") == F.col("a.custkey"))
             & (F.col("a.suppkey") < F.col("b.suppkey")),
         )
-        .join(
-            F.broadcast(
-                cdeg.filter(F.col("deg") <= 50).withColumnRenamed(
-                    "custkey", "d_custkey"
-                )
-            ),
-            F.col("d_custkey") == F.col("a.custkey"),
-        )
         .select(
             F.col("a.suppkey").alias("s_a"),
             F.col("b.suppkey").alias("s_b"),
-            "deg",
+            F.col("a.deg").alias("deg"),
         )
     )
     return (

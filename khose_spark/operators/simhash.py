@@ -46,17 +46,25 @@ def simhash_signatures(docs: DataFrame, sh: DataFrame | None = None) -> DataFram
     # not 8× conv(substr(md5,...)): md5 is CSE'd but conv is not free,
     # and this runs once per shingle occurrence at corpus scale.
     h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    # r13: nibble/bit peeling as shiftright+bitwiseAND instead of
+    # floor(h / 2^k) % m — identical integers for the nonnegative
+    # 32-bit h (the oracle keeps the floor/mod spelling, certified
+    # equal), but the JVM evaluates 2 integer ops per bit instead of a
+    # double divide + floor + mod, and this runs 32× per shingle
+    # occurrence.
     vals = sh.select(
         "doc_id",
         *[
-            (F.floor(h / (16 ** (8 - j))) % 16).cast("int").alias(f"v{j}")
+            F.shiftright(h, 4 * (8 - j)).bitwiseAND(15).cast("int").alias(
+                f"v{j}"
+            )
             for j in range(1, 9)
         ],
     )
     bit_votes = [
-        F.sum(2 * (F.floor(F.col(f"v{j}") / (2 ** k)) % 2) - 1).alias(
-            f"vote{4 * (j - 1) + k}"
-        )
+        F.sum(
+            2 * F.shiftright(F.col(f"v{j}"), k).bitwiseAND(1) - 1
+        ).alias(f"vote{4 * (j - 1) + k}")
         for j in range(1, 9)
         for k in range(4)
     ]
