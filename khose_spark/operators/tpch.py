@@ -665,10 +665,21 @@ def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     into ONE per-order aggregate — n_supp = distinct suppliers,
     n_late_supp = distinct LATE suppliers — joined back on orderkey:
     a late row qualifies iff n_supp >= 2 and n_late_supp = 1 (itself).
-    Two scans of the flags relation instead of three, one shuffle each,
-    and no correlated re-probe — the decorrelation Catalyst cannot do
-    automatically across both predicates. The driver hash-match against
-    the EXISTS-form oracle certifies the rewrite."""
+
+    r13 optimization (guide §2.3/§2.4): the decorrelated form used to
+    build the flags relation twice (per-order stats + the late-row
+    stream) and pay a double countDistinct — an Expand that doubles the
+    fact rows into the stats shuffle — plus a fact-sized sort-merge
+    join back. Both are avoidable because every per-order quantity is
+    derivable from ONE per-(order, supplier) aggregate: after
+    repartitioning the flag rows by orderkey, the pair aggregate, the
+    per-order window counts (n_supp = pairs in the order, n_late_supp =
+    late pairs), and the qualification filter all run inside that one
+    exchange, and numwait comes back as sum(late_rows) instead of
+    re-counting late fact rows. One lineitem scan instead of two, one
+    fact-sized shuffle instead of three (stats Expand + SMJ both
+    sides), no Expand — the shape that survives open scale. The driver
+    hash-match against the EXISTS-form oracle certifies the rewrite."""
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = t(spark, sf_dir, "supplier")
@@ -681,19 +692,33 @@ def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
         .alias("is_late"),
     )
-    order_stats = flags.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey")))
-        .alias("n_late_supp"),
+    # One hash exchange on orderkey serves the pair aggregate AND the
+    # per-order window (ClusteredDistribution on a grouping-key subset).
+    pairs = (
+        flags.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max("is_late").alias("supp_late"),
+            F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("late_rows"),
+        )
     )
+    w = Window.partitionBy("l_orderkey")
     return (
-        flags.filter(F.col("is_late"))
-        .join(order_stats, F.col("l_orderkey") == F.col("os_orderkey"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        pairs.select(
+            "l_orderkey",
+            "l_suppkey",
+            "supp_late",
+            "late_rows",
+            F.count(F.lit(1)).over(w).alias("n_supp"),
+            F.sum(F.col("supp_late").cast("int")).over(w).alias("n_late_supp"),
+        )
+        .filter(
+            F.col("supp_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+        )
         .join(F.broadcast(supp.select("s_suppkey", "s_name")),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("late_rows").alias("numwait"))
     )
 
 

@@ -25,8 +25,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from khose_spark.operators.scans import EVENTS_SCHEMA
 from khose_spark.tables import t
+
+
+def _events_schema():
+    # Lazy: operators.scans lives behind the operators package __init__,
+    # which (via stream_curation) imports this module back.  A module-
+    # level import here breaks any entry point that imports this module
+    # before the operators package (circular partial-init ImportError,
+    # e.g. `import khose_spark.pipeline` standalone).
+    from khose_spark.operators.scans import EVENTS_SCHEMA
+
+    return EVENTS_SCHEMA
+
 
 ENVELOPE_SCHEMA = T.StructType(
     [
@@ -113,7 +124,7 @@ def stage_document_chunks(
 def file_stream(spark: SparkSession, chunk_dir: str, files_per_trigger: int = 1) -> DataFrame:
     """Raw event file-stream: one micro-batch per chunk file."""
     return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema())
         .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(chunk_dir)
     )
@@ -149,7 +160,7 @@ def parse_envelope(envelope: DataFrame) -> DataFrame:
     the first stage of every khose pipeline (deserialize JSON)."""
     parsed = F.from_json(
         F.decode("data", "utf-8"),
-        EVENTS_SCHEMA,
+        _events_schema(),
         {"timestampFormat": _TS_FMT},
     )
     return envelope.select(parsed.alias("e")).select("e.*")
@@ -272,7 +283,7 @@ def decode_kafka_value(raw: DataFrame) -> DataFrame:
     the tested path IS the production path minus the socket."""
     parsed = F.from_json(
         F.decode("value", "utf-8"),
-        EVENTS_SCHEMA,
+        _events_schema(),
         {"timestampFormat": _TS_FMT},
     )
     return raw.select(parsed.alias("e")).select("e.*")

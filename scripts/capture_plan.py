@@ -1,0 +1,50 @@
+"""Capture explain('formatted') for one or more registered keys at sf0.1.
+
+Run: python scripts/capture_plan.py <suffix> <key> [<key> ...]
+Writes plans/r13/<key>_<suffix>.txt for each key.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from khose_spark import registry  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> int:
+    suffix = sys.argv[1]
+    keys = sys.argv[2:]
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName(f"capture_plan_{suffix}")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    outdir = os.path.join(here, "plans", "r13")
+    os.makedirs(outdir, exist_ok=True)
+    registry.load_all()
+    for k in keys:
+        df = registry.QUERIES[k](spark, SF_DIR)
+        txt = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(outdir, f"{k}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(txt)
+        print(f"wrote {path} ({len(txt)} bytes)")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
