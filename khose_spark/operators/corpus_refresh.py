@@ -258,18 +258,26 @@ def q_llm_corpus_refresh_incremental(
             ).alias("ci", "chunk"),
         )
 
+    # Both corpus-scale chunk exchanges (the base-vocabulary distinct
+    # and the delta-vs-base membership join) ride the 128-bit content
+    # key instead of the raw ~90-byte chunk text — the
+    # q_llm_paragraph_dedup narrow-shuffle discipline (r13, guide
+    # §2.3); the oracle keeps the raw-text join and the driver
+    # hash-match certifies the equivalence.
     base_chunks = (
-        _chunks(base.select("doc_id", "text")).select("chunk").distinct()
+        _chunks(base.select("doc_id", "text"))
+        .select(F.md5("chunk").alias("hk"))
+        .distinct()
     )
     delta_chunks = _chunks(
         docs.join(
             s2f.filter(F.col("s2") == 1).select("doc_id"), "doc_id"
         ).select("doc_id", "text")
-    )
+    ).withColumn("hk", F.md5("chunk")).drop("chunk")
     cw = F.least(F.lit(_CHUNK_W), F.col("nw") - F.col("ci") * _CHUNK_W)
     cover = (
         delta_chunks.join(
-            base_chunks.withColumn("seen", F.lit(1)), "chunk", "left"
+            base_chunks.withColumn("seen", F.lit(1)), "hk", "left"
         )
         .groupBy("doc_id")
         .agg(

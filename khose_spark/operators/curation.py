@@ -1282,12 +1282,14 @@ def q_llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     permille fold.
 
     Plan: map-side chunk explode (a per-row sequence — no cross-row
-    work, ~n_words/16 rows per doc), ONE corpus-scale shuffle
-    partitioned by paragraph text for the first-occurrence window (the
-    inherent cost of exact global dedup — same key the hash-groupBy
-    dedup family shuffles on), then a dimension-bounded (source, lang)
-    rollup. At 100 TB the paragraph shuffle dominates and is the
-    textbook hash-partition; no window ever sees more rows than one
+    work, ~n_words/16 rows per doc), ONE corpus-scale shuffle for the
+    first-occurrence window (the inherent cost of exact global dedup),
+    then a dimension-bounded (source, lang) rollup. At 100 TB the
+    paragraph shuffle dominates, so it is keyed on md5(chunk) instead
+    of the raw ~90-byte paragraph text (r13, guide §2.3 — the same
+    128-bit content key the md5-groupBy dedup family shuffles on;
+    the oracle keeps the raw-text partition and the driver hash-match
+    certifies the equivalence); no window ever sees more rows than one
     paragraph's duplicate set."""
     words = F.split("text", " ")
     nch = F.expr("(size(split(text, ' ')) + 15) DIV 16")
@@ -1305,15 +1307,26 @@ def q_llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ci", "chunk"),
     )
-    w_first = Window.partitionBy("chunk").orderBy(
-        F.asc("doc_id"), F.asc("ci")
-    )
-    marked = docs.select(
+    # Shuffle the 128-bit content key, not the paragraph text: the
+    # window needs only equality of chunks, and hashing map-side keeps
+    # the corpus-scale exchange rows ~2x narrower (guide §2.3).
+    hashed = docs.select(
         "source",
         "lang",
+        "doc_id",
+        "ci",
+        F.md5("chunk").alias("hk"),
         F.least(F.lit(16), F.col("nw") - F.col("ci") * 16).alias(
             "n_words"
         ),
+    )
+    w_first = Window.partitionBy("hk").orderBy(
+        F.asc("doc_id"), F.asc("ci")
+    )
+    marked = hashed.select(
+        "source",
+        "lang",
+        "n_words",
         F.row_number().over(w_first).alias("rn"),
     )
     dup = (F.col("rn") > 1).cast("long")

@@ -279,13 +279,21 @@ def funnel_one_row(d: DataFrame) -> DataFrame:
             )
         ).alias("ci", "chunk"),
     )
-    w_first = Window.partitionBy("chunk").orderBy(
+    # Shuffle the 128-bit content key, not the chunk text — same
+    # narrow-exchange discipline as q_llm_paragraph_dedup (guide §2.3).
+    w_first = Window.partitionBy("hk").orderBy(
         F.asc("doc_id"), F.asc("ci")
     )
     doctoks = (
         chunks.select(
             "doc_id",
+            "ci",
+            F.md5("chunk").alias("hk"),
             F.least(F.lit(16), F.col("nw") - F.col("ci") * 16).alias("cw"),
+        )
+        .select(
+            "doc_id",
+            "cw",
             F.row_number().over(w_first).alias("rn"),
         )
         .groupBy("doc_id")

@@ -14,6 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession  # noqa: E402
 
 from khose_spark import registry  # noqa: E402
+from khose_spark.plancheck import INTERIOR_MARK, record_checkpoints  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -34,10 +35,17 @@ def main() -> int:
     os.makedirs(outdir, exist_ok=True)
     registry.load_all()
     for k in keys:
-        df = registry.QUERIES[k](spark, SF_DIR)
+        with record_checkpoints() as rec:
+            df = registry.QUERIES[k](spark, SF_DIR)
         txt = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
+        if rec.last is not None:
+            # Checkpoint-final queries return a bare ExistingRDD stub;
+            # append the final checkpoint's executed interior so the
+            # file shows the plan that actually did the work (same
+            # discipline as plans.lock.json's @checkpoint-interior).
+            txt = f"{txt}\n\n{INTERIOR_MARK}\n\n{rec.last}"
         path = os.path.join(outdir, f"{k}_{suffix}.txt")
         with open(path, "w") as f:
             f.write(txt)
