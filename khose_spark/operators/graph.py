@@ -413,6 +413,64 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COOC_DEG_CAP = 50
 _COOC_MIN_SHARED = 5
 
+_PAIR_STATS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _capped_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s_a, s_b, n, aa): per supplier-pair, the shared-customer count
+    and the Adamic–Adar mass sum(1/ln(deg(c))) over deg<=50 customers —
+    the ONE capped customer-keyed pair self-join that
+    q_graph_cooccurrence, q_graph_adamic_adar and the 3-NN backbone
+    (via _knn_backbone, i.e. the whole LPA/k-core/clustering family)
+    each rebuilt identically per query (r14 optimization, guide §2.4:
+    two operations keyed the same way share one exchange — here three
+    operators share one pair explosion). Eagerly checkpointed and
+    memoized per (application, sf_dir), the _trade_edges discipline.
+
+    Semantics per consumer are UNCHANGED (oracle-hash-certified):
+    - n is exactly cooccurrence's n_shared / adamic_adar's n_common /
+      the backbone's edge weight (same deg<=50 cap, same a<b pairing);
+    - aa rides the identical groupBy the count already pays — the same
+      per-pair float sum adamic_adar's own aggregation performed, with
+      the same round(4) applied downstream by its consumer.
+    deg >= 2 for any shared customer, so 1/ln(deg) is total."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PAIR_STATS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    edges = _trade_edges(spark, sf_dir)
+    cdeg = edges.groupBy("custkey").agg(F.count(F.lit(1)).alias("deg"))
+    # Broadcast the capped degree dim WITH its deg column: the cap
+    # filter and the per-customer degree lookup ride one map-side join
+    # (the r13 adamic_adar rewiring, now shared by all three consumers).
+    capped = edges.join(
+        F.broadcast(cdeg.filter(F.col("deg") <= _COOC_DEG_CAP)), "custkey"
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.custkey") == F.col("a.custkey"))
+            & (F.col("a.suppkey") < F.col("b.suppkey")),
+        )
+        .select(
+            F.col("a.suppkey").alias("s_a"),
+            F.col("b.suppkey").alias("s_b"),
+            F.col("a.deg").alias("deg"),
+        )
+        .groupBy("s_a", "s_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.lit(1.0) / F.log(F.col("deg").cast("double"))
+            ).alias("aa"),
+        )
+        .localCheckpoint()
+    )
+    _PAIR_STATS_CACHE[key] = pairs
+    return pairs
+
 
 @query(
     "q_graph_cooccurrence",
@@ -452,27 +510,12 @@ def q_graph_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation; the distinct edge list is one shuffle, the pair count
     one more on (s_a, s_b), and the top-20 is TakeOrdered with
     deterministic (count desc, pair asc) ordering — no global sort."""
-    edges = _trade_edges(spark, sf_dir)
-    deg = edges.groupBy("custkey").agg(F.count(F.lit(1)).alias("d"))
-    capped = edges.join(
-        deg.filter(F.col("d") <= _COOC_DEG_CAP).select("custkey"),
-        "custkey",
-        "left_semi",
-    )
-    a = capped.alias("a")
-    b = capped.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.custkey") == F.col("b.custkey"))
-            & (F.col("a.suppkey") < F.col("b.suppkey")),
-        )
-        .groupBy(
-            F.col("a.suppkey").alias("s_a"), F.col("b.suppkey").alias("s_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= _COOC_MIN_SHARED)
-    )
+    # r14: the capped pair count is the shared _capped_pair_stats memo
+    # — one pair self-join per session for cooccurrence + adamic_adar +
+    # the 3-NN backbone family, instead of one per query (guide §2.4).
+    pairs = _capped_pair_stats(spark, sf_dir).select(
+        "s_a", "s_b", F.col("n").alias("n_shared")
+    ).filter(F.col("n_shared") >= _COOC_MIN_SHARED)
     return pairs.orderBy(F.desc("n_shared"), "s_a", "s_b").limit(20)
 
 
@@ -770,39 +813,20 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     to deg^2 per customer, and a TakeOrdered top-20. The degree cap is
     the documented production contract for open-degree graphs, not a
     truncation: hub customers carry ~zero AA signal by design."""
-    edges = _trade_edges(spark, sf_dir)
-    cdeg = edges.groupBy("custkey").agg(F.count(F.lit(1)).alias("deg"))
     # r13 (guide §2.3/§3): the deg <= 50 cap commutes with the pair
-    # explosion (a pair from customer c survives iff deg(c) <= 50), so
-    # apply it to the EDGE list before the self-join instead of to the
-    # exploded pairs — hub customers no longer materialize deg^2 pair
-    # rows only to be dropped (sf0.1: pair mass 12.5M -> 7.5M; at open
-    # degree the difference is unbounded). The broadcast degree lookup
-    # rides on the same join, so the pair path loses one join too.
-    capped = edges.join(
-        F.broadcast(cdeg.filter(F.col("deg") <= 50)), "custkey"
-    )
-    a = capped.alias("a")
-    b = capped.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("b.custkey") == F.col("a.custkey"))
-            & (F.col("a.suppkey") < F.col("b.suppkey")),
-        )
-        .select(
-            F.col("a.suppkey").alias("s_a"),
-            F.col("b.suppkey").alias("s_b"),
-            F.col("a.deg").alias("deg"),
-        )
-    )
+    # explosion, so it is applied to the EDGE list before the self-join
+    # (hub customers never materialize deg^2 pair rows). r14 (guide
+    # §2.4): that capped pair aggregation — count AND the per-pair
+    # sum(1/ln(deg)) mass — is the shared _capped_pair_stats memo, one
+    # self-join per session for this key + cooccurrence + the backbone
+    # family; this key keeps only its round(4) and TakeOrdered top-20.
+    pairs = _capped_pair_stats(spark, sf_dir)
     return (
-        pairs.groupBy("s_a", "s_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.round(
-                F.sum(F.lit(1.0) / F.log(F.col("deg").cast("double"))), 4
-            ).alias("aa_score"),
+        pairs.select(
+            "s_a",
+            "s_b",
+            F.col("n").alias("n_common"),
+            F.round(F.col("aa"), 4).alias("aa_score"),
         )
         .orderBy(F.desc("aa_score"), "s_a", "s_b")
         .limit(20)
@@ -860,27 +884,10 @@ def _knn_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _BACKBONE_CACHE.get(key)
     if hit is not None:
         return hit
-    edges = _trade_edges(spark, sf_dir)
-    deg = edges.groupBy("custkey").agg(F.count(F.lit(1)).alias("d"))
-    capped = edges.join(
-        deg.filter(F.col("d") <= _COOC_DEG_CAP).select("custkey"),
-        "custkey",
-        "left_semi",
-    )
-    a = capped.alias("a")
-    b = capped.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.custkey") == F.col("b.custkey"))
-            & (F.col("a.suppkey") < F.col("b.suppkey")),
-        )
-        .groupBy(
-            F.col("a.suppkey").alias("s_a"), F.col("b.suppkey").alias("s_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()  # feeds both union directions
-    )
+    # r14: the capped pair-count relation is the shared, already-
+    # checkpointed _capped_pair_stats memo (one pair self-join per
+    # session across cooccurrence / adamic_adar / this backbone).
+    pairs = _capped_pair_stats(spark, sf_dir).select("s_a", "s_b", "n")
     directed = pairs.select(
         F.col("s_a").alias("node"), F.col("s_b").alias("nbr"), "n"
     ).unionAll(
@@ -957,31 +964,44 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     its own, ties to the smallest label — fully deterministic. Top-20
     communities by size, with member-range audits.
 
-    Plan: capped pair counts (one shuffle), per-node top-3 window, then
-    per round one (node,label) count shuffle + one argmax window.
-    Rounds are FIXED at 2 (contract, matching the unrolled oracle), so
-    lineage is static — no checkpoint loop needed; the dynamic-round
-    variant would localCheckpoint per round like connected_components."""
+    Plan: capped pair counts (one shuffle, via the shared memo), per-
+    node top-3 window, then per round one (node,label) count shuffle +
+    one argmax window. Rounds are FIXED at 2 (contract, matching the
+    unrolled oracle), so lineage is static.
+
+    r14 (guide §2.4): the per-round "neighbor labels UNION own label"
+    message relation is rebuilt as a join against the adjacency WITH
+    SELF-LOOPS — each node is its own neighbor exactly once, so the
+    self-message arrives through the same join and ``labels`` has ONE
+    consumer per round. That removes the per-round localCheckpoint
+    (which existed only because the union consumed ``labels`` twice —
+    uncut, round N re-executed round N-1 once per consumer): both LPA
+    rounds and the community rollup now run as ONE Spark job over the
+    checkpointed backbone instead of one materialization job per round
+    plus a final. Message multisets are identical (adj is symmetric
+    and distinct; the added (v,v) row contributes exactly the one
+    self-label message the union used to), so counts, argmax picks and
+    the oracle hash are unchanged."""
     adj = _knn_backbone(spark, sf_dir)
-    labels = adj.select("node").distinct().select(
-        "node", F.col("node").alias("label")
+    nodes = adj.select("node").distinct()
+    adj_self = adj.unionAll(
+        nodes.select("node", F.col("node").alias("nbr"))
     )
+    labels = nodes.select("node", F.col("node").alias("label"))
     w_pick = Window.partitionBy("node").orderBy(
         F.col("c").desc(), F.col("label").asc()
     )
     for _ in range(_LPA_ROUNDS):
-        msgs = (
-            adj.join(
-                labels.withColumnRenamed("node", "nbr"), "nbr"
-            ).select("node", "label")
-        ).unionAll(labels)
         labels = (
-            msgs.groupBy("node", "label")
+            adj_self.join(
+                labels.withColumnRenamed("node", "nbr"), "nbr"
+            )
+            .select("node", "label")
+            .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("c"))
             .withColumn("rn", F.row_number().over(w_pick))
             .filter(F.col("rn") == 1)
             .select("node", "label")
-            .localCheckpoint()
         )
     return (
         labels.groupBy(F.col("label").alias("community"))
@@ -1067,21 +1087,35 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _trade_edges(spark, sf_dir).select(
         F.col("custkey").alias("c"), F.col("suppkey").alias("s")
     )
-    hubs = edges.select("c").distinct().select("c", F.lit(1.0).alias("h"))
+    hubs = None
     auth = None
-    for _ in range(_HITS_ITERS):
+    for it in range(_HITS_ITERS):
         # r13 (guide §2.4): checkpoint the RAW half-step aggregate, not
         # the normalized projection — the normalization total and the
         # next half-step's consumer both read it, and uncheckpointed
         # each re-ran the edges⋈scores join+groupBy (the r12 verdict's
         # double-compute). The normalized select over the materialized
         # node-sized relation is trivial to re-execute.
-        araw = (
-            edges.join(hubs, "c")
-            .groupBy("s")
-            .agg(F.sum("h").alias("a"))
-            .localCheckpoint()
-        )
+        if it == 0:
+            # r14 (guide §2.4): hubs0 is 1.0 on every customer that
+            # appears in edges, so the first authority half-step is
+            # exactly the supplier degree — sum of 1.0 over d incident
+            # edges is the exact fp64 integer d.0 (d << 2^53), so
+            # count().cast(double) is bit-identical to the join+sum
+            # the oracle spells, and the first half-step loses both
+            # the hubs0 distinct and the edges⋈hubs join.
+            araw = (
+                edges.groupBy("s")
+                .agg(F.count(F.lit(1)).cast("double").alias("a"))
+                .localCheckpoint()
+            )
+        else:
+            araw = (
+                edges.join(hubs, "c")
+                .groupBy("s")
+                .agg(F.sum("h").alias("a"))
+                .localCheckpoint()
+            )
         atot = araw.agg(F.sum("a").alias("tot"))
         auth = araw.crossJoin(F.broadcast(atot)).select(
             "s", F.round(F.col("a") / F.col("tot"), 10).alias("a")
@@ -1109,10 +1143,13 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rk", F.row_number().over(w_a))
     # edges stays persisted: it belongs to the shared _trade_edges
     # memo, released with the session (ADVICE round-4 pattern).
-    return (
-        out_a.filter(F.col("rk") <= _HITS_TOP)
-        .unionAll(out_h.filter(F.col("rk") <= _HITS_TOP))
-        .localCheckpoint()
+    # r14: no final localCheckpoint — the dual top-10 windows read the
+    # two already-checkpointed half-step relations, so materializing
+    # the 20-row answer bought nothing except one more Spark job per
+    # run; consumers now trigger the (bounded, WindowGroupLimit-pruned)
+    # ranking directly.
+    return out_a.filter(F.col("rk") <= _HITS_TOP).unionAll(
+        out_h.filter(F.col("rk") <= _HITS_TOP)
     )
 
 

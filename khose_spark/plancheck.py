@@ -76,6 +76,7 @@ def reset_plan_state(spark) -> None:
 
     spark.catalog.clearCache()
     graph._TRADE_EDGES_CACHE.clear()
+    graph._PAIR_STATS_CACHE.clear()
     graph._BACKBONE_CACHE.clear()
     similarity._PQ_INDEX_CACHE.clear()
     llm._DOC_SHINGLE_CACHE.clear()

@@ -1,7 +1,8 @@
 """Capture explain('formatted') for one or more registered keys at sf0.1.
 
 Run: python scripts/capture_plan.py <suffix> <key> [<key> ...]
-Writes plans/r13/<key>_<suffix>.txt for each key.
+Writes plans/$KHOSE_PLANS_ROUND/<key>_<suffix>.txt for each key
+(KHOSE_PLANS_ROUND defaults to r14; round 13's files stay under r13).
 """
 
 from __future__ import annotations
@@ -14,7 +15,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession  # noqa: E402
 
 from khose_spark import registry  # noqa: E402
-from khose_spark.plancheck import INTERIOR_MARK, record_checkpoints  # noqa: E402
+from khose_spark.plancheck import (  # noqa: E402
+    INTERIOR_MARK,
+    record_checkpoints,
+    reset_plan_state,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -31,10 +36,17 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    outdir = os.path.join(here, "plans", "r13")
+    outdir = os.path.join(
+        here, "plans", os.environ.get("KHOSE_PLANS_ROUND", "r14")
+    )
     os.makedirs(outdir, exist_ok=True)
     registry.load_all()
     for k in keys:
+        # r14 (VERDICT r13 item 6): reset the memo caches per key, so a
+        # key that runs after a sibling already built a shared memo is
+        # still captured with its FRESH-build plan and checkpoint
+        # interior, never as a bare warm-memo stub.
+        reset_plan_state(spark)
         with record_checkpoints() as rec:
             df = registry.QUERIES[k](spark, SF_DIR)
         txt = df._sc._jvm.PythonSQLUtils.explainString(

@@ -403,6 +403,29 @@ MAX_SHUFFLES = {
                                   # windows, then grp/tot/folds — every
                                   # post-rollup relation days×types-
                                   # bounded
+    "q_graph_labelprop": 13,      # audited 12 since r14 folded BOTH
+                                  # LPA rounds into one returned plan
+                                  # (self-loop adjacency made labels
+                                  # single-consumer, so the per-round
+                                  # checkpoints and their extra jobs
+                                  # are gone): per round an nbr-keyed
+                                  # join (2 exchanges), the
+                                  # (node,label) count (1) and the
+                                  # argmax window re-key (1), plus the
+                                  # re-inlined nodes-distinct subtrees
+                                  # and the final community rollup —
+                                  # every relation is 3-NN-backbone-
+                                  # bounded (node-sized at any scale)
+    "q_graph_hits": 7,            # audited 6 since r14 dropped the
+                                  # final 20-row checkpoint: the dual
+                                  # top-10 rankings (each a distributed
+                                  # TakeOrderedAndProject feeding a
+                                  # 10-row window) + their two 1-row
+                                  # L1-total SinglePartition folds now
+                                  # sit in the RETURNED plan, plus the
+                                  # last half-step's join+agg interior.
+                                  # Every post-checkpoint relation is
+                                  # node-sized or 10-row-bounded
     "q_graph_conductance": 7,     # audited 6: backbone label joins +
                                   # m2/nodes/per_c folds over the
                                   # nation-bounded relation (the
@@ -719,9 +742,6 @@ MAX_SHUFFLES = {
                                   # build interior (audited: 6)
     "q_graph_degree_dist": 8,     # degree agg + histogram fold +
                                   # backbone-build interior (audited: 6)
-    "q_graph_labelprop": 7,       # final-round (node,label) count agg +
-                                  # argmax window interior over the
-                                  # checkpointed round (audited: 5)
     "q_llm_dedup_apply": 7,       # canonical-join apply + final CC
                                   # round's min-label interior
                                   # (audited: 5)
@@ -823,6 +843,10 @@ GLOBAL_TOPK_BOUNDED = [
     "q_tpch_q3_shipping",
     "q_tpch_q10_returns",
     "q_scan_key_skew",
+    # r14: hits' dual top-10 rank moved into the returned plan (no
+    # final checkpoint) — pin that each global rank stays a distributed
+    # TakeOrderedAndProject, never a full single-partition keyspace sort.
+    "q_graph_hits",
 ]
 
 
