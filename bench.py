@@ -321,6 +321,27 @@ SCALING_KEYS = [
 SCALING_FACTOR = 10
 SCALING_BUDGET_SEC = 480.0
 
+# The fixture-truth twins DECLARED superlinear at 10× (VERDICT r13
+# item 8): each is kept in SCALING_KEYS deliberately, as the quadratic
+# control sitting next to its banded/fixed-k production sibling
+# (SURVEY §2.16; run_scaling docstring). Their ratios are real and
+# expected to exceed ~1.2× the factor; the production siblings carry
+# the linear contract the recall gates certify.
+DECLARED_SUPERLINEAR = {
+    # exact all-pairs Jaccard verifier (truth tier of the two-tier
+    # pipeline; production sibling: q_llm_neardup_jaccard_banded)
+    "q_llm_neardup_jaccard",
+    # exact containment truth tier (sibling: q_llm_containment_banded)
+    "q_llm_containment",
+    # sampled k=n/50 codebook contract: assignment is n²/50 by design
+    # (siblings: the fixed-k / probed-scaled family)
+    "q_llm_ann_pq_indexed",
+    # fixed-k clustering contract: 10× the corpus in the same 64
+    # clusters makes the within-cluster pair scan quadratic
+    # (production scales k with the corpus; sibling: semdedup_fixedk)
+    "q_llm_semdedup",
+}
+
 
 def run_scaling(spark, sf_dir: str) -> dict:
     """Time SCALING_KEYS at 1× and 10× volume and report the ratio.
@@ -993,7 +1014,60 @@ ANN_LIFECYCLE = [
 ]
 
 
-def run_ann_lifecycle(spark, sf_dir: str, names: list[str]) -> dict:
+# Dedup-family memo lifecycle (VERDICT r13 item 2 — the ann_lifecycle
+# pattern applied to the shared shingle/signature checkpoints): build
+# and time the session memos up front so the per-key headline numbers
+# for their consumers measure the CONSUMER only. In r13 the family's
+# first consumer in bench order (q_llm_simhash) carried the ~2.5 s
+# doc_shingles build inside its timed region, which kept totals honest
+# but skewed per-key attribution and would trip the per-key regression
+# gate if bench ordering around the family ever changed. The build cost
+# stays visible: timed here, printed to stderr, and recorded in the
+# payload's shingle_lifecycle block (old r13 per-key numbers are kept
+# in BENCH_r13.json / OPTIMIZATION_r13.md).
+SHINGLE_LIFECYCLE = [
+    (
+        "doc_shingles",
+        "khose_spark.operators.llm",
+        "doc_shingles",
+        [
+            "q_llm_exact_dedup",
+            "q_llm_neardup_jaccard",
+            "q_llm_minhash_lsh",
+            "q_llm_neardup_two_tier",
+            "q_llm_lsh_recall_audit",
+            "q_llm_bloom_prefilter",
+            "q_llm_minhash_estimator_audit",
+            "q_llm_neardup_jaccard_banded",
+            "q_llm_containment_banded",
+            "q_llm_containment_recall_audit",
+            "q_llm_containment",
+            "q_llm_simhash",
+        ],
+    ),
+    (
+        "minhash_signatures",
+        "khose_spark.operators.dedup_audit",
+        "_det_signatures",
+        [
+            "q_llm_minhash_det",
+            "q_llm_lsh_recall_audit",
+            "q_llm_incremental_dedup",
+            "q_llm_lsh_threshold_sweep",
+            "q_llm_minhash_estimator_audit",
+            "q_llm_dedup_funnel",
+            "q_llm_band_occupancy",
+            "q_llm_neardup_jaccard_banded",
+            "q_llm_containment_banded",
+            "q_llm_containment_recall_audit",
+        ],
+    ),
+]
+
+
+def run_ann_lifecycle(
+    spark, sf_dir: str, names: list[str], lifecycle=ANN_LIFECYCLE
+) -> dict:
     """Time each index build once (first touch populates the session
     cache keyed on (applicationId, sf_dir)); return per-build seconds
     plus the search keys whose headline timings are therefore
@@ -1003,7 +1077,7 @@ def run_ann_lifecycle(spark, sf_dir: str, names: list[str]) -> dict:
 
     out: dict[str, dict] = {}
     wanted = set(names)
-    for label, mod_name, fn_name, search_keys in ANN_LIFECYCLE:
+    for label, mod_name, fn_name, search_keys in lifecycle:
         if not wanted & set(search_keys):
             continue
         fn = getattr(importlib.import_module(mod_name), fn_name)
@@ -1097,6 +1171,13 @@ def main() -> None:
     # longer hide inside build noise, and the build cost is recorded.
     ann_lifecycle = run_ann_lifecycle(spark, sf_dir, names)
 
+    # r14 (VERDICT r13 item 2): same treatment for the dedup family's
+    # shared shingle/signature memo builds — timed up front as their
+    # own recorded lines so consumer keys measure search/consume only.
+    shingle_lifecycle = run_ann_lifecycle(
+        spark, sf_dir, names, lifecycle=SHINGLE_LIFECYCLE
+    )
+
     total = 0.0
     for name in names:
         t0 = time.perf_counter()
@@ -1117,6 +1198,15 @@ def main() -> None:
         float(sf) if sf.replace(".", "").isdigit() else sf,
     )
     total = sum(timings.values())  # re-runs may have lowered timings
+
+    # r14 (VERDICT r13 items 1-2, guide §5): the headline loop and the
+    # gate's re-runs are done with the session memos — unpersist their
+    # checkpoint blocks NOW so the ingest/scaling extras below start
+    # from a clean storage footprint (the 10x block would otherwise
+    # stack a second corpus's memos on top of these via its own sf_dir).
+    from khose_spark import memo as _memo
+
+    _memo.release_all()
 
     # khose's own axis — records/s through the streaming ingest pipeline —
     # rides along in the same single JSON line (contract: ONE line).
@@ -1180,6 +1270,12 @@ def main() -> None:
                 k: timings[k] for k in blk["search_keys"] if k in timings
             }
         payload["ann_lifecycle"] = ann_lifecycle
+    if shingle_lifecycle:
+        for blk in shingle_lifecycle.values():
+            blk["consumer_sec"] = {
+                k: timings[k] for k in blk["search_keys"] if k in timings
+            }
+        payload["shingle_lifecycle"] = shingle_lifecycle
     if ing10 is not None:
         payload["ingest_10x"] = ing10
     if scaling is not None:
@@ -1271,10 +1367,28 @@ def _compact_line(payload: dict, budget: int = 1900) -> dict:
             for v in payload["scaling"]["keys"].values()
             if v.get("ratio")
         ]
+        # r14 (VERDICT r13 item 8): max_ratio is dominated by the
+        # DECLARED superlinear fixture-truth twins (kept deliberately
+        # as the quadratic controls next to their banded/fixed-k
+        # production siblings — SURVEY §2.16). Emit that set, plus the
+        # worst ratio among the production (linear-contract) keys, so
+        # the one-line number stays interpretable without the round
+        # doc. Additions only — max_ratio keeps its old meaning.
+        linear = [
+            v["ratio"]
+            for k, v in payload["scaling"]["keys"].items()
+            if v.get("ratio") and k not in DECLARED_SUPERLINEAR
+        ]
         out["scaling"] = {
             "factor": payload["scaling"]["factor"],
             "n_keys": len(ratios),
             "max_ratio": max(ratios) if ratios else None,
+            "max_ratio_linear_contract": max(linear) if linear else None,
+            "declared_superlinear": sorted(
+                k
+                for k in payload["scaling"]["keys"]
+                if k in DECLARED_SUPERLINEAR
+            ),
         }
         rec = payload["scaling"].get("recall_10x")
         if rec and "error" not in rec:

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from khose_spark import memo
 from khose_spark.operators.llm import doc_shingles, shingle_array, shingles
 from khose_spark.registry import query
 from khose_spark.tables import t
@@ -70,9 +71,7 @@ _SQL_AGREE = " + ".join(
 _SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def _det_signatures(
-    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
-) -> DataFrame:
+def _det_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, s0..s15): md5-permutation MinHash signatures — one
     shuffle on doc_id, map-side partial min. Engine-portable: min over
     fixed-width lowercase-hex slices is identical in Spark and DuckDB.
@@ -85,28 +84,36 @@ def _det_signatures(
     (application, sf_dir) alongside the doc_shingles checkpoint it is
     built from — five registered keys consume this identical relation
     and each paid the 4-md5-per-shingle aggregation again. 16×8 hex
-    chars per doc, so the pinned footprint is ~n_docs·150 B. The
-    legacy ``sh`` parameter is accepted (the relation is the same for
-    any correctly-derived full-corpus shingle set) but the memoized
-    build always reads doc_shingles."""
+    chars per doc, so the pinned footprint is ~n_docs·150 B. r14
+    (ADVICE r13 item 4): the legacy ``sh`` parameter — accepted but
+    silently ignored since the r13 memoization — is removed, so a
+    caller with a filtered/derived shingle relation fails loudly
+    instead of silently getting full-corpus signatures back."""
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _SIG_CACHE.get(key)
     if hit is not None:
         return hit
-    base = doc_shingles(spark, sf_dir)
-    digests = [
-        F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))) for s in range(4)
-    ]
-    sig = base.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.substring(digests[i // 4], 8 * (i % 4) + 1, 8)
-            ).alias(f"s{i}")
-            for i in range(_N_HASHES)
+
+    def build() -> DataFrame:
+        base = doc_shingles(spark, sf_dir)
+        digests = [
+            F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))
+            for s in range(4)
         ]
-    ).localCheckpoint()
-    _SIG_CACHE[key] = sig
-    return sig
+        return base.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    F.substring(digests[i // 4], 8 * (i % 4) + 1, 8)
+                ).alias(f"s{i}")
+                for i in range(_N_HASHES)
+            ]
+        ).localCheckpoint()
+
+    # r14 (VERDICT items 1-2): lifecycle-tracked insert — see memo.py.
+    # doc_shingles is built first (outside the snapshot) when cold, so
+    # its blocks are tracked under ITS cache entry, not this one.
+    doc_shingles(spark, sf_dir)
+    return memo.put(spark, _SIG_CACHE, key, build)
 
 
 def _band_candidates(sig: DataFrame) -> DataFrame:

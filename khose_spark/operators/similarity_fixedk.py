@@ -360,7 +360,16 @@ def _collect_pq_cb(cb: DataFrame):
     from khose_spark.operators.similarity import _PQ_DIM, _PQ_M
 
     CB = np.zeros((_PQ_M, _FIXED_K, _PQ_DIM))
-    for r in cb.collect():
+    rows = cb.collect()
+    # ADVICE r13 item 2: the tensor is zero-initialized, so a corpus
+    # yielding fewer than 8×64 codebook rows would leave phantom
+    # all-zero codes that the kernel argmin could rank (the expression
+    # path only ranks codes that exist). Fail loudly instead.
+    assert len(rows) == _PQ_M * _FIXED_K, (
+        f"fixed PQ codebook collected {len(rows)} rows, expected "
+        f"{_PQ_M * _FIXED_K} — corpus too small for the fixed-k contract"
+    )
+    for r in rows:
         CB[int(r["sub_id"]), int(r["code"])] = [float(x) for x in r["cv"]]
     return CB
 
@@ -567,6 +576,16 @@ def q_llm_ann_pq_rerank_fixedk(
 # ---------------------------------------------------------------------------
 
 
+# (applicationId, sf_dir) -> (cents_assign, cents_final): the two k=64
+# centroid LISTS that reproduce the Lloyd outcome — cents_assign is the
+# codebook the FINAL assignment pass used (after _KM_ITERS-1
+# re-averages), cents_final the re-average of that assignment. ~64 KB
+# of driver-side floats per entry, so unlike the corpus-sized
+# checkpoint memos there is no §5 footprint to lifecycle; cleared by
+# plancheck.reset_plan_state like every cross-query memo.
+_FIXED_LLOYD_CACHE: dict[tuple[str, str], tuple[list, list]] = {}
+
+
 def _fixed_lloyd(spark: SparkSession, sf_dir: str):
     """3 Lloyd iterations from the fixed 64 seeds, with the assignment
     stage vectorized (r13): each iteration is one Arrow argmin kernel
@@ -576,14 +595,45 @@ def _fixed_lloyd(spark: SparkSession, sf_dir: str):
     codebook round-trips through the driver per iteration (fixed-k
     bounded-collect class) instead of a localCheckpoint — same job
     count, no interpreted fold. Shares the determinism contract of
-    similarity._lloyd verbatim; the sampled twins stay on _lloyd."""
+    similarity._lloyd verbatim; the sampled twins stay on _lloyd.
+
+    r14 (VERDICT item 3): two structural fixes, zero arithmetic change —
+    - the FINAL iteration's assignment is persisted before its
+      re-average is collected, so the consumer's follow-up pass (kmeans
+      member stats, the silhouette kernel) reads the cached assignment
+      instead of re-running the iteration-3 kernel over the corpus
+      (4 corpus passes -> 3 for the first consumer);
+    - the converged centroid lists (k=64, ~64 KB) are memoized per
+      (applicationId, sf_dir), so the SECOND consumer in a session
+      (q_ml_silhouette_fixedk after q_llm_kmeans_fixedk) rebuilds its
+      assignment with ONE deterministic kernel pass instead of
+      re-running all three Lloyd iterations (4 passes -> 1).
+    Assignment is a pure function of the codebook (round(6) argmin,
+    first-min cid tiebreak), so the rebuilt relation is bit-identical
+    to the one the building consumer saw — oracle hashes certify."""
     from khose_spark.operators.similarity import _KM_DIM
 
     e = t(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _FIXED_LLOYD_CACHE.get(key)
+    if hit is not None:
+        cents_assign, cents_final = hit
+        assign = _assign_min_l2_vec(e, cents_assign)
+        cent = spark.createDataFrame(
+            [(c, cv) for c, cv in cents_final],
+            "cid bigint, cv array<double>",
+        )
+        return assign, cent
+
     cents = _collect_cents(fixed_seeds(_dbl_base(e)))
     assign = None
-    for _ in range(_KM_ITERS):
+    for it in range(_KM_ITERS):
         assign = _assign_min_l2_vec(e, cents)
+        if it == _KM_ITERS - 1:
+            # The consumer's next job over `assign` hits the cache the
+            # re-average collect below just materialized.
+            assign = assign.persist()
+            cents_assign = cents
         cent_df = assign.groupBy("cid").agg(
             F.array(
                 *[
@@ -593,6 +643,7 @@ def _fixed_lloyd(spark: SparkSession, sf_dir: str):
             ).alias("cv")
         )
         cents = _collect_cents(cent_df)
+    _FIXED_LLOYD_CACHE[key] = (cents_assign, cents)
     cent = assign.sparkSession.createDataFrame(
         [(c, cv) for c, cv in cents], "cid bigint, cv array<double>"
     )
@@ -658,6 +709,15 @@ def q_ml_silhouette_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assign, cent = _fixed_lloyd(spark, sf_dir)
     cents = _collect_cents(cent)
+    # ADVICE r13 item 3: with a single occupied cluster the masked-inf
+    # min below would yield b = +inf where the old array_min-over-empty
+    # expression produced null. The fixed-k contract (64 md5-ranked
+    # seeds over distinct vectors) never collapses to one cluster;
+    # assert it so a degenerate fixture fails loudly, not divergently.
+    assert len(cents) > 1, (
+        "silhouette_fixedk: Lloyd collapsed to a single cluster — "
+        "b-distance semantics diverge from the expression path"
+    )
     cids = np.array([c for c, _ in cents], dtype=np.int64)
     C = np.array([cv for _, cv in cents], dtype=np.float64)
 
@@ -685,7 +745,13 @@ def q_ml_silhouette_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
         fn,
         {"v": 64},
     )
-    return (
+    # r14: materialize the 64-row rollup eagerly (localCheckpoint below
+    # the final sort), then unpersist the Lloyd assignment cache that
+    # _fixed_lloyd pinned on a cold build — a no-op when this key runs
+    # on the memo-hit single-pass path. Same release discipline as
+    # q_llm_kmeans_fixedk; rows/ordering unchanged (the orderBy stays
+    # on top of the checkpoint).
+    out = (
         sil.groupBy("cid")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
@@ -698,8 +764,10 @@ def q_ml_silhouette_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "silhouette_avg",
             "n_negative",
         )
-        .orderBy("cluster_id")
+        .localCheckpoint()
     )
+    assign.unpersist()
+    return out.orderBy("cluster_id")
 
 
 # ---------------------------------------------------------------------------

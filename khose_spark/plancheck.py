@@ -72,15 +72,17 @@ def reset_plan_state(spark) -> None:
     persists inside the plan → InMemoryRelation; a reused memo after
     clearCache inlines the raw subtree), so both the lock generator and
     the drift gate reset them before every key."""
-    from khose_spark.operators import dedup_audit, graph, llm, similarity
+    from khose_spark import memo
+    from khose_spark.operators import similarity, similarity_fixedk
 
     spark.catalog.clearCache()
-    graph._TRADE_EDGES_CACHE.clear()
-    graph._PAIR_STATS_CACHE.clear()
-    graph._BACKBONE_CACHE.clear()
+    # r14: the checkpoint memos (trade edges, capped pair stats, k-NN
+    # backbone, doc shingles, MinHash signatures) route through
+    # khose_spark.memo, which also UNPERSISTS their storage blocks —
+    # repeated lock generation no longer accretes pinned checkpoints.
+    memo.release_all()
     similarity._PQ_INDEX_CACHE.clear()
-    llm._DOC_SHINGLE_CACHE.clear()
-    dedup_audit._SIG_CACHE.clear()
+    similarity_fixedk._FIXED_LLOYD_CACHE.clear()
 
 
 def skeleton_tokens(plan: str) -> list[str]:

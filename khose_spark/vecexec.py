@@ -57,9 +57,24 @@ _BOUNDARY = 1e-6  # |frac - 0.5| below this goes through exact Decimal
 
 
 def round_half_up(x: np.ndarray, scale: int) -> np.ndarray:
-    """Bit-exact replication of Spark's round(double, scale) HALF_UP."""
+    """Bit-exact replication of Spark's round(double, scale) HALF_UP.
+
+    Magnitude bound (ADVICE r13 item 1): the fast path detects
+    near-boundary values with an absolute band of ``_BOUNDARY`` on the
+    scaled value ``y = x * 10^scale``, which is only sound while the
+    double representation error of ``y`` (≈2 ulp) stays below that
+    band — i.e. ``|y| < _BOUNDARY / (2 * 2^-52) ≈ 2.25e9`` (about
+    ``|x| < 2.2e3`` at scale 6). Every current caller rounds cosines in
+    [-1, 1], bounded L2/L2² distances, or SRP dot products, all far
+    inside the bound; the assert makes a future out-of-range caller
+    fail loudly instead of silently diverging from Spark."""
     m = 10.0 ** scale
     y = x * m
+    assert np.abs(y).max(initial=0.0) < 2.0e9, (
+        "round_half_up: |x|*10^scale exceeds the exactness bound of the"
+        " fast boundary detector — widen _BOUNDARY per-ulp or route"
+        " this caller through Decimal"
+    )
     f = np.floor(y)
     frac = y - f
     out = np.where(frac >= 0.5, f + 1.0, f) / m
@@ -189,6 +204,14 @@ def pair_metric(
     ``metric``: 'l2sq' (the zip_with (x−y)² fold) or 'cos' (the _cos
     expression: seq dot / (√seqΣa² · √seqΣb²)). Bit-exact by the module
     exactness discipline."""
+
+    # ADVICE r13 item 5: the select below duplicates a column if a
+    # caller lists the vector columns (or the output name) in ``keep``,
+    # making the Arrow batch lookup by name ill-defined. Fail loudly.
+    assert not ({a_col, b_col, out_name} & set(keep)), (
+        f"pair_metric: keep={keep} must be disjoint from "
+        f"a_col/b_col/out_name ({a_col}, {b_col}, {out_name})"
+    )
 
     fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     schema = ", ".join(

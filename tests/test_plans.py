@@ -860,6 +860,105 @@ def test_global_topk_window_is_bounded(key, spark):
     )
 
 
+# r14 (VERDICT r13 item 7): a partition-less WindowExec moves ALL its
+# input to one task — fine over a post-aggregate (or otherwise bounded)
+# relation, fatal if a refactor ever slides one onto a fact-sized
+# relation. Gate: every global window must either sit above an
+# aggregate / group-limit bound IN ITS SUBTREE, or be allowlisted here
+# with the contract reason (the BNLJ_ALLOWED discipline).
+GLOBAL_WINDOW_ALLOWED = {
+    # Each entry documents why the window's single-partition input is
+    # bounded (or the global sort is the declared semantics) — audited
+    # from the full-board sweep, r14.
+    "q_fn_intdiv_laws": (
+        # declared contract key: 10 extreme balances need a global
+        # bidirectional rank (rn ASC + rn DESC stacked, so neither
+        # LimitPushDownThroughWindow nor WindowGroupLimit applies);
+        # input is the single-column customer cents projection —
+        # SURVEY pins this as the hash-checkable DIV/% law fixture
+        "global bidirectional extreme-rank over 1-column cents"
+    ),
+    "q_sort_multikey": (
+        # declared global-ORDER contract: row_number() materializes the
+        # sort so order survives order-insensitive hashing (SURVEY
+        # §2 'rel'); the distributed-rank production twin is
+        # q_sort_multikey_dist, gated above to NEVER use a window
+        "declared global-rank twin; q_sort_multikey_dist is the "
+        "scale path"
+    ),
+    "q_sort_nulls": (
+        # same declared global-rank contract; input additionally
+        # bounded by the pushed o_orderkey < 500 scan predicate
+        "declared global-rank contract over a <500-key scan slice"
+    ),
+}
+
+
+def _global_window_subtrees(plan: str) -> list[str]:
+    """Subtree text below each partition-less Window.
+
+    A Window line renders top-level bracket groups
+    ``[funcs], [partitionSpec], [orderSpec]`` — the partition group is
+    omitted when empty, and the order group when unordered. So a window
+    is GLOBAL iff it has a single group, or exactly two groups whose
+    second is an ORDERING (contains ASC/DESC markers) rather than a
+    partition column list. Returns the remainder-of-plan slice for each
+    global window found (the tree prints children below the parent, so
+    the subtree is contained in it)."""
+    import re
+
+    out = []
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        body = re.sub(r"^[\s:+*()\d-]*", "", ln)
+        if not body.startswith("Window "):
+            continue
+        depth, groups, cur = 0, [], []
+        for ch in body:
+            if ch == "[":
+                if depth == 0:
+                    cur = []
+                depth += 1
+                if depth == 1:
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(cur))
+                    continue
+            if depth >= 1:
+                cur.append(ch)
+        is_global = len(groups) == 1 or (
+            len(groups) == 2
+            and (" ASC" in groups[1] or " DESC" in groups[1])
+        )
+        if is_global:
+            out.append("\n".join(lines[i + 1 :]))
+    return out
+
+
+@pytest.mark.parametrize("key", AUDITED)
+def test_global_window_sits_on_bounded_input(key, spark):
+    plan = _plan(spark, key)
+    for subtree in _global_window_subtrees(plan):
+        if any(
+            tok in subtree
+            for tok in (
+                "HashAggregate",
+                "SortAggregate",
+                "ObjectHashAggregate",
+                "WindowGroupLimit",
+                "TakeOrderedAndProject",
+            )
+        ):
+            continue  # bounded: post-agg input or group-limit prune
+        assert key in GLOBAL_WINDOW_ALLOWED, (
+            f"{key}: a global (no PARTITION BY) window sits on an "
+            "unbounded relation — single-partition sort of the full "
+            "keyspace at scale. Bound it or allowlist with a reason."
+        )
+
+
 @pytest.mark.parametrize("key", AUDITED)
 def test_bnlj_only_where_intended(key, spark):
     plan = _plan(spark, key)
