@@ -231,29 +231,45 @@ def funnel_one_row(d: DataFrame) -> DataFrame:
     n_words = F.size(words)
     n_nonspace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
     n_sym = F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", ""))
-    s1 = (
-        F.when(
-            n_words.between(_MIN_WORDS, _MAX_WORDS)
-            & (_MIN_MWL * n_words <= n_nonspace)
-            & (n_nonspace <= _MAX_MWL * n_words)
-            & (1000 * n_sym <= _SYM_PERMILLE * F.length("text"))
-            & (stop_hits >= _MIN_STOP_HITS),
-            1,
-        )
-        .otherwise(0)
-        .alias("s1")
+    s1_expr = F.when(
+        n_words.between(_MIN_WORDS, _MAX_WORDS)
+        & (_MIN_MWL * n_words <= n_nonspace)
+        & (n_nonspace <= _MAX_MWL * n_words)
+        & (1000 * n_sym <= _SYM_PERMILLE * F.length("text"))
+        & (stop_hits >= _MIN_STOP_HITS),
+        1,
+    ).otherwise(0)
+    # r14 (guide §2.3/§8: shuffle keys, not payloads): every downstream
+    # stage needs only per-doc metadata plus the paragraph-chunk CONTENT
+    # KEYS, so the 16-byte md5 of each 16-word chunk is computed here,
+    # map-side on the scan, and ``text`` never crosses an exchange (the
+    # grp window previously shipped the full text through its shuffle
+    # solely so the chunk explode could run above it). Hashing is
+    # guarded to s1 survivors — s2 ⊆ s1 (monotone flags), so dropped
+    # docs never pay it — and unhex halves the key mass vs hex. hk
+    # equality classes are untouched (unhex∘md5 is injective), so the
+    # first-occurrence claims and every count/token sum are identical.
+    nch = F.expr("(size(split(text, ' ')) + 15) DIV 16")
+    charr = F.when(
+        s1_expr == 1,
+        F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda i: F.unhex(
+                F.md5(F.array_join(F.slice(words, i * 16 + 1, 16), " "))
+            ),
+        ),
     )
     feats = d.select(
         "doc_id",
         "source",
         "lang",
-        "text",
         n_words.alias("n_words"),
-        s1,
+        s1_expr.alias("s1"),
         F.md5("text").alias("grp"),
         hash_bucket(F.col("text")).alias("sb"),
         F.md5(F.col("doc_id").cast("string")).alias("ordk"),
         hash_bucket(F.col("doc_id"), _PACK_BUCKETS).alias("bucket"),
+        charr.alias("charr"),
     )
     w_grp = (
         Window.partitionBy("grp")
@@ -267,17 +283,13 @@ def funnel_one_row(d: DataFrame) -> DataFrame:
         ).otherwise(0),
     )
     # Paragraph-chunk explode over stage-2 survivors only — dropped
-    # documents' chunks must never claim a first occurrence.
-    nch = F.expr("(size(split(text, ' ')) + 15) DIV 16")
+    # documents' chunks must never claim a first occurrence. The chunk
+    # width cw is re-derived from (n_words, ci), so the explode carries
+    # nothing but the 16-byte content key.
     chunks = dd.filter(F.col("s2") == 1).select(
         "doc_id",
         F.col("n_words").alias("nw"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), nch - 1),
-                lambda i: F.array_join(F.slice(words, i * 16 + 1, 16), " "),
-            )
-        ).alias("ci", "chunk"),
+        F.posexplode("charr").alias("ci", "hk"),
     )
     # Shuffle the 128-bit content key, not the chunk text — same
     # narrow-exchange discipline as q_llm_paragraph_dedup (guide §2.3).
@@ -287,8 +299,8 @@ def funnel_one_row(d: DataFrame) -> DataFrame:
     doctoks = (
         chunks.select(
             "doc_id",
+            "hk",
             "ci",
-            F.md5("chunk").alias("hk"),
             F.least(F.lit(16), F.col("nw") - F.col("ci") * 16).alias("cw"),
         )
         .select(
@@ -304,7 +316,7 @@ def funnel_one_row(d: DataFrame) -> DataFrame:
         )
     )
     st3 = (
-        dd.drop("text")
+        dd.drop("charr")
         .join(doctoks, "doc_id", "left")
         .withColumn("toks", F.coalesce("toks", F.lit(0).cast("long")))
         .withColumn(

@@ -125,8 +125,14 @@ def run_corpus_refresh(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         document_kinesis_stream(spark, chunks, files_per_trigger=2)
     )
     (
-        stream.coalesce(1)
-        .writeStream.format("parquet")
+        # r14 (VERDICT item 4, guide §2.6): no coalesce(1) — it narrowed
+        # the WHOLE micro-batch (file read + JSON envelope decode +
+        # write) onto one task. The file-stream source yields one split
+        # per chunk file, so each batch now decodes and lands on 2
+        # parallel writers. Landing file count is NOT part of the
+        # contract (stage-0 windows_out counts COMPACTED files, still
+        # one per lang); compaction remains the small-files lever.
+        stream.writeStream.format("parquet")
         .option("path", land)
         .option("checkpointLocation", ckpt)
         .partitionBy("lang")
